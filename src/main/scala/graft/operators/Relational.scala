@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Core relational operators: scans, projections, filters, aggregations,
+  * sorts/limits, set ops (SURVEY.md §2.1, §2.2, §2.4, §2.6, §2.7).
+  *
+  * Design rules (100 TB posture):
+  *  - everything is a declarative DataFrame plan — Catalyst pushes filters
+  *    and prunes columns down to the Parquet scan;
+  *  - aggregates that feed the DuckDB oracle use exact arithmetic
+  *    (DECIMAL for money, LONG for counts) so results are order-independent
+  *    and reproducible under any partitioning;
+  *  - every oracle-visible result ends in a total ORDER BY over its keys.
+  */
+object Relational {
+
+  /** Exact money arithmetic: 2-decimal doubles -> DECIMAL(18,2).
+    * Sums become order-independent (no fp non-associativity across
+    * partitions), which both the oracle and any 1000-executor run need.
+    */
+  private def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Flagship: pricing-summary over lineitem (SURVEY §7.2 slice 0).
+    * Filter -> hash agg (partial+final, map-side combine) -> order.
+    */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").cast("double").as("sum_qty"),
+        sum(money($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(money($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - money($"l_discount")))
+          .cast("double").as("sum_disc_price"),
+        (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        (sum(money($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // ---------------------------------------------------------------- §2.1 scans
+
+  /** S1: columnar scan with projection+predicate pushdown to Parquet. */
+  def s1ParquetScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+      .filter($"l_orderkey" < 100)
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  // ------------------------------------------------- §2.2 projections / filters
+
+  /** P1: single-column projection (ref projects `code` from listing pages —
+    * main.rs:144-147). Column pruning reaches the scan. */
+  def p1ProjectCode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir).select($"o_orderkey").orderBy($"o_orderkey")
+  }
+
+  /** P2: JSON field extraction with default (ref: details.name else
+    * "Unknown" — vendor.rs:61-64). */
+  def p2JsonFieldExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id",
+        coalesce(get_json_object($"props", "$.k"), lit("Unknown")).as("k_str"),
+        coalesce(get_json_object($"props", "$.missing"), lit("Unknown")).as("missing_str"))
+      .orderBy($"event_id")
+  }
+
+  /** P3: null-tolerant select — rows whose enrichment missed keep NULL
+    * payloads (the HTTP-400 path, vendor.rs:82-115). */
+  def p3NullTolerantSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir)
+    val bigOrders = Tables.orders(spark, sfDir).filter($"o_totalprice" > 100000)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_big"), sum(money($"o_totalprice")).cast("double").as("big_total"))
+    c.join(bigOrders, $"c_custkey" === $"o_custkey", "left_outer")
+      .select($"c_custkey", coalesce($"c_name", lit("Unknown")).as("name"), $"n_big", $"big_total")
+      .orderBy($"c_custkey")
+  }
+
+  /** P4: status routing (OK/parse, 400/null-row, 403/retry, other/error —
+    * api.rs:104-134) replayed over the events table's type column. */
+  def p4StatusFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("route",
+        when($"event_type" === "error", lit("retry"))
+          .when($"event_type" === "signup", lit("parse"))
+          .when($"event_type" === "purchase", lit("parse"))
+          .otherwise(lit("skip")))
+      .groupBy($"route").agg(count(lit(1)).as("n"))
+      .orderBy($"route")
+  }
+
+  /** P5: validity filter — reject unparseable JSON before typed decode
+    * (api.rs:46-54). from_json yields NULL on corrupt input. */
+  def p5ValidityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .filter($"k".isNotNull && $"k" >= 50)
+      .select($"event_id", $"k")
+      .orderBy($"event_id")
+  }
+
+  // ----------------------------------------------------------- §2.4 aggregates
+
+  /** A1: total row count (ref: per-city vendor count, json.rs:44). */
+  def a1CountRows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).agg(count(lit(1)).as("n"))
+
+  /** A2: distribution — per-key count + integer percent of total
+    * (ratings.rs:4-20 shape). Window over the agg avoids a second scan. */
+  def a2RatingsDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, sfDir)
+      .groupBy($"event_type").agg(count(lit(1)).as("cnt"))
+    val total = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts
+      .withColumn("percentage", (($"cnt" * 100L) / sum($"cnt").over(total)).cast("long"))
+      .withColumn("total_count", sum($"cnt").over(total))
+      .select($"event_type", $"cnt", $"percentage", $"total_count")
+      .orderBy($"event_type")
+  }
+
+  /** A3: pagination plan — total_pages = ceil(available / page_size)
+    * (main.rs:121-123; ref's f32 quirk normalized to double, SURVEY §7.4). */
+  def a3PaginationPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .agg(count(lit(1)).as("available"))
+      .select(
+        col("available"),
+        ceil(col("available").cast("double") / lit(48.0)).cast("long").as("total_pages"))
+  }
+
+  /** A4: throughput stats — count, span, rows/sec (main.rs:186-198). */
+  def a4ThroughputStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n"),
+        min(unix_timestamp($"ts")).as("started_s"),
+        max(unix_timestamp($"ts")).as("completed_s"))
+      .select($"n", $"started_s", $"completed_s",
+        ($"n".cast("double") / ($"completed_s" - $"started_s").cast("double")).as("rows_per_second"))
+  }
+
+  /** A5: per-batch rollup (per-page progress counts, main.rs:149-154). */
+  def a5BatchRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"), sum(money($"o_totalprice")).cast("double").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** A5b: multi-dimensional rollup (GROUPING SETS family) [EXT]. */
+  def a5bRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").cast("double").as("qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** A6: exact distinct keys (vendor-code uniqueness, response.rs:16-18). */
+  def a6DistinctCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .agg(countDistinct($"o_custkey").as("n_distinct"), count(lit(1)).as("n_rows"))
+  }
+
+  /** A6b: approximate distinct (HLL sketch) [EXT]. No oracle — sketch
+    * results are engine-specific; the spec checks the error envelope. */
+  def a6bApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .agg(approx_count_distinct($"o_custkey", 0.01).as("n_approx"))
+  }
+
+  // ------------------------------------------------------- §2.6 sorts / limits
+
+  /** O1: global order by recency (reviews created_at desc — api.rs:191). */
+  def o1OrderByRecency(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_id", unix_timestamp($"ts").as("ts_s"))
+      .orderBy($"ts_s".desc, $"event_id")
+  }
+
+  /** O2: limit after a stable total order (page limit=48, main.rs:120). */
+  def o2Limit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+      .limit(48)
+  }
+
+  /** O3: global top-K — TakeOrderedAndProject, no full sort at scale. */
+  def o3GlobalTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  // ------------------------------------------------------------ §2.7 set ops
+
+  /** Union of per-partition outputs (multi-city loop, main.rs:107-273). */
+  def set1UnionCities(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.orders(spark, sfDir).filter($"o_orderstatus" === "O")
+      .select($"o_orderkey".as("k"), lit("open").as("src"))
+    val b = Tables.orders(spark, sfDir).filter($"o_orderstatus" === "F")
+      .select($"o_orderkey".as("k"), lit("done").as("src"))
+    a.unionByName(b).orderBy($"k")
+  }
+
+  /** Intersection: customers active in both halves of the date range [EXT]. */
+  def set2Intersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val early = o.filter(year($"o_orderdate") <= 1997).select($"o_custkey")
+    val late = o.filter(year($"o_orderdate") >= 1998).select($"o_custkey")
+    early.intersect(late).orderBy($"o_custkey")
+  }
+
+  /** Difference: churn — early-only customers [EXT]. */
+  def set3Except(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val early = o.filter(year($"o_orderdate") <= 1997).select($"o_custkey")
+    val late = o.filter(year($"o_orderdate") >= 1998).select($"o_custkey")
+    early.except(late).orderBy($"o_custkey")
+  }
+}
