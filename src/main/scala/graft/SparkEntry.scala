@@ -39,6 +39,29 @@ object SparkEntry {
     "set1_union_cities" -> (Relational.set1UnionCities _),
     "set2_intersect" -> (Relational.set2Intersect _),
     "set3_except" -> (Relational.set3Except _),
+    "j1_enrich_details" -> (Joins.j1EnrichDetails _),
+    "j2_enrich_ratings" -> (Joins.j2EnrichRatings _),
+    "j3_enrich_reviews" -> (Joins.j3EnrichReviews _),
+    "j4_semi_join" -> (Joins.j4SemiJoin _),
+    "j5_anti_join" -> (Joins.j5AntiJoin _),
+    "asof_join" -> (Joins.asofJoin _),
+    "w1_topk_per_group" -> (Windows.w1TopkPerGroup _),
+    "w2_batch_numbering" -> (Windows.w2BatchNumbering _),
+    "w3_extraction_lag" -> (Windows.w3ExtractionLag _),
+    "w4_running_total" -> (Windows.w4RunningTotal _),
+    "f1_json_serialize" -> (graft.functions.Scalars.f1JsonSerialize _),
+    "f2_json_parse" -> (graft.functions.Scalars.f2JsonParse _),
+    "f3_epoch_seconds" -> (graft.functions.Scalars.f3EpochSeconds _),
+    "f4_date_parts" -> (graft.functions.Scalars.f4DateParts _),
+    "f5_timestamp_format" -> (graft.functions.Scalars.f5TimestampFormat _),
+    "f6_string_template" -> (graft.functions.Scalars.f6StringTemplate _),
+    "f7_url_build" -> (graft.functions.Scalars.f7UrlBuild _),
+    "f8_ceil_div" -> (graft.functions.Scalars.f8CeilDiv _),
+    "f9_bytes_to_mb" -> (graft.functions.Scalars.f9BytesToMb _),
+    "f10_coalesce_default" -> (graft.functions.Scalars.f10CoalesceDefault _),
+    "f11_array_ops" -> (graft.functions.Scalars.f11ArrayOps _),
+    "f12_map_headers" -> (graft.functions.Scalars.f12MapHeaders _),
+    "f13_jitter" -> (graft.functions.Scalars.f13Jitter _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -137,5 +160,122 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) >= 1998
         |ORDER BY o_custkey""".stripMargin,
+    "j1_enrich_details" ->
+      """SELECT o_orderkey, COALESCE(c_name, 'Unknown') AS name, c_mktsegment AS segment
+        |FROM orders LEFT OUTER JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "j2_enrich_ratings" ->
+      """SELECT s_suppkey, s_name, n_items, revenue
+        |FROM supplier LEFT OUTER JOIN (
+        |  SELECT l_suppkey, COUNT(*) AS n_items,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY l_suppkey
+        |) r ON s_suppkey = l_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "j3_enrich_reviews" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT o_custkey, COUNT(*) AS n_recent,
+        |       STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rk, o_orderkey) AS recent_orders
+        |FROM ranked WHERE rk <= 3
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "j4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND YEAR(o_orderdate) = 2001)
+        |ORDER BY c_custkey""".stripMargin,
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND YEAR(o_orderdate) = 2001)
+        |ORDER BY c_custkey""".stripMargin,
+    "asof_join" ->
+      """SELECT p.event_id, p.user_id, EPOCH_US(p.ts) AS ts_us, s.signup_ts_us AS last_signup_us
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, EPOCH_US(ts) AS signup_ts_us
+        |                FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "w1_topk_per_group" ->
+      """SELECT user_id, rk, event_id FROM (
+        |  SELECT user_id, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rk
+        |  FROM events) t
+        |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+    "w2_batch_numbering" ->
+      """SELECT o_orderkey,
+        |  CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) / 48) + 1 AS BIGINT) AS batch_number
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "w3_extraction_lag" ->
+      """SELECT event_id, user_id,
+        |  CAST((EPOCH_US(ts) - LAG(EPOCH_US(ts), 1) OVER (
+        |     PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS BIGINT) AS gap_s
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w4_running_total" ->
+      """WITH monthly AS (
+        |  SELECT STRFTIME(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n, SUM(n) OVER (ORDER BY month
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |FROM monthly ORDER BY month""".stripMargin,
+    "f1_json_serialize" ->
+      """SELECT event_id,
+        |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS doc
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f2_json_parse" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f3_epoch_seconds" ->
+      """SELECT event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS epoch_s,
+        |  STRFTIME(TO_TIMESTAMP(CAST(FLOOR(EPOCH(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS rt
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f4_date_parts" ->
+      """SELECT o_orderkey, CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+        |  LPAD(CAST(MONTH(o_orderdate) AS VARCHAR), 2, '0') AS m,
+        |  LPAD(CAST(DAY(o_orderdate) AS VARCHAR), 2, '0') AS d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f5_timestamp_format" ->
+      """SELECT event_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS formatted
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f6_string_template" ->
+      """SELECT c_custkey,
+        |  'vendors_city_' || REPLACE(LOWER(c_name), ' ', '_') || '_' || c_custkey || '.json' AS filename
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "f7_url_build" ->
+      """SELECT o_orderkey,
+        |  'https://host/api/v1/orders?' ||
+        |  'key=' || o_orderkey || '&status=' || o_orderstatus ||
+        |  '&priority=' || REPLACE(o_orderpriority, ' ', '%20') AS url
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f8_ceil_div" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 10.0) AS BIGINT) AS pages
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "f9_bytes_to_mb" ->
+      """SELECT doc_id, n_chars // 128 AS blocks, n_chars % 128 AS rem
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f10_coalesce_default" ->
+      """SELECT n_nationkey, n_name, COALESCE(cnt, 0) AS n_suppliers
+        |FROM nation LEFT OUTER JOIN (
+        |  SELECT s_nationkey, COUNT(*) AS cnt FROM supplier GROUP BY s_nationkey
+        |) s ON n_nationkey = s_nationkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "f11_array_ops" ->
+      """SELECT doc_id,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+        |  STRING_SPLIT(text, ' ')[1] AS first_word,
+        |  ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(text, ' '))[1:3], ',') AS sorted_first3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f12_map_headers" ->
+      """SELECT c_custkey, 'accept,segment' AS header_keys,
+        |  LOWER(c_mktsegment) AS segment_header
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "f13_jitter" ->
+      """SELECT event_id,
+        |  2000 + (event_id * 1103515245 + 12345) % 1000 AS delay_ms
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join family (SURVEY.md §2.3): the vendor-enrichment semantics of the
+  * reference — left-outer with null-miss rows (vendor.rs:82-115), the two
+  * concurrent enrichment branches (vendor.rs:52-55), semi/anti membership —
+  * re-keyed onto the star schema, plus an as-of join [EXT] on events.
+  *
+  * Scale notes: dimension sides (customer, supplier, part at these shapes)
+  * are broadcast — no shuffle of the fact table; AQE picks broadcast when
+  * sizes allow, and we hint it explicitly where the dimension is known
+  * small. The as-of join is a union + running-last window, which shuffles
+  * each side once by key — no per-row point lookups anywhere.
+  */
+object Joins {
+
+  /** J1: enrich with details — left outer equi-join; misses keep the row
+    * with NULL payload (the HTTP-400 path). Broadcast the dimension. */
+  def j1EnrichDetails(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey", "left_outer")
+      .select(
+        $"o_orderkey",
+        coalesce($"c_name", lit("Unknown")).as("name"),
+        $"c_mktsegment".as("segment"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** J2: enrich with a 1:0..1 aggregate branch (ratings analog) —
+    * failure/absence tolerated as NULLs (`ratings_result.ok()`). */
+  def j2EnrichRatings(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.supplier(spark, sfDir)
+    val revenue = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_suppkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+    s.join(revenue, $"s_suppkey" === $"l_suppkey", "left_outer")
+      .select($"s_suppkey", $"s_name", $"n_items", $"revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  /** J3: enrich with top-K recent children re-nested to one column per key
+    * (reviews: newest 30, api.rs:188-193 — here newest 3 orders/customer).
+    * Window top-K then a sorted array join; deterministic tiebreaks. */
+  def j3EnrichReviews(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .groupBy($"o_custkey")
+      .agg(
+        count(lit(1)).as("n_recent"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct($"rk", $"o_orderkey"))),
+            x => x.getField("o_orderkey").cast("string")),
+          ",").as("recent_orders"))
+      .orderBy($"o_custkey")
+  }
+
+  /** J4: semi join — membership without payload (codes present in the
+    * current page batch, main.rs:144-156). */
+  def j4SemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val active = Tables.orders(spark, sfDir).filter(year($"o_orderdate") === 2001)
+    Tables.customer(spark, sfDir)
+      .join(active, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** J5: anti join — the QC view of keys whose enrichment never arrived. */
+  def j5AntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val active = Tables.orders(spark, sfDir).filter(year($"o_orderdate") === 2001)
+    Tables.customer(spark, sfDir)
+      .join(active, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** As-of join [EXT]: for each purchase event, the nearest earlier-or-equal
+    * signup by the same user. Implemented distributed: union both sides,
+    * one shuffle by user, running `last(signup_ts, ignoreNulls)` in event
+    * order. Signups sort before purchases at equal ts (side flag in the
+    * order key) to get `purchase.ts >= signup.ts` inclusive semantics —
+    * identical to DuckDB's ASOF JOIN.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val signups = e.filter($"event_type" === "signup")
+      .select($"user_id", $"ts_us", lit(0).as("side"), lit(null).cast("long").as("event_id"))
+      .withColumn("signup_ts_us", $"ts_us")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us", lit(1).as("side"), $"event_id")
+      .withColumn("signup_ts_us", lit(null).cast("long"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    signups.unionByName(purchases)
+      .withColumn("last_signup_us", last($"signup_ts_us", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"event_id", $"user_id", $"ts_us", $"last_signup_us")
+      .orderBy($"event_id")
+  }
+}
