@@ -62,6 +62,14 @@ object SparkEntry {
     "f11_array_ops" -> (graft.functions.Scalars.f11ArrayOps _),
     "f12_map_headers" -> (graft.functions.Scalars.f12MapHeaders _),
     "f13_jitter" -> (graft.functions.Scalars.f13Jitter _),
+    "s5_s6_partitioned_sink" -> (Etl.s5s6PartitionedSink _),
+    "s7_json_sink" -> (Etl.s7JsonRoundtrip _),
+    "etl_pipeline" -> (Etl.etlPipeline _),
+    "r2_tumbling_count" -> (graft.streaming.Streams.r2TumblingCount _),
+    "r3_watermark_late_drop" -> (graft.streaming.Streams.r3WatermarkLateDrop _),
+    "r4_session_window" -> (graft.streaming.Streams.r4SessionWindow _),
+    "r5_dedup_stream" -> (graft.streaming.Streams.r5DedupStream _),
+    "r6_stateful_progress" -> (graft.streaming.Streams.r6StatefulProgress _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -276,6 +284,58 @@ object SparkEntry {
     "f13_jitter" ->
       """SELECT event_id,
         |  2000 + (event_id * 1103515245 + 12345) % 1000 AS delay_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+    "s5_s6_partitioned_sink" ->
+      """SELECT CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS city_id,
+        |  CAST(DAY(o_orderdate) AS BIGINT) AS day, COUNT(*) AS n
+        |FROM orders LEFT OUTER JOIN customer ON o_custkey = c_custkey
+        |WHERE YEAR(o_orderdate) = 2000 AND MONTH(o_orderdate) = 3
+        |GROUP BY 1, 2 ORDER BY city_id, day""".stripMargin,
+    "s7_json_sink" ->
+      """SELECT COALESCE(c_name, 'Unknown') AS name, COUNT(*) AS n,
+        |  MAX(CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT)) AS last_started
+        |FROM orders LEFT OUTER JOIN customer ON o_custkey = c_custkey
+        |WHERE YEAR(o_orderdate) = 2001
+        |GROUP BY 1 ORDER BY name""".stripMargin,
+    "etl_pipeline" ->
+      """SELECT CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS city_id,
+        |  CAST(YEAR(o_orderdate) AS BIGINT) AS year,
+        |  COUNT(*) AS n_vendors,
+        |  COUNT(DISTINCT (o_orderkey - 1) // 48 + 1) AS n_batches,
+        |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_misses
+        |FROM orders LEFT OUTER JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY city_id, year""".stripMargin,
+    "r2_tumbling_count" ->
+      """SELECT CAST(FLOOR(EPOCH(DATE_TRUNC('hour', ts))) AS BIGINT) AS bucket_s,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_s, event_type""".stripMargin,
+    "r3_watermark_late_drop" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |WHERE EPOCH_US(ts) >= (SELECT MAX(EPOCH_US(ts)) FROM events) - 600000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "r4_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    LAG(EPOCH_US(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, event_id, ts,
+        |    SUM(CASE WHEN prev_us IS NULL OR EPOCH_US(ts) - prev_us > 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(EPOCH_US(ts)) AS session_start_us, MAX(EPOCH_US(ts)) AS session_end_us
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "r5_dedup_stream" ->
+      """SELECT user_id, event_type, MIN(EPOCH_US(ts)) AS first_us
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "r6_stateful_progress" ->
+      """SELECT event_id, user_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS events_so_far
         |FROM events ORDER BY event_id""".stripMargin,
   )
 }

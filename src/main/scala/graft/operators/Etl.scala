@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's whole per-city ETL (SURVEY.md §3.1) re-expressed as one
+  * lazy Spark plan, plus the sink operators S5/S6/S7 with read-back checks.
+  *
+  * Reference shape (main.rs:107-273): paginated scan -> project codes ->
+  * three left enrichment joins -> 8-column vendor schema -> JSON spool ->
+  * Parquet -> partitioned upload under `city_id=/year=/month=/day=`.
+  * Here the spool disappears (it only exists because the ref holds rows
+  * before its one-shot columnar pivot) and the partitioned write is
+  * Spark's native `partitionBy` — the committer handles the multipart
+  * upload concern (minio.rs:139-242) at the FS layer (s3a on a cluster).
+  */
+object Etl {
+
+  /** Scratch dir for sink demos — under the build tree, absolute, safe to
+    * overwrite. On a cluster this would be an object-store URI. */
+  private val scratch = "/root/repo/target/graft-tmp"
+
+  /** Vendor-shaped frame derived from the star schema: one row per order,
+    * enriched from customer (details branch) and per-order lineitems
+    * (reviews branch), with nation as the city key. Mirrors vendor.rs
+    * semantics: missing enrichment keeps the row with NULLs/defaults.
+    */
+  def vendorFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_mktsegment")
+    val reviews = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(
+        to_json(
+          slice(
+            array_sort(collect_list(struct($"l_linenumber", $"l_partkey", $"l_quantity"))),
+            1, 30)).as("reviews"),
+        count(lit(1)).as("n_items"))
+    orders
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey", "left_outer")
+      .join(reviews, $"o_orderkey" === $"l_orderkey", "left_outer")
+      .select(
+        $"o_orderkey".cast("string").as("code"),
+        coalesce($"c_name", lit("Unknown")).as("name"),
+        to_json(struct($"c_mktsegment".as("segment"), $"o_totalprice".as("total"))).as("details"),
+        (floor(($"o_orderkey" - 1) / 48) + 1).cast("int").as("batch_number"),
+        $"reviews",
+        to_json(struct($"n_items".as("totalCount"))).as("ratings"),
+        unix_timestamp($"o_orderdate").as("extraction_started_at"),
+        (unix_timestamp($"o_orderdate") + 60L).as("extraction_completed_at"),
+        coalesce($"c_nationkey", lit(-1)).as("city_id"),
+        year($"o_orderdate").as("year"),
+        month($"o_orderdate").as("month"),
+        dayofmonth($"o_orderdate").as("day"))
+  }
+
+  /** S5+S6: partitioned Parquet sink + read-back. Writes a bounded slice
+    * (one month) under `city_id=/year=/month=/day=`, reads it back with
+    * partition discovery, and returns per-partition counts. At 100 TB the
+    * bound comes from the date predicate, not the writer: each partition
+    * dir is one task's stream, no driver materialization.
+    */
+  def s5s6PartitionedSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = s"$scratch/partitioned_sink"
+    vendorFrame(spark, sfDir)
+      .filter($"year" === 2000 && $"month" === 3)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("city_id", "year", "month", "day")
+      .parquet(out)
+    spark.read.parquet(out)
+      .groupBy($"city_id", $"day")
+      .agg(count(lit(1)).as("n"))
+      .select($"city_id".cast("long").as("city_id"), $"day".cast("long").as("day"), $"n")
+      .orderBy($"city_id", $"day")
+  }
+
+  /** S7+S2: JSON sink (the spool, json.rs:14-54) + JSON scan with an
+    * explicit schema (main.rs:225-227). JSONL at scale — the ref's
+    * array-file form only exists because it appends row-at-a-time. */
+  def s7JsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = s"$scratch/json_spool"
+    vendorFrame(spark, sfDir)
+      .filter($"year" === 2001)
+      .select($"code", $"name", $"batch_number", $"extraction_started_at")
+      .write.mode(SaveMode.Overwrite).json(out)
+    spark.read
+      .schema("code STRING, name STRING, batch_number INT, extraction_started_at BIGINT")
+      .json(out)
+      .groupBy($"name")
+      .agg(count(lit(1)).as("n"), max($"extraction_started_at").as("last_started"))
+      .orderBy($"name")
+  }
+
+  /** The full §3.1 pipeline as one query: scan -> enrich -> 8-col select ->
+    * per-city/day rollup of what would land in each partition dir. */
+  def etlPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    vendorFrame(spark, sfDir)
+      .groupBy($"city_id", $"year")
+      .agg(
+        count(lit(1)).as("n_vendors"),
+        countDistinct($"batch_number").as("n_batches"),
+        sum(when($"name" === "Unknown", 1L).otherwise(0L)).as("n_misses"))
+      .select($"city_id".cast("long").as("city_id"), $"year".cast("long").as("year"),
+        $"n_vendors", $"n_batches", $"n_misses")
+      .orderBy($"city_id", $"year")
+  }
+}

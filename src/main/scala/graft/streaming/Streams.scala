@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Structured Streaming re-expression of the reference's incremental page
+  * loop (SURVEY.md §2.9). Every transform here is written against a plain
+  * DataFrame so the SAME function body runs in batch (for the DuckDB
+  * oracle) and on a streaming source (readStream / MemoryStream in the
+  * specs) — batch/stream equivalence is by construction, then asserted in
+  * StreamingSpec.
+  *
+  * The ref analog: pages ≙ micro-batches (`batch_number` ≙ batchId,
+  * main.rs:136-159), the running JsonWriter.count ≙ streaming state
+  * (json.rs:10,44,56-58).
+  */
+object Streams {
+
+  /** R2: tumbling-window counts per event type (per-page counts analog). */
+  def tumblingCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_timestamp($"window.start").as("bucket_s"),
+        $"event_type", $"n")
+  }
+
+  /** R2 streaming form: adds the watermark a production stream needs. */
+  def tumblingCountsStream(events: DataFrame): DataFrame =
+    tumblingCounts(events.withWatermark("ts", "1 hour"))
+
+  /** R3: late-data drop — keep only rows within the watermark horizon of
+    * the max event time (batch replay of watermark semantics). */
+  def lateDropBatch(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val horizon = events.agg(max(unix_micros($"ts")).as("max_us"))
+    events.crossJoin(broadcast(horizon))
+      .filter(unix_micros($"ts") >= $"max_us" - lit(10L * 60 * 1000000))
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+  }
+
+  /** R4: session windows — 30 min inactivity gap per user. Batch form via
+    * lag + running sum (the canonical sessionization); the streaming form
+    * uses the built-in session_window and must agree (asserted in specs).
+    */
+  def sessionize(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(run))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros($"ts")).as("session_start_us"),
+        max(unix_micros($"ts")).as("session_end_us"))
+  }
+
+  /** R4 streaming form: built-in gap-based session window. */
+  def sessionWindowStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros($"ts")).as("session_start_us"),
+        max(unix_micros($"ts")).as("session_end_us"))
+      .select($"user_id", $"n_events", $"session_start_us", $"session_end_us")
+  }
+
+  /** R5: dedup — first event per (user, type), keyed state in streaming
+    * (`dropDuplicatesWithinWatermark`), min-by in batch. */
+  def dedupBatch(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupBy($"user_id", $"event_type")
+      .agg(min(unix_micros($"ts")).as("first_us"))
+  }
+
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
+  /** R6: stateful running progress — each event tagged with the user's
+    * cumulative event count so far (JsonWriter.count analog). */
+  def runningProgress(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events.select($"event_id", $"user_id",
+      row_number().over(w).cast("long").as("events_so_far"))
+  }
+
+  // ------------------------------------------------ oracle-facing wrappers
+
+  def r2TumblingCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    tumblingCounts(Tables.events(spark, sfDir)).orderBy($"bucket_s", $"event_type")
+  }
+
+  def r3WatermarkLateDrop(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    lateDropBatch(Tables.events(spark, sfDir)).orderBy($"event_type")
+  }
+
+  def r4SessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sessionize(Tables.events(spark, sfDir))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  def r5DedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    dedupBatch(Tables.events(spark, sfDir)).orderBy($"user_id", $"event_type")
+  }
+
+  def r6StatefulProgress(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runningProgress(Tables.events(spark, sfDir)).orderBy($"event_id")
+  }
+}

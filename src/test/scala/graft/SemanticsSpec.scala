@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Semantics the oracle can't see (SURVEY.md §5.2 #3): null-miss rows,
+  * "Unknown" defaulting, top-K containment, epoch round-trips. */
+class SemanticsSpec extends SparkSpecBase {
+
+  test("J1 left-outer keeps miss rows with NULL payload (vendor.rs:82-115 parity)") {
+    import spark.implicits._
+    val codes = Seq("a", "b", "c").toDF("code")
+    val details = Seq(("a", "na"), ("c", "nc")).toDF("code", "name")
+    val joined = codes.join(details, Seq("code"), "left_outer")
+      .select($"code", coalesce($"name", lit("Unknown")).as("name"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(joined === Map("a" -> "na", "b" -> "Unknown", "c" -> "nc"))
+  }
+
+  test("P2 json extract defaults to Unknown on missing/non-string (vendor.rs:61-64)") {
+    import spark.implicits._
+    val df = Seq("""{"name":"x"}""", """{"other":1}""", "not json").toDF("details")
+      .select(coalesce(get_json_object($"details", "$.name"), lit("Unknown")).as("name"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("x", "Unknown", "Unknown"))
+  }
+
+  test("W1 top-K per group is contained in its group and capped at K") {
+    import spark.implicits._
+    val topk = Windows.w1TopkPerGroup(spark, sfDir)
+    val perUser = topk.groupBy($"user_id").count().collect()
+    assert(perUser.forall(_.getLong(1) <= 3))
+    // membership: every (user,event) pair exists in the source
+    val src = Tables.events(spark, sfDir).select($"user_id", $"event_id")
+    assert(topk.select($"user_id", $"event_id").except(src).count() === 0)
+  }
+
+  test("F3 epoch-seconds round trip is identity at second granularity") {
+    import spark.implicits._
+    val df = Seq("2024-03-01 12:34:56").toDF("s")
+      .select(unix_timestamp($"s".cast("timestamp")).as("e"))
+      .select(date_format(timestamp_seconds($"e"), "yyyy-MM-dd HH:mm:ss").as("rt"))
+    assert(df.head().getString(0) === "2024-03-01 12:34:56")
+  }
+
+  test("F13 jitter stays within [base, base+span) and is deterministic") {
+    val j = graft.functions.Scalars.f13Jitter(spark, sfDir)
+    val vals = j.collect().map(_.getLong(1))
+    assert(vals.forall(v => v >= 2000 && v < 3000))
+    val again = graft.functions.Scalars.f13Jitter(spark, sfDir).collect().map(_.getLong(1))
+    assert(vals.sameElements(again))
+  }
+
+  test("ETL partition keys are total: every vendor row lands in exactly one partition") {
+    import spark.implicits._
+    val v = Etl.vendorFrame(spark, sfDir)
+    assert(v.filter($"city_id".isNull || $"year".isNull || $"month".isNull || $"day".isNull).count() === 0)
+    assert(v.count() === Tables.orders(spark, sfDir).count())
+  }
+
+  test("golden ETL: partitioned write/read-back preserves schema, counts, and partition layout") {
+    import spark.implicits._
+    val out = "/root/repo/target/graft-tmp/golden_etl"
+    val v = Etl.vendorFrame(spark, sfDir).filter($"year" === 2000 && $"month" === 1)
+    v.write.mode("overwrite").partitionBy("city_id", "year", "month", "day").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === v.count())
+    assert(back.columns.toSet === v.columns.toSet)
+    // Hive-style dirs exist
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("city_id=")))
+    // 8-column vendor payload intact (SURVEY §1.2) + 4 partition keys
+    val payload = Seq("code", "name", "details", "batch_number", "reviews",
+      "ratings", "extraction_started_at", "extraction_completed_at")
+    assert(payload.forall(back.columns.contains))
+  }
+
+  test("A2 distribution percentages are derived from one total and sum sanely") {
+    val rows = Relational.a2RatingsDistribution(spark, sfDir).collect()
+    val total = rows.head.getAs[Long]("total_count")
+    assert(rows.map(_.getAs[Long]("cnt")).sum === total)
+    val pctSum = rows.map(_.getAs[Long]("percentage")).sum
+    assert(pctSum >= 95 && pctSum <= 100) // integer floors
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+case class Evt(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+
+/** Batch/stream equivalence (SURVEY.md §5.2 #5): the same transform body
+  * over a MemoryStream must agree with the batch run on identical input. */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val fixture: Seq[Evt] = Seq(
+    Evt(1, ts(0), 1, "click"), Evt(2, ts(10), 1, "view"),
+    Evt(3, ts(65), 1, "click"),   // same user, new hour, same session? gap 55m > 30m => new session
+    Evt(4, ts(70), 1, "click"),
+    Evt(5, ts(5), 2, "click"), Evt(6, ts(50), 2, "view"),
+    Evt(7, ts(130), 2, "click"), Evt(8, ts(130), 2, "click"),
+    Evt(9, ts(200), 3, "signup"))
+
+  private def runStream(input: Seq[Evt], f: DataFrame => DataFrame,
+                        mode: String, extra: Seq[Evt] = Nil): DataFrame = {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val q = f(mem.toDF()).writeStream
+      .format("memory").queryName("sink_" + System.nanoTime())
+      .outputMode(mode).start()
+    mem.addData(input)
+    q.processAllAvailable()
+    if (extra.nonEmpty) { mem.addData(extra); q.processAllAvailable() }
+    val name = q.name
+    q.stop()
+    spark.table(name)
+  }
+
+  private def batchDf(input: Seq[Evt]): DataFrame = {
+    val sparkS = spark
+    import sparkS.implicits._
+    input.toDF()
+  }
+
+  test("R2 tumbling counts: stream (complete mode) == batch") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val streamed = runStream(fixture, Streams.tumblingCountsStream, "complete")
+      .select($"bucket_s", $"event_type", $"n")
+    val batch = Streams.tumblingCounts(batchDf(fixture))
+    assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0)
+    assert(batch.count() > 0)
+  }
+
+  test("R4 session windows: stream session_window == batch lag-gap sessionization") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // flush event far in the future advances the watermark past every session
+    val flush = Seq(Evt(99, ts(4000), 99, "flush"))
+    val streamed = runStream(fixture, Streams.sessionWindowStream, "append", flush)
+      .filter($"user_id" =!= 99)
+      .select($"user_id", $"n_events", $"session_start_us", $"session_end_us")
+    val batch = Streams.sessionize(batchDf(fixture))
+      .select($"user_id", $"n_events", $"session_start_us", $"session_end_us")
+    assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0)
+    assert(batch.count() === 6) // u1: 2 sessions, u2: 3 sessions, u3: 1
+  }
+
+  test("R5 streaming dedup == batch first-per-key") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val streamed = runStream(fixture, Streams.dedupStream, "append", Nil)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("first_us"))
+    val batch = Streams.dedupBatch(batchDf(fixture))
+    assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0)
+  }
+
+  test("R6 running progress is a monotone per-user counter") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val prog = Streams.runningProgress(batchDf(fixture))
+    val u1 = prog.filter($"user_id" === 1).orderBy($"event_id")
+      .collect().map(_.getAs[Long]("events_so_far"))
+    assert(u1.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("R1 micro-batch ingest: foreachBatch sees every row exactly once") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = mem.toDF().writeStream
+      .foreachBatch { (df: DataFrame, _: Long) => seen.addAndGet(df.count()); () }
+      .start()
+    mem.addData(fixture.take(4)); q.processAllAvailable()
+    mem.addData(fixture.drop(4)); q.processAllAvailable()
+    q.stop()
+    assert(seen.get() === fixture.size)
+  }
+}
