@@ -70,7 +70,44 @@ object SparkEntry {
     "r4_session_window" -> (graft.streaming.Streams.r4SessionWindow _),
     "r5_dedup_stream" -> (graft.streaming.Streams.r5DedupStream _),
     "r6_stateful_progress" -> (graft.streaming.Streams.r6StatefulProgress _),
+    "l1_exact_dedup" -> (graft.llm.Dedup.l1ExactDedup _),
+    "l2_minhash_dedup" -> (graft.llm.Dedup.l2MinhashDedup _),
+    "l2b_lsh_candidates" -> (graft.llm.Dedup.l2bLshCandidates _),
+    "l2c_simhash" -> (graft.llm.Dedup.l2cSimhash _),
+    "l2d_ngram_jaccard" -> (graft.llm.Dedup.l2dNgramJaccard _),
+    "l3_similarity_search" -> (graft.llm.Similarity.l3BruteForceTopk _),
+    "l3b_lsh_neardup" -> (graft.llm.Similarity.l3bLshNearDup _),
+    "l3c_ivf_topk" -> (graft.llm.Similarity.l3cIvfTopk _),
+    "l4_text_stats" -> (graft.llm.TextAnalysis.l4TextStats _),
+    "l4b_lang_id" -> (graft.llm.TextAnalysis.l4bLangId _),
+    "l4c_quality_score" -> (graft.llm.TextAnalysis.l4cQualityScore _),
+    "l4d_token_count" -> (graft.llm.TextAnalysis.l4dTokenCount _),
+    "l4e_fingerprint" -> (graft.llm.TextAnalysis.l4eFingerprint _),
+    "l5_multimodal_columns" -> (graft.llm.Multimodal.l5MultimodalColumns _),
   )
+
+  // ---- helpers that assemble the repetitive LLM oracle SQL ----
+
+  /** DuckDB: distinct 5-gram shingles per doc (matches Dedup.shinglesExpr). */
+  private val duckShingles =
+    """SELECT doc_id, list_distinct([array_to_string(words[i:i+4], ' ')
+      |  for i in range(1, len(words) - 3)]) AS shingles
+      |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      |WHERE len(words) >= 5""".stripMargin
+
+  private def duckMinhash(h: Int): String =
+    s"list_min([md5('s$h#' || s) for s in shingles]) AS sig$h"
+
+  private def duckSigs(n: Int): String =
+    s"""WITH sh AS ($duckShingles),
+       |sigs AS (SELECT doc_id, ${(0 until n).map(duckMinhash).mkString(",\n  ")} FROM sh)""".stripMargin
+
+  /** DuckDB: sequential-fold double dot product (matches Similarity.dot). */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a) + 1)])"
+
+  private def duckCosine(a: String, b: String): String =
+    s"${duckDot(a, b)} / (SQRT(${duckDot(a, a)}) * SQRT(${duckDot(b, b)}))"
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -337,5 +374,132 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS events_so_far
         |FROM events ORDER BY event_id""".stripMargin,
+    "l1_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY rep_doc_id""".stripMargin,
+    "l2_minhash_dedup" -> {
+      val parts = (0 until 8).map(h => s"sig$h").mkString(", ")
+      s"""${duckSigs(8)}
+         |SELECT doc_id, MIN(doc_id) OVER (PARTITION BY $parts) AS cluster_id,
+         |  doc_id <> MIN(doc_id) OVER (PARTITION BY $parts) AS is_dup
+         |FROM sigs ORDER BY doc_id""".stripMargin
+    },
+    "l2b_lsh_candidates" -> {
+      val bandCase = (0 until 4).map { b =>
+        val cols = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || '|' || ")
+        s"WHEN ${b} THEN md5($cols)"
+      }.mkString(" ")
+      s"""${duckSigs(16)},
+         |bands AS (
+         |  SELECT doc_id, bb.band, CASE bb.band $bandCase END AS band_key
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) bb)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "l2c_simhash" -> {
+      val votes = (0 until 16).map { b =>
+        s"list_sum([CASE WHEN (instr('0123456789abcdef', substr(md5(w || '#$b'), 1, 1)) - 1) & 1 = 1 " +
+          s"THEN 1 ELSE -1 END for w in words]) AS vote$b"
+      }.mkString(",\n  ")
+      val sim = (0 until 16)
+        .map(b => s"(CASE WHEN vote$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH voted AS (
+         |  SELECT doc_id, $votes
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+         |simmed AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM voted)
+         |SELECT doc_id, simhash, MIN(doc_id) OVER (PARTITION BY simhash) AS cluster_id
+         |FROM simmed ORDER BY doc_id""".stripMargin
+    },
+    "l2d_ngram_jaccard" ->
+      s"""WITH shingled AS ($duckShingles),
+         |sh AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh, unnest(shingles) AS sh
+         |       FROM shingled)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared,
+         |  a.n_sh AS n_a, b.n_sh AS n_b,
+         |  COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
+         |FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "l3_similarity_search" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${duckCosine("embedding", "q_emb")} AS cosine
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "l3b_lsh_neardup" -> {
+      val sig = (1 to 8)
+        .map(i => s"(CASE WHEN embedding[$i] > 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sigs AS (SELECT vec_id, embedding, CAST($sig AS BIGINT) AS bucket FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+         |  ${duckCosine("a.embedding", "b.embedding")} AS cosine
+         |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.8
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    "l3c_ivf_topk" ->
+      s"""WITH comps AS (
+         |  SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM (SELECT label, unnest(embedding) AS v,
+         |               generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings)
+         |  GROUP BY label, pos),
+         |centroids AS (
+         |  SELECT label, array_agg(c ORDER BY pos) AS centroid FROM comps GROUP BY label),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |nearest AS (
+         |  SELECT label AS probe_label, q_emb,
+         |    ${duckCosine("centroid", "q_emb")} AS csim
+         |  FROM centroids, q
+         |  ORDER BY csim DESC, label LIMIT 1)
+         |SELECT vec_id, probe_label, ${duckCosine("embedding", "q_emb")} AS cosine
+         |FROM embeddings, nearest
+         |WHERE label = probe_label AND vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "l4_text_stats" ->
+      """SELECT doc_id, CAST(LEN(text) AS BIGINT) AS n_chars,
+        |  CAST(LEN(words) AS BIGINT) AS n_words,
+        |  CAST(LEN(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+        |  CAST(list_sum([LEN(w) for w in words]) AS DOUBLE) / LEN(words) AS avg_word_len
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "l4b_lang_id" ->
+      """SELECT doc_id, lang AS labeled_lang,
+        |  CAST(LEN([w for w in words if list_contains(['the','a','and','of','to','in','is','it'], w)]) AS BIGINT) AS stop_hits,
+        |  CAST(LEN([w for w in words if list_contains(['the','a','and','of','to','in','is','it'], w)]) AS DOUBLE) / LEN(words) AS stop_ratio,
+        |  CASE WHEN CAST(LEN([w for w in words if list_contains(['the','a','and','of','to','in','is','it'], w)]) AS DOUBLE) / LEN(words) >= 0.05
+        |       THEN 'en' ELSE 'unknown' END AS predicted_lang
+        |FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "l4c_quality_score" ->
+      """SELECT doc_id, n_words, n_distinct, n_punct,
+        |  CAST(n_distinct AS DOUBLE) / n_words AS diversity,
+        |  CAST(n_punct AS DOUBLE) / LEN(text) AS punct_ratio,
+        |  (CAST(n_distinct AS DOUBLE) / n_words) * 0.7 +
+        |    (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.3 ELSE 0.0 END) AS quality_score
+        |FROM (
+        |  SELECT doc_id, text,
+        |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(LEN(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |    CAST(LEN(text) - LEN(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "l4d_token_count" ->
+      """SELECT doc_id,
+        |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "l4e_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(unicode(text[i]) AS BIGINT) for i in range(1, len(text) + 1)]),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp,
+        |  md5(text) AS md5_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "l5_multimodal_columns" ->
+      """SELECT doc_id, 'image/px' || CAST(doc_id % 3 AS VARCHAR) AS media_type,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
+        |  CAST(8 AS BIGINT) AS n_features
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

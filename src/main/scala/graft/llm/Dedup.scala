@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication family for LLM training-data pipelines (SURVEY.md §2.10):
+  * exact, MinHash, MinHash+LSH banding, SimHash, n-gram Jaccard.
+  *
+  * Scale design: everything is hash -> shuffle-by-signature -> window/join;
+  * no all-pairs stage ever materializes. Candidate pairs come only from
+  * shared LSH buckets / shared shingles, so cost is bounded by collision
+  * volume, not n². Hashes are md5-based (codegen'd built-in) so signatures
+  * are engine-independent and the DuckDB oracle can replay them exactly.
+  */
+object Dedup {
+
+  /** Words of the normalized document. Fixture text is already
+    * lower-cased word soup; normalization kept explicit for real corpora. */
+  private def wordsCol: Column = split(col("text"), " ")
+
+  /** Distinct word 5-gram shingles (k=5 per SURVEY §7.4). */
+  private val SHINGLE_K = 5
+  private def shinglesExpr: Column = expr(
+    s"array_distinct(transform(sequence(1, size(words) - ${SHINGLE_K - 1}), " +
+      s"i -> array_join(slice(words, i, $SHINGLE_K), ' ')))")
+
+  /** One MinHash signature: lexicographic min of seeded md5 over shingles. */
+  private def minhash(seed: Int): Column =
+    expr(s"array_min(transform(shingles, s -> md5(concat('s$seed#', s))))")
+
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", wordsCol)
+      .filter(size(col("words")) >= SHINGLE_K)
+      .withColumn("shingles", shinglesExpr)
+
+  /** L1: exact dedup — content-hash the text, keep the smallest doc_id as
+    * representative. One shuffle on the 32-byte hash, never on the text. */
+  def l1ExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("text_hash", md5($"text"))
+      .groupBy($"text_hash")
+      .agg(min($"doc_id").as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"rep_doc_id")
+  }
+
+  /** L2: MinHash near-dup clustering. H=8 signatures as one band: docs
+    * agreeing on the full signature cluster together (rep = min doc_id). */
+  def l2MinhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val H = 8
+    val sigs = (0 until H).map(h => minhash(h).as(s"sig$h"))
+    val signed = withShingles(Tables.documents(spark, sfDir))
+      .select($"doc_id" +: sigs: _*)
+    val w = Window.partitionBy((0 until H).map(h => col(s"sig$h")): _*)
+    signed
+      .withColumn("cluster_id", min($"doc_id").over(w))
+      .select($"doc_id", $"cluster_id", ($"doc_id" =!= $"cluster_id").as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  /** L2b: MinHash + LSH banding — 16 hashes, 4 bands of 4; candidate pairs
+    * share >= 1 band key. The self-join keys on (band, band_key): shuffle
+    * is by bucket, pair volume is collision-bound. */
+  def l2bLshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val H = 16; val BANDS = 4; val ROWS = H / BANDS
+    val sigs = (0 until H).map(h => minhash(h).as(s"sig$h"))
+    val signed = withShingles(Tables.documents(spark, sfDir))
+      .select($"doc_id" +: sigs: _*)
+    val bandKeys = (0 until BANDS).map { b =>
+      val parts = (0 until ROWS).map(r => col(s"sig${b * ROWS + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("band_key"))
+    }
+    val exploded = signed
+      .select($"doc_id", explode(array(bandKeys: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
+    val a = exploded.as("a"); val b = exploded.as("b")
+    a.join(b,
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** L2c: SimHash — 16-bit signature; per bit, every word votes ±1 by a
+    * seeded md5 bit, weighted by term frequency. Pure array fold per row,
+    * no shuffle until the final cluster window. */
+  def l2cSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val BITS = 16
+    val voteExprs = (0 until BITS).map { b =>
+      expr(
+        s"aggregate(words, 0L, (acc, w) -> acc + " +
+          s"CASE WHEN ((instr('0123456789abcdef', substr(md5(concat(w, '#$b')), 1, 1)) - 1) & 1) = 1 " +
+          s"THEN 1 ELSE -1 END)").as(s"vote$b")
+    }
+    val voted = Tables.documents(spark, sfDir)
+      .withColumn("words", wordsCol)
+      .select($"doc_id" +: voteExprs: _*)
+    val sim = (0 until BITS)
+      .map(b => when(col(s"vote$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val w = Window.partitionBy($"simhash")
+    voted
+      .withColumn("simhash", sim)
+      .withColumn("cluster_id", min($"doc_id").over(w))
+      .select($"doc_id", $"simhash", $"cluster_id")
+      .orderBy($"doc_id")
+  }
+
+  /** L2d: n-gram Jaccard over candidate pairs that share >= 1 shingle.
+    * Exact set arithmetic (longs) so the similarity is deterministic. */
+  def l2dNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = withShingles(Tables.documents(spark, sfDir))
+      .select($"doc_id", size($"shingles").cast("long").as("n_sh"), explode($"shingles").as("sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.n_sh".as("n_a"), $"b.n_sh".as("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .select($"doc_a", $"doc_b", $"shared", $"n_a", $"n_b",
+        ($"shared" / ($"n_a" + $"n_b" - $"shared")).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over an embedding column (SURVEY.md §2.10 L3).
+  *
+  * Three tiers, mirroring how an ANN stack scales:
+  *  - brute-force cosine top-k: the correctness baseline. One broadcast of
+  *    the query vector, a codegen'd array fold per row, TakeOrderedAndProject
+  *    for the top-k — scans 100 TB at IO speed, no shuffle.
+  *  - sign-LSH buckets: random-hyperplane signatures restrict candidate
+  *    pairs to same-bucket collisions — the pair volume is collision-bound,
+  *    never n².
+  *  - IVF: coarse clusters (the fixture's label column stands in for a
+  *    k-means assignment) — probe the nearest centroid, search only that
+  *    inverted list.
+  *
+  * All folds are sequential over the array (deterministic fp order), so
+  * the DuckDB oracle replays them bit-exactly.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** L3: brute-force cosine top-10 for query vec_id=0. */
+  def l3BruteForceTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", expr(dot("embedding", "q_emb")))
+      .withColumn("norm_a", sqrt(expr(dot("embedding", "embedding"))))
+      .withColumn("norm_q", sqrt(expr(dot("q_emb", "q_emb"))))
+      .select($"vec_id", ($"dot" / ($"norm_a" * $"norm_q")).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** L3b: sign-LSH near-dup pairs. 8-bit signature from the signs of the
+    * first 8 dimensions (axis-aligned hyperplanes — deterministic);
+    * candidates share a bucket; emit pairs with cosine >= 0.8. */
+  def l3bLshNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sig = (1 to 8)
+      .map(i => when(expr(s"embedding[${i - 1}]") > 0f, lit(1L << (i - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val emb = Tables.embeddings(spark, sfDir).withColumn("bucket", sig)
+    val a = emb.as("a"); val b = emb.as("b")
+    a.join(b, $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("dot", expr(dot("a.embedding", "b.embedding")))
+      .withColumn("norm_a", sqrt(expr(dot("a.embedding", "a.embedding"))))
+      .withColumn("norm_b", sqrt(expr(dot("b.embedding", "b.embedding"))))
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), $"a.bucket".as("bucket"),
+        ($"dot" / ($"norm_a" * $"norm_b")).as("cosine"))
+      .filter($"cosine" >= 0.8)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** L3c: IVF probe. Centroids are exact decimal sums per (label, dim)
+    * divided in double (deterministic); the query probes its nearest
+    * centroid and searches only that inverted list. */
+  def l3cIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    // centroid components: exact decimal sum -> double divide
+    val comps = emb
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"v".cast("decimal(20,10)")).cast("double") / count(lit(1))).as("c"))
+    val centroids = comps
+      .groupBy($"label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    val nearest = centroids.crossJoin(broadcast(q))
+      .withColumn("cdot", expr(dot("centroid", "q_emb")))
+      .withColumn("cnorm", sqrt(expr(dot("centroid", "centroid"))))
+      .withColumn("qnorm", sqrt(expr(dot("q_emb", "q_emb"))))
+      .withColumn("csim", $"cdot" / ($"cnorm" * $"qnorm"))
+      .orderBy($"csim".desc, $"label")
+      .limit(1)
+      .select($"label".as("probe_label"), $"q_emb")
+    emb.join(broadcast(nearest), $"label" === $"probe_label")
+      .filter($"vec_id" =!= 0)
+      .withColumn("dot", expr(dot("embedding", "q_emb")))
+      .withColumn("norm_a", sqrt(expr(dot("embedding", "embedding"))))
+      .withColumn("norm_q", sqrt(expr(dot("q_emb", "q_emb"))))
+      .select($"vec_id", $"probe_label", ($"dot" / ($"norm_a" * $"norm_q")).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(10)
+  }
+}

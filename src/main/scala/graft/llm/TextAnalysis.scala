@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.10):
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting. All built-in expressions — per-row array folds, no
+  * shuffle except the final presentation ORDER BY, so they stream at
+  * scan speed over 100 TB.
+  */
+object TextAnalysis {
+
+  private val STOPWORDS = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private val stopArray = STOPWORDS.map(s => s"'$s'").mkString("array(", ", ", ")")
+
+  /** L4: text stats — chars, words, distinct words, avg word length. */
+  def l4TextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("words", split($"text", " "))
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        size($"words").cast("long").as("n_words"),
+        size(array_distinct($"words")).cast("long").as("n_distinct_words"),
+        (expr("aggregate(words, 0L, (acc, w) -> acc + length(w))").cast("double")
+          / size($"words")).as("avg_word_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** L4b: language-ID — n-gram/stopword heuristic: score = stopword hits /
+    * words; predict 'en' above threshold else fall back to a length
+    * heuristic. (A real model slots in behind the same column contract.) */
+  def l4bLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("words", split($"text", " "))
+      .withColumn("stop_hits",
+        expr(s"size(filter(words, w -> array_contains($stopArray, w)))").cast("long"))
+      .select(
+        $"doc_id", $"lang".as("labeled_lang"), $"stop_hits",
+        ($"stop_hits".cast("double") / size($"words")).as("stop_ratio"),
+        when($"stop_hits".cast("double") / size($"words") >= 0.05, lit("en"))
+          .otherwise(lit("unknown")).as("predicted_lang"))
+      .orderBy($"doc_id")
+  }
+
+  /** L4c: quality scoring — length/punctuation/stopword/repetition ratios
+    * combined into one exact-arithmetic score in [0, ~1]. */
+  def l4cQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("words", split($"text", " "))
+      .withColumn("n_words", size($"words").cast("long"))
+      .withColumn("n_distinct", size(array_distinct($"words")).cast("long"))
+      .withColumn("n_punct",
+        (length($"text") - length(regexp_replace($"text", "[^a-z0-9 ]", ""))).cast("long"))
+      .select(
+        $"doc_id", $"n_words", $"n_distinct", $"n_punct",
+        ($"n_distinct".cast("double") / $"n_words").as("diversity"),
+        ($"n_punct".cast("double") / length($"text")).as("punct_ratio"),
+        (($"n_distinct".cast("double") / $"n_words") * lit(0.7)
+          + when($"n_words" >= 20 && $"n_words" <= 1000, lit(0.3)).otherwise(lit(0.0)))
+          .as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  /** L4d: token counting — whitespace tokens and a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single punctuation). */
+  def l4dTokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        size(split($"text", " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("bpe_ish_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** L4e: document fingerprint — polynomial rolling hash over the char
+    * stream (mod 1e9+7), plus a strong md5. The rolling form is the
+    * building block for winnowing-style fingerprints. */
+  def l4eFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        $"doc_id",
+        expr(
+          "aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))), " +
+            "0L, (acc, x) -> (acc * 31 + x) % 1000000007)").as("rolling_fp"),
+        md5($"text").as("md5_fp"))
+      .orderBy($"doc_id")
+  }
+}
