@@ -88,19 +88,31 @@ object SparkEntry {
 
   // ---- helpers that assemble the repetitive LLM oracle SQL ----
 
-  /** DuckDB: distinct 5-gram shingles per doc (matches Dedup.shinglesExpr). */
+  /** DuckDB: distinct 5-gram shingles per doc (matches Dedup.shinglesExpr),
+    * plus 48-bit base hashes `hs` (hex fold of md5 prefix — mirrors
+    * Spark's `conv(substr(md5(s),1,12),16,10)`). */
   private val duckShingles =
     """SELECT doc_id, list_distinct([array_to_string(words[i:i+4], ' ')
       |  for i in range(1, len(words) - 3)]) AS shingles
       |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
       |WHERE len(words) >= 5""".stripMargin
 
-  private def duckMinhash(h: Int): String =
-    s"list_min([md5('s$h#' || s) for s in shingles]) AS sig$h"
+  private val duckBaseHashes =
+    """hashed AS (
+      |  SELECT doc_id, [list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    [CAST(instr('0123456789abcdef', m[j]) - 1 AS BIGINT) for j in range(1, 13)]),
+      |    (acc, x) -> acc * 16 + x) for m in ms] AS hs
+      |  FROM (SELECT doc_id, [md5(s) for s in shingles] AS ms FROM sh))""".stripMargin
+
+  private def duckMinhash(h: Int): String = {
+    import graft.llm.Dedup.{P, lcgA, lcgB}
+    s"list_min([((h % $P) * ${lcgA(h)} + ${lcgB(h)}) % $P for h in hs]) AS sig$h"
+  }
 
   private def duckSigs(n: Int): String =
     s"""WITH sh AS ($duckShingles),
-       |sigs AS (SELECT doc_id, ${(0 until n).map(duckMinhash).mkString(",\n  ")} FROM sh)""".stripMargin
+       |$duckBaseHashes,
+       |sigs AS (SELECT doc_id, ${(0 until n).map(duckMinhash).mkString(",\n  ")} FROM hashed)""".stripMargin
 
   /** DuckDB: sequential-fold double dot product (matches Similarity.dot). */
   private def duckDot(a: String, b: String): String =
@@ -327,6 +339,7 @@ object SparkEntry {
         |  CAST(DAY(o_orderdate) AS BIGINT) AS day, COUNT(*) AS n
         |FROM orders LEFT OUTER JOIN customer ON o_custkey = c_custkey
         |WHERE YEAR(o_orderdate) = 2000 AND MONTH(o_orderdate) = 3
+        |  AND DAY(o_orderdate) <= 7
         |GROUP BY 1, 2 ORDER BY city_id, day""".stripMargin,
     "s7_json_sink" ->
       """SELECT COALESCE(c_name, 'Unknown') AS name, COUNT(*) AS n,
@@ -413,13 +426,14 @@ object SparkEntry {
          |FROM simmed ORDER BY doc_id""".stripMargin
     },
     "l2d_ngram_jaccard" ->
-      s"""WITH shingled AS ($duckShingles),
-         |sh AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh, unnest(shingles) AS sh
-         |       FROM shingled)
+      s"""WITH sh AS ($duckShingles),
+         |$duckBaseHashes,
+         |shx AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_sh, unnest(hs) AS sh
+         |        FROM hashed)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared,
          |  a.n_sh AS n_a, b.n_sh AS n_b,
          |  COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
-         |FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
          |ORDER BY doc_a, doc_b""".stripMargin,
     "l3_similarity_search" ->

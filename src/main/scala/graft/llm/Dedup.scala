@@ -26,15 +26,25 @@ object Dedup {
     s"array_distinct(transform(sequence(1, size(words) - ${SHINGLE_K - 1}), " +
       s"i -> array_join(slice(words, i, $SHINGLE_K), ' ')))")
 
-  /** One MinHash signature: lexicographic min of seeded md5 over shingles. */
+  /** MinHash constants: one md5 per shingle (48-bit prefix as the base
+    * hash), then H cheap LCG variants — 16x fewer digests than seeded-md5
+    * per signature, the standard permutation-family trick. Constants are
+    * mirrored into the oracle SQL via [[graft.SparkEntry]]. */
+  val P: Long = 1000000007L
+  def lcgA(h: Int): Long = 1000003L * (h + 1) + 17
+  def lcgB(h: Int): Long = 7919L * (h + 1) + 3
+
+  /** One MinHash signature from the precomputed base hashes `hs`. */
   private def minhash(seed: Int): Column =
-    expr(s"array_min(transform(shingles, s -> md5(concat('s$seed#', s))))")
+    expr(s"array_min(transform(hs, h -> ((h % $P) * ${lcgA(seed)} + ${lcgB(seed)}) % $P))")
 
   private def withShingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("words", wordsCol)
       .filter(size(col("words")) >= SHINGLE_K)
       .withColumn("shingles", shinglesExpr)
+      .withColumn("hs",
+        expr("transform(shingles, s -> CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT))"))
 
   /** L1: exact dedup — content-hash the text, keep the smallest doc_id as
     * representative. One shuffle on the 32-byte hash, never on the text. */
@@ -78,7 +88,10 @@ object Dedup {
     val exploded = signed
       .select($"doc_id", explode(array(bandKeys: _*)).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
-    val a = exploded.as("a"); val b = exploded.as("b")
+    // Self-join as sort-merge: the two sides shuffle on the same key, so
+    // Catalyst reuses one exchange — the signature pipeline (md5 + LCG
+    // folds) runs ONCE. A broadcast join here would recompute it per side.
+    val a = exploded.as("a"); val b = exploded.hint("merge").as("b")
     a.join(b,
         $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
           $"a.doc_id" < $"b.doc_id")
@@ -114,12 +127,16 @@ object Dedup {
   }
 
   /** L2d: n-gram Jaccard over candidate pairs that share >= 1 shingle.
-    * Exact set arithmetic (longs) so the similarity is deterministic. */
+    * Joins on the 48-bit shingle hash, not the string — an 8-byte shuffle
+    * key instead of ~25-byte text. Exact set arithmetic (longs) so the
+    * similarity is deterministic. */
   def l2dNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sh = withShingles(Tables.documents(spark, sfDir))
-      .select($"doc_id", size($"shingles").cast("long").as("n_sh"), explode($"shingles").as("sh"))
-    val a = sh.as("a"); val b = sh.as("b")
+      .select($"doc_id", size($"hs").cast("long").as("n_sh"), explode($"hs").as("sh"))
+    // merge hint -> shared shuffle exchange: shingle hashing runs once
+    // (see l2bLshCandidates).
+    val a = sh.as("a"); val b = sh.hint("merge").as("b")
     a.join(b, $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.n_sh".as("n_a"), $"b.n_sh".as("n_b"))

@@ -26,12 +26,22 @@ object Etl {
     * (reviews branch), with nation as the city key. Mirrors vendor.rs
     * semantics: missing enrichment keeps the row with NULLs/defaults.
     */
-  def vendorFrame(spark: SparkSession, sfDir: String): DataFrame = {
+  def vendorFrame(spark: SparkSession, sfDir: String): DataFrame =
+    vendorFrame(spark, sfDir, org.apache.spark.sql.functions.lit(true))
+
+  /** `ordersPredicate` is applied BEFORE the enrichment joins, so a date
+    * slice prunes the orders scan (pushed to Parquet) AND bounds the
+    * reviews aggregation via a semi join on the surviving keys — at 100 TB
+    * the child-side aggregate must never run over unselected parents. */
+  def vendorFrame(spark: SparkSession, sfDir: String,
+                  ordersPredicate: org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
-    val orders = Tables.orders(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir).filter(ordersPredicate)
     val cust = Tables.customer(spark, sfDir)
       .select($"c_custkey", $"c_name", $"c_nationkey", $"c_mktsegment")
     val reviews = Tables.lineitem(spark, sfDir)
+      .join(orders.select($"o_orderkey".as("sel_orderkey")),
+        $"l_orderkey" === $"sel_orderkey", "left_semi")
       .groupBy($"l_orderkey")
       .agg(
         to_json(
@@ -66,8 +76,14 @@ object Etl {
   def s5s6PartitionedSink(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val out = s"$scratch/partitioned_sink"
-    vendorFrame(spark, sfDir)
-      .filter($"year" === 2000 && $"month" === 3)
+    // one week's slice: the per-dir cost of a Hive layout is fixed, so the
+    // demo bounds dir count; at real scale each dir holds GBs, not rows
+    vendorFrame(spark, sfDir,
+        year($"o_orderdate") === 2000 && month($"o_orderdate") === 3
+          && dayofmonth($"o_orderdate") <= 7)
+      // co-locate each output dir's rows in one task: file count ≈ number
+      // of partition dirs instead of tasks × dirs (the small-files killer)
+      .repartition(col("city_id"), col("day"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("city_id", "year", "month", "day")
       .parquet(out)
@@ -84,8 +100,7 @@ object Etl {
   def s7JsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val out = s"$scratch/json_spool"
-    vendorFrame(spark, sfDir)
-      .filter($"year" === 2001)
+    vendorFrame(spark, sfDir, year($"o_orderdate") === 2001)
       .select($"code", $"name", $"batch_number", $"extraction_started_at")
       .write.mode(SaveMode.Overwrite).json(out)
     spark.read
