@@ -84,6 +84,8 @@ object SparkEntry {
     "l4d_token_count" -> (graft.llm.TextAnalysis.l4dTokenCount _),
     "l4e_fingerprint" -> (graft.llm.TextAnalysis.l4eFingerprint _),
     "l5_multimodal_columns" -> (graft.llm.Multimodal.l5MultimodalColumns _),
+    "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
+    "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
   )
 
   // ---- helpers that assemble the repetitive LLM oracle SQL ----
@@ -515,5 +517,17 @@ object SparkEntry {
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
         |  CAST(8 AS BIGINT) AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "s3_paginated_scan" ->
+      """SELECT (o_orderkey - 1) // 48 AS page, COUNT(*) AS returned_count,
+        |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+        |FROM orders GROUP BY 1 ORDER BY page""".stripMargin,
+    "s4_point_lookup" ->
+      """SELECT o_orderkey AS code,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE SUBSTR(md5('detail#' || o_orderkey), 1, 8) END AS detail,
+        |  o_orderkey % 7 = 0 AS is_miss,
+        |  COALESCE(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE SUBSTR(md5('detail#' || o_orderkey), 1, 8) END, 'Unknown') AS detail_or_default
+        |FROM orders ORDER BY code""".stripMargin,
   )
 }

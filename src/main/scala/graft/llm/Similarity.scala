@@ -22,13 +22,24 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float arrays, in double. */
-  private def dot(a: String, b: String): String =
+  /** Sequential-fold dot product in double: the native codegen'd
+    * expression (graft.plans.DotF32) — bit-identical to the composed
+    * `aggregate(zip_with(...))` form but a single fused loop per row. */
+  private def dot(a: String, b: String): String = s"dot_f32($a, $b)"
+
+  /** Same fold for non-float arrays (IVF centroids are double): composed
+    * built-ins, same left-to-right order, bit-equal results. */
+  private def dotD(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
+  private def withNative(spark: SparkSession): SparkSession = {
+    graft.plans.DotF32.register(spark); spark
+  }
+
   /** L3: brute-force cosine top-10 for query vec_id=0. */
   def l3BruteForceTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    withNative(spark)
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
@@ -46,6 +57,7 @@ object Similarity {
     * first 8 dimensions (axis-aligned hyperplanes — deterministic);
     * candidates share a bucket; emit pairs with cosine >= 0.8. */
   def l3bLshNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    withNative(spark)
     import spark.implicits._
     val sig = (1 to 8)
       .map(i => when(expr(s"embedding[${i - 1}]") > 0f, lit(1L << (i - 1))).otherwise(lit(0L)))
@@ -66,6 +78,7 @@ object Similarity {
     * divided in double (deterministic); the query probes its nearest
     * centroid and searches only that inverted list. */
   def l3cIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    withNative(spark)
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
     // centroid components: exact decimal sum -> double divide
@@ -78,8 +91,8 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
     val nearest = centroids.crossJoin(broadcast(q))
-      .withColumn("cdot", expr(dot("centroid", "q_emb")))
-      .withColumn("cnorm", sqrt(expr(dot("centroid", "centroid"))))
+      .withColumn("cdot", expr(dotD("centroid", "q_emb")))
+      .withColumn("cnorm", sqrt(expr(dotD("centroid", "centroid"))))
       .withColumn("qnorm", sqrt(expr(dot("q_emb", "q_emb"))))
       .withColumn("csim", $"cdot" / ($"cnorm" * $"qnorm"))
       .orderBy($"csim".desc, $"label")

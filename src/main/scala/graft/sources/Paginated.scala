@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Source operators (SURVEY.md §2.1 S3/S4): the reference's network edge —
+  * an offset/limit cursor scan (main.rs:119-147) and per-key point lookups
+  * (api.rs:73-150) — re-expressed as distributed scans.
+  *
+  * The correctness-scoped form replays over recorded tables (SURVEY §7.3):
+  * pages become key-range partitions, lookups become a deterministic
+  * per-partition "connection". The same shapes take a live HTTP client at
+  * the marked seam — one client per partition, pages fanned out as tasks —
+  * which is exactly how a cluster scrapes without a driver bottleneck.
+  */
+object Paginated {
+
+  val PAGE_SIZE = 48 // main.rs:120
+
+  /** S3: paginated scan — the listing keyed into fixed-size pages by a
+    * stable key (arrival order is nondeterministic distributed; SURVEY
+    * §4.3). One page ≙ one input split; `available_count`/`returned_count`
+    * (response.rs:8-13) become the per-page metadata columns. */
+  def s3PaginatedScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select($"o_orderkey")
+      .withColumn("page", expr(s"(o_orderkey - 1) div $PAGE_SIZE"))
+      .groupBy($"page")
+      .agg(
+        count(lit(1)).as("returned_count"),
+        min($"o_orderkey").as("first_key"),
+        max($"o_orderkey").as("last_key"))
+      .orderBy($"page")
+  }
+
+  /** S4: point-lookup enrichment with a connection per partition. The
+    * lookup here is a deterministic stub (md5-derived payload; every 7th
+    * key is the HTTP-400 miss kept as a NULL row — api.rs:119-125,
+    * vendor.rs:82-115); a production client opens its pool in the
+    * `mapPartitions` prologue exactly where the comment marks it. */
+  def s4PointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val codes = Tables.orders(spark, sfDir).select($"o_orderkey".as("code"))
+    val looked = codes.as[Long].mapPartitions { it =>
+      // per-partition connection/client init goes here (pool.rs analog)
+      it.map { code =>
+        if (code % 7 == 0) (code, Option.empty[String]) // 400 -> null payload
+        else (code, Some(java.security.MessageDigest.getInstance("MD5")
+          .digest(s"detail#$code".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 8)))
+      }
+    }.toDF("code", "detail")
+    looked
+      .select($"code", $"detail",
+        $"detail".isNull.as("is_miss"),
+        coalesce($"detail", lit("Unknown")).as("detail_or_default"))
+      .orderBy($"code")
+  }
+}
