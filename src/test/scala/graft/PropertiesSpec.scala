@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+// ratings.rs:4-20 shape (camelCase serde renames at ratings.rs:13-17);
+// top-level so Spark can derive encoders
+case class Rating(count: Int, percentage: Int, score: Int)
+case class RatingsDistribution(totalCount: Int, createdAt: String,
+                               updatedAt: String, ratings: Seq[Rating])
+
+/** Property-based invariants (SURVEY.md §5.2 #4) — scalacheck generators
+  * sampled deterministically (no scalatestplus bridge in the offline
+  * dependency set). */
+class PropertiesSpec extends SparkSpecBase {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val genRating = for {
+    c <- Gen.chooseNum(0, 100000)
+    p <- Gen.chooseNum(0, 100)
+    s <- Gen.chooseNum(1, 5)
+  } yield Rating(c, p, s)
+
+  private val genDist = for {
+    t <- Gen.chooseNum(0, 1000000)
+    rs <- Gen.listOfN(5, genRating)
+  } yield RatingsDistribution(t, "2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z", rs)
+
+  test("to_json . from_json = id on ratings-shaped structs (F1/F2 round trip)") {
+    import spark.implicits._
+    val dists = samples(genDist, 40)
+    val df = dists.toDF()
+    val schema = df.schema
+    val round = df
+      .select(to_json(struct(df.columns.map(col): _*)).as("j"))
+      .select(from_json($"j", schema).as("s"))
+      .select($"s.*")
+      .as[RatingsDistribution]
+      .collect()
+    assert(round.toSeq === dists)
+  }
+
+  test("partition-key derivation is total and consistent (F4/S6)") {
+    import spark.implicits._
+    val epochs = samples(Gen.chooseNum(0L, 2000000000L), 100)
+    val rows = epochs.toDF("e")
+      .select(timestamp_seconds($"e").as("ts"))
+      .select(year($"ts").as("y"), month($"ts").as("m"), dayofmonth($"ts").as("d"))
+      .collect()
+    assert(rows.length === epochs.length)
+    rows.foreach { r =>
+      assert(!r.anyNull)
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 12)
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 31)
+    }
+  }
+
+  test("top-K per group: |group output| = min(K, |group|), members from group (W1)") {
+    import spark.implicits._
+    val rows = samples(for {
+      u <- Gen.chooseNum(1, 8); v <- Gen.chooseNum(0, 1000)
+    } yield (u, v), 300).zipWithIndex.map { case ((u, v), i) => (i.toLong, u.toLong, v) }
+    val df = rows.toDF("id", "user", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user").orderBy($"v".desc, $"id")
+    val topk = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+    val sizes = topk.groupBy($"user").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groupSizes = df.groupBy($"user").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((u, n) <- groupSizes) assert(sizes(u) === math.min(5L, n))
+    assert(topk.select($"id").except(df.select($"id")).count() === 0)
+  }
+
+  test("jaccard is symmetric-bounded: every emitted similarity in (0, 1]") {
+    val j = graft.llm.Dedup.l2dNgramJaccard(spark, sfDir).collect()
+    j.foreach { r =>
+      val v = r.getAs[Double]("jaccard")
+      assert(v > 0.0 && v <= 1.0)
+      assert(r.getAs[Long]("shared") <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+    }
+  }
+
+  test("minhash signatures are partitioning-invariant") {
+    val a = graft.llm.Dedup.l2MinhashDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // different shuffle layout must not change any signature/cluster
+    val sparkConfTouch = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val b = graft.llm.Dedup.l2MinhashDedup(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a === b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sparkConfTouch)
+  }
+}
