@@ -79,8 +79,8 @@ object Etl {
     // one week's slice: the per-dir cost of a Hive layout is fixed, so the
     // demo bounds dir count; at real scale each dir holds GBs, not rows
     vendorFrame(spark, sfDir,
-        year($"o_orderdate") === 2000 && month($"o_orderdate") === 3
-          && dayofmonth($"o_orderdate") <= 7)
+        $"o_orderdate" >= lit("2000-03-01").cast("timestamp")
+          && $"o_orderdate" < lit("2000-03-08").cast("timestamp"))
       // co-locate each output dir's rows in one task: file count ≈ number
       // of partition dirs instead of tasks × dirs (the small-files killer)
       .repartition(col("city_id"), col("day"))
@@ -100,7 +100,9 @@ object Etl {
   def s7JsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val out = s"$scratch/json_spool"
-    vendorFrame(spark, sfDir, year($"o_orderdate") === 2001)
+    vendorFrame(spark, sfDir,
+      $"o_orderdate" >= lit("2001-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("2002-01-01").cast("timestamp"))
       .select($"code", $"name", $"batch_number", $"extraction_started_at")
       .write.mode(SaveMode.Overwrite).json(out)
     spark.read

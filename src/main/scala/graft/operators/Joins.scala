@@ -73,7 +73,10 @@ object Joins {
     * current page batch, main.rs:144-156). */
   def j4SemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val active = Tables.orders(spark, sfDir).filter(year($"o_orderdate") === 2001)
+    // range predicate (not year(...)=N) so it pushes down to the parquet scan
+    val active = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("2002-01-01").cast("timestamp"))
     Tables.customer(spark, sfDir)
       .join(active, $"c_custkey" === $"o_custkey", "left_semi")
       .select($"c_custkey", $"c_name")
@@ -83,7 +86,9 @@ object Joins {
   /** J5: anti join — the QC view of keys whose enrichment never arrived. */
   def j5AntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val active = Tables.orders(spark, sfDir).filter(year($"o_orderdate") === 2001)
+    val active = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("2002-01-01").cast("timestamp"))
     Tables.customer(spark, sfDir)
       .join(active, $"c_custkey" === $"o_custkey", "left_anti")
       .select($"c_custkey", $"c_name")

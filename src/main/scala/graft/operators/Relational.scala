@@ -229,8 +229,10 @@ object Relational {
   def set2Intersect(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, sfDir)
-    val early = o.filter(year($"o_orderdate") <= 1997).select($"o_custkey")
-    val late = o.filter(year($"o_orderdate") >= 1998).select($"o_custkey")
+    // range predicates push to the scan; year(...) comparisons would not
+    val cut = lit("1998-01-01").cast("timestamp")
+    val early = o.filter($"o_orderdate" < cut).select($"o_custkey")
+    val late = o.filter($"o_orderdate" >= cut).select($"o_custkey")
     early.intersect(late).orderBy($"o_custkey")
   }
 
@@ -238,8 +240,9 @@ object Relational {
   def set3Except(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, sfDir)
-    val early = o.filter(year($"o_orderdate") <= 1997).select($"o_custkey")
-    val late = o.filter(year($"o_orderdate") >= 1998).select($"o_custkey")
+    val cut = lit("1998-01-01").cast("timestamp")
+    val early = o.filter($"o_orderdate" < cut).select($"o_custkey")
+    val late = o.filter($"o_orderdate" >= cut).select($"o_custkey")
     early.except(late).orderBy($"o_custkey")
   }
 }

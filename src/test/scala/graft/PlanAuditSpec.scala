@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan audits: assert the physical plans have the shapes the 100 TB
+  * design requires — pushdown reaching the scan, pruned read schemas,
+  * broadcast dimensions, top-K without a global sort, exchange reuse on
+  * self-joins. A regression here is a performance bug even when results
+  * stay correct. */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q1: shipdate predicate is pushed to the parquet scan") {
+    val p = plan(q("q1_pricing_summary"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("s1: read schema is pruned to the projected columns") {
+    val p = plan(q("s1_parquet_scan"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_linenumber:int,l_quantity:double>"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"))
+  }
+
+  test("j1: dimension side is broadcast (no fact shuffle)") {
+    val p = plan(q("j1_enrich_details"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("j4/j5: date-range predicate pushed down under semi/anti join") {
+    for (name <- Seq("j4_semi_join", "j5_anti_join")) {
+      val p = plan(q(name))
+      assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), s"$name plan:\n$p")
+    }
+  }
+
+  test("o3: global top-K compiles to TakeOrderedAndProject, not a full sort") {
+    val p = plan(q("o3_global_topk"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("l2d: self-join reuses one shuffle exchange (signature pipeline runs once)") {
+    // AQE dedups identical exchanges at stage materialization: execute,
+    // then read the final adaptive plan
+    val df = q("l2d_ngram_jaccard")
+    df.collect() // executes THIS queryExecution (count() would derive a new one)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"), p)
+  }
+
+  test("l3: brute-force scan has no shuffle before the top-k") {
+    val p = plan(q("l3_similarity_search"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("etl vendorFrame with date slice: orders scan pruned, reviews agg bounded by semi join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = graft.operators.Etl.vendorFrame(spark, sfDir,
+      $"o_orderdate" >= lit("2000-03-01").cast("timestamp")
+        && $"o_orderdate" < lit("2000-03-08").cast("timestamp"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"))
+    assert(p.contains("LeftSemi"))
+  }
+
+  test("no operator plan contains a cartesian product") {
+    for ((name, fn) <- SparkEntry.queries if name != "s5_s6_partitioned_sink" && name != "s7_json_sink") {
+      val p = plan(fn(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+}
