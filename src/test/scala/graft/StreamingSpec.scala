@@ -88,6 +88,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(u1.toSeq === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("R3 watermark drops late data in append-mode windowed agg") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Evt]
+    val agg = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"window.start").as("bucket_s"), $"event_type", $"n")
+    val q = agg.writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    // batch 1: events in hour 0, then an event far ahead advances the
+    // watermark past hour 0's close
+    mem.addData(Seq(Evt(1, ts(5), 1, "click"), Evt(2, ts(30), 1, "click"),
+      Evt(3, ts(300), 1, "click")))
+    q.processAllAvailable()
+    // batch 2: a LATE hour-0 event — behind the watermark, must be dropped
+    mem.addData(Seq(Evt(4, ts(10), 1, "click"), Evt(5, ts(400), 1, "flush")))
+    q.processAllAvailable()
+    q.stop()
+    val hour0 = spark.table("late_drop").filter($"bucket_s" === 1704067200L)
+      .collect()
+    // hour-0 window closed with 2 events; the late 3rd never counted
+    assert(hour0.map(_.getAs[Long]("n")).toSeq === Seq(2L))
+  }
+
   test("R1 micro-batch ingest: foreachBatch sees every row exactly once") {
     val sparkS = spark
     import sparkS.implicits._
