@@ -86,6 +86,9 @@ object SparkEntry {
     "l5_multimodal_columns" -> (graft.llm.Multimodal.l5MultimodalColumns _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
+    "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
+    "q3_revenue_by_nation" -> (Analytics.q3RevenueByNation _),
+    "a7_salted_agg" -> (Analytics.a7SaltedAgg _),
   )
 
   // ---- helpers that assemble the repetitive LLM oracle SQL ----
@@ -529,5 +532,32 @@ object SparkEntry {
         |  COALESCE(CASE WHEN o_orderkey % 7 = 0 THEN NULL
         |       ELSE SUBSTR(md5('detail#' || o_orderkey), 1, 8) END, 'Unknown') AS detail_or_default
         |FROM orders ORDER BY code""".stripMargin,
+    "q2_shipping_priority" ->
+      """SELECT o_orderkey, CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS orderdate_s,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q3_revenue_by_nation" ->
+      """SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |  JOIN customer ON c_nationkey = n_nationkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "a7_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

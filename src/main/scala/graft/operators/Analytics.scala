@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Composite analytics queries exercising the optimizer end-to-end:
+  * multi-way joins over the full star schema (broadcast dimension chains,
+  * join reordering, partial aggregation) plus the salting pattern for
+  * skewed keys. These are the "whole-engine" workouts on top of the
+  * per-operator inventory in SURVEY.md §2.
+  */
+object Analytics {
+
+  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Q2: shipping-priority style — top-10 open orders by pending revenue
+    * for one segment: customer ⋈ orders ⋈ lineitem with both date sides
+    * pruned at the scans, revenue in exact decimal, TakeOrdered top-K. */
+  def q2ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit("1998-07-01").cast("timestamp")
+    val cust = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val orders = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" < cut)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val items = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" > cut)
+      .select($"l_orderkey", money($"l_extendedprice").as("price"), money($"l_discount").as("disc"))
+    orders
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(items, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", unix_timestamp($"o_orderdate").as("orderdate_s"))
+      .agg(sum($"price" * (lit(1).cast("decimal(18,2)") - $"disc")).cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** Q3: revenue by nation for one region+year — the full dimension chain
+    * region ⋈ nation ⋈ customer broadcast outward-in, the two fact tables
+    * joined once on the order key. */
+  def q3RevenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.region(spark, sfDir).filter($"r_name" === "ASIA")
+    val nation = Tables.nation(spark, sfDir)
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    val orders = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val items = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", money($"l_extendedprice").as("price"), money($"l_discount").as("disc"))
+    orders
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(items, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"n_name")
+      .agg(
+        sum($"price" * (lit(1).cast("decimal(18,2)") - $"disc")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** A7 [EXT]: salted two-phase aggregation — the skew pattern. Phase 1
+    * aggregates on (key, salt) so a hot key spreads over `SALT` reducers;
+    * phase 2 merges the partials. The result is salt-invariant (asserted
+    * against the plain GROUP BY oracle), and the exact-decimal sums make
+    * the merge order-independent. */
+  def a7SaltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val SALT = 8
+    Tables.lineitem(spark, sfDir)
+      .withColumn("salt", pmod($"l_orderkey", lit(SALT)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(money($"l_extendedprice")).as("psum"))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum($"pn").as("n"),
+        sum($"psum").cast("double").as("total_price"))
+      .orderBy($"l_returnflag")
+  }
+}
