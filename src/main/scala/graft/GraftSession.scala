@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Production session factory: the configuration this library is designed
+  * to run under on a real cluster. The driver harnesses (Verify/Bench)
+  * build their own minimal sessions; this is the deployment surface for
+  * library users, and the single place the 100 TB tuning knobs live.
+  */
+object GraftSession {
+
+  /** Apply graft's recommended SQL conf to any builder. Values follow the
+    * scale notes in README.md / SURVEY.md §4:
+    *  - AQE on (with skew-join handling): runtime re-plan picks broadcast
+    *    joins from real sizes and splits skewed shuffle partitions —
+    *    together with the salting pattern (operators.Analytics.a7SaltedAgg)
+    *    this covers both planned and emergent skew;
+    *  - shuffle partitions sized ~2-3x total executor cores, then left to
+    *    AQE coalescing — at 1000 executors x 4 cores set ~8192, never the
+    *    default 200;
+    *  - 128 MB scan splits keep scan tasks IO-bound, not scheduler-bound;
+    *  - UTC session time: all graft semantics are timezone-pinned
+    *    (SURVEY §4.3 determinism).
+    */
+  def tuned(builder: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    builder
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+
+  /** Local development/test session (local[n], n shuffle partitions). */
+  def local(cores: Int): SparkSession = {
+    val s = tuned(SparkSession.builder().master(s"local[$cores]"), cores)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -44,12 +44,17 @@ object Paginated {
     import spark.implicits._
     val codes = Tables.orders(spark, sfDir).select($"o_orderkey".as("code"))
     val looked = codes.as[Long].mapPartitions { it =>
-      // per-partition connection/client init goes here (pool.rs analog)
+      // per-partition "connection" init (pool.rs analog): one digest/client
+      // instance reused for every row of the partition
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { code =>
         if (code % 7 == 0) (code, Option.empty[String]) // 400 -> null payload
-        else (code, Some(java.security.MessageDigest.getInstance("MD5")
-          .digest(s"detail#$code".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.substring(0, 8)))
+        else {
+          md.reset()
+          val hex = md.digest(s"detail#$code".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (code, Some(hex.substring(0, 8)))
+        }
       }
     }.toDF("code", "detail")
     looked
