@@ -16,6 +16,9 @@ import graft.Tables
   * main.rs:136-159), the running JsonWriter.count ≙ streaming state
   * (json.rs:10,44,56-58).
   */
+case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
+case class ProgressUpdate(event_id: Long, user_id: Long, events_so_far: Long)
+
 object Streams {
 
   /** R2: tumbling-window counts per event type (per-page counts analog). */
@@ -103,6 +106,30 @@ object Streams {
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     events.select($"event_id", $"user_id",
       row_number().over(w).cast("long").as("events_so_far"))
+  }
+
+  /** R6 streaming form: true keyed state via flatMapGroupsWithState — the
+    * per-user counter lives in the state store across micro-batches
+    * (JsonWriter.count analog, json.rs:10,44,56-58). Within a batch the
+    * group's rows are ordered by (ts, event_id) before numbering so the
+    * output is deterministic; across batches the counter resumes from
+    * state. */
+  def runningProgressStream(
+      events: org.apache.spark.sql.Dataset[StreamEvent]):
+      org.apache.spark.sql.Dataset[ProgressUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, ProgressUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[StreamEvent], state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var n = state.getOption.getOrElse(0L)
+          val out = sorted.map { e => n += 1; ProgressUpdate(e.event_id, user, n) }
+          state.update(n)
+          out.iterator
+      }
   }
 
   // ------------------------------------------------ oracle-facing wrappers

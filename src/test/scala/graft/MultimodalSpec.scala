@@ -28,6 +28,27 @@ class MultimodalSpec extends SparkSpecBase {
     assert(m1 === m2)
   }
 
+  test("binaryFile source reads opaque payloads with typed metadata (L5 ingest path)") {
+    import spark.implicits._
+    val dir = new java.io.File("/root/repo/target/graft-tmp/binmedia")
+    dir.mkdirs()
+    val payloads = Map("a.px" -> "alpha-bytes", "b.px" -> "beta", "c.px" -> "gamma-payload")
+    payloads.foreach { case (name, content) =>
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, content.getBytes("UTF-8"))
+    }
+    val df = spark.read.format("binaryFile").option("pathGlobFilter", "*.px")
+      .load(dir.getAbsolutePath)
+    assert(df.columns.toSet === Set("path", "modificationTime", "length", "content"))
+    val got = df.collect().map { r =>
+      val name = r.getAs[String]("path").split("/").last
+      name -> (new String(r.getAs[Array[Byte]]("content"), "UTF-8"), r.getAs[Long]("length"))
+    }.toMap
+    assert(got.keySet === payloads.keySet)
+    payloads.foreach { case (k, v) =>
+      assert(got(k)._1 === v && got(k)._2 === v.length.toLong)
+    }
+  }
+
   test("repartitioning does not change extracted features (no cross-row state)") {
     val base = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sfDir))
       .collect().map(f => f.doc_id -> f.features.toSeq).toMap

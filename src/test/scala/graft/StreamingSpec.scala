@@ -115,6 +115,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(hour0.map(_.getAs[Long]("n")).toSeq === Seq(2L))
   }
 
+  test("R6 flatMapGroupsWithState: counter survives across micro-batches == batch row_number") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.StreamEvent]
+    val stateful = graft.streaming.Streams.runningProgressStream(mem.toDS())
+    val q = stateful.writeStream.format("memory").queryName("r6_state")
+      .outputMode("append").start()
+    val evts = fixture.map(e => graft.streaming.StreamEvent(e.event_id, e.ts, e.user_id, e.event_type))
+    // split mid-user so the counter must resume from the state store
+    mem.addData(evts.take(5)); q.processAllAvailable()
+    mem.addData(evts.drop(5)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("r6_state")
+      .select($"event_id", $"user_id", $"events_so_far")
+    val batch = graft.streaming.Streams.runningProgress(batchDf(fixture))
+    assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0)
+    assert(streamed.count() === fixture.size)
+  }
+
   test("R1 micro-batch ingest: foreachBatch sees every row exactly once") {
     val sparkS = spark
     import sparkS.implicits._
