@@ -135,7 +135,7 @@ object Dedup {
     val sh = withShingles(Tables.documents(spark, sfDir))
       .select($"doc_id", size($"hs").cast("long").as("n_sh"), explode($"hs").as("sh"))
     // merge hint -> shared shuffle exchange: shingle hashing runs once
-    // (see l2bLshCandidates).
+    // (see l2bLshCandidates; measured faster than shuffle_hash here).
     val a = sh.as("a"); val b = sh.hint("merge").as("b")
     a.join(b, $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
