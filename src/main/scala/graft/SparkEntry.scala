@@ -344,7 +344,7 @@ object SparkEntry {
         |  CAST(DAY(o_orderdate) AS BIGINT) AS day, COUNT(*) AS n
         |FROM orders LEFT OUTER JOIN customer ON o_custkey = c_custkey
         |WHERE YEAR(o_orderdate) = 2000 AND MONTH(o_orderdate) = 3
-        |  AND DAY(o_orderdate) <= 7
+        |  AND DAY(o_orderdate) <= 2
         |GROUP BY 1, 2 ORDER BY city_id, day""".stripMargin,
     "s7_json_sink" ->
       """SELECT COALESCE(c_name, 'Unknown') AS name, COUNT(*) AS n,

@@ -76,11 +76,11 @@ object Etl {
   def s5s6PartitionedSink(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val out = s"$scratch/partitioned_sink"
-    // one week's slice: the per-dir cost of a Hive layout is fixed, so the
+    // a two-day slice: the per-dir cost of a Hive layout is fixed, so the
     // demo bounds dir count; at real scale each dir holds GBs, not rows
     vendorFrame(spark, sfDir,
         $"o_orderdate" >= lit("2000-03-01").cast("timestamp")
-          && $"o_orderdate" < lit("2000-03-08").cast("timestamp"))
+          && $"o_orderdate" < lit("2000-03-03").cast("timestamp"))
       // co-locate each output dir's rows in one task: file count ≈ number
       // of partition dirs instead of tasks × dirs (the small-files killer)
       .repartition(col("city_id"), col("day"))
