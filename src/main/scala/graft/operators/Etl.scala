@@ -56,7 +56,8 @@ object Etl {
         $"o_orderkey".cast("string").as("code"),
         coalesce($"c_name", lit("Unknown")).as("name"),
         to_json(struct($"c_mktsegment".as("segment"), $"o_totalprice".as("total"))).as("details"),
-        (floor(($"o_orderkey" - 1) / 48) + 1).cast("int").as("batch_number"),
+        // `div` (truncating) — matches DuckDB's `//` on the key-0 edge row
+        expr("CAST((o_orderkey - 1) div 48 + 1 AS INT)").as("batch_number"),
         $"reviews",
         to_json(struct($"n_items".as("totalCount"))).as("ratings"),
         unix_timestamp($"o_orderdate").as("extraction_started_at"),
