@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply graft's recommended SQL conf to any builder. Values follow the
-    * scale notes in README.md / SURVEY.md §4:
+  /** The tuning knobs, as data so tests can validate every key/value
+    * against a live session (a typo'd conf key would otherwise be
+    * silently ignored at builder time). Rationale (README / SURVEY §4):
     *  - AQE on (with skew-join handling): runtime re-plan picks broadcast
     *    joins from real sizes and splits skewed shuffle partitions —
     *    together with the salting pattern (operators.Analytics.a7SaltedAgg)
@@ -22,15 +23,25 @@ object GraftSession {
     *  - UTC session time: all graft semantics are timezone-pinned
     *    (SURVEY §4.3 determinism).
     */
-  def tuned(builder: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
-    builder
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  def tunedConf(shufflePartitions: Int): Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+    "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
+    "spark.sql.session.timeZone" -> "UTC",
+  )
+
+  /** Static conf that must be present at session build time. */
+  val extensionsConf: (String, String) =
+    "spark.sql.extensions" -> classOf[graft.plans.GraftExtensions].getName
+
+  /** Apply graft's recommended SQL conf to any builder. */
+  def tuned(builder: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = {
+    val withRuntime = tunedConf(shufflePartitions)
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
+    withRuntime.config(extensionsConf._1, extensionsConf._2)
+  }
 
   /** Local development/test session (local[n], n shuffle partitions). */
   def local(cores: Int): SparkSession = {

@@ -23,8 +23,10 @@ object VectorAggs {
 
     override def reduce(b: (Array[Double], Long), a: Array[Float]): (Array[Double], Long) = {
       val acc = if (b._1.isEmpty) new Array[Double](a.length) else b._1
+      require(a.length == acc.length,
+        s"VecMean: ragged input - expected dim ${acc.length}, got ${a.length}")
       var i = 0
-      while (i < a.length && i < acc.length) { acc(i) += a(i); i += 1 }
+      while (i < a.length) { acc(i) += a(i); i += 1 }
       (acc, b._2 + 1)
     }
 
@@ -32,6 +34,8 @@ object VectorAggs {
       if (x._1.isEmpty) y
       else if (y._1.isEmpty) x
       else {
+        require(x._1.length == y._1.length,
+          s"VecMean: merge of mismatched dims ${x._1.length} vs ${y._1.length}")
         var i = 0
         while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
         (x._1, x._2 + y._2)

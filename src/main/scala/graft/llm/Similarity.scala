@@ -63,7 +63,9 @@ object Similarity {
       .map(i => when(expr(s"embedding[${i - 1}]") > 0f, lit(1L << (i - 1))).otherwise(lit(0L)))
       .reduce(_ + _)
     val emb = Tables.embeddings(spark, sfDir).withColumn("bucket", sig)
-    val a = emb.as("a"); val b = emb.as("b")
+    // merge hint as in Dedup's self-joins: one reused exchange, the
+    // bucket-signature scan computes once
+    val a = emb.as("a"); val b = emb.hint("merge").as("b")
     a.join(b, $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
       .withColumn("dot", expr(dot("a.embedding", "b.embedding")))
       .withColumn("norm_a", sqrt(expr(dot("a.embedding", "a.embedding"))))

@@ -12,7 +12,7 @@ import graft.Tables
   */
 object Analytics {
 
-  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  import graft.Exact.money
 
   /** Q2: shipping-priority style — top-10 open orders by pending revenue
     * for one segment: customer ⋈ orders ⋈ lineitem with both date sides
@@ -32,7 +32,7 @@ object Analytics {
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .join(items, $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderkey", unix_timestamp($"o_orderdate").as("orderdate_s"))
-      .agg(sum($"price" * (lit(1).cast("decimal(18,2)") - $"disc")).cast("double").as("revenue"))
+      .agg(sum($"price" * (graft.Exact.one - $"disc")).cast("double").as("revenue"))
       .orderBy($"revenue".desc, $"o_orderkey")
       .limit(10)
   }
@@ -60,7 +60,7 @@ object Analytics {
       .join(items, $"o_orderkey" === $"l_orderkey")
       .groupBy($"n_name")
       .agg(
-        sum($"price" * (lit(1).cast("decimal(18,2)") - $"disc")).cast("double").as("revenue"),
+        sum($"price" * (graft.Exact.one - $"disc")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"revenue".desc, $"n_name")
   }

@@ -42,7 +42,7 @@ object Joins {
       .groupBy($"l_suppkey")
       .agg(
         count(lit(1)).as("n_items"),
-        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+        sum(graft.Exact.money($"l_extendedprice")).cast("double").as("revenue"))
     s.join(revenue, $"s_suppkey" === $"l_suppkey", "left_outer")
       .select($"s_suppkey", $"s_name", $"n_items", $"revenue")
       .orderBy($"s_suppkey")

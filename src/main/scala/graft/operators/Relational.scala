@@ -17,11 +17,7 @@ import graft.Tables
   */
 object Relational {
 
-  /** Exact money arithmetic: 2-decimal doubles -> DECIMAL(18,2).
-    * Sums become order-independent (no fp non-associativity across
-    * partitions), which both the oracle and any 1000-executor run need.
-    */
-  private def money(c: Column): Column = c.cast("decimal(18,2)")
+  import graft.Exact.money
 
   /** Flagship: pricing-summary over lineitem (SURVEY §7.2 slice 0).
     * Filter -> hash agg (partial+final, map-side combine) -> order.
@@ -34,7 +30,7 @@ object Relational {
       .agg(
         sum($"l_quantity").cast("double").as("sum_qty"),
         sum(money($"l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(money($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - money($"l_discount")))
+        sum(money($"l_extendedprice") * (graft.Exact.one - money($"l_discount")))
           .cast("double").as("sum_disc_price"),
         (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
         (sum(money($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
@@ -125,8 +121,10 @@ object Relational {
       .groupBy($"event_type").agg(count(lit(1)).as("cnt"))
     val total = org.apache.spark.sql.expressions.Window.partitionBy()
     counts
-      .withColumn("percentage", (($"cnt" * 100L) / sum($"cnt").over(total)).cast("long"))
       .withColumn("total_count", sum($"cnt").over(total))
+      // exact integer division (`div`), not double-divide-then-cast: at
+      // ~1e14 rows the double quotient can round across an integer
+      .withColumn("percentage", expr("(cnt * 100) div total_count"))
       .select($"event_type", $"cnt", $"percentage", $"total_count")
       .orderBy($"event_type")
   }

@@ -37,6 +37,18 @@ case class DotF32(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f32"
 
+  /** Nullable also when an ELEMENT can be null (a null element nullifies
+    * the sum) — the default BinaryExpression.nullable only looks at the
+    * arrays themselves, which would make ev.isNull a compile-time
+    * constant and silently turn the null path into 0.0. */
+  private def elementsNullable(t: DataType): Boolean = t match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      elementsNullable(left.dataType) || elementsNullable(right.dataType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -44,6 +56,9 @@ case class DotF32(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a null element nullifies the product sum — identical to the
+      // composed aggregate(zip_with(...)) form and the DuckDB oracle
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -59,6 +74,7 @@ case class DotF32(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $acc;

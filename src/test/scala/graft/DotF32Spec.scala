@@ -31,6 +31,20 @@ class DotF32Spec extends SparkSpecBase {
     assert(got.toSeq === Seq(Some(11.0), None, Some(2.0)))
   }
 
+  test("dot_f32 propagates NULL on null array elements, like the composed form") {
+    DotF32.register(spark)
+    val r = spark.sql(
+      "SELECT dot_f32(array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT), CAST(1 AS FLOAT))) AS d").head()
+    assert(r.isNullAt(0))
+    val composed = spark.sql(
+      "SELECT aggregate(zip_with(array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT), CAST(1 AS FLOAT)), " +
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d").head()
+    assert(composed.isNullAt(0)) // same semantics both forms
+  }
+
   test("dot_f32 participates in whole-stage codegen") {
     DotF32.register(spark)
     val plan = Tables.embeddings(spark, sfDir)

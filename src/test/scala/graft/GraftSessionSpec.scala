@@ -1,23 +1,41 @@
 package graft
 
-/** The deployment surface: a GraftSession-configured session has the
-  * native function installed via extensions and the tuning knobs set. */
+/** The deployment surface: every tuned conf key must be accepted by a live
+  * session (catches typo'd keys, which Spark silently ignores at builder
+  * time), and the extensions class must resolve and wire dot_f32. */
 class GraftSessionSpec extends SparkSpecBase {
 
-  test("tuned builder sets the scale knobs and installs graft extensions") {
-    // the shared spec session already exists; verify conf mechanics on a
-    // fresh session in the same JVM via newSession + manual registration
+  test("every tunedConf key is a valid, runtime-settable Spark conf") {
+    val s = spark.newSession()
+    for ((k, v) <- GraftSession.tunedConf(shufflePartitions = 7)) {
+      s.conf.set(k, v) // throws on unknown/static keys
+      assert(s.conf.get(k) === v, s"conf $k did not take")
+    }
+    assert(s.conf.get("spark.sql.shuffle.partitions") === "7")
+  }
+
+  test("extensions conf names a resolvable class that wires dot_f32") {
+    val (key, className) = GraftSession.extensionsConf
+    assert(key === "spark.sql.extensions")
+    val ext = Class.forName(className).getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    ext.apply(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
+  }
+
+  test("tuned builder produces a session with the knobs set (same-JVM getOrCreate)") {
+    // static confs can't change on an existing context, but runtime SQL
+    // confs from the builder apply to the new session
+    val s = GraftSession.tuned(
+      org.apache.spark.sql.SparkSession.builder(), shufflePartitions = 5).getOrCreate()
+    assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+    assert(s.conf.get("spark.sql.files.maxPartitionBytes") === (128L * 1024 * 1024).toString)
+  }
+
+  test("dot_f32 registers and evaluates on a fresh session") {
     val s = spark.newSession()
     graft.plans.DotF32.register(s)
-    import s.implicits._
     val r = s.sql("SELECT dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
       "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head().getDouble(0)
     assert(r === 11.0)
-  }
-
-  test("GraftExtensions class wires dot_f32 as an injected function") {
-    val ext = new graft.plans.GraftExtensions
-    val exts = new org.apache.spark.sql.SparkSessionExtensions
-    ext.apply(exts) // must not throw; full-session wiring needs a new JVM
   }
 }

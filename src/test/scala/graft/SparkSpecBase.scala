@@ -6,6 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for specs. */
 trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
+  // Timestamp literals in fixtures are written as wall-clock strings; pin
+  // the JVM default so suites are green regardless of the host timezone
+  // (the Spark session timezone is pinned to UTC separately below).
+  java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-spec")
