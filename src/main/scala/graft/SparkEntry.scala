@@ -89,6 +89,9 @@ object SparkEntry {
     "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
     "q3_revenue_by_nation" -> (Analytics.q3RevenueByNation _),
     "a7_salted_agg" -> (Analytics.a7SaltedAgg _),
+    "a5c_cube" -> (Analytics.a5cCube _),
+    "a8_pivot" -> (Analytics.a8Pivot _),
+    "a9_percentiles" -> (Analytics.a9Percentiles _),
   )
 
   // ---- helpers that assemble the repetitive LLM oracle SQL ----
@@ -559,5 +562,22 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a5c_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "a8_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a9_percentiles" ->
+      """SELECT o_orderpriority,
+        |  QUANTILE_CONT(o_totalprice, 0.5) AS med,
+        |  QUANTILE_CONT(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -65,6 +65,39 @@ object Analytics {
       .orderBy($"revenue".desc, $"n_name")
   }
 
+  /** A5c [EXT]: full cube over two dimensions — the GROUPING SETS family
+    * beyond a5b's rollup. */
+  def a5cCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** A8 [EXT]: pivot — event counts cross-tabbed by type. Expressed as
+    * conditional aggregation (the portable form of `.pivot`), one pass. */
+  def a8Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def cnt(t: String) = sum(when($"event_type" === t, 1L).otherwise(0L)).as(t)
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(cnt("click"), cnt("view"), cnt("signup"), cnt("purchase"), cnt("error"))
+      .orderBy($"user_id")
+  }
+
+  /** A9 [EXT]: exact interpolated percentiles per group — Spark's
+    * `percentile` matches ANSI `percentile_cont` / DuckDB `quantile_cont`. */
+  def a9Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("med"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** A7 [EXT]: salted two-phase aggregation — the skew pattern. Phase 1
     * aggregates on (key, salt) so a hot key spreads over `SALT` reducers;
     * phase 2 merges the partials. The result is salt-invariant (asserted
