@@ -45,6 +45,7 @@ object SparkEntry {
     "j4_semi_join" -> (Joins.j4SemiJoin _),
     "j5_anti_join" -> (Joins.j5AntiJoin _),
     "asof_join" -> (Joins.asofJoin _),
+    "j6_range_join" -> (Joins.j6RangeJoin _),
     "w1_topk_per_group" -> (Windows.w1TopkPerGroup _),
     "w2_batch_numbering" -> (Windows.w2BatchNumbering _),
     "w3_extraction_lag" -> (Windows.w3ExtractionLag _),
@@ -257,6 +258,13 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND YEAR(o_orderdate) = 2001)
         |ORDER BY c_custkey""".stripMargin,
+    "j6_range_join" ->
+      """SELECT a.event_id AS event_a, b.event_id AS event_b,
+        |  EPOCH_US(b.ts) - EPOCH_US(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts
+        | AND EPOCH_US(b.ts) - EPOCH_US(a.ts) <= 60000000
+        |ORDER BY event_a, event_b""".stripMargin,
     "asof_join" ->
       """SELECT p.event_id, p.user_id, EPOCH_US(p.ts) AS ts_us, s.signup_ts_us AS last_signup_us
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p

@@ -95,6 +95,31 @@ object Joins {
       .orderBy($"c_custkey")
   }
 
+  /** J6 range join [EXT]: event pairs within a 60s window per user. The
+    * naive inequality join is a nested-loop (quadratic per user); the
+    * banded form buckets time into window-width bands and equi-joins on
+    * (user, band) with the probe side exploded to its two candidate
+    * bands — pair volume is band-collision-bound, plan is a hash join.
+    * Each qualifying pair matches exactly one band key (no dedup pass).
+    */
+  def j6RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val W = 60L * 1000000 // 60s in micros
+    val e = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("band", expr(s"ts_us div $W"))
+    val x = e.as("x")
+    // y is probed under its own band and the previous one: a pair with
+    // 0 < y.ts - x.ts <= W has y.band ∈ {x.band, x.band + 1}
+    val y = e.withColumn("jb", explode(array($"band", $"band" - 1))).as("y")
+    x.join(y,
+        $"x.user_id" === $"y.user_id" && $"x.band" === $"y.jb" &&
+          $"y.ts_us" > $"x.ts_us" && $"y.ts_us" - $"x.ts_us" <= W)
+      .select($"x.event_id".as("event_a"), $"y.event_id".as("event_b"),
+        ($"y.ts_us" - $"x.ts_us").as("gap_us"))
+      .orderBy($"event_a", $"event_b")
+  }
+
   /** As-of join [EXT]: for each purchase event, the nearest earlier-or-equal
     * signup by the same user. Implemented distributed: union both sides,
     * one shuffle by user, running `last(signup_ts, ignoreNulls)` in event
