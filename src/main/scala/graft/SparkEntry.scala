@@ -85,6 +85,7 @@ object SparkEntry {
     "l4d_token_count" -> (graft.llm.TextAnalysis.l4dTokenCount _),
     "l4e_fingerprint" -> (graft.llm.TextAnalysis.l4eFingerprint _),
     "l5_multimodal_columns" -> (graft.llm.Multimodal.l5MultimodalColumns _),
+    "l6_hash_sample" -> (graft.llm.TextAnalysis.l6HashSample _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
     "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
@@ -531,6 +532,20 @@ object SparkEntry {
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
         |  CAST(8 AS BIGINT) AS n_features
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "l6_hash_sample" ->
+      """SELECT doc_id, lang,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+        |     for j in range(1, 3)]), (acc, x) -> acc * 16 + x) AS bucket
+        |FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |  THEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+        |     for j in range(1, 3)]), (acc, x) -> acc * 16 + x) < 128
+        |  ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+        |     for j in range(1, 3)]), (acc, x) -> acc * 16 + x) < 51 END
+        |ORDER BY doc_id""".stripMargin,
     "s3_paginated_scan" ->
       """SELECT (o_orderkey - 1) // 48 AS page, COUNT(*) AS returned_count,
         |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key

@@ -13,6 +13,13 @@ import graft.Tables
   * shared LSH buckets / shared shingles, so cost is bounded by collision
   * volume, not n². Hashes are md5-based (codegen'd built-in) so signatures
   * are engine-independent and the DuckDB oracle can replay them exactly.
+  *
+  * Algorithms follow the standard literature: MinHash resemblance
+  * (Broder, "On the resemblance and containment of documents", 1997) with
+  * the banding scheme of Leskovec/Rajaraman/Ullman (Mining of Massive
+  * Datasets ch. 3); SimHash (Charikar, "Similarity estimation techniques
+  * from rounding algorithms", STOC 2002) as deployed for web-scale dedup
+  * (Manku et al., WWW 2007).
   */
 object Dedup {
 

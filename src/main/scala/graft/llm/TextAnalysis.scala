@@ -80,6 +80,25 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** L6 [EXT]: deterministic hash-based sampling — the reproducible way to
+    * subsample a training corpus (rand() differs per engine/partitioning;
+    * a content-keyed hash does not). Stratified: per-language rates, e.g.
+    * keep 50% of English, 20% of everything else. The sampling decision
+    * is a pure function of doc_id, so re-runs, retries, and engine swaps
+    * select the identical subset. */
+  def l6HashSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // 2-digit hex prefix of md5(doc_id) -> uniform bucket in [0, 256)
+    val bucket = expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT)")
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket", bucket)
+      .withColumn("keep",
+        when($"lang" === "en", $"bucket" < 128).otherwise($"bucket" < 51))
+      .filter($"keep")
+      .select($"doc_id", $"lang", $"bucket")
+      .orderBy($"doc_id")
+  }
+
   /** L4e: document fingerprint — polynomial rolling hash over the char
     * stream (mod 1e9+7), plus a strong md5. The rolling form is the
     * building block for winnowing-style fingerprints. */
