@@ -96,6 +96,9 @@ object SparkEntry {
     "a9_percentiles" -> (Analytics.a9Percentiles _),
   )
 
+  /** Single source of truth for the listing page size (main.rs:120). */
+  private val pageSize: Int = graft.sources.Paginated.PAGE_SIZE
+
   // ---- helpers that assemble the repetitive LLM oracle SQL ----
 
   /** DuckDB: distinct 5-gram shingles per doc (matches Dedup.shinglesExpr),
@@ -182,14 +185,16 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM events) AS total_count
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a3_pagination_plan" ->
-      """SELECT COUNT(*) AS available,
-        |  CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 48.0) AS BIGINT) AS total_pages
-        |FROM orders""".stripMargin,
+      s"""SELECT COUNT(*) AS available,
+         |  CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / $pageSize.0) AS BIGINT) AS total_pages
+         |FROM orders""".stripMargin,
     "a4_throughput_stats" ->
       """SELECT COUNT(*) AS n,
         |  CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS started_s,
         |  CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS completed_s,
-        |  CAST(COUNT(*) AS DOUBLE) / CAST(CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) - CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS DOUBLE) AS rows_per_second
+        |  CASE WHEN CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) > CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT)
+        |    THEN CAST(COUNT(*) AS DOUBLE) / CAST(CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) - CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS DOUBLE)
+        |    ELSE NULL END AS rows_per_second
         |FROM events""".stripMargin,
     "a5_batch_rollup" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
@@ -207,8 +212,8 @@ object SparkEntry {
       """SELECT event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s
         |FROM events ORDER BY ts_s DESC, event_id""".stripMargin,
     "o2_limit" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_orderkey LIMIT 48""".stripMargin,
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |ORDER BY o_orderkey LIMIT $pageSize""".stripMargin,
     "o3_global_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -280,9 +285,9 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
     "w2_batch_numbering" ->
-      """SELECT o_orderkey,
-        |  CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) / 48) + 1 AS BIGINT) AS batch_number
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
+      s"""SELECT o_orderkey,
+         |  CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) / $pageSize) + 1 AS BIGINT) AS batch_number
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "w3_extraction_lag" ->
       """SELECT event_id, user_id,
         |  CAST((EPOCH_US(ts) - LAG(EPOCH_US(ts), 1) OVER (
@@ -349,7 +354,7 @@ object SparkEntry {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "f13_jitter" ->
       """SELECT event_id,
-        |  2000 + (event_id * 1103515245 + 12345) % 1000 AS delay_ms
+        |  2000 + ((event_id % 100000) * 1103515245 + 12345) % 1000 AS delay_ms
         |FROM events ORDER BY event_id""".stripMargin,
     "s5_s6_partitioned_sink" ->
       """SELECT CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS city_id,
@@ -365,10 +370,10 @@ object SparkEntry {
         |WHERE YEAR(o_orderdate) = 2001
         |GROUP BY 1 ORDER BY name""".stripMargin,
     "etl_pipeline" ->
-      """SELECT CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS city_id,
+      s"""SELECT CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS city_id,
         |  CAST(YEAR(o_orderdate) AS BIGINT) AS year,
         |  COUNT(*) AS n_vendors,
-        |  COUNT(DISTINCT (o_orderkey - 1) // 48 + 1) AS n_batches,
+        |  COUNT(DISTINCT (o_orderkey - 1) // $pageSize + 1) AS n_batches,
         |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_misses
         |FROM orders LEFT OUTER JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2 ORDER BY city_id, year""".stripMargin,
@@ -387,7 +392,7 @@ object SparkEntry {
         |  FROM events),
         |numbered AS (
         |  SELECT user_id, event_id, ts,
-        |    SUM(CASE WHEN prev_us IS NULL OR EPOCH_US(ts) - prev_us > 1800000000
+        |    SUM(CASE WHEN prev_us IS NULL OR EPOCH_US(ts) - prev_us >= 1800000000
         |             THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
@@ -547,9 +552,9 @@ object SparkEntry {
         |     for j in range(1, 3)]), (acc, x) -> acc * 16 + x) < 51 END
         |ORDER BY doc_id""".stripMargin,
     "s3_paginated_scan" ->
-      """SELECT (o_orderkey - 1) // 48 AS page, COUNT(*) AS returned_count,
-        |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
-        |FROM orders GROUP BY 1 ORDER BY page""".stripMargin,
+      s"""SELECT (o_orderkey - 1) // $pageSize AS page, COUNT(*) AS returned_count,
+         |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+         |FROM orders GROUP BY 1 ORDER BY page""".stripMargin,
     "s4_point_lookup" ->
       """SELECT o_orderkey AS code,
         |  CASE WHEN o_orderkey % 7 = 0 THEN NULL

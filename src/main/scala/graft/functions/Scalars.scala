@@ -160,7 +160,9 @@ object Scalars {
     Tables.events(spark, sfDir)
       .select(
         $"event_id",
-        (lit(2000L) + (($"event_id" * 1103515245L + 12345L) % 1000L)).as("delay_ms"))
+        // key reduced mod 1e5 before the LCG multiply so the product
+        // stays far from Long overflow at any event_id scale
+        (lit(2000L) + ((($"event_id" % 100000L) * 1103515245L + 12345L) % 1000L)).as("delay_ms"))
       .orderBy($"event_id")
   }
 }

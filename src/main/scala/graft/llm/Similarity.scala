@@ -42,12 +42,14 @@ object Similarity {
     withNative(spark)
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
-    val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    // query norm computed once in the broadcast frame, not per scanned row
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".as("q_emb"))
+      .withColumn("norm_q", sqrt(expr(dot("q_emb", "q_emb"))))
     emb.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(q))
       .withColumn("dot", expr(dot("embedding", "q_emb")))
       .withColumn("norm_a", sqrt(expr(dot("embedding", "embedding"))))
-      .withColumn("norm_q", sqrt(expr(dot("q_emb", "q_emb"))))
       .select($"vec_id", ($"dot" / ($"norm_a" * $"norm_q")).as("cosine"))
       .orderBy($"cosine".desc, $"vec_id")
       .limit(10)
@@ -91,20 +93,20 @@ object Similarity {
     val centroids = comps
       .groupBy($"label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
-    val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".as("q_emb"))
+      .withColumn("norm_q", sqrt(expr(dot("q_emb", "q_emb"))))
     val nearest = centroids.crossJoin(broadcast(q))
       .withColumn("cdot", expr(dotD("centroid", "q_emb")))
       .withColumn("cnorm", sqrt(expr(dotD("centroid", "centroid"))))
-      .withColumn("qnorm", sqrt(expr(dot("q_emb", "q_emb"))))
-      .withColumn("csim", $"cdot" / ($"cnorm" * $"qnorm"))
+      .withColumn("csim", $"cdot" / ($"cnorm" * $"norm_q"))
       .orderBy($"csim".desc, $"label")
       .limit(1)
-      .select($"label".as("probe_label"), $"q_emb")
+      .select($"label".as("probe_label"), $"q_emb", $"norm_q")
     emb.join(broadcast(nearest), $"label" === $"probe_label")
       .filter($"vec_id" =!= 0)
       .withColumn("dot", expr(dot("embedding", "q_emb")))
       .withColumn("norm_a", sqrt(expr(dot("embedding", "embedding"))))
-      .withColumn("norm_q", sqrt(expr(dot("q_emb", "q_emb"))))
       .select($"vec_id", $"probe_label", ($"dot" / ($"norm_a" * $"norm_q")).as("cosine"))
       .orderBy($"cosine".desc, $"vec_id")
       .limit(10)

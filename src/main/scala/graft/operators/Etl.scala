@@ -17,9 +17,10 @@ import graft.Tables
   */
 object Etl {
 
-  /** Scratch dir for sink demos — under the build tree, absolute, safe to
-    * overwrite. On a cluster this would be an object-store URI. */
-  private val scratch = "/root/repo/target/graft-tmp"
+  /** Scratch dir for sink demos — configurable via `spark.graft.scratchDir`
+    * (an object-store URI on a cluster); defaults to the build tree. */
+  private def scratch(spark: SparkSession): String =
+    spark.conf.get("spark.graft.scratchDir", "/root/repo/target/graft-tmp")
 
   /** Vendor-shaped frame derived from the star schema: one row per order,
     * enriched from customer (details branch) and per-order lineitems
@@ -57,7 +58,7 @@ object Etl {
         coalesce($"c_name", lit("Unknown")).as("name"),
         to_json(struct($"c_mktsegment".as("segment"), $"o_totalprice".as("total"))).as("details"),
         // `div` (truncating) — matches DuckDB's `//` on the key-0 edge row
-        expr("CAST((o_orderkey - 1) div 48 + 1 AS INT)").as("batch_number"),
+        expr(s"CAST((o_orderkey - 1) div ${graft.sources.Paginated.PAGE_SIZE} + 1 AS INT)").as("batch_number"),
         $"reviews",
         to_json(struct($"n_items".as("totalCount"))).as("ratings"),
         unix_timestamp($"o_orderdate").as("extraction_started_at"),
@@ -76,7 +77,7 @@ object Etl {
     */
   def s5s6PartitionedSink(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val out = s"$scratch/partitioned_sink"
+    val out = s"${scratch(spark)}/partitioned_sink"
     // a two-day slice: the per-dir cost of a Hive layout is fixed, so the
     // demo bounds dir count; at real scale each dir holds GBs, not rows
     vendorFrame(spark, sfDir,
@@ -100,7 +101,7 @@ object Etl {
     * array-file form only exists because it appends row-at-a-time. */
   def s7JsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val out = s"$scratch/json_spool"
+    val out = s"${scratch(spark)}/json_spool"
     vendorFrame(spark, sfDir,
       $"o_orderdate" >= lit("2001-01-01").cast("timestamp")
         && $"o_orderdate" < lit("2002-01-01").cast("timestamp"))

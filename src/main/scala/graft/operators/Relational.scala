@@ -136,7 +136,7 @@ object Relational {
       .agg(count(lit(1)).as("available"))
       .select(
         col("available"),
-        ceil(col("available").cast("double") / lit(48.0)).cast("long").as("total_pages"))
+        ceil(col("available").cast("double") / lit(graft.sources.Paginated.PAGE_SIZE.toDouble)).cast("long").as("total_pages"))
   }
 
   /** A4: throughput stats — count, span, rows/sec (main.rs:186-198). */
@@ -148,7 +148,9 @@ object Relational {
         min(unix_timestamp($"ts")).as("started_s"),
         max(unix_timestamp($"ts")).as("completed_s"))
       .select($"n", $"started_s", $"completed_s",
-        ($"n".cast("double") / ($"completed_s" - $"started_s").cast("double")).as("rows_per_second"))
+        when($"completed_s" > $"started_s",
+          $"n".cast("double") / ($"completed_s" - $"started_s").cast("double"))
+          .otherwise(lit(null).cast("double")).as("rows_per_second"))
   }
 
   /** A5: per-batch rollup (per-page progress counts, main.rs:149-154). */
@@ -199,7 +201,7 @@ object Relational {
     Tables.orders(spark, sfDir)
       .select($"o_orderkey", $"o_totalprice")
       .orderBy($"o_orderkey")
-      .limit(48)
+      .limit(graft.sources.Paginated.PAGE_SIZE)
   }
 
   /** O3: global top-K — TakeOrderedAndProject, no full sort at scale. */

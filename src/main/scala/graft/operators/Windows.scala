@@ -34,7 +34,8 @@ object Windows {
     val w = Window.orderBy($"o_orderkey")
     Tables.orders(spark, sfDir)
       .select($"o_orderkey")
-      .withColumn("batch_number", (floor((row_number().over(w) - 1) / 48) + 1).cast("long"))
+      .withColumn("batch_number",
+        (floor((row_number().over(w) - 1) / graft.sources.Paginated.PAGE_SIZE) + 1).cast("long"))
       .orderBy($"o_orderkey")
   }
 

@@ -70,11 +70,17 @@ case class DotF32(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // when the expression is non-nullable (no null elements possible),
+      // ev.isNull is the constant `false` — emitting an assignment to it
+      // would be invalid Java, so the check is only generated when needed
+      val nullCheck =
+        if (nullable) s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullCheck
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $acc;

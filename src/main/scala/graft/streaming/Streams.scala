@@ -61,7 +61,9 @@ object Streams {
     events
       .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
       .withColumn("new_session",
-        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > 30L * 60 * 1000000, 1L)
+        // >= : a gap of exactly the timeout starts a new session, matching
+        // the built-in session_window's exclusive window end
+        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" >= 30L * 60 * 1000000, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum($"new_session").over(run))
       .groupBy($"user_id", $"session_id")
@@ -85,7 +87,11 @@ object Streams {
   }
 
   /** R5: dedup — first event per (user, type), keyed state in streaming
-    * (`dropDuplicatesWithinWatermark`), min-by in batch. */
+    * (`dropDuplicatesWithinWatermark`), min-by in batch. Caveat: the
+    * streaming form keeps the first-ARRIVED row per key (that is its
+    * semantics); the batch/oracle form keeps the min-event-time row.
+    * They agree exactly on in-order sources (asserted in StreamingSpec);
+    * on late data the streaming result is arrival-dependent by design. */
   def dedupBatch(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
