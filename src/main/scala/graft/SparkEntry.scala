@@ -86,6 +86,9 @@ object SparkEntry {
     "l4e_fingerprint" -> (graft.llm.TextAnalysis.l4eFingerprint _),
     "l5_multimodal_columns" -> (graft.llm.Multimodal.l5MultimodalColumns _),
     "l6_hash_sample" -> (graft.llm.TextAnalysis.l6HashSample _),
+    "l7_tfidf_topterms" -> (graft.llm.TextAnalysis.l7TfidfTopTerms _),
+    "a10_exact_stats" -> (Analytics.a10ExactStats _),
+    "a11_histogram" -> (Analytics.a11Histogram _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
     "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
@@ -590,6 +593,34 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "l7_tfidf_topterms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * nd.n_docs / df.df AS score
+        |  FROM tf JOIN df ON tf.term = df.term, nd),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, tf, df, score FROM ranked
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "a10_exact_stats" ->
+      """WITH c AS (SELECT o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS mean,
+        |  CAST(COUNT(*) * SUM(CAST(cents AS HUGEINT) * cents) - SUM(cents) * SUM(cents) AS DOUBLE)
+        |    / COUNT(*) / COUNT(*) / 10000.0 AS variance
+        |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "a11_histogram" ->
+      """SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS bucket,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "a5c_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)

@@ -99,6 +99,33 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** L7 [EXT]: TF-IDF top terms per document. tf and df are exact integer
+    * counts (term-doc pairs distinct-counted); the score uses a linear
+    * idf (tf * N / df as double division of exact longs) so it is
+    * bit-deterministic — `ln` is deliberately avoided because libm and
+    * JVM log implementations may differ in the last ulp. Top-3 terms per
+    * doc with full lexicographic tiebreak. */
+  def l7TfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val terms = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = terms.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id")
+      .orderBy(($"tf".cast("double") * $"n_docs" / $"df").desc, $"term")
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", $"tf".cast("double") * $"n_docs" / $"df")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"term", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rk")
+  }
+
   /** L4e: document fingerprint — polynomial rolling hash over the char
     * stream (mod 1e9+7), plus a strong md5. The rolling form is the
     * building block for winnowing-style fingerprints. */

@@ -98,6 +98,46 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** A10 [EXT]: exact distributed statistics — mean and variance derived
+    * from integer power sums instead of streaming moment updates
+    * (covariance/correlation extend the same way with an sxy sum). Spark's built-in stddev/corr merge partial moments
+    * in partition order (last-ulp nondeterminism across re-partitioning);
+    * power sums are associative-exact, so these results are bit-stable on
+    * any cluster layout and replayable by the oracle. */
+  def a10ExactStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // cents as exact integers: every sum and the variance numerator
+    // n*sxx - sx^2 stay integer-exact; ONE integer->double conversion at
+    // the end is correctly rounded in both engines (fractional-decimal ->
+    // double casts are not, which this formulation avoids)
+    Tables.orders(spark, sfDir)
+      .withColumn("cents", (money($"o_totalprice") * 100).cast("long"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"cents".cast("decimal(38,0)")).as("sx"),
+        sum(($"cents" * $"cents").cast("decimal(38,0)")).as("sxx"))
+      .select(
+        $"o_orderpriority", $"n",
+        ($"sx".cast("double") / $"n" / 100.0).as("mean"),
+        (($"n" * $"sxx" - $"sx" * $"sx").cast("double") / $"n" / $"n" / 10000.0)
+          .as("variance"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** A11 [EXT]: histogram — fixed-width buckets with exact integer
+    * arithmetic (bucket = value div width on the cent-scaled amount). */
+  def a11Histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      // cents as exact long, then 50k-dollar buckets
+      .withColumn("cents", (money($"o_totalprice") * 100).cast("long"))
+      .withColumn("bucket", expr("cents div 5000000"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"bucket")
+  }
+
   /** A7 [EXT]: salted two-phase aggregation — the skew pattern. Phase 1
     * aggregates on (key, salt) so a hot key spreads over `SALT` reducers;
     * phase 2 merges the partials. The result is salt-invariant (asserted
