@@ -138,6 +138,26 @@ object Streams {
       }
   }
 
+  /** R7 [EXT]: stream-stream interval join — each purchase joined to the
+    * same user's signups within the preceding hour. Both sides carry
+    * watermarks so the join state is bounded: signups older than the
+    * interval + watermark are evicted. The batch form is the equivalent
+    * inequality join (asserted in StreamingSpec). */
+  def purchaseSignupJoin(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val spark = purchases.sparkSession
+    import spark.implicits._
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+    val s = signups.withWatermark("ts", "2 hours")
+      .select($"event_id".as("signup_id"), $"user_id".as("s_user"), $"ts".as("s_ts"))
+    p.join(s,
+      expr("p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR"))
+      .select($"purchase_id", $"signup_id",
+        (unix_micros($"p_ts") - unix_micros($"s_ts")).as("lead_us"))
+  }
+
+  // (the same body is the batch form: withWatermark is a no-op in batch)
+
   // ------------------------------------------------ oracle-facing wrappers
 
   def r2TumblingCount(spark: SparkSession, sfDir: String): DataFrame = {

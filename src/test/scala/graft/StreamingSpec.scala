@@ -135,6 +135,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() === fixture.size)
   }
 
+  test("R7 stream-stream interval join == batch inequality join") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = fixture.filter(_.event_type == "click") // reuse clicks as the left side
+      .map(e => e.copy(event_type = "purchase"))
+    val signups = fixture.filter(_.event_type == "view")    // views as the right side
+      .map(e => e.copy(event_type = "signup"))
+    val memP = MemoryStream[Evt]; val memS = MemoryStream[Evt]
+    val joined = graft.streaming.Streams.purchaseSignupJoin(memP.toDF(), memS.toDF())
+    val q = joined.writeStream.format("memory").queryName("r7_join")
+      .outputMode("append").start()
+    memS.addData(signups); memP.addData(purchases)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("r7_join")
+      .select($"purchase_id", $"signup_id", $"lead_us")
+    val batch = graft.streaming.Streams.purchaseSignupJoin(
+      batchDf(purchases), batchDf(signups))
+    assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0)
+    assert(batch.count() > 0)
+  }
+
   test("R1 micro-batch ingest: foreachBatch sees every row exactly once") {
     val sparkS = spark
     import sparkS.implicits._
