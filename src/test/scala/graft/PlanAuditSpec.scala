@@ -67,6 +67,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("LeftSemi"))
   }
 
+  test("partitioned sink read-back prunes partitions from the directory layout") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // write the demo slice, then read back with a partition-key predicate
+    q("s5_s6_partitioned_sink").collect()
+    val back = spark.read.parquet("/root/repo/target/graft-tmp/partitioned_sink")
+      .filter($"city_id" === 7 && $"day" === 1)
+      .agg(count(lit(1)))
+    val p = plan(back)
+    assert(p.contains("PartitionFilters: [isnotnull(city_id"), p)
+    // the predicate never reaches the data scan — it is resolved entirely
+    // against the Hive directory names
+    assert(p.contains("(city_id#") && p.contains("(day#"), p)
+  }
+
   test("no operator plan contains a cartesian product") {
     for ((name, fn) <- SparkEntry.queries if name != "s5_s6_partitioned_sink" && name != "s7_json_sink") {
       val p = plan(fn(spark, sfDir))
