@@ -75,6 +75,7 @@ object SparkEntry {
     "l2_minhash_dedup" -> (graft.llm.Dedup.l2MinhashDedup _),
     "l2b_lsh_candidates" -> (graft.llm.Dedup.l2bLshCandidates _),
     "l2c_simhash" -> (graft.llm.Dedup.l2cSimhash _),
+    "l2e_connected_components" -> (graft.llm.Dedup.l2eConnectedComponents _),
     "l2d_ngram_jaccard" -> (graft.llm.Dedup.l2dNgramJaccard _),
     "l3_similarity_search" -> (graft.llm.Similarity.l3BruteForceTopk _),
     "l3b_lsh_neardup" -> (graft.llm.Similarity.l3bLshNearDup _),
@@ -435,6 +436,27 @@ object SparkEntry {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "l2e_connected_components" -> {
+      val bandCase = (0 until 4).map { b =>
+        val cols = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || '|' || ")
+        s"WHEN ${b} THEN md5($cols)"
+      }.mkString(" ")
+      s"""${duckSigs(16).replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bands AS (
+         |  SELECT doc_id, bb.band, CASE bb.band $bandCase END AS band_key
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) bb),
+         |edges AS (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM sh
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT a AS doc_id, MIN(b) AS component FROM reach
+         |GROUP BY a ORDER BY doc_id""".stripMargin
     },
     "l2c_simhash" -> {
       val votes = (0 until 16).map { b =>

@@ -107,6 +107,37 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** L2e: connected components over the LSH candidate graph — the
+    * transitive-closure step real fuzzy dedup needs (A~B and B~C cluster
+    * A,B,C even when A,C share no band). Iterative min-label propagation:
+    * each round every vertex takes the min label among itself and its
+    * neighbors; fixpoint in O(component diameter) rounds. The driver only
+    * coordinates rounds (Pregel-style) — all data movement is joins; at
+    * 100 TB the same loop runs with large-star/small-star optimizations.
+    * Deterministic: the fixpoint (min doc_id per component) is unique. */
+  def l2eConnectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = l2bLshCandidates(spark, sfDir).select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    val vertices = withShingles(Tables.documents(spark, sfDir)).select($"doc_id")
+    var labels = vertices.withColumn("label", $"doc_id").localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, $"src" === $"doc_id")
+        .groupBy($"dst").agg(min($"label").as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, $"doc_id" === $"dst", "left_outer")
+        .select($"doc_id",
+          least($"label", coalesce($"nbr_min", $"label")).as("new_label"),
+          ($"label" > coalesce($"nbr_min", $"label")).as("was_lowered"))
+        .localCheckpoint() // truncate the lineage each round
+      changed = updated.filter($"was_lowered").count()
+      labels = updated.select($"doc_id", $"new_label".as("label"))
+    }
+    labels.select($"doc_id", $"label".as("component")).orderBy($"doc_id")
+  }
+
   /** L2c: SimHash — 16-bit signature; per bit, every word votes ±1 by a
     * seeded md5 bit, weighted by term frequency. Pure array fold per row,
     * no shuffle until the final cluster window. */
