@@ -118,9 +118,18 @@ object Dedup {
   def l2eConnectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pairs = l2bLshCandidates(spark, sfDir).select($"doc_a", $"doc_b")
+    val vertices = withShingles(Tables.documents(spark, sfDir)).select($"doc_id")
+    connectedComponents(vertices, pairs).orderBy($"doc_id")
+  }
+
+  /** The reusable propagation loop: `vertices(doc_id)`, undirected
+    * `pairs(doc_a, doc_b)` -> `(doc_id, component)` with component =
+    * min doc_id of the connected component. */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-    val vertices = withShingles(Tables.documents(spark, sfDir)).select($"doc_id")
     var labels = vertices.withColumn("label", $"doc_id").localCheckpoint()
     var changed = 1L
     while (changed > 0) {
@@ -135,7 +144,7 @@ object Dedup {
       changed = updated.filter($"was_lowered").count()
       labels = updated.select($"doc_id", $"new_label".as("label"))
     }
-    labels.select($"doc_id", $"label".as("component")).orderBy($"doc_id")
+    labels.select($"doc_id", $"label".as("component"))
   }
 
   /** L2c: SimHash — 16-bit signature; per bit, every word votes ±1 by a
