@@ -128,8 +128,12 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
+    // materialize the edge list once — every propagation round joins it,
+    // and without this the upstream candidate pipeline would re-execute
+    // per round
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint()
     var labels = vertices.withColumn("label", $"doc_id").localCheckpoint()
     var changed = 1L
     while (changed > 0) {
