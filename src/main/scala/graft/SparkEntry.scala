@@ -131,6 +131,17 @@ object SparkEntry {
        |$duckBaseHashes,
        |sigs AS (SELECT doc_id, ${(0 until n).map(duckMinhash).mkString(",\n  ")} FROM hashed)""".stripMargin
 
+  /** DuckDB: the 4-band key CTE over `sigs` (matches Dedup's banding). */
+  private val duckBands: String = {
+    val bandCase = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || '|' || ")
+      s"WHEN ${b} THEN md5($cols)"
+    }.mkString(" ")
+    s"""bands AS (
+       |  SELECT doc_id, bb.band, CASE bb.band $bandCase END AS band_key
+       |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) bb)""".stripMargin
+  }
+
   /** DuckDB: sequential-fold double dot product (matches Similarity.dot). */
   private def duckDot(a: String, b: String): String =
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a) + 1)])"
@@ -423,29 +434,16 @@ object SparkEntry {
          |  doc_id <> MIN(doc_id) OVER (PARTITION BY $parts) AS is_dup
          |FROM sigs ORDER BY doc_id""".stripMargin
     },
-    "l2b_lsh_candidates" -> {
-      val bandCase = (0 until 4).map { b =>
-        val cols = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || '|' || ")
-        s"WHEN ${b} THEN md5($cols)"
-      }.mkString(" ")
+    "l2b_lsh_candidates" ->
       s"""${duckSigs(16)},
-         |bands AS (
-         |  SELECT doc_id, bb.band, CASE bb.band $bandCase END AS band_key
-         |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) bb)
+         |$duckBands
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
     "l2e_connected_components" -> {
-      val bandCase = (0 until 4).map { b =>
-        val cols = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || '|' || ")
-        s"WHEN ${b} THEN md5($cols)"
-      }.mkString(" ")
       s"""${duckSigs(16).replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |bands AS (
-         |  SELECT doc_id, bb.band, CASE bb.band $bandCase END AS band_key
-         |  FROM sigs, (SELECT unnest(range(0, 4)) AS band) bb),
+         |$duckBands,
          |edges AS (
          |  SELECT a.doc_id AS src, b.doc_id AS dst
          |  FROM bands a JOIN bands b

@@ -84,6 +84,13 @@ object Dedup {
     * is by bucket, pair volume is collision-bound. */
   def l2bLshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    lshCandidatePairs(spark, sfDir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Unsorted candidate pairs — the internal form (no presentation sort)
+    * that downstream consumers like connected components build on. */
+  private[llm] def lshCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val H = 16; val BANDS = 4; val ROWS = H / BANDS
     val sigs = (0 until H).map(h => minhash(h).as(s"sig$h"))
     val signed = withShingles(Tables.documents(spark, sfDir))
@@ -104,7 +111,6 @@ object Dedup {
           $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** L2e: connected components over the LSH candidate graph — the
@@ -117,7 +123,7 @@ object Dedup {
     * Deterministic: the fixpoint (min doc_id per component) is unique. */
   def l2eConnectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pairs = l2bLshCandidates(spark, sfDir).select($"doc_a", $"doc_b")
+    val pairs = lshCandidatePairs(spark, sfDir).select($"doc_a", $"doc_b")
     val vertices = withShingles(Tables.documents(spark, sfDir)).select($"doc_id")
     connectedComponents(vertices, pairs).orderBy($"doc_id")
   }

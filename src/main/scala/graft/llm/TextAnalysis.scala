@@ -116,7 +116,7 @@ object TextAnalysis {
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id")
-      .orderBy(($"tf".cast("double") * $"n_docs" / $"df").desc, $"term")
+      .orderBy($"score".desc, $"term")
     tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", $"tf".cast("double") * $"n_docs" / $"df")

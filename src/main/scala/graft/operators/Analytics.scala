@@ -116,7 +116,8 @@ object Analytics {
       .agg(
         count(lit(1)).as("n"),
         sum($"cents".cast("decimal(38,0)")).as("sx"),
-        sum(($"cents" * $"cents").cast("decimal(38,0)")).as("sxx"))
+        // cast BEFORE multiplying: a Long square wraps past ~$30M amounts
+        sum($"cents".cast("decimal(38,0)") * $"cents").as("sxx"))
       .select(
         $"o_orderpriority", $"n",
         ($"sx".cast("double") / $"n" / 100.0).as("mean"),
