@@ -30,6 +30,10 @@ object GraftSession {
     "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC",
+    // the events fixture stores TIMESTAMP(NANOS), which Spark's micros
+    // TimestampType rejects; read nanos as raw longs (Tables.events then
+    // floor-divides to micros). Session-level so no loader mutates conf.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
   )
 
   /** Static conf that must be present at session build time. */

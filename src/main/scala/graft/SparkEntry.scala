@@ -312,8 +312,8 @@ object SparkEntry {
       """WITH monthly AS (
         |  SELECT STRFTIME(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n
         |  FROM orders GROUP BY 1)
-        |SELECT month, n, SUM(n) OVER (ORDER BY month
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |SELECT month, n, CAST(SUM(n) OVER (ORDER BY month
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
         |FROM monthly ORDER BY month""".stripMargin,
     "f1_json_serialize" ->
       """SELECT event_id,
@@ -407,10 +407,10 @@ object SparkEntry {
         |  FROM events),
         |numbered AS (
         |  SELECT user_id, event_id, ts,
-        |    SUM(CASE WHEN prev_us IS NULL OR EPOCH_US(ts) - prev_us >= 1800000000
+        |    CAST(SUM(CASE WHEN prev_us IS NULL OR EPOCH_US(ts) - prev_us >= 1800000000
         |             THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(EPOCH_US(ts)) AS session_start_us, MAX(EPOCH_US(ts)) AS session_end_us

@@ -25,15 +25,17 @@ object Tables {
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
   /** The events fixture stores `ts` as Parquet TIMESTAMP(NANOS), which
-    * Spark's TimestampType (micros) rejects outright. Read nanos as long
-    * and floor-divide to micros — the same truncation DuckDB applies when
-    * it casts the column to TIMESTAMP, so oracle comparisons line up.
+    * Spark's TimestampType (micros) rejects outright. The session must be
+    * built with `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * GraftSession.tunedConf and the Verify/Bench/test harness sessions —
+    * a missing conf fails loudly with PARQUET_TYPE_ILLEGAL here); the raw
+    * nanos long is floor-divided to micros — the same truncation DuckDB
+    * applies when it casts the column to TIMESTAMP, so oracle comparisons
+    * line up.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * the similarity hot path (graft.llm.Similarity) wants when scanning
   * billions of embeddings. Fold order is left-to-right, identical to the
   * composed form and to the DuckDB oracle's `list_sum`, so results are
-  * bit-equal across all three.
+  * bit-equal across all three. Unequal-length inputs yield NULL — the same
+  * outcome as the composed form (zip_with NULL-pads the shorter array and
+  * the null element nullifies the sum) — so malformed embeddings surface
+  * as NULLs rather than silently truncated dot products.
   */
 case class DotF32(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,22 +40,18 @@ case class DotF32(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f32"
 
-  /** Nullable also when an ELEMENT can be null (a null element nullifies
-    * the sum) — the default BinaryExpression.nullable only looks at the
-    * arrays themselves, which would make ev.isNull a compile-time
-    * constant and silently turn the null path into 0.0. */
-  private def elementsNullable(t: DataType): Boolean = t match {
-    case ArrayType(_, containsNull) => containsNull
-    case _ => true
-  }
-  override def nullable: Boolean =
-    left.nullable || right.nullable ||
-      elementsNullable(left.dataType) || elementsNullable(right.dataType)
+  /** Always nullable: besides null inputs/elements, a runtime length
+    * mismatch yields NULL, and lengths aren't statically known. Keeping
+    * this `true` also prevents ev.isNull from becoming a compile-time
+    * FalseLiteral that would silently coerce the null paths to 0.0. */
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // ragged input → NULL, like the composed zip_with form (NULL-pad)
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -70,20 +69,18 @@ case class DotF32(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      // when the expression is non-nullable (no null elements possible),
-      // ev.isNull is the constant `false` — emitting an assignment to it
-      // would be invalid Java, so the check is only generated when needed
-      val nullCheck =
-        if (nullable) s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
-        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullCheck
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -25,10 +25,10 @@ class DotF32Spec extends SparkSpecBase {
     val df = Seq(
       (Some(Array(1f, 2f)), Some(Array(3f, 4f))),   // 3+8=11
       (None, Some(Array(1f))),                        // null in -> null out
-      (Some(Array(1f, 2f, 3f)), Some(Array(2f)))      // min-length fold: 2
+      (Some(Array(1f, 2f, 3f)), Some(Array(2f)))      // ragged -> null (like zip_with NULL-pad)
     ).toDF("a", "b").select(expr("dot_f32(a, b)").as("d"))
     val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-    assert(got.toSeq === Seq(Some(11.0), None, Some(2.0)))
+    assert(got.toSeq === Seq(Some(11.0), None, None))
   }
 
   test("dot_f32 propagates NULL on null array elements, like the composed form") {
