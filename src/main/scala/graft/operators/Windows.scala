@@ -9,10 +9,11 @@ import graft.Tables
   *
   * W2's global numbering is arrival-order in the reference
   * (main.rs:136-159) — nondeterministic distributed; we order by the
-  * stable key instead (SURVEY §4.3). A single unpartitioned window is a
-  * one-partition sort at scale, so W2/W4 are documented as driver-side
-  * metadata ops (page numbering over page counts, not rows): the row count
-  * they act on is the *page* table, orders of magnitude smaller than facts.
+  * stable key instead (SURVEY §4.3). A single unpartitioned window over
+  * raw rows is a one-partition sort at scale, so W2 derives the global
+  * rank in two phases (per-bucket counts + broadcast prefix-sum + a
+  * window partitioned by bucket) and W4 windows a month-level aggregate;
+  * neither ever funnels fact rows through one task.
   */
 object Windows {
 
@@ -28,14 +29,46 @@ object Windows {
   }
 
   /** W2: 1-based batch numbering by stable key order, page size 48
-    * (main.rs:120,136-159). */
-  def w2BatchNumbering(spark: SparkSession, sfDir: String): DataFrame = {
+    * (main.rs:120,136-159).
+    *
+    * Global rank without a global sort: rows are range-bucketed on the
+    * key, so phase 1 computes per-bucket row counts (a tiny aggregate —
+    * one row per ~[[W2_BUCKET_WIDTH]] keys), phase 2 prefix-sums those
+    * counts into bucket offsets (a window over the bucket table, not the
+    * facts), and phase 3 ranks within each bucket in parallel and adds
+    * the broadcast offset. No assumption of dense keys; the only
+    * single-partition work is the offset prefix-sum over ~N/bucketWidth
+    * rows. At 100 TB pick bucketWidth so that table stays ≤ millions of
+    * rows (e.g. 1e6 keys/bucket for 1e12-key spaces).
+    */
+  def w2BatchNumbering(spark: SparkSession, sfDir: String): DataFrame =
+    w2BatchNumbering(spark, sfDir, W2_BUCKET_WIDTH)
+
+  /** Range-bucket width for W2's two-phase rank; ~100 pages per bucket
+    * keeps the bucket-offset table ≤ N/4800 rows. */
+  val W2_BUCKET_WIDTH: Long = graft.sources.Paginated.PAGE_SIZE * 100L
+
+  def w2BatchNumbering(spark: SparkSession, sfDir: String, bucketWidth: Long): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"o_orderkey")
-    Tables.orders(spark, sfDir)
+    val bucketed = Tables.orders(spark, sfDir)
       .select($"o_orderkey")
+      .withColumn("bkt", floor($"o_orderkey" / bucketWidth).cast("long"))
+    // phase 1+2: per-bucket counts, then exclusive prefix-sum → offsets.
+    // The unpartitioned window here runs over the BUCKET table (tiny).
+    val wOff = Window.orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy($"bkt")
+      .agg(count(lit(1)).as("bkt_cnt"))
+      .withColumn("bkt_offset", coalesce(sum($"bkt_cnt").over(wOff), lit(0L)))
+      .select($"bkt", $"bkt_offset")
+    // phase 3: rank within bucket (partitioned window) + broadcast offset
+    val wIn = Window.partitionBy($"bkt").orderBy($"o_orderkey")
+    bucketed
+      .join(broadcast(offsets), "bkt")
+      .withColumn("global_rank", $"bkt_offset" + row_number().over(wIn))
       .withColumn("batch_number",
-        (floor((row_number().over(w) - 1) / graft.sources.Paginated.PAGE_SIZE) + 1).cast("long"))
+        (floor(($"global_rank" - 1) / graft.sources.Paginated.PAGE_SIZE) + 1).cast("long"))
+      .select($"o_orderkey", $"batch_number")
       .orderBy($"o_orderkey")
   }
 

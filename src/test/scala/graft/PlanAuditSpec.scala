@@ -85,6 +85,25 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(dataFilters.isEmpty, s"expected empty data-side filters, got: $dataFilters")
   }
 
+  test("w2: no unpartitioned window runs over raw (non-aggregated) rows") {
+    // Every Window with an empty partitionSpec must sit above an Aggregate
+    // (the two-phase rank's prefix-sum over bucket counts) — a global
+    // window directly over the scan would be a one-partition sort at scale.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    val lp = q("w2_batch_numbering").queryExecution.optimizedPlan
+    def hasAggBelow(p: LogicalPlan): Boolean =
+      p.isInstanceOf[Aggregate] || p.children.exists(hasAggBelow)
+    val globalWindows = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(globalWindows.nonEmpty, "expected the prefix-sum window in the plan")
+    globalWindows.foreach { w =>
+      assert(hasAggBelow(w.child),
+        s"global window over raw rows (single-partition sort at scale):\n$w")
+    }
+    // and the per-bucket rank window must be partitioned
+    val partitioned = lp.collect { case w: LWindow if w.partitionSpec.nonEmpty => w }
+    assert(partitioned.nonEmpty, "expected the bucket-partitioned rank window")
+  }
+
   test("no operator plan contains a cartesian product") {
     for ((name, fn) <- SparkEntry.queries if name != "s5_s6_partitioned_sink" && name != "s7_json_sink") {
       val p = plan(fn(spark, sfDir))
