@@ -17,11 +17,17 @@ import org.apache.spark.sql.functions.udaf
   */
 object VectorAggs {
 
-  /** Element-wise sum of float vectors (+ count), yielding the mean. */
+  /** Element-wise sum of float vectors (+ count), yielding the mean.
+    *
+    * Null and zero-length vectors are SKIPPED (SQL `AVG(NULL)` semantics):
+    * they contribute neither to the sum nor to the count, so a group of
+    * only null/empty vectors yields an empty mean. This also keeps the
+    * buffer invariant `count > 0 ⇒ sums nonEmpty` that `merge` relies on. */
   object VecMean extends Aggregator[Array[Float], (Array[Double], Long), Array[Double]] {
     override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
     override def reduce(b: (Array[Double], Long), a: Array[Float]): (Array[Double], Long) = {
+      if (a == null || a.isEmpty) return b
       val acc = if (b._1.isEmpty) new Array[Double](a.length) else b._1
       require(a.length == acc.length,
         s"VecMean: ragged input - expected dim ${acc.length}, got ${a.length}")

@@ -55,8 +55,10 @@ case class DotF32(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      // a null element nullifies the product sum — identical to the
-      // composed aggregate(zip_with(...)) form and the DuckDB oracle
+      // a null element nullifies the product sum — identical to Spark's
+      // composed aggregate(zip_with(...)) form. (DuckDB's list_sum SKIPS
+      // nulls, so a list_zip-based oracle would diverge on ragged/null
+      // inputs; the oracle fixtures are fixed-dimension, never null.)
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1

@@ -26,6 +26,25 @@ class VectorAggsSpec extends SparkSpecBase {
     }
   }
 
+  test("VecMean skips null and empty vectors (AVG(NULL) semantics)") {
+    import spark.implicits._
+    val rows = Seq(
+      (0, Array(1.0f, 3.0f)),
+      (0, null.asInstanceOf[Array[Float]]),
+      (0, Array.empty[Float]),
+      (0, Array(3.0f, 5.0f)),
+      (1, null.asInstanceOf[Array[Float]]),
+      (1, Array.empty[Float]),
+    ).toDF("label", "embedding")
+    val out = rows.groupBy($"label")
+      .agg(VectorAggs.vecMean($"embedding").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // null/empty contribute to neither sum nor count: mean of the 2 real rows
+    assert(out(0) === Seq(2.0, 4.0))
+    // a group of only null/empty vectors yields an empty mean, not a crash
+    assert(out(1).isEmpty)
+  }
+
   test("VecMean is partitioning-invariant (merge correctness)") {
     import spark.implicits._
     def centroids(parts: Int): Map[Int, Seq[Double]] =
