@@ -40,9 +40,37 @@ object GraftSession {
   val extensionsConf: (String, String) =
     "spark.sql.extensions" -> classOf[graft.plans.GraftExtensions].getName
 
-  /** Apply graft's recommended SQL conf to any builder. */
+  /** S8: object-store sink configuration (reference src/storage/minio.rs:
+    * 139-242 — single PUT below 8 MB, multipart above, hand-completed).
+    * On Spark this is a committer/filesystem concern, not an operator:
+    * the S3A magic committer streams task output straight into in-flight
+    * multipart uploads and completes them at job commit — atomic,
+    * rename-free, no temporary copy. These keys are builder-time Hadoop
+    * conf (`spark.hadoop.*`); they are inert until an `s3a://` URI is
+    * written, so they are safe to set unconditionally.
+    *
+    * The v2 FileOutputCommitter algorithm is the fallback for stores
+    * without the magic committer: task commit promotes files once instead
+    * of an O(files) serial rename at job commit. It is also the one knob
+    * exercisable on a local filesystem, which is what S8SinkSpec drives.
+    */
+  def objectStoreConf: Seq[(String, String)] = Seq(
+    "spark.hadoop.fs.s3a.committer.name" -> "magic",
+    "spark.hadoop.fs.s3a.committer.magic.enabled" -> "true",
+    "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a" ->
+      "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory",
+    // the reference's 8 MB part floor (minio.rs:152) is too chatty at
+    // scale: 64 MB parts cut request count 8x per written GB and still
+    // allow ~640 GB single files under the 10k-part cap
+    "spark.hadoop.fs.s3a.multipart.size" -> "64M",
+    "spark.hadoop.fs.s3a.multipart.threshold" -> "128M",
+    "spark.hadoop.fs.s3a.fast.upload" -> "true",
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2",
+  )
+
+  /** Apply graft's recommended SQL + committer conf to any builder. */
   def tuned(builder: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = {
-    val withRuntime = tunedConf(shufflePartitions)
+    val withRuntime = (tunedConf(shufflePartitions) ++ objectStoreConf)
       .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
     withRuntime.config(extensionsConf._1, extensionsConf._2)
   }

@@ -65,6 +65,7 @@ object SparkEntry {
     "f13_jitter" -> (graft.functions.Scalars.f13Jitter _),
     "s5_s6_partitioned_sink" -> (Etl.s5s6PartitionedSink _),
     "s7_json_sink" -> (Etl.s7JsonRoundtrip _),
+    "s2_json_array_scan" -> (Etl.s2JsonArrayScan _),
     "etl_pipeline" -> (Etl.etlPipeline _),
     "r2_tumbling_count" -> (graft.streaming.Streams.r2TumblingCount _),
     "r3_watermark_late_drop" -> (graft.streaming.Streams.r3WatermarkLateDrop _),
@@ -384,6 +385,12 @@ object SparkEntry {
         |FROM orders LEFT OUTER JOIN customer ON o_custkey = c_custkey
         |WHERE YEAR(o_orderdate) = 2001
         |GROUP BY 1 ORDER BY name""".stripMargin,
+    "s2_json_array_scan" ->
+      s"""SELECT (o_orderkey - 1) // $pageSize + 1 AS batch_number, COUNT(*) AS n,
+         |  MAX(CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT)) AS last_started
+         |FROM orders
+         |WHERE YEAR(o_orderdate) = 2001
+         |GROUP BY 1 ORDER BY batch_number""".stripMargin,
     "etl_pipeline" ->
       s"""SELECT CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS city_id,
         |  CAST(YEAR(o_orderdate) AS BIGINT) AS year,

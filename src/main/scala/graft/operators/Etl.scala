@@ -115,6 +115,35 @@ object Etl {
       .orderBy($"name")
   }
 
+  /** S2 (array form): the reference reads a JSON *array* file — one
+    * document holding `[{...},{...}]` (main.rs:225-227,
+    * `serde_json::from_reader::<Vec<Vendor>>`) — because its spool appends
+    * rows into a single JSON document. Spark's `multiLine` JSON source
+    * parses exactly that shape, one row per element. A single-document
+    * file is inherently unsplittable (one task reads it), so the demo
+    * writes a bounded slice; at scale the JSONL form (S7) is the right
+    * spool and this path exists for ingest fidelity with the reference's
+    * own output files. */
+  def s2JsonArrayScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = s"${scratch(spark)}/json_array_spool"
+    vendorFrame(spark, sfDir,
+        $"o_orderdate" >= lit("2001-01-01").cast("timestamp")
+          && $"o_orderdate" < lit("2002-01-01").cast("timestamp"))
+      .agg(to_json(collect_list(
+        struct($"code", $"name", $"batch_number", $"extraction_started_at"))).as("doc"))
+      .select($"doc").as[String]
+      .write.mode(SaveMode.Overwrite).text(out)
+    spark.read
+      .option("multiLine", "true")
+      .schema("code STRING, name STRING, batch_number INT, extraction_started_at BIGINT")
+      .json(out)
+      .groupBy($"batch_number")
+      .agg(count(lit(1)).as("n"), max($"extraction_started_at").as("last_started"))
+      .select($"batch_number".cast("long").as("batch_number"), $"n", $"last_started")
+      .orderBy($"batch_number")
+  }
+
   /** The full §3.1 pipeline as one query: scan -> enrich -> 8-col select ->
     * per-city/day rollup of what would land in each partition dir. */
   def etlPipeline(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** S8: object-store sink surface (reference src/storage/minio.rs:139-242).
+  *
+  * The s3a magic-committer keys can't run without an object store, but the
+  * committer *seam* itself can: this suite applies
+  * `GraftSession.objectStoreConf` (as `tuned()` does at context build —
+  * the spec JVM shares one context, so it lands on the live hadoop conf
+  * here) and writes `vendorFrame` through the non-default v2
+  * FileOutputCommitter algorithm — the object-store fallback the conf
+  * selects — proving graft's write paths do not depend on the default
+  * commit algorithm's job-commit rename semantics.
+  */
+class S8SinkSpec extends SparkSpecBase {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    for ((k, v) <- GraftSession.objectStoreConf)
+      hconf.set(k.stripPrefix("spark.hadoop."), v)
+  }
+
+  test("objectStoreConf selects the magic committer and 64M multiparts") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    assert(hconf.get("fs.s3a.committer.name") === "magic")
+    assert(hconf.get("fs.s3a.multipart.size") === "64M")
+    assert(hconf.get("mapreduce.outputcommitter.factory.scheme.s3a")
+      === "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory")
+  }
+
+  test("vendorFrame writes through the v2 commit algorithm and reads back complete") {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    assert(hconf.get("mapreduce.fileoutputcommitter.algorithm.version") === "2")
+    val out = spark.conf.get("spark.graft.scratchDir",
+      "/root/repo/target/graft-tmp") + "/s8_committer_sink"
+    val slice = graft.operators.Etl.vendorFrame(spark, sfDir,
+      $"o_orderdate" >= lit("2000-03-01").cast("timestamp")
+        && $"o_orderdate" < lit("2000-03-03").cast("timestamp"))
+    val expected = slice.count()
+    slice.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === expected)
+    // job commit succeeded: no leftover task-attempt dirs in the output
+    val leftovers = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("_temporary"))
+    assert(leftovers.isEmpty, s"uncommitted task output: ${leftovers.mkString(",")}")
+  }
+}
