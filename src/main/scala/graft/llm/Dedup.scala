@@ -79,9 +79,18 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** L2b: MinHash + LSH banding — 16 hashes, 4 bands of 4; candidate pairs
-    * share >= 1 band key. The self-join keys on (band, band_key): shuffle
-    * is by bucket, pair volume is collision-bound. */
+  /** Default LSH width: 16 hashes in 4 bands of 4 rows. The band collision
+    * probability at Jaccard s is 1-(1-s^r)^b (r = hashes/bands), so 16/4
+    * puts the S-curve knee near the fixture's ~0.5 similarity. At 100 TB
+    * with dedup-grade 0.8+ thresholds use numHashes=128, bands=16 (r=8):
+    * signature cost stays linear in numHashes and the sharper curve keeps
+    * the candidate volume collision-bound, not n². */
+  val DEFAULT_MINHASHES = 16
+  val DEFAULT_BANDS = 4
+
+  /** L2b: MinHash + LSH banding; candidate pairs share >= 1 band key. The
+    * self-join keys on (band, band_key): shuffle is by bucket, pair volume
+    * is collision-bound. */
   def l2bLshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     lshCandidatePairs(spark, sfDir).orderBy($"doc_a", $"doc_b")
@@ -89,14 +98,21 @@ object Dedup {
 
   /** Unsorted candidate pairs — the internal form (no presentation sort)
     * that downstream consumers like connected components build on. */
-  private[llm] def lshCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[llm] def lshCandidatePairs(spark: SparkSession, sfDir: String): DataFrame =
+    lshCandidatePairs(Tables.documents(spark, sfDir), DEFAULT_MINHASHES, DEFAULT_BANDS)
+
+  /** LSH banding over any `(doc_id, text)` frame with configurable width
+    * (see [[DEFAULT_MINHASHES]] for how to choose numHashes/bands). */
+  def lshCandidatePairs(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val spark = docs.sparkSession
     import spark.implicits._
-    val H = 16; val BANDS = 4; val ROWS = H / BANDS
-    val sigs = (0 until H).map(h => minhash(h).as(s"sig$h"))
-    val signed = withShingles(Tables.documents(spark, sfDir))
-      .select($"doc_id" +: sigs: _*)
-    val bandKeys = (0 until BANDS).map { b =>
-      val parts = (0 until ROWS).map(r => col(s"sig${b * ROWS + r}"))
+    val rows = numHashes / bands
+    val sigs = (0 until numHashes).map(h => minhash(h).as(s"sig$h"))
+    val signed = withShingles(docs).select($"doc_id" +: sigs: _*)
+    val bandKeys = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"sig${b * rows + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("band_key"))
     }
     val exploded = signed
@@ -125,32 +141,50 @@ object Dedup {
     import spark.implicits._
     val pairs = lshCandidatePairs(spark, sfDir).select($"doc_a", $"doc_b")
     val vertices = withShingles(Tables.documents(spark, sfDir)).select($"doc_id")
-    connectedComponents(vertices, pairs).orderBy($"doc_id")
+    // honor a configured reliable checkpoint dir (cluster deployments);
+    // default to executor-local checkpoints (fast, fine on local[n])
+    val ckptDir = Option(spark.conf.get("spark.graft.checkpointDir", null))
+    connectedComponents(vertices, pairs, ckptDir).orderBy($"doc_id")
   }
 
   /** The reusable propagation loop: `vertices(doc_id)`, undirected
     * `pairs(doc_a, doc_b)` -> `(doc_id, component)` with component =
     * min doc_id of the connected component. */
-  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponents(vertices, pairs, checkpointDir = None)
+
+  /** `checkpointDir` selects the lineage-truncation strategy. None →
+    * `localCheckpoint`: blocks live on executors — fastest, but on a real
+    * cluster LOSING ONE EXECUTOR KILLS THE JOB mid-iteration, because the
+    * truncated lineage cannot be recomputed. Some(dir) → reliable
+    * `checkpoint()` into dir (HDFS/object store on a cluster): each round's
+    * labels survive executor loss and the loop resumes from the last
+    * completed round. At 100 TB always pass a reliable dir (or set
+    * `spark.graft.checkpointDir`, which [[l2eConnectedComponents]] honors).
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+                          checkpointDir: Option[String]): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // materialize the edge list once — every propagation round joins it,
     // and without this the upstream candidate pipeline would re-execute
     // per round
-    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .localCheckpoint()
-    var labels = vertices.withColumn("label", $"doc_id").localCheckpoint()
+    val edges = truncate(
+      pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
+    var labels = truncate(vertices.withColumn("label", $"doc_id"))
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges.join(labels, $"src" === $"doc_id")
         .groupBy($"dst").agg(min($"label").as("nbr_min"))
-      val updated = labels
+      val updated = truncate(labels
         .join(nbrMin, $"doc_id" === $"dst", "left_outer")
         .select($"doc_id",
           least($"label", coalesce($"nbr_min", $"label")).as("new_label"),
-          ($"label" > coalesce($"nbr_min", $"label")).as("was_lowered"))
-        .localCheckpoint() // truncate the lineage each round
+          ($"label" > coalesce($"nbr_min", $"label")).as("was_lowered")))
       changed = updated.filter($"was_lowered").count()
       labels = updated.select($"doc_id", $"new_label".as("label"))
     }

@@ -55,19 +55,39 @@ object Similarity {
       .limit(10)
   }
 
-  /** L3b: sign-LSH near-dup pairs. 8-bit signature from the signs of the
-    * first 8 dimensions (axis-aligned hyperplanes — deterministic);
-    * candidates share a bucket; emit pairs above the similarity cut
-    * (0.3 here — the fixture embeddings are near-orthogonal, so a
-    * dedup-grade 0.9 cut would select nothing; the cut is a parameter,
-    * the plan shape is what scales). */
+  /** Default sign-LSH width. 8 bits = 256 buckets fits the fixture (~600
+    * vectors → ~2-3 per bucket). The within-bucket self-join is quadratic
+    * *within a bucket*, so bits must grow with N: pick signBits ≈
+    * log2(N / targetBucketSize) — at 1e9 vectors and ~500-vector buckets
+    * that's 21 bits, at 1e11 ~28. Recall lost to narrower buckets comes
+    * back by repeating the join over several independent bit-sets (bands),
+    * exactly as in MinHash banding. */
+  val DEFAULT_SIGN_BITS = 8
+
+  /** L3b: sign-LSH near-dup pairs at the default width and 0.3 cosine cut
+    * (the fixture embeddings are near-orthogonal, so a dedup-grade 0.9 cut
+    * would select nothing; the cut is a parameter, the plan shape is what
+    * scales). */
   def l3bLshNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    signLshPairs(Tables.embeddings(spark, sfDir), DEFAULT_SIGN_BITS, 0.3)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Sign-LSH candidate pairs over any `(vec_id, embedding)` frame.
+    * `signBits` hyperplane signs (axis-aligned: sign of the first
+    * `signBits` dimensions — deterministic) bucket the vectors; pairs are
+    * emitted per bucket above `simCut`. See [[DEFAULT_SIGN_BITS]] for how
+    * to size signBits with N. */
+  def signLshPairs(embFrame: DataFrame, signBits: Int, simCut: Double): DataFrame = {
+    require(signBits >= 1 && signBits <= 62, s"signBits out of range: $signBits")
+    val spark = embFrame.sparkSession
     withNative(spark)
     import spark.implicits._
-    val sig = (1 to 8)
+    val sig = (1 to signBits)
       .map(i => when(expr(s"embedding[${i - 1}]") > 0f, lit(1L << (i - 1))).otherwise(lit(0L)))
       .reduce(_ + _)
-    val emb = Tables.embeddings(spark, sfDir).withColumn("bucket", sig)
+    val emb = embFrame.withColumn("bucket", sig)
     // merge hint as in Dedup's self-joins: one reused exchange, the
     // bucket-signature scan computes once
     val a = emb.as("a"); val b = emb.hint("merge").as("b")
@@ -77,8 +97,7 @@ object Similarity {
       .withColumn("norm_b", sqrt(expr(dot("b.embedding", "b.embedding"))))
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), $"a.bucket".as("bucket"),
         ($"dot" / ($"norm_a" * $"norm_b")).as("cosine"))
-      .filter($"cosine" >= 0.3)
-      .orderBy($"vec_a", $"vec_b")
+      .filter($"cosine" >= simCut)
   }
 
   /** L3c: IVF probe. Centroids are exact decimal sums per (label, dim)

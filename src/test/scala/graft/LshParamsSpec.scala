@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity}
+
+/** LSH width parameterization (SURVEY §2.10): candidate volume must stay
+  * collision-bound — linear in the planted duplicates, never ~N² — as the
+  * corpus doubles, and narrower sign-LSH buckets must cut pair volume
+  * monotonically. Fixtures are md5-derived so runs are deterministic.
+  */
+class LshParamsSpec extends SparkSpecBase {
+
+  /** n pseudo-random 30-word docs over a 400-word vocab, plus one exact
+    * near-dup (doc n+i copies doc i) for every tenth doc. */
+  private def corpus(n: Int): DataFrame = {
+    import spark.implicits._
+    val base = spark.range(n).toDF("doc_id")
+      .withColumn("text", expr(
+        "array_join(transform(sequence(1, 30), j -> concat('w', " +
+          "CAST(conv(substr(md5(concat(doc_id, '_', j)), 1, 6), 16, 10) AS BIGINT) % 400)), ' ')"))
+    val dups = base.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + n).as("doc_id"), $"text")
+    base.union(dups)
+  }
+
+  test("minhash-LSH pair volume tracks planted dups linearly as N doubles") {
+    val small = Dedup.lshCandidatePairs(corpus(300), 16, 4).count()
+    val big = Dedup.lshCandidatePairs(corpus(600), 16, 4).count()
+    // 30 planted dup pairs -> 60; random band collisions must stay noise
+    assert(small >= 30L, s"missed planted dup pairs: $small < 30")
+    assert(small <= 40L, s"random collisions dominate: $small")
+    assert(big <= 2 * small + 10, s"pair volume superlinear: $small -> $big")
+  }
+
+  test("lshCandidatePairs rejects bands that do not divide numHashes") {
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidatePairs(corpus(10), 16, 5)
+    }
+  }
+
+  test("wider sign-LSH signatures cut candidate volume monotonically") {
+    import spark.implicits._
+    val vecs = spark.range(400).toDF("vec_id")
+      .withColumn("embedding", expr(
+        "transform(sequence(0, 15), j -> CAST(" +
+          "CAST(conv(substr(md5(concat(vec_id, ':', j)), 1, 4), 16, 10) AS BIGINT) - 32768 AS FLOAT))"))
+    def pairs(bits: Int): Long = Similarity.signLshPairs(vecs, bits, -1.0).count()
+    val (p4, p8, p12) = (pairs(4), pairs(8), pairs(12))
+    assert(p4 > p8 && p8 > p12, s"expected monotone decrease: $p4, $p8, $p12")
+    assert(p8 < 400L * 399 / 2 / 10, s"8-bit buckets barely below all-pairs: $p8")
+  }
+}
