@@ -111,8 +111,11 @@ object TextAnalysis {
     val terms = docs
       .select($"doc_id", explode(split($"text", " ")).as("term"))
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = terms.select($"doc_id", $"term").distinct()
-      .groupBy($"term").agg(count(lit(1)).as("df"))
+    // df from tf, not from a second explode+distinct over the raw terms:
+    // tf already holds one row per (doc, term), so df is a count per term —
+    // one less full-corpus shuffle, and the tf exchange feeds both join
+    // sides (AQE reuses it)
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id")

@@ -39,7 +39,11 @@ object Paginated {
     * lookup here is a deterministic stub (md5-derived payload; every 7th
     * key is the HTTP-400 miss kept as a NULL row — api.rs:119-125,
     * vendor.rs:82-115); a production client opens its pool in the
-    * `mapPartitions` prologue exactly where the comment marks it. */
+    * `mapPartitions` prologue exactly where the comment marks it. Each
+    * lookup runs under [[Retry.withRetry]] (retry.rs:4-29); every 997th
+    * key simulates a first-attempt 429 so the retry path executes inside
+    * the real distributed plan, not just in specs — the retried result is
+    * identical, so the oracle is unaffected. */
   def s4PointLookup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val codes = Tables.orders(spark, sfDir).select($"o_orderkey".as("code"))
@@ -49,7 +53,9 @@ object Paginated {
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { code =>
         if (code % 7 == 0) (code, Option.empty[String]) // 400 -> null payload
-        else {
+        else Retry.withRetry(maxAttempts = 3, baseDelayMs = 1L, seed = code) { attempt =>
+          if (attempt == 1 && code % 997 == 0)
+            throw Retry.Transient(s"429 for $code") // transient; retried
           md.reset()
           val hex = md.digest(s"detail#$code".getBytes("UTF-8"))
             .map("%02x".format(_)).mkString

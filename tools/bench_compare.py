@@ -16,13 +16,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main():
-    sf_dir, oracle_path = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if not a.startswith("--out=")]
+    out_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                     if a.startswith("--out=")), "BENCHNOTES.md")
+    sf_dir, oracle_path = args[0], args[1]
     line = sys.stdin.read()
     bench = json.loads(line[line.index("{"):])
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written table: a dir of part files
+            p += "/*.parquet"
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(oracle_path))
+    compute = bench.get("stage_compute", {})
     rows = []
     for name, spark_s in sorted(bench["queries"].items()):
         if name in oracle:
@@ -31,24 +40,37 @@ def main():
             duck_s = time.time() - t0
         else:
             duck_s = None
-        rows.append((name, spark_s, duck_s))
+        rows.append((name, spark_s, duck_s, compute.get(name)))
     total_spark = sum(r[1] for r in rows)
     total_duck = sum(r[2] for r in rows if r[2] is not None)
-    with open("BENCHNOTES.md", "w") as f:
-        f.write("# BENCHNOTES — Spark (graft) vs DuckDB on the oracle queries\n\n")
+    with open(out_path, "w") as f:
+        f.write(f"# {out_path.rsplit('.', 1)[0]} — Spark (graft) vs DuckDB on the oracle queries\n\n")
         f.write(f"Scale: `{sf_dir}`; Spark `local[32]` steady-state (post-warmup), "
                 f"DuckDB {duckdb.__version__} same host, same SQL as the correctness oracle.\n\n")
         f.write(f"**Totals: Spark {total_spark:.1f}s, DuckDB {total_duck:.1f}s over "
                 f"{len(rows)} queries.** Note ~0.1-0.2s fixed Spark job overhead per "
                 f"query (~{0.15*len(rows):.0f}s across the suite) dominates the gap; "
                 f"per-query ratios below reflect that floor, not asymptotic cost.\n\n")
-        f.write("| query | spark s | duckdb s | ratio |\n|---|---|---|---|\n")
-        for name, s, d in sorted(rows, key=lambda r: -r[1]):
-            if d is not None and d > 0:
-                f.write(f"| {name} | {s:.2f} | {d:.2f} | {s / d:.1f}x |\n")
-            else:
-                f.write(f"| {name} | {s:.2f} | — | — |\n")
-    print(f"BENCHNOTES.md written: spark {total_spark:.1f}s vs duckdb {total_duck:.1f}s")
+        has_compute = any(r[3] is not None for r in rows)
+        if has_compute:
+            f.write("`stage s` is the sum of executor stage runtimes for the median "
+                    "run — wall minus stage is the fixed driver/AQE stage-scheduling "
+                    "floor (~0.3s per plan stage), invariant to data size; "
+                    "`compute ratio` = stage s / duckdb s.\n\n")
+            f.write("| query | spark wall s | stage s | duckdb s | wall ratio | compute ratio |\n|---|---|---|---|---|---|\n")
+            for name, s, d, c in sorted(rows, key=lambda r: -r[1]):
+                if d is not None and d > 0:
+                    f.write(f"| {name} | {s:.2f} | {c:.2f} | {d:.2f} | {s / d:.1f}x | {c / d:.1f}x |\n")
+                else:
+                    f.write(f"| {name} | {s:.2f} | {c:.2f} | — | — | — |\n")
+        else:
+            f.write("| query | spark s | duckdb s | ratio |\n|---|---|---|---|\n")
+            for name, s, d, _ in sorted(rows, key=lambda r: -r[1]):
+                if d is not None and d > 0:
+                    f.write(f"| {name} | {s:.2f} | {d:.2f} | {s / d:.1f}x |\n")
+                else:
+                    f.write(f"| {name} | {s:.2f} | — | — |\n")
+    print(f"{out_path} written: spark {total_spark:.1f}s vs duckdb {total_duck:.1f}s")
 
 
 if __name__ == "__main__":
