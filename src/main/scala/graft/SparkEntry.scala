@@ -81,6 +81,8 @@ object SparkEntry {
     "l3_similarity_search" -> (graft.llm.Similarity.l3BruteForceTopk _),
     "l3b_lsh_neardup" -> (graft.llm.Similarity.l3bLshNearDup _),
     "l3c_ivf_topk" -> (graft.llm.Similarity.l3cIvfTopk _),
+    "l3d_batch_topk" -> (graft.llm.Similarity.l3dBatchTopk _),
+    "l8_quantize_int8" -> (graft.llm.Similarity.l8QuantizeInt8 _),
     "l4_text_stats" -> (graft.llm.TextAnalysis.l4TextStats _),
     "l4b_lang_id" -> (graft.llm.TextAnalysis.l4bLangId _),
     "l4c_quality_score" -> (graft.llm.TextAnalysis.l4cQualityScore _),
@@ -522,6 +524,29 @@ object SparkEntry {
          |FROM embeddings, nearest
          |WHERE label = probe_label AND vec_id <> 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "l3d_batch_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
+         |pairs AS (
+         |  SELECT q_id, vec_id, ${duckCosine("embedding", "q_emb")} AS cosine
+         |  FROM embeddings, q WHERE vec_id >= 3),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM pairs)
+         |SELECT q_id, rk, vec_id, cosine FROM ranked
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "l8_quantize_int8" ->
+      """WITH scaled AS (
+        |  SELECT vec_id,  embedding,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [abs(CAST(x AS DOUBLE)) for x in embedding]),
+        |      (m, x) -> greatest(m, x)) AS max_abs
+        |  FROM embeddings)
+        |SELECT vec_id, 127.0 / max_abs AS scale,
+        |  CAST(list_sum([abs(CAST(TRUNC(CAST(x AS DOUBLE) * (127.0 / max_abs)) AS BIGINT)) for x in embedding]) AS BIGINT) AS code_l1,
+        |  CAST(list_sum([CAST(TRUNC(CAST(x AS DOUBLE) * (127.0 / max_abs)) AS BIGINT) for x in embedding]) AS BIGINT) AS code_sum
+        |FROM scaled WHERE max_abs > 0
+        |ORDER BY vec_id""".stripMargin,
     "l4_text_stats" ->
       """SELECT doc_id, CAST(LEN(text) AS BIGINT) AS n_chars,
         |  CAST(LEN(words) AS BIGINT) AS n_words,

@@ -100,6 +100,62 @@ object Similarity {
       .filter($"cosine" >= simCut)
   }
 
+  /** L3d [EXT]: batched similarity search — top-5 neighbors for EACH query
+    * in a query set, one corpus scan regardless of |Q|. This is the
+    * decontamination shape (score a training corpus against a benchmark /
+    * seed set): the query set broadcasts with precomputed norms, every
+    * scanned row computes |Q| fused dot folds, and the per-query ranking
+    * is two-phase — rank within (query, input partition) in parallel,
+    * then a final rank over the ≤ |Q|·partitions·k survivors — so no
+    * single task ever sorts a full query's pair list. */
+  def l3dBatchTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    withNative(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .withColumn("norm_q", sqrt(expr(dot("q_emb", "q_emb"))))
+    val pairs = emb.filter($"vec_id" >= 3)
+      .crossJoin(broadcast(queries))
+      .withColumn("dot", expr(dot("embedding", "q_emb")))
+      .withColumn("norm_a", sqrt(expr(dot("embedding", "embedding"))))
+      .select($"q_id", $"vec_id", ($"dot" / ($"norm_a" * $"norm_q")).as("cosine"))
+    val wLocal = Window.partitionBy($"q_id", $"pid").orderBy($"cosine".desc, $"vec_id")
+    val wGlobal = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    pairs
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter($"lrk" <= 5) // local top-k: global top-k is a subset of these
+      .withColumn("rk", row_number().over(wGlobal).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"vec_id", $"cosine")
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** L8 [EXT]: symmetric int8 quantization of the embedding column — the
+    * 4x storage/IO cut a 100 TB vector corpus takes before ANN. Per-vector
+    * scale = 127 / max|x|; codes are TRUNC(x·scale) (truncation, not
+    * round-half-even, so Spark and the DuckDB oracle agree bit-for-bit).
+    * Emits the scale plus exact integer summaries of the code vector; the
+    * codes themselves stay distributed. */
+  def l8QuantizeInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .withColumn("max_abs",
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+      .filter($"max_abs" > 0)
+      .withColumn("scale", lit(127.0) / $"max_abs")
+      .select(
+        $"vec_id", $"scale",
+        // Spark's double->bigint cast truncates toward zero = DuckDB TRUNC
+        expr("aggregate(embedding, 0L, (acc, x) -> acc + abs(CAST(CAST(x AS DOUBLE) * scale AS BIGINT)))")
+          .as("code_l1"),
+        expr("aggregate(embedding, 0L, (acc, x) -> acc + CAST(CAST(x AS DOUBLE) * scale AS BIGINT))")
+          .as("code_sum"))
+      .orderBy($"vec_id")
+  }
+
   /** L3c: IVF probe. Centroids are exact decimal sums per (label, dim)
     * divided in double (deterministic); the query probes its nearest
     * centroid and searches only that inverted list. */
