@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.Try
+
+/** Round benchmark: one JSON line with per-query medians.
+  *
+  * Timing strategy: pass-major interleaving. The whole suite is swept
+  * end-to-end `SWEEPS` times and each query's median is taken across the
+  * temporally separated sweeps. A contention window on the host (GC storm,
+  * noisy neighbor, page-cache churn) that outlasts several queries then
+  * corrupts at most ONE sample per query — which the median rejects —
+  * instead of all three back-to-back samples as in the old per-query
+  * median-of-3 scheme (which recorded sustained contention as regression
+  * in rounds 2 and 3). Per-sweep wall time and /proc/loadavg are emitted
+  * so a contaminated sweep is diagnosable from the artifact itself.
+  *
+  * Failures are recorded explicitly: a query that throws contributes NO
+  * timing sample; if it fails in every sweep it appears as -1 in
+  * "queries" and in the "failed" list, rather than a plausible-looking
+  * time-to-exception.
+  */
 object Bench {
+  val SWEEPS = 3
+
+  private def loadavg(): String =
+    Try(scala.io.Source.fromFile("/proc/loadavg").mkString.trim).getOrElse("")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,24 +36,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup pass: JIT + codegen compile, file-listing caches; untimed
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    val names = SparkEntry.queries.keys.toSeq
+    // warmup sweep: JIT + codegen compile, file-listing caches; untimed
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // median of 3 timed runs per query: one transient stall (GC, codegen
-    // recompile, page-cache miss) must not poison the round's artifact
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+    // samples(name) = successful wall times, one per sweep at most
+    val samples = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
+    val sweepMeta = (1 to SWEEPS).map { _ =>
+      val la = loadavg()
+      val s0 = System.nanoTime()
+      names.foreach { n =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(1)
+        val ok = try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) samples(n) :+= (System.nanoTime() - t0) / 1e9
+      }
+      val wall = (System.nanoTime() - s0) / 1e9
+      (wall, la, loadavg())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted; s(s.size / 2)
+    }
+    val results = names.map { n =>
+      val v = samples(n)
+      n -> (if (v.isEmpty) -1.0 else median(v))
+    }
+    val failed = results.collect { case (n, t) if t < 0 => n }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
+    val sweeps = sweepMeta.map { case (w, la0, la1) =>
+      s"""{"wall":$w,"loadavg_pre":"$la0","loadavg_post":"$la1"}"""
+    }.mkString("[", ",", "]")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sweeps":$sweeps,"failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -648,19 +648,26 @@ object SparkEntry {
     "l7_tfidf_topterms" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
-        |df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |keyed AS (
+        |  SELECT doc_id, term, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(instr('0123456789abcdef', substr(md5(term), j, 1)) - 1 AS BIGINT)
+        |     for j in range(1, 13)]), (acc, x) -> acc * 16 + x) AS tkey
+        |  FROM terms),
+        |tf AS (SELECT doc_id, tkey, COUNT(*) AS tf FROM keyed GROUP BY 1, 2),
+        |df AS (SELECT tkey, COUNT(*) AS df FROM tf GROUP BY 1),
         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |dict AS (SELECT tkey, MIN(term) AS term FROM keyed GROUP BY 1),
         |scored AS (
-        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  SELECT tf.doc_id, tf.tkey, tf.tf, df.df,
         |    CAST(tf.tf AS DOUBLE) * nd.n_docs / df.df AS score
-        |  FROM tf JOIN df ON tf.term = df.term, nd),
+        |  FROM tf JOIN df ON tf.tkey = df.tkey, nd),
         |ranked AS (
-        |  SELECT doc_id, term, tf, df, score,
-        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  SELECT doc_id, tkey, tf, df, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tkey) AS rk
         |  FROM scored)
-        |SELECT doc_id, rk, term, tf, df, score FROM ranked
-        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+        |SELECT r.doc_id, r.rk, d.term, r.tf, r.df, r.score
+        |FROM ranked r JOIN dict d ON r.tkey = d.tkey
+        |WHERE r.rk <= 3 ORDER BY r.doc_id, r.rk""".stripMargin,
     "a10_exact_stats" ->
       """WITH c AS (SELECT o_orderpriority,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders)

@@ -104,27 +104,47 @@ object TextAnalysis {
     * idf (tf * N / df as double division of exact longs) so it is
     * bit-deterministic — `ln` is deliberately avoided because libm and
     * JVM log implementations may differ in the last ulp. Top-3 terms per
-    * doc with full lexicographic tiebreak. */
+    * doc, ties broken by the term key.
+    *
+    * Shuffle diet: the term STRING never rides a full-corpus shuffle.
+    * Terms are hashed to a 48-bit long (`conv(substr(md5(s),1,12),16,10)`
+    * — the same trick l2d uses for shingles, Dedup.scala:54) before the
+    * tf groupBy, so the tf/df/join/window exchanges all move 8-byte keys;
+    * the string is recovered at the end by joining a vocab-sized
+    * dictionary against the ≤3 surviving rows per doc. Hash collisions
+    * merge tf rows and the dictionary resolves them to the min term —
+    * deterministic, and mirrored bit-for-bit by the oracle SQL. */
   def l7TfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val tkey = expr("CAST(conv(substr(md5(term), 1, 12), 16, 10) AS BIGINT)")
     val docs = Tables.documents(spark, sfDir)
     val terms = docs
       .select($"doc_id", explode(split($"text", " ")).as("term"))
-    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val tf = terms.select($"doc_id", tkey.as("tkey"))
+      .groupBy($"doc_id", $"tkey").agg(count(lit(1)).as("tf"))
     // df from tf, not from a second explode+distinct over the raw terms:
-    // tf already holds one row per (doc, term), so df is a count per term —
+    // tf already holds one row per (doc, tkey), so df is a count per key —
     // one less full-corpus shuffle, and the tf exchange feeds both join
-    // sides (AQE reuses it)
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // sides (AQE reuses the shuffle stage instead of re-running the
+    // explode+hash scan). The tf >= 1 filter is vacuously true but keeps
+    // the aggregate subtree identical to the join side: without it the
+    // optimizer prunes the count off this branch, the exchanges diverge,
+    // and the corpus is scanned twice.
+    val df = tf.filter($"tf" >= 1).groupBy($"tkey").agg(count(lit(1)).as("df"))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id")
-      .orderBy($"score".desc, $"term")
-    tf.join(df, "term")
+      .orderBy($"score".desc, $"tkey")
+    val survivors = tf.join(df, "tkey")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", $"tf".cast("double") * $"n_docs" / $"df")
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 3)
+    // dictionary: map-side dedup collapses the corpus to ~vocab rows
+    // before this shuffle — the only exchange that carries strings
+    val dict = terms.select(tkey.as("tkey"), $"term")
+      .groupBy($"tkey").agg(min($"term").as("term"))
+    survivors.join(dict, "tkey")
       .select($"doc_id", $"rk", $"term", $"tf", $"df", $"score")
       .orderBy($"doc_id", $"rk")
   }

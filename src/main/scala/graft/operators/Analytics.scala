@@ -17,15 +17,24 @@ object Analytics {
   /** Q2: shipping-priority style — top-10 open orders by pending revenue
     * for one segment: customer ⋈ orders ⋈ lineitem with both date sides
     * pruned at the scans, revenue in exact decimal, TakeOrdered top-K. */
-  def q2ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+  def q2ShippingPriority(spark: SparkSession, sfDir: String): DataFrame =
+    q2From(spark, Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir))
+
+  /** Q2 over caller-supplied base tables: the bench's bucketed tier passes
+    * catalog tables bucketed on the order key, which run the same plan with
+    * zero shuffle exchanges (bucket layout feeds the fact join AND the
+    * post-join aggregation). */
+  def q2From(spark: SparkSession, customer: DataFrame, ordersT: DataFrame,
+      lineitem: DataFrame): DataFrame = {
     import spark.implicits._
     val cut = lit("1998-07-01").cast("timestamp")
-    val cust = Tables.customer(spark, sfDir)
+    val cust = customer
       .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
-    val orders = Tables.orders(spark, sfDir)
+    val orders = ordersT
       .filter($"o_orderdate" < cut)
       .select($"o_orderkey", $"o_custkey", $"o_orderdate")
-    val items = Tables.lineitem(spark, sfDir)
+    val items = lineitem
       .filter($"l_shipdate" > cut)
       .select($"l_orderkey", money($"l_extendedprice").as("price"), money($"l_discount").as("disc"))
     orders
@@ -40,20 +49,27 @@ object Analytics {
   /** Q3: revenue by nation for one region+year — the full dimension chain
     * region ⋈ nation ⋈ customer broadcast outward-in, the two fact tables
     * joined once on the order key. */
-  def q3RevenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+  def q3RevenueByNation(spark: SparkSession, sfDir: String): DataFrame =
+    q3From(spark, Tables.region(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir))
+
+  /** Q3 over caller-supplied base tables (see [[q2From]]). */
+  def q3From(spark: SparkSession, regionT: DataFrame, nationT: DataFrame,
+      customer: DataFrame, ordersT: DataFrame, lineitem: DataFrame): DataFrame = {
     import spark.implicits._
-    val region = Tables.region(spark, sfDir).filter($"r_name" === "ASIA")
-    val nation = Tables.nation(spark, sfDir)
+    val region = regionT.filter($"r_name" === "ASIA")
+    val nation = nationT
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .select($"n_nationkey", $"n_name")
-    val cust = Tables.customer(spark, sfDir)
+    val cust = customer
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
       .select($"c_custkey", $"n_name")
-    val orders = Tables.orders(spark, sfDir)
+    val orders = ordersT
       .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp")
         && $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
       .select($"o_orderkey", $"o_custkey")
-    val items = Tables.lineitem(spark, sfDir)
+    val items = lineitem
       .select($"l_orderkey", money($"l_extendedprice").as("price"), money($"l_discount").as("disc"))
     orders
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")

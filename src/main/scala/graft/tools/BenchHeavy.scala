@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Heavy bench tier: the sf0.1 fixture replicated `copies`x with key
   * shifting (≈ sf1 at the default 10), so the 2x-of-baseline comparison
   * measures COMPUTE, not the ~0.15s fixed per-job submission floor that
-  * dominates 80 tiny queries (BENCHNOTES.md).
+  * dominates 80+ tiny queries (BENCHNOTES.md).
   *
-  * `MakeHeavy` materializes the scaled tables; `BenchHeavy` times the most
-  * expensive queries on them (median of 3 after warmup) and prints the same
-  * one-line JSON contract as graft.Bench. tools/bench_compare.py --out
-  * turns that + the DuckDB oracle into BENCHNOTES_HEAVY.md.
+  * `MakeHeavy` materializes the scaled tables — plus bucketed catalog
+  * copies of orders/lineitem on the order key, the co-located-join layout
+  * a 100 TB deployment would use for repeatedly-joined fact tables.
+  * `BenchHeavy` times the most expensive queries on them and prints the
+  * same one-line JSON contract as graft.Bench. tools/bench_compare.py
+  * --out turns that + the DuckDB oracle into BENCHNOTES_HEAVY.md.
   */
 object MakeHeavy {
 
@@ -23,12 +25,16 @@ object MakeHeavy {
   private val SHIFT_ORDER = 10000000L
   private val SHIFT_CUST = 1000000L
   private val SHIFT_DOC = 1000000L
+  private val SHIFT_EVENT = 100000000L
+  private val SHIFT_USER = 1000000L
+
+  val BUCKETS = 16
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/root/repo/target/bench_heavy/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
-    val spark = session()
+    val spark = session(Some(s"$out/warehouse"))
     import spark.implicits._
     val reps = broadcast(spark.range(copies).toDF("k"))
 
@@ -49,6 +55,8 @@ object MakeHeavy {
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
     scaled("lineitem", Map("l_orderkey" -> SHIFT_ORDER))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    scaled("events", Map("event_id" -> SHIFT_EVENT, "user_id" -> SHIFT_USER))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     // documents: shift ids AND make the text replica-distinct by suffixing
     // every word with the replica tag — shingles/terms never collide across
     // replicas, so near-dup pair volume scales linearly (as a real corpus
@@ -63,36 +71,96 @@ object MakeHeavy {
     for (t <- Seq("region", "nation", "supplier", "part"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-    println(s"HEAVY_DATA_AT=$out copies=$copies")
+
+    // bucketed fact-table layout: both sides of the big q2/q3 join
+    // pre-hashed into the same BUCKETS on the order key, so the join (and
+    // the groupBy(o_orderkey) above it) runs with zero shuffle exchanges
+    spark.sql("DROP TABLE IF EXISTS hv_orders_b")
+    spark.sql("DROP TABLE IF EXISTS hv_lineitem_b")
+    spark.read.parquet(s"$out/orders.parquet")
+      .write.bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("hv_orders_b")
+    spark.read.parquet(s"$out/lineitem.parquet")
+      .write.bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("hv_lineitem_b")
+    println(s"HEAVY_DATA_AT=$out copies=$copies buckets=$BUCKETS")
     spark.stop()
   }
 
-  private[tools] def session(): SparkSession = {
+  private[tools] def session(warehouse: Option[String] = None): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    warehouse.foreach(b.config("spark.sql.warehouse.dir", _))
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** Re-register the bucketed tables written by a previous MakeHeavy run:
+    * the in-memory catalog forgets metadata between JVMs but the bucketed
+    * files survive in the warehouse dir, so an external CREATE TABLE with
+    * the same CLUSTERED BY spec restores zero-shuffle scans. */
+  private[tools] def registerBucketed(spark: SparkSession, out: String): Boolean = {
+    val specs = Seq(("hv_orders_b", "o_orderkey"), ("hv_lineitem_b", "l_orderkey"))
+    specs.forall { case (name, key) =>
+      val loc = new java.io.File(s"$out/warehouse/$name")
+      loc.exists() && {
+        if (!spark.catalog.tableExists(name)) {
+          val ddl = spark.read.parquet(loc.getAbsolutePath).schema.toDDL
+          spark.sql(
+            s"""CREATE TABLE $name ($ddl) USING PARQUET
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO ${BUCKETS} BUCKETS
+               |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
+        }
+        true
+      }
+    }
   }
 }
 
 object BenchHeavy {
 
   /** The queries whose sf0.1 cost is dominated by compute, not the job
-    * floor (BENCHNOTES.md top of table). */
+    * floor (BENCHNOTES.md top of table) — plus one representative per
+    * remaining operator family (window w1, session r4, percentile a9,
+    * point-lookup s4) so the sf1 table covers every family. */
   val HEAVY_QUERIES: Seq[String] = Seq(
     "l2d_ngram_jaccard", "l2e_connected_components", "l2b_lsh_candidates",
     "l7_tfidf_topterms", "q1_pricing_summary", "q2_shipping_priority",
-    "q3_revenue_by_nation", "s5_s6_partitioned_sink", "l1_exact_dedup")
+    "q3_revenue_by_nation", "s5_s6_partitioned_sink", "l1_exact_dedup",
+    "w1_topk_per_group", "r4_session_window", "a9_percentiles",
+    "s4_point_lookup")
+
+  val SWEEPS = 3
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/target/bench_heavy/sf1")
-    val spark = MakeHeavy.session()
+    val spark = MakeHeavy.session(Some(s"$dir/warehouse"))
+    import spark.implicits._
+    val haveBuckets = MakeHeavy.registerBucketed(spark, dir)
+
+    // q2/q3 on the bucketed fact layout: merge hint keeps AQE from
+    // broadcasting so the plan exercises the zero-exchange sort-merge path
+    // a 100 TB join would take
+    val bucketed: Seq[(String, () => DataFrame)] = if (haveBuckets) Seq(
+      "q2_bucketed" -> (() => graft.operators.Analytics.q2From(spark,
+        spark.read.parquet(s"$dir/customer.parquet"),
+        spark.table("hv_orders_b"), spark.table("hv_lineitem_b").hint("merge"))),
+      "q3_bucketed" -> (() => graft.operators.Analytics.q3From(spark,
+        spark.read.parquet(s"$dir/region.parquet"),
+        spark.read.parquet(s"$dir/nation.parquet"),
+        spark.read.parquet(s"$dir/customer.parquet"),
+        spark.table("hv_orders_b"), spark.table("hv_lineitem_b").hint("merge")))
+    ) else Seq.empty
+
+    val runnable: Seq[(String, () => DataFrame)] =
+      HEAVY_QUERIES.map(n => n -> (() => graft.SparkEntry.queries(n)(spark, dir))) ++ bucketed
+
     // track genuine executor stage time per query: deep plans (q2/q3's
     // broadcast-dim chains) pay a fixed ~2-3s driver/AQE stage-scheduling
     // floor per run that is invariant to data size; reporting both wall
@@ -106,25 +174,43 @@ object BenchHeavy {
         for (c <- st.completionTime; b <- st.submissionTime) stageMs.addAndGet(c - b)
       }
     })
-    for (name <- HEAVY_QUERIES) // warmup: JIT + codegen + file listing
-      graft.SparkEntry.queries(name)(spark, dir).count()
-    val results = HEAVY_QUERIES.map { name =>
-      val runs = (1 to 3).map { _ =>
-        stageMs.set(0)
-        val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(spark, dir).count()
-        val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(150) // let the listener bus drain stage-completed events
-        (wall, stageMs.get() / 1e3)
-      }
-      val byWall = runs.sortBy(_._1)
-      name -> byWall(1) // median run's (wall, stage-compute)
+    for ((_, fn) <- runnable) // warmup: JIT + codegen + file listing
+      try fn().count() catch { case _: Throwable => () }
+
+    // pass-major interleaving, same rationale as graft.Bench: a sustained
+    // host contention window corrupts one temporally-separated sample per
+    // query, which the median rejects
+    val samples = scala.collection.mutable.Map(
+      runnable.map(_._1 -> Vector.empty[(Double, Double)]): _*)
+    for (_ <- 1 to SWEEPS; (name, fn) <- runnable) {
+      stageMs.set(0)
+      val t0 = System.nanoTime()
+      val ok = try { fn().count(); true } catch { case _: Throwable => false }
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(150) // let the listener bus drain stage-completed events
+      if (ok) samples(name) :+= ((wall, stageMs.get() / 1e3))
+    }
+    val results = runnable.map { case (name, _) =>
+      val v = samples(name).sortBy(_._1)
+      name -> (if (v.isEmpty) (-1.0, -1.0) else v(v.size / 2))
+    }
+    // machine check of the bucketed claim: the fact join and its
+    // aggregation must run with zero shuffle exchanges
+    val noExchange = haveBuckets && {
+      val plan = graft.operators.Analytics.q2From(spark,
+        spark.read.parquet(s"$dir/customer.parquet"),
+        spark.table("hv_orders_b"), spark.table("hv_lineitem_b").hint("merge"))
+        .queryExecution.executedPlan.toString
+      !plan.contains("Exchange hashpartitioning")
     }
     val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val cs = results.map { case (k, (_, c)) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"heavy_total","value":${results.map(_._2._1).sum},"unit":"sec","queries":$qs,"stage_compute":$cs,"sf":"$dir"}""")
+    val failed = results.collect { case (n, (w, _)) if w < 0 => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"heavy_total","value":$total,"unit":"sec","queries":$qs,"stage_compute":$cs,"sf":"$dir","bucketed_no_exchange":$noExchange,"failed":$failed}""")
     spark.stop()
   }
 }

@@ -50,6 +50,22 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"), p)
   }
 
+  test("l7: df derives from tf through a reused exchange; no full-corpus string shuffle") {
+    val df = q("l7_tfidf_topterms")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    // the tf exchange on (doc_id, tkey) must feed the df aggregate too
+    assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"), p)
+    // every hash exchange moves the 48-bit tkey (or the final tiny
+    // presentation exchange) — never the raw term string
+    val exchanges = """Exchange hashpartitioning\(([^,]+),""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.startsWith("term")),
+      s"term string rides a shuffle key: $exchanges\n$p")
+  }
+
   test("l3: brute-force scan has no shuffle before the top-k") {
     val p = plan(q("l3_similarity_search"))
     assert(p.contains("TakeOrderedAndProject"))

@@ -36,12 +36,19 @@ def main():
     for name, spark_s in sorted(bench["queries"].items()):
         if name in oracle:
             t0 = time.time()
-            con.sql(oracle[name]).fetchall()
-            duck_s = time.time() - t0
+            try:
+                con.sql(oracle[name]).fetchall()
+                duck_s = time.time() - t0
+            except Exception as e:  # missing table / unsupported SQL: render as —
+                print(f"oracle failed for {name}: {e}", file=sys.stderr)
+                duck_s = None
         else:
             duck_s = None
         rows.append((name, spark_s, duck_s, compute.get(name)))
-    total_spark = sum(r[1] for r in rows)
+    failed = [r[0] for r in rows if r[1] is not None and r[1] < 0]
+    if failed:
+        print(f"SPARK FAILURES (recorded as -1 by Bench): {failed}", file=sys.stderr)
+    total_spark = sum(r[1] for r in rows if r[1] is not None and r[1] >= 0)
     total_duck = sum(r[2] for r in rows if r[2] is not None)
     with open(out_path, "w") as f:
         f.write(f"# {out_path.rsplit('.', 1)[0]} — Spark (graft) vs DuckDB on the oracle queries\n\n")
