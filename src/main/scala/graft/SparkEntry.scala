@@ -81,6 +81,7 @@ object SparkEntry {
     "l3_similarity_search" -> (graft.llm.Similarity.l3BruteForceTopk _),
     "l3b_lsh_neardup" -> (graft.llm.Similarity.l3bLshNearDup _),
     "l3c_ivf_topk" -> (graft.llm.Similarity.l3cIvfTopk _),
+    "l3e_banded_lsh" -> (graft.llm.Similarity.l3eBandedLsh _),
     "l3d_batch_topk" -> (graft.llm.Similarity.l3dBatchTopk _),
     "l8_quantize_int8" -> (graft.llm.Similarity.l8QuantizeInt8 _),
     "l4_text_stats" -> (graft.llm.TextAnalysis.l4TextStats _),
@@ -504,6 +505,30 @@ object SparkEntry {
          |  ${duckCosine("a.embedding", "b.embedding")} AS cosine
          |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    "l3e_banded_lsh" -> {
+      // 4 bands of 8 bits: band b = sign pattern of dims [b*8, (b+1)*8)
+      // (DuckDB arrays are 1-indexed: Spark dim d -> embedding[d+1])
+      def bandSig(b: Int) = (1 to 8)
+        .map(i => s"(CASE WHEN embedding[${b * 8 + i}] > 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+        .mkString(" + ")
+      val exploded = (0 until 4)
+        .map(b => s"SELECT vec_id, $b AS band, CAST(${bandSig(b)} AS BIGINT) AS bucket FROM embeddings")
+        .mkString("\n  UNION ALL ")
+      s"""WITH exploded AS (
+         |  $exploded),
+         |cand AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, COUNT(*) AS n_shared_bands
+         |  FROM exploded a JOIN exploded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT c.vec_a, c.vec_b, c.n_shared_bands,
+         |  ${duckCosine("ea.embedding", "eb.embedding")} AS cosine
+         |FROM cand c
+         |JOIN embeddings ea ON c.vec_a = ea.vec_id
+         |JOIN embeddings eb ON c.vec_b = eb.vec_id
+         |WHERE ${duckCosine("ea.embedding", "eb.embedding")} >= 0.2
          |ORDER BY vec_a, vec_b""".stripMargin
     },
     "l3c_ivf_topk" ->

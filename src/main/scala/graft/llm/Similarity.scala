@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -98,6 +98,71 @@ object Similarity {
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"), $"a.bucket".as("bucket"),
         ($"dot" / ($"norm_a" * $"norm_b")).as("cosine"))
       .filter($"cosine" >= simCut)
+  }
+
+  /** Banded sign-LSH: candidate pairs colliding in ANY of `bands`
+    * independent bit-sets — the recall restoration MinHash banding gives
+    * Jaccard dedup (Dedup.lshCandidatePairs), applied to cosine. A single
+    * `signBits`-wide projection catches a true near-dup pair only with
+    * probability p^signBits (p = 1 - θ/π per hyperplane), which at the
+    * sizing rule signBits ≈ log2(N/bucket) collapses toward 0 as N grows;
+    * b independent bands lift recall to 1-(1-p^signBits)^b while the pair
+    * volume stays collision-bound (each band is as selective as before).
+    *
+    * Band b's signature is the sign pattern of dimensions
+    * [b·signBits, (b+1)·signBits) — axis-aligned, deterministic, and
+    * independent across bands for near-isotropic embeddings. Requires
+    * bands·signBits ≤ dim (64-dim fixture: up to 8 bands of 8 bits); past
+    * that, swap the slice for seeded random projections — the banding,
+    * join, and dedup plumbing below is unchanged.
+    *
+    * Plan shape at 100 TB: the exploded frame carries only (vec_id, band,
+    * bucket) — never the vector — so the bands× row inflation shuffles
+    * 24-byte rows; pairs dedup by (vec_a, vec_b) BEFORE the embeddings
+    * join back, so each surviving pair's cosine is computed once. */
+  def signLshPairs(embFrame: DataFrame, signBits: Int, bands: Int,
+      simCut: Double): DataFrame = {
+    require(signBits >= 1 && signBits <= 62, s"signBits out of range: $signBits")
+    require(bands >= 1, s"bands out of range: $bands")
+    val spark = embFrame.sparkSession
+    withNative(spark)
+    import spark.implicits._
+    def bandSig(b: Int): Column = (1 to signBits)
+      .map { i =>
+        val d = b * signBits + i - 1
+        when(expr(s"embedding[$d]") > 0f, lit(1L << (i - 1))).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+    val bandKeys = (0 until bands)
+      .map(b => struct(lit(b).as("band"), bandSig(b).as("bucket")))
+    val exploded = embFrame
+      .select($"vec_id", explode(array(bandKeys: _*)).as("bk"))
+      .select($"vec_id", $"bk.band".as("band"), $"bk.bucket".as("bucket"))
+    // merge-hinted self-join on (band, bucket): one reused exchange, the
+    // signature scan runs once (same shape as Dedup.lshCandidatePairs)
+    val a = exploded.as("a"); val b2 = exploded.hint("merge").as("b")
+    val cand = a.join(b2,
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.vec_id" < $"b.vec_id")
+      .groupBy($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val embA = embFrame.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
+    val embB = embFrame.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
+    cand.join(embA, "vec_a").join(embB, "vec_b")
+      .withColumn("dot", expr(dot("emb_a", "emb_b")))
+      .withColumn("norm_a", sqrt(expr(dot("emb_a", "emb_a"))))
+      .withColumn("norm_b", sqrt(expr(dot("emb_b", "emb_b"))))
+      .select($"vec_a", $"vec_b", $"n_shared_bands",
+        ($"dot" / ($"norm_a" * $"norm_b")).as("cosine"))
+      .filter($"cosine" >= simCut)
+  }
+
+  /** L3e [EXT]: the banded form as a query — 4 bands of 8 bits over the
+    * 64-dim fixture, 0.2 cosine cut. */
+  def l3eBandedLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    signLshPairs(Tables.embeddings(spark, sfDir), 8, 4, 0.2)
+      .orderBy($"vec_a", $"vec_b")
   }
 
   /** L3d [EXT]: batched similarity search — top-5 neighbors for EACH query

@@ -39,6 +39,39 @@ class LshParamsSpec extends SparkSpecBase {
     }
   }
 
+  test("banded sign-LSH: planted near-dup recall rises with bands, volume stays collision-bound") {
+    import spark.implicits._
+    val n = 200
+    val base = spark.range(n).toDF("vec_id")
+      .withColumn("embedding", expr(
+        "transform(sequence(0, 63), j -> CAST(" +
+          "CAST(conv(substr(md5(concat(vec_id, ':', j)), 1, 4), 16, 10) AS BIGINT) - 32768 AS FLOAT))"))
+    // planted near-dup for every 5th vector: the same vector nudged by
+    // ~5% of the value range, so any single 8-bit band matches with
+    // probability < 1 (elements near zero flip sign) — exactly the regime
+    // where one projection loses recall and banding restores it
+    val dups = base.filter($"vec_id" % 5 === 0)
+      .select(($"vec_id" + n).as("vec_id"), expr(
+        "transform(embedding, (x, j) -> CAST(x + " +
+          "CAST(conv(substr(md5(concat(vec_id, '~', j)), 1, 4), 16, 10) AS BIGINT) % 3277 - 1638 AS FLOAT))")
+        .as("embedding"))
+    val vecs = base.union(dups)
+    val planted = n / 5
+    def cand(bands: Int): DataFrame = Similarity.signLshPairs(vecs, 8, bands, -1.0)
+    def recall(bands: Int): Long = cand(bands)
+      .filter($"vec_a" % 5 === 0 && $"vec_b" === $"vec_a" + n).count()
+    val (r1, r2, r4) = (recall(1), recall(2), recall(4))
+    assert(r1 <= r2 && r2 <= r4, s"recall not monotone in bands: $r1, $r2, $r4")
+    assert(r1 < r4, s"banding added no recall: $r1 -> $r4 of $planted")
+    assert(r4 >= planted * 9 / 10, s"4 bands still miss >10%: $r4 of $planted")
+    // collision bound: the banded union stays linear in the per-band
+    // collision volume and far below all-pairs
+    val (v1, v4) = (cand(1).count(), cand(4).count())
+    val allPairs = (n + planted).toLong * (n + planted - 1) / 2
+    assert(v4 <= 6 * v1 + 50, s"banded volume superlinear in bands: $v1 -> $v4")
+    assert(v4 < allPairs / 10, s"banded volume near all-pairs: $v4 of $allPairs")
+  }
+
   test("wider sign-LSH signatures cut candidate volume monotonically") {
     import spark.implicits._
     val vecs = spark.range(400).toDF("vec_id")
