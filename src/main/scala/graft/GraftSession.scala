@@ -45,15 +45,10 @@ object GraftSession {
     * On Spark this is a committer/filesystem concern, not an operator:
     * the S3A magic committer streams task output straight into in-flight
     * multipart uploads and completes them at job commit — atomic,
-    * rename-free, no temporary copy. These keys are builder-time Hadoop
-    * conf (`spark.hadoop.*`); they are inert until an `s3a://` URI is
-    * written, so they are safe to set unconditionally.
-    *
-    * The v2 FileOutputCommitter algorithm is the fallback for stores
-    * without the magic committer: task commit promotes files once instead
-    * of an O(files) serial rename at job commit. It is also the one knob
-    * exercisable on a local filesystem, which is what S8SinkSpec drives.
-    */
+    * rename-free, no temporary copy. Every key here is `fs.s3a.*`-scoped
+    * Hadoop conf: inert until an `s3a://` URI is written, so `tuned()`
+    * sets them unconditionally. The non-s3a-scoped v2 commit fallback
+    * deliberately lives in [[v2CommitFallbackConf]], NOT here. */
   def objectStoreConf: Seq[(String, String)] = Seq(
     "spark.hadoop.fs.s3a.committer.name" -> "magic",
     "spark.hadoop.fs.s3a.committer.magic.enabled" -> "true",
@@ -65,6 +60,17 @@ object GraftSession {
     "spark.hadoop.fs.s3a.multipart.size" -> "64M",
     "spark.hadoop.fs.s3a.multipart.threshold" -> "128M",
     "spark.hadoop.fs.s3a.fast.upload" -> "true",
+  )
+
+  /** Opt-in commit fallback for object stores WITHOUT the magic committer:
+    * the v2 FileOutputCommitter algorithm promotes task output at task
+    * commit instead of an O(files) serial rename at job commit. It is NOT
+    * filesystem-scoped and it is NOT job-commit-atomic — under task-attempt
+    * failure or speculative execution it can leave duplicate/partial
+    * output (MAPREDUCE-7282) — so `tuned()` keeps Hadoop's safe v1 default
+    * and deployments targeting rename-expensive stores apply this
+    * explicitly (as S8SinkSpec does). */
+  def v2CommitFallbackConf: Seq[(String, String)] = Seq(
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2",
   )
 

@@ -134,8 +134,10 @@ object Dedup {
     * A,B,C even when A,C share no band). Iterative min-label propagation:
     * each round every vertex takes the min label among itself and its
     * neighbors; fixpoint in O(component diameter) rounds. The driver only
-    * coordinates rounds (Pregel-style) — all data movement is joins; at
-    * 100 TB the same loop runs with large-star/small-star optimizations.
+    * coordinates rounds (Pregel-style) — all data movement is joins.
+    * Near-dup components are small and dense, so min-label is the right
+    * default here; for high-diameter graphs [[connectedComponents]] takes
+    * `algorithm = "star"` (O(log n) alternating star contraction).
     * Deterministic: the fixpoint (min doc_id per component) is unique. */
   def l2eConnectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -158,37 +160,139 @@ object Dedup {
     * cluster LOSING ONE EXECUTOR KILLS THE JOB mid-iteration, because the
     * truncated lineage cannot be recomputed. Some(dir) → reliable
     * `checkpoint()` into dir (HDFS/object store on a cluster): each round's
-    * labels survive executor loss and the loop resumes from the last
+    * state survives executor loss and the loop resumes from the last
     * completed round. At 100 TB always pass a reliable dir (or set
     * `spark.graft.checkpointDir`, which [[l2eConnectedComponents]] honors).
-    */
+    * Round N-1's checkpoint data is deleted as soon as round N
+    * materializes, so the dir holds at most the edge list plus two rounds
+    * of state (the final round's files stay — the returned frame reads
+    * them lazily). NOTE:
+    * the reliable path calls `SparkContext.setCheckpointDir` (global,
+    * session-wide state) — concurrent jobs relying on a different
+    * checkpoint dir should not run while this loop is active.
+    *
+    * `algorithm`: `"min-label"` (default) — each round every vertex takes
+    * the min label among itself and its neighbors; O(diameter) rounds,
+    * each a join against the FULL edge list. Right choice for near-dup
+    * graphs, whose components are small and dense (diameter ~2-3).
+    * `"star"` — alternating large-star/small-star contraction (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014):
+    * O(log n) rounds regardless of diameter, and the edge list itself
+    * contracts toward one star per component as rounds proceed. Right
+    * choice for high-diameter or high-degree graphs (template spam,
+    * boilerplate chains). */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-                          checkpointDir: Option[String]): DataFrame = {
+                          checkpointDir: Option[String],
+                          algorithm: String = "min-label"): DataFrame =
+    algorithm match {
+      case "min-label" => minLabelCC(vertices, pairs, checkpointDir)._1
+      case "star" => starCC(vertices, pairs, checkpointDir)._1
+      case other => throw new IllegalArgumentException(
+        s"unknown algorithm '$other' (expected 'min-label' or 'star')")
+    }
+
+  /** Per-round lineage truncation with bounded checkpoint storage: each
+    * round checkpoints into `<dir>/<tag>-<round>` and the caller drops
+    * round N-1 once round N is on disk. */
+  private final class Truncator(spark: SparkSession, dir: Option[String]) {
+    def apply(df: DataFrame, tag: String): DataFrame = dir match {
+      case Some(d) =>
+        spark.sparkContext.setCheckpointDir(s"$d/$tag")
+        df.checkpoint() // eager: materialized before we drop older rounds
+      case None => df.localCheckpoint()
+    }
+    def drop(tag: String): Unit = dir.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/$tag")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true); ()
+    }
+  }
+
+  /** Min-label propagation; returns (labels, rounds). */
+  private[graft] def minLabelCC(vertices: DataFrame, pairs: DataFrame,
+      checkpointDir: Option[String]): (DataFrame, Int) = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val truncate = new Truncator(spark, checkpointDir)
     // materialize the edge list once — every propagation round joins it,
     // and without this the upstream candidate pipeline would re-execute
     // per round
     val edges = truncate(
       pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
-    var labels = truncate(vertices.withColumn("label", $"doc_id"))
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))), "edges")
+    var labels = truncate(vertices.withColumn("label", $"doc_id"), "labels-0")
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       val nbrMin = edges.join(labels, $"src" === $"doc_id")
         .groupBy($"dst").agg(min($"label").as("nbr_min"))
       val updated = truncate(labels
         .join(nbrMin, $"doc_id" === $"dst", "left_outer")
         .select($"doc_id",
           least($"label", coalesce($"nbr_min", $"label")).as("new_label"),
-          ($"label" > coalesce($"nbr_min", $"label")).as("was_lowered")))
+          ($"label" > coalesce($"nbr_min", $"label")).as("was_lowered")),
+        s"labels-$round")
+      truncate.drop(s"labels-${round - 1}")
       changed = updated.filter($"was_lowered").count()
       labels = updated.select($"doc_id", $"new_label".as("label"))
     }
-    labels.select($"doc_id", $"label".as("component"))
+    // edges are no longer referenced (the final labels frame reads only
+    // its own checkpoint); the last labels round must NOT be dropped —
+    // the returned frame is lazily backed by those files
+    truncate.drop("edges")
+    (labels.select($"doc_id", $"label".as("component")), round)
+  }
+
+  /** Alternating large-star/small-star contraction; returns (labels,
+    * rounds). Each round: large-star hangs every vertex's larger
+    * neighbors off its local minimum, small-star re-hangs the smaller
+    * neighbors — components contract to stars rooted at their global min
+    * in O(log n) rounds, independent of diameter. All data movement is
+    * (groupBy + join) on the current edge set, which only shrinks. */
+  private[graft] def starCC(vertices: DataFrame, pairs: DataFrame,
+      checkpointDir: Option[String]): (DataFrame, Int) = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val truncate = new Truncator(spark, checkpointDir)
+    // canonical undirected edges a < b
+    var edges = truncate(pairs
+      .select(least($"doc_a", $"doc_b").as("a"), greatest($"doc_a", $"doc_b").as("b"))
+      .filter($"a" =!= $"b").distinct(), "star-0")
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      // large-star: for every u, hang neighbors v > u off m = min(Γ(u) ∪ u)
+      val nbrs = edges.select($"a".as("u"), $"b".as("v"))
+        .union(edges.select($"b".as("u"), $"a".as("v")))
+      val mins = nbrs.groupBy($"u")
+        .agg(least(min($"v"), first($"u")).as("m"))
+      val ls = nbrs.join(mins, "u").filter($"v" > $"u")
+        .select($"m".as("a"), $"v".as("b")) // m <= u < v: already canonical
+        .distinct()
+      // small-star: group by the larger endpoint b, re-hang its smaller
+      // neighbors (and b itself) off their minimum
+      val sMins = ls.groupBy($"b").agg(min($"a").as("m"))
+      val withM = ls.join(sMins, "b")
+      val ss = withM.filter($"a" =!= $"m").select($"m".as("a"), $"a".as("b"))
+        .union(withM.select($"m".as("a"), $"b"))
+        .distinct()
+      val newEdges = truncate(ss, s"star-$round")
+      truncate.drop(s"star-${round - 1}")
+      // fixpoint when the canonical edge set is unchanged (both are
+      // distinct sets: equal counts + empty one-way difference)
+      changed =
+        if (newEdges.count() != edges.count()) 1L
+        else newEdges.except(edges).count()
+      edges = newEdges
+    }
+    // at the fixpoint every component is a star rooted at its minimum
+    val labels = vertices
+      .join(edges.select($"b".as("doc_id"), $"a".as("component")),
+        Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"component", $"doc_id").as("component"))
+    (labels, round)
   }
 
   /** L2c: SimHash — 16-bit signature; per bit, every word votes ±1 by a

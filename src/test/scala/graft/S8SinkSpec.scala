@@ -6,19 +6,19 @@ import org.apache.spark.sql.functions._
   *
   * The s3a magic-committer keys can't run without an object store, but the
   * committer *seam* itself can: this suite applies
-  * `GraftSession.objectStoreConf` (as `tuned()` does at context build —
-  * the spec JVM shares one context, so it lands on the live hadoop conf
-  * here) and writes `vendorFrame` through the non-default v2
-  * FileOutputCommitter algorithm — the object-store fallback the conf
-  * selects — proving graft's write paths do not depend on the default
-  * commit algorithm's job-commit rename semantics.
+  * `GraftSession.objectStoreConf` (as `tuned()` does at context build)
+  * plus the explicitly opt-in `v2CommitFallbackConf` (which `tuned()`
+  * deliberately does NOT set — v2 is not job-commit-atomic) and writes
+  * `vendorFrame` through the non-default v2 FileOutputCommitter algorithm,
+  * proving graft's write paths do not depend on the default commit
+  * algorithm's job-commit rename semantics.
   */
 class S8SinkSpec extends SparkSpecBase {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
     val hconf = spark.sparkContext.hadoopConfiguration
-    for ((k, v) <- GraftSession.objectStoreConf)
+    for ((k, v) <- GraftSession.objectStoreConf ++ GraftSession.v2CommitFallbackConf)
       hconf.set(k.stripPrefix("spark.hadoop."), v)
   }
 
