@@ -82,6 +82,7 @@ object SparkEntry {
     "l3b_lsh_neardup" -> (graft.llm.Similarity.l3bLshNearDup _),
     "l3c_ivf_topk" -> (graft.llm.Similarity.l3cIvfTopk _),
     "l3e_banded_lsh" -> (graft.llm.Similarity.l3eBandedLsh _),
+    "l3f_ivf_multiprobe" -> (graft.llm.Similarity.l3fIvfMultiprobe _),
     "l3d_batch_topk" -> (graft.llm.Similarity.l3dBatchTopk _),
     "l8_quantize_int8" -> (graft.llm.Similarity.l8QuantizeInt8 _),
     "l4_text_stats" -> (graft.llm.TextAnalysis.l4TextStats _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "l7_tfidf_topterms" -> (graft.llm.TextAnalysis.l7TfidfTopTerms _),
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
     "a11_histogram" -> (Analytics.a11Histogram _),
+    "r7_stream_join" -> (graft.streaming.Streams.r7StreamJoin _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
     "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
@@ -297,6 +299,19 @@ object SparkEntry {
         |                FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+    "r7_stream_join" ->
+      // micros-space comparisons (EPOCH_US) on both sides: Spark compares
+      // micros TimestampType, DuckDB would otherwise compare raw nanos
+      """WITH p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS signup_id, user_id AS s_user, ts AS s_ts
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT purchase_id, signup_id,
+        |  EPOCH_US(p_ts) - EPOCH_US(s_ts) AS lead_us
+        |FROM p JOIN s ON p_user = s_user
+        |  AND EPOCH_US(s_ts) <= EPOCH_US(p_ts)
+        |  AND EPOCH_US(s_ts) >= EPOCH_US(p_ts) - 3600000000
+        |ORDER BY purchase_id, signup_id""".stripMargin,
     "w1_topk_per_group" ->
       """SELECT user_id, rk, event_id FROM (
         |  SELECT user_id, event_id,
@@ -545,6 +560,24 @@ object SparkEntry {
          |    ${duckCosine("centroid", "q_emb")} AS csim
          |  FROM centroids, q
          |  ORDER BY csim DESC, label LIMIT 1)
+         |SELECT vec_id, probe_label, ${duckCosine("embedding", "q_emb")} AS cosine
+         |FROM embeddings, nearest
+         |WHERE label = probe_label AND vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "l3f_ivf_multiprobe" ->
+      s"""WITH comps AS (
+         |  SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM (SELECT label, unnest(embedding) AS v,
+         |               generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings)
+         |  GROUP BY label, pos),
+         |centroids AS (
+         |  SELECT label, array_agg(c ORDER BY pos) AS centroid FROM comps GROUP BY label),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |nearest AS (
+         |  SELECT label AS probe_label, q_emb,
+         |    ${duckCosine("centroid", "q_emb")} AS csim
+         |  FROM centroids, q
+         |  ORDER BY csim DESC, label LIMIT 2)
          |SELECT vec_id, probe_label, ${duckCosine("embedding", "q_emb")} AS cosine
          |FROM embeddings, nearest
          |WHERE label = probe_label AND vec_id <> 0

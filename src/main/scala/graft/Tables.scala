@@ -31,11 +31,17 @@ object Tables {
     * a missing conf fails loudly with PARQUET_TYPE_ILLEGAL here); the raw
     * nanos long is floor-divided to micros — the same truncation DuckDB
     * applies when it casts the column to TIMESTAMP, so oracle comparisons
-    * line up.
+    * line up. Derived layouts (e.g. the MakeHeavy tier) store `ts` as a
+    * plain micros TIMESTAMP already and pass through untouched.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

@@ -224,7 +224,21 @@ object Similarity {
   /** L3c: IVF probe. Centroids are exact decimal sums per (label, dim)
     * divided in double (deterministic); the query probes its nearest
     * centroid and searches only that inverted list. */
-  def l3cIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  def l3cIvfTopk(spark: SparkSession, sfDir: String): DataFrame =
+    ivfTopk(spark, sfDir, nProbe = 1)
+
+  /** L3f [EXT]: multi-probe IVF — the IVF recall knob, as banding is the
+    * LSH one. A query whose true neighbors straddle a cluster boundary
+    * misses them under nProbe=1; probing the nProbe nearest centroids
+    * searches their union of inverted lists (still one corpus-side join,
+    * scanning nProbe/k-th of the corpus) and recovers them. */
+  def l3fIvfMultiprobe(spark: SparkSession, sfDir: String): DataFrame =
+    ivfTopk(spark, sfDir, nProbe = 2)
+
+  /** IVF top-10 for query vec_id=0 probing the `nProbe` nearest
+    * centroids. */
+  def ivfTopk(spark: SparkSession, sfDir: String, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe out of range: $nProbe")
     withNative(spark)
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
@@ -244,7 +258,7 @@ object Similarity {
       .withColumn("cnorm", sqrt(expr(dotD("centroid", "centroid"))))
       .withColumn("csim", $"cdot" / ($"cnorm" * $"norm_q"))
       .orderBy($"csim".desc, $"label")
-      .limit(1)
+      .limit(nProbe)
       .select($"label".as("probe_label"), $"q_emb", $"norm_q")
     emb.join(broadcast(nearest), $"label" === $"probe_label")
       .filter($"vec_id" =!= 0)

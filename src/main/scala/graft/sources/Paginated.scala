@@ -46,7 +46,14 @@ object Paginated {
     * identical, so the oracle is unaffected. */
   def s4PointLookup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // fan the key column out to every core BEFORE the lookup seam: the
+    // scan's partitioning follows file splits (a 150 MB key column = 2
+    // splits), but a point-lookup source is throughput-bound on the
+    // per-element call, so parallelism must track cores/connections, not
+    // bytes. The repartition shuffles only the 8-byte keys.
     val codes = Tables.orders(spark, sfDir).select($"o_orderkey".as("code"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val hexDigits = "0123456789abcdef".toCharArray
     val looked = codes.as[Long].mapPartitions { it =>
       // per-partition "connection" init (pool.rs analog): one digest/client
       // instance reused for every row of the partition
@@ -57,9 +64,17 @@ object Paginated {
           if (attempt == 1 && code % 997 == 0)
             throw Retry.Transient(s"429 for $code") // transient; retried
           md.reset()
-          val hex = md.digest(s"detail#$code".getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
-          (code, Some(hex.substring(0, 8)))
+          val bytes = md.digest(s"detail#$code".getBytes("UTF-8"))
+          // only the first 4 bytes surface (8 hex chars): format exactly
+          // those, without a per-byte String.format
+          val sb = new java.lang.StringBuilder(8)
+          var i = 0
+          while (i < 4) {
+            val b = bytes(i) & 0xff
+            sb.append(hexDigits(b >> 4)); sb.append(hexDigits(b & 15))
+            i += 1
+          }
+          (code, Some(sb.toString))
         }
       }
     }.toDF("code", "detail")

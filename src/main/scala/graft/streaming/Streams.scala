@@ -185,4 +185,13 @@ object Streams {
     import spark.implicits._
     runningProgress(Tables.events(spark, sfDir)).orderBy($"event_id")
   }
+
+  def r7StreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    purchaseSignupJoin(
+      events.filter($"event_type" === "purchase"),
+      events.filter($"event_type" === "signup"))
+      .orderBy($"purchase_id", $"signup_id")
+  }
 }

@@ -28,7 +28,10 @@ object MakeHeavy {
   private val SHIFT_EVENT = 100000000L
   private val SHIFT_USER = 1000000L
 
-  val BUCKETS = 16
+  // one bucket per local[32] core: bucketed scans parallelize at bucket
+  // granularity, so fewer buckets than cores would cap the zero-exchange
+  // plan at bucket-count parallelism
+  val BUCKETS = 32
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -55,7 +58,11 @@ object MakeHeavy {
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
     scaled("lineitem", Map("l_orderkey" -> SHIFT_ORDER))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // the source fixture stores ts as TIMESTAMP(NANOS) (read here as a
+    // long via nanosAsLong); emit micros TIMESTAMP so both engines read
+    // the heavy tier natively (Tables.events passes timestamps through)
     scaled("events", Map("event_id" -> SHIFT_EVENT, "user_id" -> SHIFT_USER))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     // documents: shift ids AND make the text replica-distinct by suffixing
     // every word with the replica tag — shingles/terms never collide across
@@ -75,12 +82,24 @@ object MakeHeavy {
     // bucketed fact-table layout: both sides of the big q2/q3 join
     // pre-hashed into the same BUCKETS on the order key, so the join (and
     // the groupBy(o_orderkey) above it) runs with zero shuffle exchanges
-    spark.sql("DROP TABLE IF EXISTS hv_orders_b")
-    spark.sql("DROP TABLE IF EXISTS hv_lineitem_b")
+    // the in-memory catalog forgets tables between JVMs but their managed
+    // dirs survive — clear both
+    for (t <- Seq("hv_orders_b", "hv_lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"$out/warehouse/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
+    // repartition ON the bucket key first: one writer task per bucket ->
+    // exactly one file per bucket, which is the layout Spark trusts to
+    // deliver sort order from the scan — the sort-merge join then runs
+    // with NO exchange and NO per-task sort
     spark.read.parquet(s"$out/orders.parquet")
+      .repartition(BUCKETS, col("o_orderkey"))
       .write.bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("hv_orders_b")
     spark.read.parquet(s"$out/lineitem.parquet")
+      .repartition(BUCKETS, col("l_orderkey"))
       .write.bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("hv_lineitem_b")
     println(s"HEAVY_DATA_AT=$out copies=$copies buckets=$BUCKETS")

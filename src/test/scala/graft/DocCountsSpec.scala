@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Published counts must equal the code (three rounds of doc drift say a
+  * human won't keep them in sync). Every count a doc states is asserted
+  * against its single source of truth: `SparkEntry.queries`/`oracleSql`,
+  * the test sources themselves, and `BenchHeavy.HEAVY_QUERIES`. Fails →
+  * fix the doc (or regenerate the BENCHNOTES artifact), never the spec.
+  */
+class DocCountsSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private val root: Path =
+    Seq("README.md", "/root/repo/README.md").map(Paths.get(_))
+      .find(Files.exists(_)).map(p => Option(p.toAbsolutePath.getParent).get)
+      .getOrElse(fail("repo root not found"))
+
+  private def read(name: String): String =
+    new String(Files.readAllBytes(root.resolve(name)), "UTF-8")
+
+  private def captured(text: String, re: String, where: String): Int = {
+    val r = re.r
+    r.findFirstMatchIn(text).map(_.group(1).toInt)
+      .getOrElse(fail(s"$where: no match for '$re' — keep the phrasing greppable"))
+  }
+
+  private lazy val testSources: Seq[String] =
+    Files.list(root.resolve("src/test/scala/graft")).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => new String(Files.readAllBytes(p), "UTF-8")).toSeq
+
+  test("README test/suite counts match the test sources") {
+    val tests = testSources.map("(?m)^\\s*test\\(".r.findAllIn(_).size).sum
+    val suites = testSources.map("(?m)^class \\w+ extends".r.findAllIn(_).size).sum
+    val readme = read("README.md")
+    assert(captured(readme, """# (\d+) tests""", "README") === tests)
+    assert(captured(readme, """tests / (\d+) suites""", "README") === suites)
+  }
+
+  test("README query count matches SparkEntry.queries") {
+    assert(captured(read("README.md"), """all (\d+) queries""", "README")
+      === SparkEntry.queries.size)
+  }
+
+  test("README heavy-tier count matches BenchHeavy.HEAVY_QUERIES") {
+    assert(captured(read("README.md"), """(\d+) heaviest queries""", "README")
+      === graft.tools.BenchHeavy.HEAVY_QUERIES.size)
+  }
+
+  test("SURVEY oracle-checked count matches SparkEntry.oracleSql") {
+    assert(captured(read("SURVEY.md"), """(\d+) oracle-checked queries""", "SURVEY")
+      === SparkEntry.oracleSql.size)
+  }
+
+  test("BENCHNOTES covers every declared query (regenerate after adding one)") {
+    assert(captured(read("BENCHNOTES.md"), """over (\d+) queries""", "BENCHNOTES")
+      === SparkEntry.queries.size)
+  }
+
+  test("BENCHNOTES_HEAVY covers the heavy tier plus the two bucketed variants") {
+    assert(captured(read("BENCHNOTES_HEAVY.md"), """over (\d+) queries""", "BENCHNOTES_HEAVY")
+      === graft.tools.BenchHeavy.HEAVY_QUERIES.size + 2)
+  }
+}
