@@ -36,10 +36,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq
+    val queries = SparkEntry.queries // bind once: SparkEntry.queries is a def
+    val names = queries.keys.toSeq
     // warmup sweep: JIT + codegen compile, file-listing caches; untimed
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count() catch { case _: Throwable => () }
+      try queries(n)(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // samples(name) = successful wall times, one per sweep at most
     val samples = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
@@ -48,19 +49,16 @@ object Bench {
       val s0 = System.nanoTime()
       names.foreach { n =>
         val t0 = System.nanoTime()
-        val ok = try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+        val ok = try { queries(n)(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         if (ok) samples(n) :+= (System.nanoTime() - t0) / 1e9
       }
       val wall = (System.nanoTime() - s0) / 1e9
       (wall, la, loadavg())
     }
-    def median(v: Vector[Double]): Double = {
-      val s = v.sorted; s(s.size / 2)
-    }
     val results = names.map { n =>
       val v = samples(n)
-      n -> (if (v.isEmpty) -1.0 else median(v))
+      n -> (if (v.isEmpty) -1.0 else BenchUtil.median(v))
     }
     val failed = results.collect { case (n, t) if t < 0 => n }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -259,6 +259,7 @@ object Dedup {
     var edges = truncate(pairs
       .select(least($"doc_a", $"doc_b").as("a"), greatest($"doc_a", $"doc_b").as("b"))
       .filter($"a" =!= $"b").distinct(), "star-0")
+    var edgeCount = edges.count()
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -279,13 +280,18 @@ object Dedup {
         .union(withM.select($"m".as("a"), $"b"))
         .distinct()
       val newEdges = truncate(ss, s"star-$round")
-      truncate.drop(s"star-${round - 1}")
       // fixpoint when the canonical edge set is unchanged (both are
-      // distinct sets: equal counts + empty one-way difference)
+      // distinct sets: equal counts + empty one-way difference). The
+      // comparison READS the previous round's checkpoint, so the drop
+      // must come after it — and the old count is carried forward rather
+      // than recomputed with a per-round full-scan job.
+      val newCount = newEdges.count()
       changed =
-        if (newEdges.count() != edges.count()) 1L
+        if (newCount != edgeCount) 1L
         else newEdges.except(edges).count()
+      truncate.drop(s"star-${round - 1}")
       edges = newEdges
+      edgeCount = newCount
     }
     // at the fixpoint every component is a star rooted at its minimum
     val labels = vertices

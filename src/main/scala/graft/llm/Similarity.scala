@@ -127,6 +127,16 @@ object Similarity {
     val spark = embFrame.sparkSession
     withNative(spark)
     import spark.implicits._
+    // fail fast if the bit-sets would index past the vector: out-of-range
+    // element reads otherwise collapse those bands to one bucket, and a
+    // one-bucket band is an O(N²) all-pairs self-join. One-row probe at
+    // call time (first row of the first non-empty partition).
+    embFrame.select(size(col("embedding"))).take(1).foreach { r =>
+      val dim = r.getInt(0)
+      require(bands * signBits <= dim,
+        s"bands*signBits (${bands * signBits}) exceeds embedding dim ($dim): " +
+          "use fewer/narrower bands, or swap the axis-aligned slice for seeded projections")
+    }
     def bandSig(b: Int): Column = (1 to signBits)
       .map { i =>
         val d = b * signBits + i - 1

@@ -177,8 +177,9 @@ object BenchHeavy {
         spark.table("hv_orders_b"), spark.table("hv_lineitem_b").hint("merge")))
     ) else Seq.empty
 
+    val queries = graft.SparkEntry.queries // bind once: queries is a def
     val runnable: Seq[(String, () => DataFrame)] =
-      HEAVY_QUERIES.map(n => n -> (() => graft.SparkEntry.queries(n)(spark, dir))) ++ bucketed
+      HEAVY_QUERIES.map(n => n -> (() => queries(n)(spark, dir))) ++ bucketed
 
     // track genuine executor stage time per query: deep plans (q2/q3's
     // broadcast-dim chains) pay a fixed ~2-3s driver/AQE stage-scheduling
@@ -210,8 +211,10 @@ object BenchHeavy {
       if (ok) samples(name) :+= ((wall, stageMs.get() / 1e3))
     }
     val results = runnable.map { case (name, _) =>
+      // lower median by wall (see BenchUtil.median for the even-count
+      // rationale); the paired stage time rides along with its run
       val v = samples(name).sortBy(_._1)
-      name -> (if (v.isEmpty) (-1.0, -1.0) else v(v.size / 2))
+      name -> (if (v.isEmpty) (-1.0, -1.0) else v((v.size - 1) / 2))
     }
     // machine check of the bucketed claim: the fact join and its
     // aggregation must run with zero shuffle exchanges

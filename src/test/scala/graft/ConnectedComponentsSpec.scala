@@ -59,6 +59,28 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(starRounds <= 10, s"star contraction took $starRounds rounds on a 48-path")
   }
 
+  test("star contraction under a reliable checkpoint dir survives round pruning") {
+    import spark.implicits._
+    // regression: the fixpoint comparison reads the PREVIOUS round's
+    // checkpoint, so dropping round N-1 before the compare crashed with
+    // FileNotFoundException on every multi-round reliable-checkpoint run
+    val dir = "/root/repo/target/graft-tmp/cc_checkpoints_star"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+    val n = 17L
+    val vertices = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(vertices, pairs, Some(dir), "star")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L until n).map(_ -> 0L).toMap)
+    val remaining = Option(new java.io.File(dir).listFiles()).toSeq.flatten.map(_.getName)
+    assert(remaining.count(_.startsWith("star-")) <= 2,
+      s"star checkpoint rounds not pruned: $remaining")
+  }
+
   test("unknown algorithm name is rejected") {
     import spark.implicits._
     intercept[IllegalArgumentException] {

@@ -72,6 +72,15 @@ class LshParamsSpec extends SparkSpecBase {
     assert(v4 < allPairs / 10, s"banded volume near all-pairs: $v4 of $allPairs")
   }
 
+  test("banded signLshPairs rejects bit-sets wider than the vector") {
+    import spark.implicits._
+    val vecs = spark.range(4).toDF("vec_id")
+      .withColumn("embedding", expr("transform(sequence(0, 15), j -> CAST(j AS FLOAT))"))
+    intercept[IllegalArgumentException] {
+      Similarity.signLshPairs(vecs, 8, 3, 0.0) // 24 bits > 16 dims
+    }
+  }
+
   test("wider sign-LSH signatures cut candidate volume monotonically") {
     import spark.implicits._
     val vecs = spark.range(400).toDF("vec_id")

@@ -39,6 +39,7 @@ def main():
     oracle = json.load(open(oracle_path))
     compute = bench.get("stage_compute", {})
     rows = []
+    duck_cache = {}  # per-SQL memo: a _bucketed row reuses its base's measurement
     for name, spark_s in sorted(bench["queries"].items()):
         # a _bucketed variant computes the same result as its base query:
         # reuse the base oracle SQL for the DuckDB baseline
@@ -49,13 +50,18 @@ def main():
                     oracle[name] = oracle[cand]
                     break
         if name in oracle:
-            t0 = time.time()
-            try:
-                con.sql(oracle[name]).fetchall()
-                duck_s = time.time() - t0
-            except Exception as e:  # missing table / unsupported SQL: render as —
-                print(f"oracle failed for {name}: {e}", file=sys.stderr)
-                duck_s = None
+            sql = oracle[name]
+            if sql in duck_cache:
+                duck_s = duck_cache[sql]
+            else:
+                t0 = time.time()
+                try:
+                    con.sql(sql).fetchall()
+                    duck_s = time.time() - t0
+                except Exception as e:  # missing table / unsupported SQL: render as —
+                    print(f"oracle failed for {name}: {e}", file=sys.stderr)
+                    duck_s = None
+                duck_cache[sql] = duck_s
         else:
             duck_s = None
         rows.append((name, spark_s, duck_s, compute.get(name)))
@@ -68,10 +74,17 @@ def main():
         f.write(f"# {out_path.rsplit('.', 1)[0]} — Spark (graft) vs DuckDB on the oracle queries\n\n")
         f.write(f"Scale: `{sf_dir}`; Spark `local[32]` steady-state (post-warmup), "
                 f"DuckDB {duckdb.__version__} same host, same SQL as the correctness oracle.\n\n")
+        failed_note = f" **{len(failed)} queries FAILED: {', '.join(failed)}.**" if failed else ""
         f.write(f"**Totals: Spark {total_spark:.1f}s, DuckDB {total_duck:.1f}s over "
-                f"{len(rows)} queries.** Note ~0.1-0.2s fixed Spark job overhead per "
+                f"{len(rows) - len(failed)} queries.**{failed_note} Note ~0.1-0.2s fixed Spark job overhead per "
                 f"query (~{0.15*len(rows):.0f}s across the suite) dominates the gap; "
                 f"per-query ratios below reflect that floor, not asymptotic cost.\n\n")
+        def fmt(row_name, spark_val, cells):
+            # a query that failed every sweep is a FAILURE row, not a timing
+            if spark_val is not None and spark_val < 0:
+                return f"| {row_name} | FAILED | " + " | ".join("—" for _ in cells) + " |\n"
+            return None
+
         has_compute = any(r[3] is not None for r in rows)
         if has_compute:
             f.write("`stage s` is the sum of executor stage runtimes for the median "
@@ -80,14 +93,20 @@ def main():
                     "`compute ratio` = stage s / duckdb s.\n\n")
             f.write("| query | spark wall s | stage s | duckdb s | wall ratio | compute ratio |\n|---|---|---|---|---|---|\n")
             for name, s, d, c in sorted(rows, key=lambda r: -r[1]):
-                if d is not None and d > 0:
+                failed = fmt(name, s, range(4))
+                if failed:
+                    f.write(failed)
+                elif d is not None and d > 0:
                     f.write(f"| {name} | {s:.2f} | {c:.2f} | {d:.2f} | {s / d:.1f}x | {c / d:.1f}x |\n")
                 else:
                     f.write(f"| {name} | {s:.2f} | {c:.2f} | — | — | — |\n")
         else:
             f.write("| query | spark s | duckdb s | ratio |\n|---|---|---|---|\n")
             for name, s, d, _ in sorted(rows, key=lambda r: -r[1]):
-                if d is not None and d > 0:
+                failed = fmt(name, s, range(2))
+                if failed:
+                    f.write(failed)
+                elif d is not None and d > 0:
                     f.write(f"| {name} | {s:.2f} | {d:.2f} | {s / d:.1f}x |\n")
                 else:
                     f.write(f"| {name} | {s:.2f} | — | — |\n")
