@@ -96,6 +96,7 @@ object SparkEntry {
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
     "a11_histogram" -> (Analytics.a11Histogram _),
     "r7_stream_join" -> (graft.streaming.Streams.r7StreamJoin _),
+    "s9_clustered_scan" -> (graft.operators.Etl.s9ClusteredScan _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
     "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
@@ -299,6 +300,15 @@ object SparkEntry {
         |                FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+    "s9_clustered_scan" ->
+      // the oracle reads the UNCLUSTERED table: the layout must never
+      // change the answer, only the scan cost
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '2000-03-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '2000-04-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "r7_stream_join" ->
       // micros-space comparisons (EPOCH_US) on both sides: Spark compares
       // micros TimestampType, DuckDB would otherwise compare raw nanos

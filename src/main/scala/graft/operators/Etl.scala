@@ -96,6 +96,41 @@ object Etl {
       .orderBy($"city_id", $"day")
   }
 
+  /** Clustered parquet layout: range-partition on `clusterCol` (one task
+    * per contiguous value range) then sort within partitions before the
+    * write. Every output file then covers a disjoint slice of the cluster
+    * column and every row group carries tight min/max footer stats — the
+    * data-skipping lever at 100 TB: a predicate on the cluster column
+    * prunes whole row groups at the reader without any index structure.
+    * Use a date/int/string column (Spark's default INT96 timestamp layout
+    * carries no comparable stats — derive a DATE column first, as
+    * [[s9ClusteredScan]] does). */
+  def clusteredWrite(df: DataFrame, path: String, files: Int, clusterCol: String): Unit =
+    df.repartitionByRange(files, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S9 [EXT]: clustered-layout round trip — orders written clustered by
+    * order date, read back through a one-month slice (the scan that skips
+    * all but ~1/78th of the row groups), aggregated per priority. The
+    * oracle runs the same slice on the unclustered table: identical
+    * results, so correctness never depends on the layout — only cost
+    * does. */
+  def s9ClusteredScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = s"${scratch(spark)}/clustered_orders"
+    clusteredWrite(
+      Tables.orders(spark, sfDir).withColumn("o_date", to_date($"o_orderdate")),
+      out, files = 8, clusterCol = "o_date")
+    spark.read.parquet(out)
+      .filter($"o_date" >= lit("2000-03-01").cast("date")
+        && $"o_date" < lit("2000-04-01").cast("date"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.Exact.money($"o_totalprice")).cast("double").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** S7+S2: JSON sink (the spool, json.rs:14-54) + JSON scan with an
     * explicit schema (main.rs:225-227). JSONL at scale — the ref's
     * array-file form only exists because it appends row-at-a-time. */

@@ -161,6 +161,10 @@ object BenchHeavy {
     val dir = args.headOption.getOrElse("/root/repo/target/bench_heavy/sf1")
     val spark = MakeHeavy.session(Some(s"$dir/warehouse"))
     import spark.implicits._
+    // trust the one-file-per-bucket sort order at the scan (off by default
+    // because it lists files at planning time — cheap here, and it is what
+    // lets the bucketed SMJ run with neither exchange NOR per-task sort)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val haveBuckets = MakeHeavy.registerBucketed(spark, dir)
 
     // q2/q3 on the bucketed fact layout: merge hint keeps AQE from
