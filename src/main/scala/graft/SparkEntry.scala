@@ -63,6 +63,7 @@ object SparkEntry {
     "f11_array_ops" -> (graft.functions.Scalars.f11ArrayOps _),
     "f12_map_headers" -> (graft.functions.Scalars.f12MapHeaders _),
     "f13_jitter" -> (graft.functions.Scalars.f13Jitter _),
+    "f14_zorder_key" -> (graft.functions.Scalars.f14ZorderKey _),
     "s5_s6_partitioned_sink" -> (Etl.s5s6PartitionedSink _),
     "s7_json_sink" -> (Etl.s7JsonRoundtrip _),
     "s2_json_array_scan" -> (Etl.s2JsonArrayScan _),
@@ -400,6 +401,19 @@ object SparkEntry {
       """SELECT event_id,
         |  2000 + ((event_id % 100000) * 1103515245 + 12345) % 1000 AS delay_ms
         |FROM events ORDER BY event_id""".stripMargin,
+    "f14_zorder_key" -> {
+      val z = (0 until 10)
+        .map(i => s"(((d >> $i) & 1) << ${2 * i}) | (((c >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH k AS (
+         |  SELECT o_orderkey,
+         |    CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS d,
+         |    CAST(o_custkey % 1024 AS BIGINT) AS c
+         |  FROM orders)
+         |SELECT o_orderkey, d AS day_bucket, c AS cust_bucket,
+         |  CAST($z AS BIGINT) AS zkey
+         |FROM k ORDER BY o_orderkey""".stripMargin
+    },
     "s5_s6_partitioned_sink" ->
       """SELECT CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS city_id,
         |  CAST(DAY(o_orderdate) AS BIGINT) AS day, COUNT(*) AS n

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -164,5 +164,39 @@ object Scalars {
         // stays far from Long overflow at any event_id scale
         (lit(2000L) + ((($"event_id" % 100000L) * 1103515245L + 12345L) % 1000L)).as("delay_ms"))
       .orderBy($"event_id")
+  }
+
+  /** Morton/Z-order key: interleave the low `bits` of two non-negative
+    * ints (a in the even bit positions, b in the odd). Feed the result to
+    * [[graft.operators.Etl.clusteredWrite]] to cluster a table on TWO
+    * dimensions at once: a range predicate on either dimension then maps
+    * to a bounded set of z-ranges, so row-group min/max skipping works for
+    * both columns — the standard lakehouse multi-dim layout. Inputs must
+    * already be scaled to [0, 2^bits): rank/bucket the raw columns first
+    * (z-locality comes from the shared bounded range, not raw magnitudes).
+    * Pure bit arithmetic (shift/and/or composed built-ins) — codegen'd,
+    * deterministic, and replayable in ANSI SQL by the oracle. */
+  def zorderKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** F14 [EXT]: z-order key over (order day, customer bucket) — the
+    * two-dimensional clustering key for orders. Day since 1995-01-01 and
+    * custkey are both folded into 10-bit buckets first. */
+  def f14ZorderKey(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val day = (datediff($"o_orderdate", lit("1995-01-01").cast("timestamp")) % 1024).cast("long")
+    val cust = pmod($"o_custkey", lit(1024L))
+    Tables.orders(spark, sfDir)
+      .select(
+        $"o_orderkey",
+        day.as("day_bucket"),
+        cust.as("cust_bucket"),
+        zorderKey(day, cust, 10).as("zkey"))
+      .orderBy($"o_orderkey")
   }
 }

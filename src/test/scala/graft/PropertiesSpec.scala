@@ -75,6 +75,31 @@ class PropertiesSpec extends SparkSpecBase {
     assert(topk.select($"id").except(df.select($"id")).count() === 0)
   }
 
+  test("zorderKey is a bijection: de-interleaving recovers both inputs (F14)") {
+    import spark.implicits._
+    val gen = for {
+      a <- Gen.chooseNum(0L, 1023L)
+      b <- Gen.chooseNum(0L, 1023L)
+    } yield (a, b)
+    val pairs = samples(gen, 60).distinct
+    val df = pairs.toDF("a", "b")
+      .withColumn("z", graft.functions.Scalars.zorderKey($"a", $"b", 10))
+    // de-interleave in plain Scala from the collected keys
+    val got = df.collect().map { r =>
+      val z = r.getAs[Long]("z")
+      val a = (0 until 10).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val b = (0 until 10).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      (r.getAs[Long]("a"), r.getAs[Long]("b"), a, b)
+    }
+    got.foreach { case (a0, b0, a1, b1) =>
+      assert((a1, b1) === ((a0, b0)), s"z-key not invertible for ($a0, $b0)")
+    }
+    // interleaved keys preserve 2-D locality at the top: the z-curve keeps
+    // the high bit of both dims in the key's top two bits
+    val z = df.filter($"a" >= 512 && $"b" >= 512).select(min($"z")).head.getLong(0)
+    assert(z >= (3L << 18), s"high bits not interleaved at the top: $z")
+  }
+
   test("jaccard is symmetric-bounded: every emitted similarity in (0, 1]") {
     val j = graft.llm.Dedup.l2dNgramJaccard(spark, sfDir).collect()
     j.foreach { r =>
