@@ -91,6 +91,8 @@ object SparkEntry {
     "l4c_quality_score" -> (graft.llm.TextAnalysis.l4cQualityScore _),
     "l4d_token_count" -> (graft.llm.TextAnalysis.l4dTokenCount _),
     "l4e_fingerprint" -> (graft.llm.TextAnalysis.l4eFingerprint _),
+    "l4f_repetition_stats" -> (graft.llm.TextAnalysis.l4fRepetitionStats _),
+    "l2f_decontam" -> (graft.llm.Dedup.l2fDecontam _),
     "l5_multimodal_columns" -> (graft.llm.Multimodal.l5MultimodalColumns _),
     "l6_hash_sample" -> (graft.llm.TextAnalysis.l6HashSample _),
     "l7_tfidf_topterms" -> (graft.llm.TextAnalysis.l7TfidfTopTerms _),
@@ -669,6 +671,44 @@ object SparkEntry {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp,
         |  md5(text) AS md5_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "l4f_repetition_stats" -> {
+      // 48-bit md5 fold of each bigram — mirrors the Spark key exactly,
+      // so hash collisions (if any) merge the same counts in both engines
+      val bgHash =
+        """list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      [CAST(instr('0123456789abcdef', substr(md5(bg), j, 1)) - 1 AS BIGINT)
+          |       for j in range(1, 13)]), (acc, x) -> acc * 16 + x)""".stripMargin
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |base AS (
+         |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+         |    [words[i] || ' ' || words[i+1] for i in range(1, len(words))] AS bgs
+         |  FROM w WHERE len(words) >= 2),
+         |keyed AS (
+         |  SELECT doc_id, n_words, n_distinct, $bgHash AS bgk
+         |  FROM (SELECT doc_id, n_words, n_distinct, unnest(bgs) AS bg FROM base)),
+         |counts AS (
+         |  SELECT doc_id, n_words, n_distinct, bgk, COUNT(*) AS c
+         |  FROM keyed GROUP BY 1, 2, 3, 4),
+         |tops AS (
+         |  SELECT doc_id, n_words, n_distinct, MAX(c) AS top_bigram_n
+         |  FROM counts GROUP BY 1, 2, 3)
+         |SELECT doc_id,
+         |  1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+         |  CAST(top_bigram_n AS DOUBLE) / (n_words - 1) AS top_bigram_frac,
+         |  (1.0 - CAST(n_distinct AS DOUBLE) / n_words) > 0.3
+         |    OR (CAST(top_bigram_n AS DOUBLE) / (n_words - 1)) > 0.1 AS flagged
+         |FROM tops ORDER BY doc_id""".stripMargin
+    },
+    "l2f_decontam" ->
+      s"""WITH sh AS ($duckShingles),
+         |$duckBaseHashes,
+         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id < 50),
+         |corp AS (SELECT doc_id, unnest(hs) AS h FROM hashed WHERE doc_id >= 50)
+         |SELECT c.doc_id, COUNT(DISTINCT c.h) AS n_shared
+         |FROM corp c JOIN bench b ON c.h = b.h
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "l5_multimodal_columns" ->
       """SELECT doc_id, 'image/px' || CAST(doc_id % 3 AS VARCHAR) AS media_type,
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,

@@ -301,6 +301,26 @@ object Dedup {
     (labels, round)
   }
 
+  /** L2f [EXT]: n-gram decontamination — the benchmark-overlap scan every
+    * training corpus runs before release: flag corpus documents sharing
+    * ANY 5-gram shingle with a benchmark/seed set (stand-in here: docs
+    * with doc_id < 50). The benchmark's shingle-hash set broadcasts (it is
+    * small by construction); the corpus side joins on the 48-bit hash with
+    * no shuffle before the per-doc count — one corpus scan regardless of
+    * benchmark count, the l3d decontamination shape applied to text. */
+  def l2fDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val bench = withShingles(docs.filter($"doc_id" < 50))
+      .select(explode($"hs").as("sh")).distinct()
+    val corpus = withShingles(docs.filter($"doc_id" >= 50))
+      .select($"doc_id", explode($"hs").as("sh"))
+    corpus.join(broadcast(bench), "sh")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"sh").as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
   /** L2c: SimHash — 16-bit signature; per bit, every word votes ±1 by a
     * seeded md5 bit, weighted by term frequency. Pure array fold per row,
     * no shuffle until the final cluster window. */

@@ -149,6 +149,39 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rk")
   }
 
+  /** L4f [EXT]: repetition-based quality signals (the C4/Gopher filter
+    * family): duplicate-word fraction and top-bigram fraction, with the
+    * standard flag thresholds. Bigrams are counted under the 48-bit md5
+    * key (the l7 trick): the grouping shuffles 8-byte keys, never bigram
+    * strings — and the strings never surface, so no dictionary join-back
+    * is needed at all. */
+  def l4fRepetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val withW = Tables.documents(spark, sfDir)
+      .withColumn("words", split($"text", " "))
+      .select($"doc_id",
+        size($"words").cast("long").as("n_words"),
+        size(array_distinct($"words")).cast("long").as("n_distinct"),
+        $"words")
+      .filter($"n_words" >= 2)
+    val bigrams = withW.select($"doc_id", $"n_words", $"n_distinct",
+      explode(expr(
+        "transform(sequence(1, size(words) - 1), " +
+          "i -> CAST(conv(substr(md5(concat(words[i-1], ' ', words[i])), 1, 12), 16, 10) AS BIGINT))"))
+        .as("bg"))
+    bigrams
+      .groupBy($"doc_id", $"n_words", $"n_distinct", $"bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n_words", $"n_distinct")
+      .agg(max($"c").as("top_bigram_n"))
+      .select($"doc_id",
+        (lit(1.0) - $"n_distinct".cast("double") / $"n_words").as("dup_word_frac"),
+        ($"top_bigram_n".cast("double") / ($"n_words" - 1)).as("top_bigram_frac"),
+        ((lit(1.0) - $"n_distinct".cast("double") / $"n_words") > 0.3
+          || ($"top_bigram_n".cast("double") / ($"n_words" - 1)) > 0.1).as("flagged"))
+      .orderBy($"doc_id")
+  }
+
   /** L4e: document fingerprint — polynomial rolling hash over the char
     * stream (mod 1e9+7), plus a strong md5. The rolling form is the
     * building block for winnowing-style fingerprints. */
