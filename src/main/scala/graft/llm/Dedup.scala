@@ -45,13 +45,17 @@ object Dedup {
   private def minhash(seed: Int): Column =
     expr(s"array_min(transform(hs, h -> ((h % $P) * ${lcgA(seed)} + ${lcgB(seed)}) % $P))")
 
-  private def withShingles(docs: DataFrame): DataFrame =
+  private def withShingles(docs: DataFrame): DataFrame = {
+    // native digest-bytes->long expression: bit-equal to
+    // conv(substr(md5(s),1,12),16,10) but without the hex round trip,
+    // which dominated the shingle scan at sf1 (see plans.Md5Prefix48)
+    graft.plans.Md5Prefix48.register(docs.sparkSession)
     docs
       .withColumn("words", wordsCol)
       .filter(size(col("words")) >= SHINGLE_K)
       .withColumn("shingles", shinglesExpr)
-      .withColumn("hs",
-        expr("transform(shingles, s -> CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT))"))
+      .withColumn("hs", expr("transform(shingles, s -> md5_prefix48(s))"))
+  }
 
   /** L1: exact dedup — content-hash the text, keep the smallest doc_id as
     * representative. One shuffle on the 32-byte hash, never on the text. */

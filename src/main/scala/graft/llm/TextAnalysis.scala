@@ -116,7 +116,8 @@ object TextAnalysis {
     * deterministic, and mirrored bit-for-bit by the oracle SQL. */
   def l7TfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val tkey = expr("CAST(conv(substr(md5(term), 1, 12), 16, 10) AS BIGINT)")
+    graft.plans.Md5Prefix48.register(spark)
+    val tkey = expr("md5_prefix48(term)")
     val docs = Tables.documents(spark, sfDir)
     val terms = docs
       .select($"doc_id", explode(split($"text", " ")).as("term"))
@@ -157,6 +158,7 @@ object TextAnalysis {
     * is needed at all. */
   def l4fRepetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.plans.Md5Prefix48.register(spark)
     val withW = Tables.documents(spark, sfDir)
       .withColumn("words", split($"text", " "))
       .select($"doc_id",
@@ -167,7 +169,7 @@ object TextAnalysis {
     val bigrams = withW.select($"doc_id", $"n_words", $"n_distinct",
       explode(expr(
         "transform(sequence(1, size(words) - 1), " +
-          "i -> CAST(conv(substr(md5(concat(words[i-1], ' ', words[i])), 1, 12), 16, 10) AS BIGINT))"))
+          "i -> md5_prefix48(concat(words[i-1], ' ', words[i])))"))
         .as("bg"))
     bigrams
       .groupBy($"doc_id", $"n_words", $"n_distinct", $"bg")

@@ -102,11 +102,13 @@ object DotF32 {
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` installs the native
-  * function at session build time — the deployment-config path. */
+  * functions at session build time — the deployment-config path. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
       (exprs: Seq[Expression]) => DotF32(exprs.head, exprs(1))))
+    ext.injectFunction(Md5Prefix48.injection)
+  }
 }

@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Heavy bench tier: the sf0.1 fixture replicated `copies`x with key
-  * shifting (≈ sf1 at the default 10), so the 2x-of-baseline comparison
+  * shifting (≈ sf5 at the default 50), so the 2x-of-baseline comparison
   * measures COMPUTE, not the ~0.15s fixed per-job submission floor that
-  * dominates 80+ tiny queries (BENCHNOTES.md).
+  * dominates 80+ tiny queries (BENCHNOTES.md). 50x (not 10x) because with
+  * the parallel 32-file layout BOTH engines chew sf1 in sub-second bites,
+  * which puts the comparison right back on the task-granularity floor.
   *
   * `MakeHeavy` materializes the scaled tables — plus bucketed catalog
   * copies of orders/lineitem on the order key, the co-located-join layout
@@ -35,8 +37,8 @@ object MakeHeavy {
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = if (args.length > 1) args(1) else "/root/repo/target/bench_heavy/sf1"
-    val copies = if (args.length > 2) args(2).toInt else 10
+    val out = if (args.length > 1) args(1) else "/root/repo/target/bench_heavy/sf5"
+    val copies = if (args.length > 2) args(2).toInt else 50
     val spark = session(Some(s"$out/warehouse"))
     import spark.implicits._
     val reps = broadcast(spark.range(copies).toDF("k"))
@@ -52,17 +54,27 @@ object MakeHeavy {
       df.crossJoin(reps).select(cols.toSeq: _*)
     }
 
+    // FILES output files per big table: the crossJoin inherits the source
+    // file's 1-2 splits, and a single ~60 MB parquet file is ONE row group
+    // = ONE scan task — which serializes every CPU-heavy per-row pipeline
+    // (shingle+digest, bigram hashing) on top of it. A real table at this
+    // scale is thousands of files; 32 keeps scan parallelism = cores.
+    val FILES = 32
     scaled("orders", Map("o_orderkey" -> SHIFT_ORDER, "o_custkey" -> SHIFT_CUST))
+      .repartition(FILES)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     scaled("customer", Map("c_custkey" -> SHIFT_CUST))
+      .repartition(FILES)
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
     scaled("lineitem", Map("l_orderkey" -> SHIFT_ORDER))
+      .repartition(FILES)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     // the source fixture stores ts as TIMESTAMP(NANOS) (read here as a
     // long via nanosAsLong); emit micros TIMESTAMP so both engines read
     // the heavy tier natively (Tables.events passes timestamps through)
     scaled("events", Map("event_id" -> SHIFT_EVENT, "user_id" -> SHIFT_USER))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .repartition(FILES)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     // documents: shift ids AND make the text replica-distinct by suffixing
     // every word with the replica tag — shingles/terms never collide across
@@ -74,6 +86,7 @@ object MakeHeavy {
         ($"doc_id" + $"k" * SHIFT_DOC).as("doc_id"),
         expr("array_join(transform(split(text, ' '), w -> concat(w, '_', k)), ' ')").as("text"),
         $"lang", $"source", ($"n_chars" + 0L).as("n_chars"))
+      .repartition(FILES)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     for (t <- Seq("region", "nation", "supplier", "part"))
       spark.read.parquet(s"$src/$t.parquet")
@@ -153,12 +166,12 @@ object BenchHeavy {
     "l7_tfidf_topterms", "q1_pricing_summary", "q2_shipping_priority",
     "q3_revenue_by_nation", "s5_s6_partitioned_sink", "l1_exact_dedup",
     "w1_topk_per_group", "r4_session_window", "a9_percentiles",
-    "s4_point_lookup")
+    "s4_point_lookup", "l2f_decontam", "l4f_repetition_stats")
 
   val SWEEPS = 3
 
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/repo/target/bench_heavy/sf1")
+    val dir = args.headOption.getOrElse("/root/repo/target/bench_heavy/sf5")
     val spark = MakeHeavy.session(Some(s"$dir/warehouse"))
     import spark.implicits._
     // trust the one-file-per-bucket sort order at the scan (off by default
