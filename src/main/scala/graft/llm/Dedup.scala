@@ -57,6 +57,22 @@ object Dedup {
       .withColumn("hs", expr("transform(shingles, s -> md5_prefix48(s))"))
   }
 
+  /** One row per (doc, shingle hash) with the doc's shingle count —
+    * the exploded form l2d/l2f join on. The digest runs in a flat
+    * codegen'd projection AFTER the explode: higher-order `transform`
+    * lambdas evaluate interpreted per element, which at 43M shingles is
+    * the difference between a ~0.3µs and a ~4µs digest. */
+  private def explodedShingleHashes(docs: DataFrame): DataFrame = {
+    graft.plans.Md5Prefix48.register(docs.sparkSession)
+    docs
+      .withColumn("words", wordsCol)
+      .filter(size(col("words")) >= SHINGLE_K)
+      .withColumn("shingles", shinglesExpr)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"),
+        explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("n_sh"), expr("md5_prefix48(s)").as("sh"))
+  }
+
   /** L1: exact dedup — content-hash the text, keep the smallest doc_id as
     * representative. One shuffle on the 32-byte hash, never on the text. */
   def l1ExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -315,10 +331,10 @@ object Dedup {
   def l2fDecontam(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val bench = withShingles(docs.filter($"doc_id" < 50))
-      .select(explode($"hs").as("sh")).distinct()
-    val corpus = withShingles(docs.filter($"doc_id" >= 50))
-      .select($"doc_id", explode($"hs").as("sh"))
+    val bench = explodedShingleHashes(docs.filter($"doc_id" < 50))
+      .select($"sh").distinct()
+    val corpus = explodedShingleHashes(docs.filter($"doc_id" >= 50))
+      .select($"doc_id", $"sh")
     corpus.join(broadcast(bench), "sh")
       .groupBy($"doc_id")
       .agg(countDistinct($"sh").as("n_shared"))
@@ -357,8 +373,7 @@ object Dedup {
     * similarity is deterministic. */
   def l2dNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = withShingles(Tables.documents(spark, sfDir))
-      .select($"doc_id", size($"hs").cast("long").as("n_sh"), explode($"hs").as("sh"))
+    val sh = explodedShingleHashes(Tables.documents(spark, sfDir))
     // merge hint -> shared shuffle exchange: shingle hashing runs once
     // (see l2bLshCandidates; measured faster than shuffle_hash here).
     val a = sh.as("a"); val b = sh.hint("merge").as("b")

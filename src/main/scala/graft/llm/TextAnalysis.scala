@@ -166,11 +166,15 @@ object TextAnalysis {
         size(array_distinct($"words")).cast("long").as("n_distinct"),
         $"words")
       .filter($"n_words" >= 2)
+    // digest AFTER the explode: the higher-order transform lambda runs
+    // interpreted per element, so it only builds the (cheap) bigram
+    // string; md5_prefix48 then evaluates in the codegen'd projection
     val bigrams = withW.select($"doc_id", $"n_words", $"n_distinct",
       explode(expr(
         "transform(sequence(1, size(words) - 1), " +
-          "i -> md5_prefix48(concat(words[i-1], ' ', words[i])))"))
-        .as("bg"))
+          "i -> concat(words[i-1], ' ', words[i]))")).as("bgs"))
+      .select($"doc_id", $"n_words", $"n_distinct",
+        expr("md5_prefix48(bgs)").as("bg"))
     bigrams
       .groupBy($"doc_id", $"n_words", $"n_distinct", $"bg")
       .agg(count(lit(1)).as("c"))
