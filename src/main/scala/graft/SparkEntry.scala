@@ -79,6 +79,7 @@ object SparkEntry {
     "l2c_simhash" -> (graft.llm.Dedup.l2cSimhash _),
     "l2e_connected_components" -> (graft.llm.Dedup.l2eConnectedComponents _),
     "l2d_ngram_jaccard" -> (graft.llm.Dedup.l2dNgramJaccard _),
+    "l2d_xxh" -> (graft.llm.Dedup.l2dNgramJaccardXx _),
     "l3_similarity_search" -> (graft.llm.Similarity.l3BruteForceTopk _),
     "l3b_lsh_neardup" -> (graft.llm.Similarity.l3bLshNearDup _),
     "l3c_ivf_topk" -> (graft.llm.Similarity.l3cIvfTopk _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
     "a11_histogram" -> (Analytics.a11Histogram _),
     "r7_stream_join" -> (graft.streaming.Streams.r7StreamJoin _),
+    "r8_high_water" -> (graft.streaming.Streams.r8HighWater _),
     "s9_clustered_scan" -> (graft.operators.Etl.s9ClusteredScan _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
@@ -108,6 +110,13 @@ object SparkEntry {
     "a5c_cube" -> (Analytics.a5cCube _),
     "a8_pivot" -> (Analytics.a8Pivot _),
     "a9_percentiles" -> (Analytics.a9Percentiles _),
+    "a5d_grouping_sets" -> (Analytics.a5dGroupingSets _),
+    "a12_unpivot" -> (Analytics.a12Unpivot _),
+    "w5_rank_family" -> (Windows.w5RankFamily _),
+    "f15_levenshtein" -> (graft.functions.Scalars.f15Levenshtein _),
+    "dq1_quality_profile" -> (Quality.dq1QualityProfile _),
+    "u1_latest_wins" -> (Quality.u1LatestWins _),
+    "l10_pii_redact" -> (graft.llm.TextAnalysis.l10PiiRedact _),
   )
 
   /** Single source of truth for the listing page size (main.rs:120). */
@@ -158,6 +167,20 @@ object SparkEntry {
 
   private def duckCosine(a: String, b: String): String =
     s"${duckDot(a, b)} / (SQRT(${duckDot(a, a)}) * SQRT(${duckDot(b, b)}))"
+
+  /** l2d's oracle, shared by `l2d_xxh` (identical expected output — the
+    * shingle hash is join-internal; see Dedup.l2dNgramJaccardXx). */
+  private val l2dOracle: String =
+    s"""WITH sh AS ($duckShingles),
+       |$duckBaseHashes,
+       |shx AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_sh, unnest(hs) AS sh
+       |        FROM hashed)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared,
+       |  a.n_sh AS n_a, b.n_sh AS n_b,
+       |  COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
+       |FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -521,17 +544,11 @@ object SparkEntry {
          |SELECT doc_id, simhash, MIN(doc_id) OVER (PARTITION BY simhash) AS cluster_id
          |FROM simmed ORDER BY doc_id""".stripMargin
     },
-    "l2d_ngram_jaccard" ->
-      s"""WITH sh AS ($duckShingles),
-         |$duckBaseHashes,
-         |shx AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_sh, unnest(hs) AS sh
-         |        FROM hashed)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared,
-         |  a.n_sh AS n_a, b.n_sh AS n_b,
-         |  COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) AS jaccard
-         |FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "l2d_ngram_jaccard" -> l2dOracle,
+    // the xx variant's hash never appears in the output, so the md5-keyed
+    // oracle is the exact expected result — their equality is the per-run
+    // machine check that xxhash64 introduced no colliding shingles
+    "l2d_xxh" -> l2dOracle,
     "l3_similarity_search" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, ${duckCosine("embedding", "q_emb")} AS cosine
@@ -819,5 +836,65 @@ object SparkEntry {
         |  QUANTILE_CONT(o_totalprice, 0.5) AS med,
         |  QUANTILE_CONT(o_totalprice, 0.9) AS p90
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "a5d_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "a12_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part)
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "w5_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "f15_levenshtein" ->
+      """SELECT p_partkey, CAST(levenshtein(p_brand, p_type) AS BIGINT) AS edit_dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "dq1_quality_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(props) AS null_props,
+        |  COUNT(DISTINCT event_id) AS distinct_ids,
+        |  COUNT(*) - COUNT(DISTINCT event_id) AS dup_ids,
+        |  CAST(SUM(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_values,
+        |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us,
+        |  CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us
+        |FROM events""".stripMargin,
+    "u1_latest_wins" ->
+      """SELECT user_id, event_type, event_id, value FROM events
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "r8_high_water" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value,
+        |    MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM events)
+        |WHERE prev_max IS NULL OR value > prev_max
+        |ORDER BY event_id""".stripMargin,
+    "l10_pii_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com ph '
+        |      || lpad(CAST(doc_id * 7919 % 1000000000 + 1000000000 AS VARCHAR), 10, '0') AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(regexp_replace(
+        |    regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{9,}', '<NUM>', 'g')) AS clean_md5,
+        |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '[0-9]{9,}')) AS BIGINT) AS n_nums
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }

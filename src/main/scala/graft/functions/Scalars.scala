@@ -199,4 +199,17 @@ object Scalars {
         zorderKey(day, cust, 10).as("zkey"))
       .orderBy($"o_orderkey")
   }
+
+  /** F15 [EXT]: edit distance — `levenshtein` is the standard fuzzy
+    * string match for entity resolution (vendor-name reconciliation in
+    * the reference's domain). Codegen'd built-in, O(|a|·|b|) per row,
+    * no shuffle; identical unit-cost insert/delete/substitute definition
+    * in DuckDB. */
+  def f15Levenshtein(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .select($"p_partkey",
+        levenshtein($"p_brand", $"p_type").cast("long").as("edit_dist"))
+      .orderBy($"p_partkey")
+  }
 }

@@ -62,7 +62,14 @@ object Dedup {
     * codegen'd projection AFTER the explode: higher-order `transform`
     * lambdas evaluate interpreted per element, which at 43M shingles is
     * the difference between a ~0.3µs and a ~4µs digest. */
-  private def explodedShingleHashes(docs: DataFrame): DataFrame = {
+  private def explodedShingleHashes(docs: DataFrame): DataFrame =
+    explodedShingleHashesBy(docs, "md5_prefix48(s)")
+
+  /** Same exploded form with a caller-chosen shingle hash expression over
+    * `s`. The hash key never appears in any output — only pair counts
+    * derived from equality on it — so any collision-sparse 64-bit hash
+    * yields identical results. */
+  private def explodedShingleHashesBy(docs: DataFrame, hashSql: String): DataFrame = {
     graft.plans.Md5Prefix48.register(docs.sparkSession)
     docs
       .withColumn("words", wordsCol)
@@ -70,7 +77,7 @@ object Dedup {
       .withColumn("shingles", shinglesExpr)
       .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"),
         explode(col("shingles")).as("s"))
-      .select(col("doc_id"), col("n_sh"), expr("md5_prefix48(s)").as("sh"))
+      .select(col("doc_id"), col("n_sh"), expr(hashSql).as("sh"))
   }
 
   /** L1: exact dedup — content-hash the text, keep the smallest doc_id as
@@ -371,9 +378,26 @@ object Dedup {
     * Joins on the 48-bit shingle hash, not the string — an 8-byte shuffle
     * key instead of ~25-byte text. Exact set arithmetic (longs) so the
     * similarity is deterministic. */
-  def l2dNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def l2dNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardBy(spark, sfDir, "md5_prefix48(s)")
+
+  /** L2d on `xxhash64` shingle keys instead of md5: the 64-bit key is
+    * just as collision-sparse, so the pair set — and therefore every
+    * output row — is identical (the hash never leaves the plan; see
+    * [[explodedShingleHashesBy]]). Measured at the sf5 heavy tier the
+    * end-to-end time matches l2d's (BENCHNOTES_HEAVY) — the native
+    * [[graft.plans.Md5Prefix48]] already removed the digest from the
+    * critical path and the self-join pair volume dominates. The variant
+    * earns its place anyway: it proves the hash seam is swappable, and
+    * its oracle check runs against l2d's md5-keyed SQL, so result
+    * equality is a per-run machine check that xxhash64 introduced no
+    * colliding shingle. */
+  def l2dNgramJaccardXx(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardBy(spark, sfDir, "xxhash64(s)")
+
+  private def ngramJaccardBy(spark: SparkSession, sfDir: String, hashSql: String): DataFrame = {
     import spark.implicits._
-    val sh = explodedShingleHashes(Tables.documents(spark, sfDir))
+    val sh = explodedShingleHashesBy(Tables.documents(spark, sfDir), hashSql)
     // merge hint -> shared shuffle exchange: shingle hashing runs once
     // (see l2bLshCandidates; measured faster than shuffle_hash here).
     val a = sh.as("a"); val b = sh.hint("merge").as("b")

@@ -202,4 +202,33 @@ object TextAnalysis {
         md5($"text").as("md5_fp"))
       .orderBy($"doc_id")
   }
+
+  /** L10 [EXT]: PII redaction — the scrub pass every training corpus runs
+    * before tokenization: emails and long digit runs (phone/account
+    * numbers) replaced by type tags. Pure per-row `regexp_replace`
+    * (codegen'd, no shuffle; 100 TB costs one scan), patterns restricted
+    * to syntax Java regex and RE2 agree on. The fixture text contains no
+    * PII, so a deterministic contact string is derived from `doc_id`
+    * inside the query (mirrored exactly in the oracle) — the match +
+    * replace semantics are then verified on every row rather than
+    * vacuously. Output carries md5(redacted) instead of the text so the
+    * oracle hashes replacement equivalence without dumping the corpus. */
+  def l10PiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val digits = "[0-9]{9,}"
+    Tables.documents(spark, sfDir)
+      .withColumn("raw", concat(
+        $"text", lit(" contact user"), $"doc_id",
+        lit("@mail.example.com ph "),
+        lpad(($"doc_id" * 7919L % 1000000000L + 1000000000L).cast("string"), 10, "0")))
+      .withColumn("clean",
+        regexp_replace(regexp_replace($"raw", email, "<EMAIL>"), digits, "<NUM>"))
+      .select(
+        $"doc_id",
+        md5($"clean").as("clean_md5"),
+        expr(s"regexp_count(raw, '$email')").cast("long").as("n_emails"),
+        expr(s"regexp_count(raw, '$digits')").cast("long").as("n_nums"))
+      .orderBy($"doc_id")
+  }
 }

@@ -175,4 +175,38 @@ object Analytics {
         sum($"psum").cast("double").as("total_price"))
       .orderBy($"l_returnflag")
   }
+
+  /** A5d [EXT]: explicit GROUPING SETS — the general form that A5b's
+    * rollup and A5c's cube are special cases of. One shuffle: Catalyst
+    * expands the input once per set (Expand node) and a single partial +
+    * final aggregate runs over the union, so cost is |sets| map-side
+    * passes, never |sets| shuffles. `grouping(col)` flags are cast to
+    * long on both sides (Spark yields int, DuckDB bigint). */
+  def a5dGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        grouping($"l_returnflag").cast("long").as("g_flag"),
+        grouping($"l_linestatus").cast("long").as("g_status"))
+      .orderBy($"g_flag", $"g_status", $"l_returnflag", $"l_linestatus")
+  }
+
+  /** A12 [EXT]: unpivot (wide metrics → long key/value rows) — the
+    * inverse of A8's pivot. Per-row expansion with no shuffle: Catalyst
+    * plans `unpivot` as an Expand over the scan, so 100 TB costs one
+    * pass writing |metrics|× rows. Metric values are cast to double up
+    * front (unpivot requires a common value type). */
+  def a12Unpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, sfDir)
+      .select($"p_partkey",
+        $"p_size".cast("double").as("size"),
+        $"p_retailprice".as("retailprice"))
+      .unpivot(Array($"p_partkey"), Array($"size", $"retailprice"), "metric", "value")
+      .orderBy($"p_partkey", $"metric")
+  }
 }

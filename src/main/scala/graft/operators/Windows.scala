@@ -85,6 +85,28 @@ object Windows {
       .orderBy($"event_id")
   }
 
+  /** W5 [EXT]: the relative-rank family — ntile / percent_rank /
+    * cume_dist per priority class. All three partition by
+    * `o_orderpriority` (5 classes, each ~N/5 rows), so per-partition
+    * state is one class's rows and the shuffle key matches the window
+    * key — the same scale posture as W1/W3. The ORDER BY is total on
+    * (o_totalprice DESC, o_orderkey) so rank ties cannot occur and the
+    * double-valued ranks are bit-deterministic: percent_rank's
+    * (rank-1)/(n-1) and cume_dist's peers/n are each a single IEEE
+    * division of exact integers, identical in any engine. */
+  def w5RankFamily(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, sfDir)
+      .select(
+        $"o_orderkey", $"o_orderpriority",
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy($"o_orderkey")
+  }
+
   /** W4 [EXT]: running total of orders over months (progress view). The
     * window runs over the aggregated month table (≤ hundreds of rows), not
     * the fact table — scale-safe by construction. */

@@ -18,6 +18,37 @@ import graft.Tables
   */
 case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
 case class ProgressUpdate(event_id: Long, user_id: Long, events_so_far: Long)
+case class ValuedEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+case class HighWater(event_id: Long, user_id: Long, value: Double)
+
+/** R8 streaming form: Spark 4 arbitrary-state-v2 processor. One
+  * `ValueState[Double]` per user holds the running max across
+  * micro-batches (requires the RocksDB state store provider — see
+  * StreamingSpec). Within a batch the group's rows are sorted by
+  * (ts, event_id) before the fold, matching the batch window's ORDER BY,
+  * so batch and stream emit the identical row set. */
+class HighWaterProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ValuedEvent, HighWater] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+  @transient private var maxSeen: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    maxSeen = getHandle.getValueState[Double](
+      "maxSeen", org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long, rows: Iterator[ValuedEvent],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[HighWater] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var cur: Option[Double] = if (maxSeen.exists()) Some(maxSeen.get()) else None
+    val out = sorted.flatMap { e =>
+      if (cur.forall(e.value > _)) { cur = Some(e.value); Some(HighWater(e.event_id, user, e.value)) }
+      else None
+    }
+    cur.foreach(maxSeen.update)
+    out.iterator
+  }
+}
 
 object Streams {
 
@@ -184,6 +215,36 @@ object Streams {
   def r6StatefulProgress(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     runningProgress(Tables.events(spark, sfDir)).orderBy($"event_id")
+  }
+
+  /** R8 batch form: events that set a new per-user value high-water mark
+    * (alert-on-record semantics). The window max runs over each row's
+    * strict predecessors; per-key state is one group's rows, shuffle key
+    * = partition key — the W1/W3 scale posture. */
+  def newHighWaterMarks(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("prev_max", max($"value").over(w))
+      .filter($"prev_max".isNull || $"value" > $"prev_max")
+      .select($"event_id", $"user_id", $"value")
+  }
+
+  /** R8 streaming entry: [[HighWaterProcessor]] via `transformWithState`
+    * (TimeMode NONE, append). */
+  def highWaterStream(events: org.apache.spark.sql.Dataset[ValuedEvent]):
+      org.apache.spark.sql.Dataset[HighWater] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new HighWaterProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  def r8HighWater(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    newHighWaterMarks(Tables.events(spark, sfDir)).orderBy($"event_id")
   }
 
   def r7StreamJoin(spark: SparkSession, sfDir: String): DataFrame = {

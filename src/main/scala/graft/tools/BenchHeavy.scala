@@ -162,7 +162,7 @@ object BenchHeavy {
     * remaining operator family (window w1, session r4, percentile a9,
     * point-lookup s4) so the sf1 table covers every family. */
   val HEAVY_QUERIES: Seq[String] = Seq(
-    "l2d_ngram_jaccard", "l2e_connected_components", "l2b_lsh_candidates",
+    "l2d_ngram_jaccard", "l2d_xxh", "l2e_connected_components", "l2b_lsh_candidates",
     "l7_tfidf_topterms", "q1_pricing_summary", "q2_shipping_priority",
     "q3_revenue_by_nation", "s5_s6_partitioned_sink", "l1_exact_dedup",
     "w1_topk_per_group", "r4_session_window", "a9_percentiles",

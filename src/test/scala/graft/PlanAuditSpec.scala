@@ -120,6 +120,36 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(partitioned.nonEmpty, "expected the bucket-partitioned rank window")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB the win: a selective dimension filter is turned into a
+    // bloom filter evaluated on the fact side BEFORE its shuffle, cutting
+    // shuffle volume by the filter's selectivity. Size thresholds are
+    // lowered to fire at fixture scale; production defaults (creation side
+    // <= 10 MB, application side >= 10 GB scan) match the deployment in
+    // SCALE.md. Broadcast is disabled to model the fact-fact case — with
+    // broadcast available Spark correctly prefers it and no bloom is needed.
+    val sets = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = sets.map { case (k, _) => k -> spark.conf.getOption(k) }
+    sets.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val orders = Tables.orders(spark, sfDir).filter($"o_orderpriority" === "1-URGENT")
+      val li = Tables.lineitem(spark, sfDir)
+      val joined = li.join(orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("no operator plan contains a cartesian product") {
     val sinkQueries = Set("s5_s6_partitioned_sink", "s7_json_sink", "s2_json_array_scan",
       "s9_clustered_scan")

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Semantics of the round-4 additions: latest-wins compaction, the
+  * one-pass profile, the relative-rank family, grouping sets, and
+  * unpivot (pivot's inverse). The oracle already hash-checks values;
+  * these assert the invariants a hash can't state. */
+class QualitySpec extends SparkSpecBase {
+
+  test("U1 keeps exactly one row per key and it is the newest") {
+    import spark.implicits._
+    val events = Seq(
+      // (user, type, event_id, ts, value) — key (1,a) has 3 versions incl. a ts tie
+      (1L, "a", 10L, "2024-01-01 00:00:01", 1.0),
+      (1L, "a", 11L, "2024-01-01 00:00:02", 2.0),
+      (1L, "a", 12L, "2024-01-01 00:00:02", 3.0), // wins: ts tie, higher id
+      (1L, "b", 13L, "2024-01-01 00:00:00", 4.0),
+      (2L, "a", 14L, "2024-01-01 00:00:09", 5.0))
+      .toDF("user_id", "event_type", "event_id", "s", "value")
+      .withColumn("ts", $"s".cast("timestamp")).drop("s")
+    events.createOrReplaceTempView("u1fix")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type").orderBy($"ts".desc, $"event_id".desc)
+    val out = events.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map((1L, "a") -> 12L, (1L, "b") -> 13L, (2L, "a") -> 14L))
+    // and the operator over the fixture dir: one row per key, keys preserved
+    val op = Quality.u1LatestWins(spark, sfDir)
+    assert(op.groupBy("user_id", "event_type").count().filter($"count" > 1).count() === 0)
+    assert(op.count() ===
+      Tables.events(spark, sfDir).select("user_id", "event_type").distinct().count())
+  }
+
+  test("DQ1 profile terms are internally consistent") {
+    import spark.implicits._
+    val row = Quality.dq1QualityProfile(spark, sfDir).head()
+    val (n, nullProps, distinct, dups) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(n === Tables.events(spark, sfDir).count())
+    assert(distinct + dups === n)
+    assert(nullProps >= 0 && nullProps <= n)
+    assert(row.getLong(5) <= row.getLong(6)) // min_ts <= max_ts
+  }
+
+  test("W5 quartiles are balanced within each priority class") {
+    import spark.implicits._
+    val sizes = Windows.w5RankFamily(spark, sfDir)
+      .groupBy($"o_orderpriority", $"quartile").count()
+      .groupBy($"o_orderpriority")
+      .agg((max($"count") - min($"count")).as("spread"), count(lit(1)).as("q"))
+      .collect()
+    // ntile(4): bucket sizes differ by at most 1, and all 4 buckets exist
+    assert(sizes.forall(r => r.getLong(1) <= 1 && r.getLong(2) === 4))
+    // pct_rank and cume are in [0,1] with cume strictly positive
+    val bounds = Windows.w5RankFamily(spark, sfDir)
+      .agg(min($"pct_rank"), max($"pct_rank"), min($"cume"), max($"cume")).head()
+    assert(bounds.getDouble(0) === 0.0 && bounds.getDouble(1) <= 1.0)
+    assert(bounds.getDouble(2) > 0.0 && bounds.getDouble(3) === 1.0)
+  }
+
+  test("A5d grouping sets = union of its member group-bys, via one Expand") {
+    import spark.implicits._
+    val gs = Analytics.a5dGroupingSets(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val both = li.groupBy("l_returnflag", "l_linestatus").count().count()
+    val flag = li.groupBy("l_returnflag").count().count()
+    assert(gs.count() === both + flag + 1)
+    // single shuffle: the plan expands rows once, not once per set
+    val plan = gs.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan) // agg + final orderBy
+    assert(plan.contains("Expand"), plan)
+  }
+
+  test("A12 unpivot is the exact inverse of pivoting back") {
+    import spark.implicits._
+    val long = Analytics.a12Unpivot(spark, sfDir)
+    val wide = long.groupBy("p_partkey").pivot("metric", Seq("size", "retailprice"))
+      .agg(first($"value"))
+      .select($"p_partkey", $"size", $"retailprice")
+    val src = Tables.part(spark, sfDir)
+      .select($"p_partkey", $"p_size".cast("double").as("size"),
+        $"p_retailprice".as("retailprice"))
+    assert(wide.except(src).count() === 0 && src.except(wide).count() === 0)
+  }
+
+  test("L10 redacts planted emails and digit runs, leaves prose intact") {
+    import spark.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val digits = "[0-9]{9,}"
+    val out = Seq("reach me at bob.smith+x@corp.example.org or 12345678901 thanks")
+      .toDF("raw")
+      .select(regexp_replace(regexp_replace($"raw", email, "<EMAIL>"), digits, "<NUM>").as("c"))
+      .head().getString(0)
+    assert(out === "reach me at <EMAIL> or <NUM> thanks")
+    // short numbers survive (8 digits is below the threshold)
+    val keep = Seq("order 12345678 ok").toDF("raw")
+      .select(regexp_replace($"raw", digits, "<NUM>").as("c")).head().getString(0)
+    assert(keep === "order 12345678 ok")
+    // the operator itself: every row gains exactly one email + one number
+    val op = graft.llm.TextAnalysis.l10PiiRedact(spark, sfDir)
+    assert(op.filter($"n_emails" =!= 1L || $"n_nums" =!= 1L).count() === 0)
+  }
+
+  test("F15 levenshtein matches the textbook distance on knowns") {
+    import spark.implicits._
+    val d = Seq(("kitten", "sitting"), ("flaw", "lawn"), ("", "abc"), ("same", "same"))
+      .toDF("a", "b").select(levenshtein($"a", $"b").as("d"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(d === Seq(3, 2, 3, 0))
+  }
+}

@@ -135,6 +135,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() === fixture.size)
   }
 
+  test("R8 transformWithState: high-water marks across micro-batches == batch window") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val valued = fixture.map(e =>
+        graft.streaming.ValuedEvent(e.event_id, e.ts, e.user_id, (e.event_id * 37 % 11).toDouble))
+      val mem = MemoryStream[graft.streaming.ValuedEvent]
+      val q = graft.streaming.Streams.highWaterStream(mem.toDS())
+        .writeStream.format("memory").queryName("r8_state")
+        .outputMode("append").start()
+      // split mid-user so the running max must resume from RocksDB state
+      mem.addData(valued.take(5)); q.processAllAvailable()
+      mem.addData(valued.drop(5)); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("r8_state").select($"event_id", $"user_id", $"value")
+      val batch = graft.streaming.Streams.newHighWaterMarks(valued.toDF())
+      assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0)
+      // sanity: strictly increasing per user in event order
+      assert(streamed.count() > 0 && streamed.count() < valued.size)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("R7 stream-stream interval join == batch inequality join") {
     val sparkS = spark
     import sparkS.implicits._
