@@ -94,6 +94,8 @@ object SparkEntry {
     "l4e_fingerprint" -> (graft.llm.TextAnalysis.l4eFingerprint _),
     "l4f_repetition_stats" -> (graft.llm.TextAnalysis.l4fRepetitionStats _),
     "l2f_decontam" -> (graft.llm.Dedup.l2fDecontam _),
+    "l2f_xxh" -> (graft.llm.Dedup.l2fDecontamXx _),
+    "l2f_roll" -> (graft.llm.Dedup.l2fDecontamRoll _),
     "l5_multimodal_columns" -> (graft.llm.Multimodal.l5MultimodalColumns _),
     "l6_hash_sample" -> (graft.llm.TextAnalysis.l6HashSample _),
     "l7_tfidf_topterms" -> (graft.llm.TextAnalysis.l7TfidfTopTerms _),
@@ -181,6 +183,16 @@ object SparkEntry {
        |FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** l2f's oracle, shared by `l2f_xxh` (hash is join-internal). */
+  private val l2fOracle: String =
+    s"""WITH sh AS ($duckShingles),
+       |$duckBaseHashes,
+       |bench AS (SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id < 50),
+       |corp AS (SELECT doc_id, unnest(hs) AS h FROM hashed WHERE doc_id >= 50)
+       |SELECT c.doc_id, COUNT(DISTINCT c.h) AS n_shared
+       |FROM corp c JOIN bench b ON c.h = b.h
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -718,14 +730,11 @@ object SparkEntry {
          |    OR (CAST(top_bigram_n AS DOUBLE) / (n_words - 1)) > 0.1 AS flagged
          |FROM tops ORDER BY doc_id""".stripMargin
     },
-    "l2f_decontam" ->
-      s"""WITH sh AS ($duckShingles),
-         |$duckBaseHashes,
-         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id < 50),
-         |corp AS (SELECT doc_id, unnest(hs) AS h FROM hashed WHERE doc_id >= 50)
-         |SELECT c.doc_id, COUNT(DISTINCT c.h) AS n_shared
-         |FROM corp c JOIN bench b ON c.h = b.h
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "l2f_decontam" -> l2fOracle,
+    // same md5-keyed oracle: the xx variant's hash is join-internal (see
+    // Dedup.l2fDecontamXx), so equality is the per-run collision check
+    "l2f_xxh" -> l2fOracle,
+    "l2f_roll" -> l2fOracle,
     "l5_multimodal_columns" ->
       """SELECT doc_id, 'image/px' || CAST(doc_id % 3 AS VARCHAR) AS media_type,
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,

@@ -80,6 +80,24 @@ object Dedup {
       .select(col("doc_id"), col("n_sh"), expr(hashSql).as("sh"))
   }
 
+  /** Positional shingle keys without shingle strings: each shingle's key
+    * is the native multi-argument `xxhash64` over its 5 words — no 5-word
+    * concat is ever materialized. The key is join-internal like the xx
+    * variants, so the md5-shingle oracle stays the expected output and
+    * equality is the per-run collision check. */
+  private def rollShingleKeys: Column = {
+    val words = (0 until SHINGLE_K).map(k => s"element_at(words, i + $k)").mkString(", ")
+    expr(s"array_distinct(transform(sequence(1, size(words) - ${SHINGLE_K - 1}), i -> xxhash64($words)))")
+  }
+
+  private def explodedShingleRoll(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", wordsCol)
+      .filter(size(col("words")) >= SHINGLE_K)
+      .withColumn("sks", rollShingleKeys)
+      .select(col("doc_id"), size(col("sks")).cast("long").as("n_sh"),
+        explode(col("sks")).as("sh"))
+
   /** L1: exact dedup — content-hash the text, keep the smallest doc_id as
     * representative. One shuffle on the 32-byte hash, never on the text. */
   def l1ExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -335,16 +353,44 @@ object Dedup {
     * small by construction); the corpus side joins on the 48-bit hash with
     * no shuffle before the per-doc count — one corpus scan regardless of
     * benchmark count, the l3d decontamination shape applied to text. */
-  def l2fDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+  def l2fDecontam(spark: SparkSession, sfDir: String): DataFrame =
+    decontamBy(spark, sfDir, "md5_prefix48(s)")
+
+  /** L2f on `xxhash64` shingle keys — same swappable-hash argument as
+    * [[l2dNgramJaccardXx]]: the key is join-internal, so the md5-keyed
+    * oracle is the exact expected output and equality doubles as the
+    * zero-collision check. */
+  def l2fDecontamXx(spark: SparkSession, sfDir: String): DataFrame =
+    decontamBy(spark, sfDir, "xxhash64(s)")
+
+  /** L2f on rolling-hash keys (see [[rollShingleKeys]]) — experimental
+    * speed tier. */
+  def l2fDecontamRoll(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    val bench = explodedShingleHashes(docs.filter($"doc_id" < 50))
-      .select($"sh").distinct()
-    val corpus = explodedShingleHashes(docs.filter($"doc_id" >= 50))
-      .select($"doc_id", $"sh")
+    val bench = explodedShingleRoll(docs.filter($"doc_id" < 50)).select($"sh").distinct()
+    val corpus = explodedShingleRoll(docs.filter($"doc_id" >= 50)).select($"doc_id", $"sh")
     corpus.join(broadcast(bench), "sh")
       .groupBy($"doc_id")
-      .agg(countDistinct($"sh").as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
+  private def decontamBy(spark: SparkSession, sfDir: String, hashSql: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val bench = explodedShingleHashesBy(docs.filter($"doc_id" < 50), hashSql)
+      .select($"sh").distinct()
+    val corpus = explodedShingleHashesBy(docs.filter($"doc_id" >= 50), hashSql)
+      .select($"doc_id", $"sh")
+    // (doc_id, sh) is distinct by construction — shingles are
+    // array_distinct'd per doc before exploding and the broadcast side is
+    // distinct — so a plain count equals COUNT(DISTINCT sh) (the oracle's
+    // form) while aggregating in one cheap partial+final pass instead of
+    // the two-phase distinct machinery.
+    corpus.join(broadcast(bench), "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
       .orderBy($"doc_id")
   }
 
