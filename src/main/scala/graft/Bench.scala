@@ -67,7 +67,12 @@ object Bench {
       s"""{"wall":$w,"loadavg_pre":"$la0","loadavg_post":"$la1"}"""
     }.mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sweeps":$sweeps,"failed":$failedJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sweeps":$sweeps,"failed":$failedJson}"""
+    println(line)
+    // the driver's artifact capture keeps only the tail of long stdout
+    // lines, which loses the first half of the per-query map — persist the
+    // full line so the committed artifact is self-sufficient
+    BenchUtil.writeArtifact("target/bench.json", line)
     spark.stop()
   }
 }

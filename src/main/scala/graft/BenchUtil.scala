@@ -11,4 +11,12 @@ object BenchUtil {
     val s = v.sorted
     s((s.size - 1) / 2)
   }
+
+  /** Persist a bench JSON line next to the build (parent dirs created):
+    * stdout capture may truncate long lines; the file never does. */
+  def writeArtifact(path: String, line: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+  }
 }

@@ -29,9 +29,10 @@ object GraftSession {
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     // runtime bloom filter: a selective dimension predicate becomes a
     // pre-shuffle fact-side filter on fact-fact joins (PlanAuditSpec
-    // proves the injection); the default size gates (creation side
-    // <= 10 MB, application scan >= 10 GB) only ever fire at scale,
-    // so pinning it on costs nothing locally
+    // proves the injection). Already the default since Spark 3.4 — the
+    // pin documents and locks the dependency rather than enabling it;
+    // the size gates (creation side <= 10 MB, application scan >= 10 GB)
+    // only ever fire at scale, so locking it on costs nothing locally
     "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,

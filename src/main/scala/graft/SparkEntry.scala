@@ -84,6 +84,7 @@ object SparkEntry {
     "l3b_lsh_neardup" -> (graft.llm.Similarity.l3bLshNearDup _),
     "l3c_ivf_topk" -> (graft.llm.Similarity.l3cIvfTopk _),
     "l3e_banded_lsh" -> (graft.llm.Similarity.l3eBandedLsh _),
+    "l3g_seeded_lsh" -> (graft.llm.Similarity.l3gSeededLsh _),
     "l3f_ivf_multiprobe" -> (graft.llm.Similarity.l3fIvfMultiprobe _),
     "l3d_batch_topk" -> (graft.llm.Similarity.l3dBatchTopk _),
     "l8_quantize_int8" -> (graft.llm.Similarity.l8QuantizeInt8 _),
@@ -591,6 +592,39 @@ object SparkEntry {
          |cand AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, COUNT(*) AS n_shared_bands
          |  FROM exploded a JOIN exploded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT c.vec_a, c.vec_b, c.n_shared_bands,
+         |  ${duckCosine("ea.embedding", "eb.embedding")} AS cosine
+         |FROM cand c
+         |JOIN embeddings ea ON c.vec_a = ea.vec_id
+         |JOIN embeddings eb ON c.vec_b = eb.vec_id
+         |WHERE ${duckCosine("ea.embedding", "eb.embedding")} >= 0.2
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    "l3g_seeded_lsh" -> {
+      // the SAME Rademacher matrix the Spark side derives from the seed,
+      // embedded as ±1.0 literals (exact in double, so products are exact
+      // sign flips and the fold replays bit-identically); bucket bits are
+      // integer-summed, so the per-band GROUP BY needs no ordered fold
+      import graft.llm.Similarity._
+      val proj = rademacher(L3G_SEED, L3G_BANDS * L3G_BITS, 64)
+      val projRows = proj.zipWithIndex.map { case (row, k) =>
+        s"($k, [${row.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}])"
+      }.mkString(",\n    ")
+      s"""WITH proj AS (
+         |  SELECT k, CAST(s AS DOUBLE[]) AS s FROM (VALUES
+         |    $projRows) p(k, s)),
+         |sigs AS (
+         |  SELECT e.vec_id, p.k // $L3G_BITS AS band,
+         |    CAST(SUM(CASE WHEN list_sum([CAST(e.embedding[j] AS DOUBLE) * p.s[j]
+         |                                 for j in range(1, 65)]) > 0
+         |             THEN 1 << (p.k % $L3G_BITS) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e, proj p
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, COUNT(*) AS n_shared_bands
+         |  FROM sigs a JOIN sigs b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
          |  GROUP BY 1, 2)
          |SELECT c.vec_a, c.vec_b, c.n_shared_bands,

@@ -84,7 +84,19 @@ object Dedup {
     * is the native multi-argument `xxhash64` over its 5 words — no 5-word
     * concat is ever materialized. The key is join-internal like the xx
     * variants, so the md5-shingle oracle stays the expected output and
-    * equality is the per-run collision check. */
+    * equality is the per-run collision check.
+    *
+    * MEASURED NEGATIVE RESULT (kept deliberately): at sf0.1 this runs ~3x
+    * slower than [[l2fDecontamXx]] (9.5s vs 3.1s), because higher-order
+    * lambdas evaluate INTERPRETED — never codegen'd — and the per-shingle
+    * hash sits inside one. Two rewrites confirmed the interpreted
+    * tree-walk (boxing per node) is the cost, not the hashing: hashing
+    * each word once and combining 5 word-hashes per shingle with XOR-of-
+    * rotations arithmetic (more, cheaper nodes in the lambda) measured
+    * 28s — node count, not node cost, dominates. On Spark the winning
+    * shape is l2f_xxh's: keep the lambda minimal (build the shingle
+    * string), explode, and hash in the codegen'd projection. The concat
+    * the roll form avoids was never the bottleneck. */
   private def rollShingleKeys: Column = {
     val words = (0 until SHINGLE_K).map(k => s"element_at(words, i + $k)").mkString(", ")
     expr(s"array_distinct(transform(sequence(1, size(words) - ${SHINGLE_K - 1}), i -> xxhash64($words)))")
@@ -363,8 +375,10 @@ object Dedup {
   def l2fDecontamXx(spark: SparkSession, sfDir: String): DataFrame =
     decontamBy(spark, sfDir, "xxhash64(s)")
 
-  /** L2f on rolling-hash keys (see [[rollShingleKeys]]) — experimental
-    * speed tier. */
+  /** L2f on positional multi-arg-hash keys (see [[rollShingleKeys]]) — a
+    * measured NEGATIVE result kept as documentation: the lambda-interior
+    * hash makes it ~3x slower than [[l2fDecontamXx]], which is the
+    * production speed tier. */
   def l2fDecontamRoll(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
@@ -387,7 +401,14 @@ object Dedup {
     // array_distinct'd per doc before exploding and the broadcast side is
     // distinct — so a plain count equals COUNT(DISTINCT sh) (the oracle's
     // form) while aggregating in one cheap partial+final pass instead of
-    // the two-phase distinct machinery.
+    // the two-phase distinct machinery. Caveat: per-doc distinctness here
+    // holds on the shingle STRING, so a 48/64-bit collision between two
+    // distinct strings yields duplicate (doc_id, sh) rows and count(1)
+    // OVERCOUNTS where COUNT(DISTINCT sh) would absorb it. (The roll path,
+    // l2fDecontamRoll, distincts the HASHES instead — a collision there
+    // merges two shingles and undercounts.) Either way the hash, not the
+    // string, carries the semantics; oracle equality vs the md5-keyed
+    // COUNT(DISTINCT) SQL is the per-run zero-collision check.
     corpus.join(broadcast(bench), "sh")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shared"))

@@ -113,8 +113,8 @@ object Similarity {
     * [b·signBits, (b+1)·signBits) — axis-aligned, deterministic, and
     * independent across bands for near-isotropic embeddings. Requires
     * bands·signBits ≤ dim (64-dim fixture: up to 8 bands of 8 bits); past
-    * that, swap the slice for seeded random projections — the banding,
-    * join, and dedup plumbing below is unchanged.
+    * that, use the seeded overload below (Rademacher projections, same
+    * banding/join/dedup plumbing, no width limit).
     *
     * Plan shape at 100 TB: the exploded frame carries only (vec_id, band,
     * bucket) — never the vector — so the bands× row inflation shuffles
@@ -124,25 +124,88 @@ object Similarity {
       simCut: Double): DataFrame = {
     require(signBits >= 1 && signBits <= 62, s"signBits out of range: $signBits")
     require(bands >= 1, s"bands out of range: $bands")
-    val spark = embFrame.sparkSession
-    withNative(spark)
-    import spark.implicits._
     // fail fast if the bit-sets would index past the vector: out-of-range
     // element reads otherwise collapse those bands to one bucket, and a
-    // one-bucket band is an O(N²) all-pairs self-join. One-row probe at
-    // call time (first row of the first non-empty partition).
-    embFrame.select(size(col("embedding"))).take(1).foreach { r =>
-      val dim = r.getInt(0)
-      require(bands * signBits <= dim,
-        s"bands*signBits (${bands * signBits}) exceeds embedding dim ($dim): " +
-          "use fewer/narrower bands, or swap the axis-aligned slice for seeded projections")
-    }
+    // one-bucket band is an O(N²) all-pairs self-join.
+    val dim = probeDim(embFrame)
+    require(bands * signBits <= dim,
+      s"bands*signBits (${bands * signBits}) exceeds embedding dim ($dim): " +
+        "use fewer/narrower bands, or the seeded-projection overload " +
+        "(signLshPairs with a seed), which has no width limit")
     def bandSig(b: Int): Column = (1 to signBits)
       .map { i =>
         val d = b * signBits + i - 1
         when(expr(s"embedding[$d]") > 0f, lit(1L << (i - 1))).otherwise(lit(0L))
       }
       .reduce(_ + _)
+    bandedPairs(embFrame, bands, bandSig, simCut)
+  }
+
+  /** Banded sign-LSH with SEEDED Rademacher projections instead of the
+    * axis-aligned slice: band b, bit i takes the sign of ⟨x, h⟩ for a ±1
+    * hyperplane h drawn deterministically from (seed, b·signBits+i, dim)
+    * — so `bands·signBits` may exceed the embedding dimension (the
+    * axis-aligned form's hard limit) and recall keeps rising with bands.
+    * Rademacher entries (Achlioptas 2003's database-friendly random
+    * projections) keep every product an exact ±x, so the fold is
+    * bit-deterministic and the DuckDB oracle replays it exactly; the
+    * matrix is a pure function of the seed — identical across drivers,
+    * JVMs, partitionings, and engines. Banding/join/dedup plumbing is
+    * shared with the axis-aligned form ([[bandedPairs]]). */
+  def signLshPairs(embFrame: DataFrame, signBits: Int, bands: Int,
+      simCut: Double, seed: Long): DataFrame = {
+    require(signBits >= 1 && signBits <= 62, s"signBits out of range: $signBits")
+    require(bands >= 1, s"bands out of range: $bands")
+    val dim = probeDim(embFrame)
+    val proj = rademacher(seed, bands * signBits, dim)
+    def bandSig(b: Int): Column = (1 to signBits)
+      .map { i =>
+        val signs = proj(b * signBits + i - 1)
+          .map(v => if (v > 0) "1D" else "-1D").mkString("array(", ", ", ")")
+        val dotP = s"aggregate(zip_with(embedding, $signs, " +
+          "(x, s) -> CAST(x AS DOUBLE) * s), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        when(expr(dotP) > 0d, lit(1L << (i - 1))).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+    bandedPairs(embFrame, bands, bandSig, simCut)
+  }
+
+  /** Deterministic ±1 (Rademacher) projection matrix: entry (k, d) is the
+    * sign bit of splitmix64(seed·1000003 + k·8191 + d) — a pure function
+    * of its inputs (Steele et al., "Fast splittable pseudorandom number
+    * generators", OOPSLA 2014), so every engine that replays the formula
+    * (or embeds the resulting literals, as the oracle SQL does) gets the
+    * identical matrix. */
+  private[graft] def rademacher(seed: Long, rows: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(rows, dim) { (k, d) =>
+      if (splitmix64(seed * 1000003L + k.toLong * 8191L + d) < 0) -1.0 else 1.0
+    }
+
+  private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** One-row dimension probe (first row of the first non-empty
+    * partition) — a deliberate driver-side single-row read that prevents
+    * an O(N²) misconfiguration before any cluster work starts. */
+  private def probeDim(embFrame: DataFrame): Int =
+    embFrame.select(size(col("embedding"))).take(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException("empty embedding frame")
+    }
+
+  /** Shared banded-LSH plumbing (axis-aligned and seeded forms): explode
+    * to (vec_id, band, bucket) — never the vector — self-join per band
+    * bucket with one reused exchange, dedup pairs BEFORE the embeddings
+    * join back so each surviving pair's cosine is computed once. */
+  private def bandedPairs(embFrame: DataFrame, bands: Int,
+      bandSig: Int => Column, simCut: Double): DataFrame = {
+    val spark = embFrame.sparkSession
+    withNative(spark)
+    import spark.implicits._
     val bandKeys = (0 until bands)
       .map(b => struct(lit(b).as("band"), bandSig(b).as("bucket")))
     val exploded = embFrame
@@ -172,6 +235,23 @@ object Similarity {
   def l3eBandedLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     signLshPairs(Tables.embeddings(spark, sfDir), 8, 4, 0.2)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** l3g's fixed parameters: 12 bands of 8 bits = 96 projection rows over
+    * the 64-dim fixture — deliberately PAST the axis-aligned form's
+    * bands·signBits ≤ dim wall, so the query exercises what only the
+    * seeded overload can express. Shared with the oracle SQL builder
+    * (SparkEntry embeds the same rademacher matrix as literals). */
+  val L3G_SEED = 7L
+  val L3G_BANDS = 12
+  val L3G_BITS = 8
+
+  /** L3g [EXT]: seeded-projection banded sign-LSH as a query — 12 bands
+    * of 8 seeded Rademacher bits, 0.2 cosine cut. */
+  def l3gSeededLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    signLshPairs(Tables.embeddings(spark, sfDir), L3G_BITS, L3G_BANDS, 0.2, L3G_SEED)
       .orderBy($"vec_a", $"vec_b")
   }
 

@@ -227,8 +227,12 @@ object TextAnalysis {
       .select(
         $"doc_id",
         md5($"clean").as("clean_md5"),
-        expr(s"regexp_count(raw, '$email')").cast("long").as("n_emails"),
-        expr(s"regexp_count(raw, '$digits')").cast("long").as("n_nums"))
+        // Column form, not expr(): the SQL parser unescapes string
+        // literals, so an embedded '\.' would silently become a bare '.'
+        // wildcard and the count regex would diverge from the redaction
+        // regex above (and from the DuckDB oracle, which never unescapes).
+        regexp_count($"raw", lit(email)).cast("long").as("n_emails"),
+        regexp_count($"raw", lit(digits)).cast("long").as("n_nums"))
       .orderBy($"doc_id")
   }
 }

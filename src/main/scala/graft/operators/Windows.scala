@@ -18,10 +18,18 @@ import graft.Tables
 object Windows {
 
   /** W1: top-K per group — newest 3 events per user (reviews cap analog). */
-  def w1TopkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+  def w1TopkPerGroup(spark: SparkSession, sfDir: String): DataFrame =
+    w1From(Tables.events(spark, sfDir))
+
+  /** W1 over any events frame: on a table bucketed by `user_id` the
+    * window's one exchange disappears (the scan already satisfies the
+    * hash distribution; only the cheap per-task sort remains) — the
+    * co-located layout a 100 TB deployment uses for per-user windows. */
+  def w1From(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id")
-    Tables.events(spark, sfDir)
+    events
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 3)
       .select($"user_id", $"rk", $"event_id")

@@ -25,8 +25,14 @@ case class HighWater(event_id: Long, user_id: Long, value: Double)
   * `ValueState[Double]` per user holds the running max across
   * micro-batches (requires the RocksDB state store provider — see
   * StreamingSpec). Within a batch the group's rows are sorted by
-  * (ts, event_id) before the fold, matching the batch window's ORDER BY,
-  * so batch and stream emit the identical row set. */
+  * (ts, event_id) before the fold, matching the batch window's ORDER BY —
+  * so batch and stream emit the identical row set PROVIDED batches arrive
+  * in ts order per user (sorting is per micro-batch only: an event that
+  * arrives in a later batch with an earlier ts is folded against state
+  * that already includes later-ts values, and may be suppressed where the
+  * batch window would emit it). For out-of-order sources, bound the
+  * disorder with a watermark and accept the streaming semantics, or
+  * re-sort downstream. */
 class HighWaterProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ValuedEvent, HighWater] {
   import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}

@@ -97,7 +97,7 @@ object MakeHeavy {
     // the groupBy(o_orderkey) above it) runs with zero shuffle exchanges
     // the in-memory catalog forgets tables between JVMs but their managed
     // dirs survive — clear both
-    for (t <- Seq("hv_orders_b", "hv_lineitem_b")) {
+    for (t <- Seq("hv_orders_b", "hv_lineitem_b", "hv_events_b")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val p = new org.apache.hadoop.fs.Path(s"$out/warehouse/$t")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -115,6 +115,12 @@ object MakeHeavy {
       .repartition(BUCKETS, col("l_orderkey"))
       .write.bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("hv_lineitem_b")
+    // events bucketed on the window key: w1's per-user window then needs
+    // no exchange at all — the scan satisfies the hash distribution
+    spark.read.parquet(s"$out/events.parquet")
+      .repartition(BUCKETS, col("user_id"))
+      .write.bucketBy(BUCKETS, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable("hv_events_b")
     println(s"HEAVY_DATA_AT=$out copies=$copies buckets=$BUCKETS")
     spark.stop()
   }
@@ -138,7 +144,8 @@ object MakeHeavy {
     * files survive in the warehouse dir, so an external CREATE TABLE with
     * the same CLUSTERED BY spec restores zero-shuffle scans. */
   private[tools] def registerBucketed(spark: SparkSession, out: String): Boolean = {
-    val specs = Seq(("hv_orders_b", "o_orderkey"), ("hv_lineitem_b", "l_orderkey"))
+    val specs = Seq(("hv_orders_b", "o_orderkey"), ("hv_lineitem_b", "l_orderkey"),
+      ("hv_events_b", "user_id"))
     specs.forall { case (name, key) =>
       val loc = new java.io.File(s"$out/warehouse/$name")
       loc.exists() && {
@@ -166,7 +173,8 @@ object BenchHeavy {
     "l7_tfidf_topterms", "q1_pricing_summary", "q2_shipping_priority",
     "q3_revenue_by_nation", "s5_s6_partitioned_sink", "l1_exact_dedup",
     "w1_topk_per_group", "r4_session_window", "a9_percentiles",
-    "s4_point_lookup", "l2f_decontam", "l4f_repetition_stats")
+    "s4_point_lookup", "l2f_decontam", "l2f_xxh", "l2f_roll",
+    "l4f_repetition_stats")
 
   val SWEEPS = 3
 
@@ -191,7 +199,9 @@ object BenchHeavy {
         spark.read.parquet(s"$dir/region.parquet"),
         spark.read.parquet(s"$dir/nation.parquet"),
         spark.read.parquet(s"$dir/customer.parquet"),
-        spark.table("hv_orders_b"), spark.table("hv_lineitem_b").hint("merge")))
+        spark.table("hv_orders_b"), spark.table("hv_lineitem_b").hint("merge"))),
+      "w1_bucketed" -> (() =>
+        graft.operators.Windows.w1From(spark.table("hv_events_b")))
     ) else Seq.empty
 
     val queries = graft.SparkEntry.queries // bind once: queries is a def
@@ -249,7 +259,9 @@ object BenchHeavy {
     val failed = results.collect { case (n, (w, _)) if w < 0 => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"heavy_total","value":$total,"unit":"sec","queries":$qs,"stage_compute":$cs,"sf":"$dir","bucketed_no_exchange":$noExchange,"failed":$failed}""")
+    val line = s"""{"metric":"heavy_total","value":$total,"unit":"sec","queries":$qs,"stage_compute":$cs,"sf":"$dir","bucketed_no_exchange":$noExchange,"failed":$failed}"""
+    println(line)
+    graft.BenchUtil.writeArtifact("target/bench_heavy.json", line)
     spark.stop()
   }
 }

@@ -58,8 +58,8 @@ class DocCountsSpec extends org.scalatest.funsuite.AnyFunSuite {
       === SparkEntry.queries.size)
   }
 
-  test("BENCHNOTES_HEAVY covers the heavy tier plus the two bucketed variants") {
+  test("BENCHNOTES_HEAVY covers the heavy tier plus the three bucketed variants") {
     assert(captured(read("BENCHNOTES_HEAVY.md"), """over (\d+) queries""", "BENCHNOTES_HEAVY")
-      === graft.tools.BenchHeavy.HEAVY_QUERIES.size + 2)
+      === graft.tools.BenchHeavy.HEAVY_QUERIES.size + 3)
   }
 }

@@ -39,23 +39,28 @@ class LshParamsSpec extends SparkSpecBase {
     }
   }
 
-  test("banded sign-LSH: planted near-dup recall rises with bands, volume stays collision-bound") {
+  /** n md5-derived 64-dim vectors plus a planted near-dup for every 5th
+    * one: the original nudged per-element by uniform noise of half-width
+    * `noise` (out of the ±32768 value range), so a single band matches
+    * with probability < 1 — the regime where banding restores recall. */
+  private def plantedVecs(n: Int, noise: Int): DataFrame = {
     import spark.implicits._
-    val n = 200
     val base = spark.range(n).toDF("vec_id")
       .withColumn("embedding", expr(
         "transform(sequence(0, 63), j -> CAST(" +
           "CAST(conv(substr(md5(concat(vec_id, ':', j)), 1, 4), 16, 10) AS BIGINT) - 32768 AS FLOAT))"))
-    // planted near-dup for every 5th vector: the same vector nudged by
-    // ~5% of the value range, so any single 8-bit band matches with
-    // probability < 1 (elements near zero flip sign) — exactly the regime
-    // where one projection loses recall and banding restores it
     val dups = base.filter($"vec_id" % 5 === 0)
       .select(($"vec_id" + n).as("vec_id"), expr(
         "transform(embedding, (x, j) -> CAST(x + " +
-          "CAST(conv(substr(md5(concat(vec_id, '~', j)), 1, 4), 16, 10) AS BIGINT) % 3277 - 1638 AS FLOAT))")
+          s"CAST(conv(substr(md5(concat(vec_id, '~', j)), 1, 4), 16, 10) AS BIGINT) % ${2 * noise + 1} - $noise AS FLOAT))")
         .as("embedding"))
-    val vecs = base.union(dups)
+    base.union(dups)
+  }
+
+  test("banded sign-LSH: planted near-dup recall rises with bands, volume stays collision-bound") {
+    import spark.implicits._
+    val n = 200
+    val vecs = plantedVecs(n, 1638) // ~5% of the value range
     val planted = n / 5
     def cand(bands: Int): DataFrame = Similarity.signLshPairs(vecs, 8, bands, -1.0)
     def recall(bands: Int): Long = cand(bands)
@@ -70,6 +75,54 @@ class LshParamsSpec extends SparkSpecBase {
     val allPairs = (n + planted).toLong * (n + planted - 1) / 2
     assert(v4 <= 6 * v1 + 50, s"banded volume superlinear in bands: $v1 -> $v4")
     assert(v4 < allPairs / 10, s"banded volume near all-pairs: $v4 of $allPairs")
+  }
+
+  test("seeded projections lift recall past the axis-aligned dim/signBits wall") {
+    import spark.implicits._
+    val n = 200
+    // heavy nudge (~half the value range): a full-vector projection
+    // concentrates (flip prob per bit ≈ θ/π stays small for light noise),
+    // so unlike the axis-aligned test the noise must be large before
+    // single-band recall drops below 1 and the climb across band counts —
+    // including PAST 8 bands of 8 bits, the 64-dim axis-aligned limit —
+    // becomes visible
+    val vecs = plantedVecs(n, 16000)
+    val planted = n / 5
+    def cand(bands: Int): DataFrame =
+      Similarity.signLshPairs(vecs, 8, bands, -1.0, seed = 7L)
+    def recall(bands: Int): Long = cand(bands)
+      .filter($"vec_a" % 5 === 0 && $"vec_b" === $"vec_a" + n).count()
+    val (r2, r8, r16) = (recall(2), recall(8), recall(16))
+    // 16 bands x 8 bits = 128 projections > 64 dims: the axis-aligned form
+    // hard-fails here, the seeded form keeps climbing
+    intercept[IllegalArgumentException] { Similarity.signLshPairs(vecs, 8, 16, -1.0) }
+    assert(r2 <= r8 && r8 <= r16, s"recall not monotone in bands: $r2, $r8, $r16")
+    assert(r8 < r16, s"bands past the dim wall added no recall: $r8 -> $r16 of $planted")
+    // volume stays collision-bound: far below all-pairs even at 16 bands
+    val allPairs = (n + planted).toLong * (n + planted - 1) / 2
+    val v16 = cand(16).count()
+    assert(v16 < allPairs / 10, s"banded volume near all-pairs: $v16 of $allPairs")
+  }
+
+  test("seeded projections are deterministic across partitionings and calls") {
+    import spark.implicits._
+    val vecs = plantedVecs(100, 1638)
+    def pairs(df: DataFrame): Seq[(Long, Long, Long)] =
+      Similarity.signLshPairs(df, 8, 10, -1.0, seed = 42L)
+        .select($"vec_a", $"vec_b", $"n_shared_bands").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val p3 = pairs(vecs.repartition(3))
+    val p7 = pairs(vecs.repartition(7))
+    assert(p3.nonEmpty, "seeded LSH found no pairs at all")
+    assert(p3 === p7, "pair set depends on partitioning")
+    // and the matrix itself is a pure function of the seed
+    val m1 = Similarity.rademacher(42L, 80, 64)
+    val m2 = Similarity.rademacher(42L, 80, 64)
+    assert(m1.map(_.toSeq).toSeq === m2.map(_.toSeq).toSeq)
+    assert(m1.flatten.toSet === Set(-1.0, 1.0))
+    // different seeds give a different family (not all-equal matrices)
+    val m3 = Similarity.rademacher(43L, 80, 64)
+    assert(m1.map(_.toSeq).toSeq !== m3.map(_.toSeq).toSeq)
   }
 
   test("banded signLshPairs rejects bit-sets wider than the vector") {

@@ -2,10 +2,69 @@ package graft
 
 import graft.llm.Multimodal
 
-/** The decode is a stub; the distributed plumbing around it is real and
-  * tested here: schema contract, batch shape, determinism, binary column
-  * round-trip. */
+/** L5 plumbing (schema contract, batch shape, determinism, binary column
+  * round-trip) plus the real header decode: PNG IHDR / JPEG SOF parsed
+  * from hand-built fixture bytes with known dimensions. */
 class MultimodalSpec extends SparkSpecBase {
+
+  /** Minimal PNG: signature + a correct IHDR chunk (length, type, 13-byte
+    * payload whose first 8 bytes are width/height, big-endian). */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    out.write(be32(13)) // IHDR payload length
+    out.write("IHDR".getBytes("US-ASCII"))
+    out.write(be32(w)); out.write(be32(h))
+    out.write(Array[Byte](8, 2, 0, 0, 0)) // bit depth, color, ... (unused)
+    out.write(be32(0)) // CRC (unchecked by the header parser)
+    out.toByteArray
+  }
+
+  /** Minimal JPEG: SOI, an APP0 segment to prove the marker walk skips
+    * non-frame segments, then SOF0 with the dimensions. */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    out.write(Array(0xff, 0xe0).map(_.toByte)) // APP0
+    out.write(be16(16)); out.write(new Array[Byte](14))
+    out.write(Array(0xff, 0xc0).map(_.toByte)) // SOF0
+    out.write(be16(11)) // len: precision + dims + 1 component (3 bytes) + nf
+    out.write(8.toByte) // precision
+    out.write(be16(h)); out.write(be16(w))
+    out.write(Array[Byte](1, 1, 0x11, 0))
+    out.toByteArray
+  }
+
+  test("PNG IHDR and JPEG SOF headers decode to real dimensions") {
+    assert(Multimodal.pngDims(pngBytes(640, 480)) === Some((640, 480)))
+    assert(Multimodal.pngDims(pngBytes(1, 100000)) === Some((1, 100000)))
+    assert(Multimodal.jpegDims(jpegBytes(1920, 1080)) === Some((1920, 1080)))
+    assert(Multimodal.jpegDims(jpegBytes(8, 8)) === Some((8, 8)))
+    // non-image payloads parse as neither (fallback path)
+    val text = "just some text bytes".getBytes("UTF-8")
+    assert(Multimodal.pngDims(text) === None && Multimodal.jpegDims(text) === None)
+    // truncated headers are rejected, not mis-read
+    assert(Multimodal.pngDims(pngBytes(640, 480).take(20)) === None)
+    assert(Multimodal.jpegDims(jpegBytes(1920, 1080).take(6)) === None)
+  }
+
+  test("extractFeatures surfaces real dimensions from real image bytes") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, pngBytes(320, 200), "image/png", pngBytes(320, 200).length.toLong),
+      Multimodal.MediaRow(2L, jpegBytes(64, 48), "image/jpeg", jpegBytes(64, 48).length.toLong),
+      Multimodal.MediaRow(3L, "opaque".getBytes("UTF-8"), "application/octet-stream", 6L)
+    ).toDS()
+    val got = Multimodal.extractFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    assert((got(1L).width, got(1L).height) === ((320, 200)))
+    assert((got(2L).width, got(2L).height) === ((64, 48)))
+    // the opaque row takes the deterministic fallback, not garbage
+    assert(got(3L).width === 16 + 6 % 64 && got(3L).height === 16 + 3 % 64)
+    assert(got.values.forall(_.features.length === 8))
+  }
 
   test("media table carries binary payloads with typed metadata") {
     import spark.implicits._

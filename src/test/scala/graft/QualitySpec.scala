@@ -20,7 +20,6 @@ class QualitySpec extends SparkSpecBase {
       (2L, "a", 14L, "2024-01-01 00:00:09", 5.0))
       .toDF("user_id", "event_type", "event_id", "s", "value")
       .withColumn("ts", $"s".cast("timestamp")).drop("s")
-    events.createOrReplaceTempView("u1fix")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id", $"event_type").orderBy($"ts".desc, $"event_id".desc)
     val out = events.withColumn("rn", row_number().over(w)).filter($"rn" === 1)

@@ -45,7 +45,8 @@ def main():
         # reuse the base oracle SQL for the DuckDB baseline
         if name not in oracle and name.endswith("_bucketed"):
             base = name[: -len("_bucketed")]
-            for cand in (base, base + "_shipping_priority", base + "_revenue_by_nation"):
+            for cand in (base, base + "_shipping_priority", base + "_revenue_by_nation",
+                         base + "_topk_per_group"):
                 if cand in oracle:
                     oracle[name] = oracle[cand]
                     break
