@@ -166,6 +166,46 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("R8 out-of-order CROSS-BATCH arrival: streaming may suppress what the batch window emits") {
+    // Documents the chosen semantics (HighWaterProcessor docstring): rows
+    // are sorted by ts only WITHIN a micro-batch, so an event arriving in
+    // a later batch with an earlier ts is folded against state that
+    // already includes later-ts values. Here user 1's highest value
+    // arrives first (batch 1), then an earlier-ts lower value (batch 2):
+    // the batch window emits both (the lower one precedes in ts order);
+    // the stream emits only the first — a strict subset, never a wrong
+    // extra row.
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(id: Long, s: String, v: Double) =
+        graft.streaming.ValuedEvent(id, java.sql.Timestamp.valueOf(s), 1L, v)
+      val late = ev(11L, "2024-01-01 00:00:01", 5.0)  // earlier ts, lower value
+      val first = ev(12L, "2024-01-01 00:00:02", 9.0) // later ts, the running max
+      val mem = MemoryStream[graft.streaming.ValuedEvent]
+      val q = graft.streaming.Streams.highWaterStream(mem.toDS())
+        .writeStream.format("memory").queryName("r8_ooo")
+        .outputMode("append").start()
+      mem.addData(Seq(first)); q.processAllAvailable()
+      mem.addData(Seq(late)); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("r8_ooo").select($"event_id").as[Long].collect().toSet
+      val batch = graft.streaming.Streams.newHighWaterMarks(Seq(first, late).toDF())
+        .select($"event_id").as[Long].collect().toSet
+      assert(batch === Set(11L, 12L), s"batch window should emit both: $batch")
+      assert(streamed === Set(12L), s"stream should suppress the late arrival: $streamed")
+      assert(streamed.subsetOf(batch), "stream emitted a row the batch window would not")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("R7 stream-stream interval join == batch inequality join") {
     val sparkS = spark
     import sparkS.implicits._
