@@ -97,9 +97,13 @@ object SparkEntry {
     "l2f_decontam" -> (graft.llm.Dedup.l2fDecontam _),
     "l2f_xxh" -> (graft.llm.Dedup.l2fDecontamXx _),
     "l2f_roll" -> (graft.llm.Dedup.l2fDecontamRoll _),
+    "l2f_pos" -> (graft.llm.Dedup.l2fDecontamPos _),
+    "l2f_gen" -> (graft.llm.Dedup.l2fDecontamGen _),
     "l5_multimodal_columns" -> (graft.llm.Multimodal.l5MultimodalColumns _),
     "l6_hash_sample" -> (graft.llm.TextAnalysis.l6HashSample _),
     "l7_tfidf_topterms" -> (graft.llm.TextAnalysis.l7TfidfTopTerms _),
+    "l9_sequence_pack" -> (graft.llm.Assembly.l9SequencePack _),
+    "l11_source_mix" -> (graft.llm.Assembly.l11SourceMix _),
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
     "a11_histogram" -> (Analytics.a11Histogram _),
     "r7_stream_join" -> (graft.streaming.Streams.r7StreamJoin _),
@@ -769,6 +773,11 @@ object SparkEntry {
     // Dedup.l2fDecontamXx), so equality is the per-run collision check
     "l2f_xxh" -> l2fOracle,
     "l2f_roll" -> l2fOracle,
+    // the zero-lambda positional production path hashes the identical
+    // shingle strings (slice+join post-explode), so the md5 oracle holds
+    "l2f_pos" -> l2fOracle,
+    // the native one-pass expression hashes the identical byte regions
+    "l2f_gen" -> l2fOracle,
     "l5_multimodal_columns" ->
       """SELECT doc_id, 'image/px' || CAST(doc_id % 3 AS VARCHAR) AS media_type,
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
@@ -788,6 +797,33 @@ object SparkEntry {
         |    [CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
         |     for j in range(1, 3)]), (acc, x) -> acc * 16 + x) < 51 END
         |ORDER BY doc_id""".stripMargin,
+    // the md5 bucket is l6's (2 hex digits -> [0,256)); shard = bucket % 16
+    "l9_sequence_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+         |       for j in range(1, 3)]), (acc, x) -> acc * 16 + x) % ${graft.llm.Assembly.PACK_SHARDS} AS shard,
+         |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS tokens
+         |  FROM documents)
+         |SELECT doc_id, source, shard, tokens,
+         |  COALESCE(SUM(tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${graft.llm.Assembly.PACK_BUDGET} AS pack_id
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "l11_source_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_lang) AS n_min FROM counts),
+        |rates AS (
+        |  SELECT lang, n_lang,
+        |    sqrt(CAST(n_min AS DOUBLE) / CAST(n_lang AS DOUBLE)) AS rate
+        |  FROM counts, m)
+        |SELECT d.doc_id, d.lang, r.n_lang, r.rate
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+        |     for j in range(1, 3)]), (acc, x) -> acc * 16 + x) AS DOUBLE) < r.rate * 256
+        |ORDER BY d.doc_id""".stripMargin,
     "s3_paginated_scan" ->
       s"""SELECT (o_orderkey - 1) // $pageSize AS page, COUNT(*) AS returned_count,
          |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key

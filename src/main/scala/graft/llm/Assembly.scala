@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-assembly operators: the step between a filtered/deduped corpus
+  * and a training run — packing documents into fixed token budgets and
+  * rebalancing the source mixture. Both are deterministic (content-keyed
+  * hashes, no rand()) so re-runs, retries, and engine swaps produce the
+  * identical corpus, the property every reproducible data pipeline needs.
+  * Reference scope: the reference engine stops at extraction/aggregation
+  * (src/pipeline, src/queries); these extend the mandated LLM family the
+  * same way l1–l8 do.
+  */
+object Assembly {
+
+  /** Deterministic uniform bucket in [0, 256): 2-digit hex prefix of
+    * md5(doc_id) — the l6 sampling idiom (TextAnalysis.scala:92), shared
+    * so mix/pack/sample decisions stay independent of partitioning. */
+  private def bucket256: org.apache.spark.sql.Column =
+    expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS BIGINT)")
+
+  /** Tokens per pack. Sized so the sf0.01 correctness fixture (~55-token
+    * docs, ~6 docs per (source, shard) stratum) genuinely fills several
+    * packs per stratum — a production run raises this to the model's
+    * context window (2048+); the operator is budget-agnostic. */
+  val PACK_BUDGET = 128L
+
+  /** Shards per source: bounds window-partition size (see scale note). */
+  val PACK_SHARDS = 4L
+
+  /** L9 [EXT]: sequence packing — assign each document to a fixed
+    * token-budget pack (context-window fill for training). A document
+    * joins the pack its EXCLUSIVE running token total falls in:
+    * pack_id = floor(prev_cum / budget) over (source, shard) ordered by
+    * doc_id — deterministic, single window pass, no iteration. Packs can
+    * overflow by at most one document (the straddler stays in the pack it
+    * started in), the standard greedy-fill trade that keeps the operator
+    * one linear scan instead of a bin-packing fixpoint.
+    *
+    * Scale: the window partitions by (source, shard) where shard is a
+    * hash bucket of doc_id — per-partition state is one running sum, and
+    * PACK_SHARDS caps partition width independent of corpus size (raise
+    * it at 100 TB; packing admits ANY disjoint grouping, so sharding
+    * changes which docs share a pack, never validity). No unpartitioned
+    * window over raw rows — the same posture as W2's two-phase rank. */
+  def l9SequencePack(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        (bucket256 % PACK_SHARDS).as("shard"),
+        size(split($"text", " ")).cast("long").as("tokens"))
+      .withColumn("pack_id",
+        (coalesce(sum($"tokens").over(w), lit(0L)) / PACK_BUDGET).cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  /** L11 [EXT]: temperature-weighted mixture rebalancing — sample stratum
+    * s (language here; the fixture's languages are genuinely skewed, its
+    * sources are uniform) at rate sqrt(n_min / n_s), i.e. temperature
+    * alpha = 0.5 relative to corpus share: the smallest stratum keeps
+    * everything, a 4x-larger one keeps half. The keep decision hashes
+    * doc_id (l6's bucket), so the selected subset is a pure function of
+    * the data.
+    *
+    * Scale: per-stratum counts are a tiny aggregate (|strata| rows); the
+    * rate table broadcasts back onto one corpus scan — no shuffle of the
+    * corpus, the l2f decontamination shape applied to sampling. sqrt and
+    * the double division are IEEE correctly-rounded, so rates are
+    * bit-identical across engines. */
+  def l11SourceMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min($"n_lang").as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select($"lang", $"n_lang",
+        sqrt($"n_min".cast("double") / $"n_lang".cast("double")).as("rate"))
+    docs
+      .join(broadcast(rates), "lang")
+      .filter(bucket256.cast("double") < $"rate" * 256d)
+      .select($"doc_id", $"lang", $"n_lang", $"rate")
+      .orderBy($"doc_id")
+  }
+}

@@ -110,6 +110,30 @@ object Dedup {
       .select(col("doc_id"), size(col("sks")).cast("long").as("n_sh"),
         explode(col("sks")).as("sh"))
 
+  /** ZERO-lambda positional shingle keys — the production decontamination
+    * shape (`l2f_pos`): explode shingle START POSITIONS (`sequence` takes
+    * no lambda), then build and hash each shingle in the flat post-explode
+    * projection, where `slice`/`array_join`/`xxhash64` all run inside
+    * whole-stage codegen and Generate pipelines `words` by reference (the
+    * array is never copied per output row — the stage fuses scan → split →
+    * generate → hash). This is the endpoint of the lambda-cost ladder that
+    * [[rollShingleKeys]] mapped out: l2f_xxh still pays one interpreted
+    * `transform` building shingle strings; this form pays none.
+    *
+    * No pre-explode `array_distinct` exists here (there is no shingle
+    * array to distinct), so duplicate in-doc shingles survive to the join
+    * and the aggregate must count DISTINCT hashes — the roll form's
+    * collision posture (a 64-bit collision undercounts by merging two
+    * shingles; oracle equality is the per-run check). */
+  private def explodedShinglePos(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", wordsCol)
+      .filter(size(col("words")) >= SHINGLE_K)
+      .select(col("doc_id"), col("words"),
+        explode(expr(s"sequence(1, size(words) - ${SHINGLE_K - 1})")).as("i"))
+      .select(col("doc_id"),
+        expr(s"xxhash64(array_join(slice(words, i, $SHINGLE_K), ' '))").as("sh"))
+
   /** L1: exact dedup — content-hash the text, keep the smallest doc_id as
     * representative. One shuffle on the 32-byte hash, never on the text. */
   def l1ExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -384,6 +408,46 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
     val bench = explodedShingleRoll(docs.filter($"doc_id" < 50)).select($"sh").distinct()
     val corpus = explodedShingleRoll(docs.filter($"doc_id" >= 50)).select($"doc_id", $"sh")
+    corpus.join(broadcast(bench), "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
+  /** L2f on zero-lambda positional keys (see [[explodedShinglePos]]) —
+    * the PRODUCTION decontamination path: every per-shingle operation runs
+    * post-explode inside whole-stage codegen. The md5-keyed oracle stays
+    * the expected output (hash is join-internal) and equality doubles as
+    * the per-run collision check. `countDistinct` replaces the plain count
+    * because the positional form has no pre-explode distinct; the join has
+    * already filtered to shared shingles, so the two-phase distinct runs
+    * over the small contaminated subset, not the corpus. */
+  def l2fDecontamPos(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val bench = explodedShinglePos(docs.filter($"doc_id" < 50)).select($"sh").distinct()
+    val corpus = explodedShinglePos(docs.filter($"doc_id" >= 50)).select($"doc_id", $"sh")
+    corpus.join(broadcast(bench), "sh")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"sh").as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
+  /** L2f on the native one-pass shingle expression
+    * ([[graft.plans.ShingleHashes]]) — the endpoint of the ladder the
+    * other variants measured: no shingle string, no word array re-slice,
+    * no lambda anywhere; each hash is computed off the parent string's
+    * bytes inside whole-stage codegen and arrives pre-deduped per doc, so
+    * the aggregate is a plain count (hash-distinct semantics, the same
+    * collision posture as l2f_pos, checked per-run by the md5 oracle). */
+  def l2fDecontamGen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.ShingleHashes.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    def exploded(d: DataFrame): DataFrame = d.select($"doc_id",
+      explode(expr(s"shingle_hashes(text, $SHINGLE_K, 'xxh64')")).as("sh"))
+    val bench = exploded(docs.filter($"doc_id" < 50)).select($"sh").distinct()
+    val corpus = exploded(docs.filter($"doc_id" >= 50))
     corpus.join(broadcast(bench), "sh")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shared"))

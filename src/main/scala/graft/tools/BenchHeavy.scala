@@ -143,9 +143,9 @@ object MakeHeavy {
     * the in-memory catalog forgets metadata between JVMs but the bucketed
     * files survive in the warehouse dir, so an external CREATE TABLE with
     * the same CLUSTERED BY spec restores zero-shuffle scans. */
-  private[tools] def registerBucketed(spark: SparkSession, out: String): Boolean = {
-    val specs = Seq(("hv_orders_b", "o_orderkey"), ("hv_lineitem_b", "l_orderkey"),
-      ("hv_events_b", "user_id"))
+  private[tools] def registerBucketed(spark: SparkSession, out: String,
+      specs: Seq[(String, String)] = Seq(("hv_orders_b", "o_orderkey"),
+        ("hv_lineitem_b", "l_orderkey"), ("hv_events_b", "user_id"))): Boolean =
     specs.forall { case (name, key) =>
       val loc = new java.io.File(s"$out/warehouse/$name")
       loc.exists() && {
@@ -159,7 +159,6 @@ object MakeHeavy {
         true
       }
     }
-  }
 }
 
 object BenchHeavy {
@@ -173,7 +172,7 @@ object BenchHeavy {
     "l7_tfidf_topterms", "q1_pricing_summary", "q2_shipping_priority",
     "q3_revenue_by_nation", "s5_s6_partitioned_sink", "l1_exact_dedup",
     "w1_topk_per_group", "r4_session_window", "a9_percentiles",
-    "s4_point_lookup", "l2f_decontam", "l2f_xxh", "l2f_roll",
+    "s4_point_lookup", "l2f_decontam", "l2f_xxh", "l2f_roll", "l2f_pos", "l2f_gen",
     "l4f_repetition_stats")
 
   val SWEEPS = 3

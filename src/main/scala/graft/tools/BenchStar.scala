@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Star-join crossover harness: measure q2/q3 (plain and bucketed) at a
+  * SEQUENCE of scale factors to turn BENCHNOTES_HEAVY's "the star-join
+  * ratio inverts when the fact table exceeds one node" from an assertion
+  * into a measured trend. `MakeStar` materializes ONLY the star-schema
+  * tables (orders/customer/lineitem + the tiny dims) at a given replica
+  * count — the heavy tier's text/event tables would waste most of the
+  * build time at 250x — plus the bucketed orders/lineitem layout.
+  * `BenchStar` times the four queries with BenchHeavy's sweep protocol;
+  * tools/crossover.py runs DuckDB on the identical oracle SQL per tier
+  * and renders the ratio-vs-sf table.
+  */
+object MakeStar {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args(1)
+    val copies = args(2).toInt
+    val spark = MakeHeavy.session(Some(s"$out/warehouse"))
+    import spark.implicits._
+    val reps = broadcast(spark.range(copies).toDF("k"))
+
+    // identical key-shift construction to MakeHeavy (disjoint replica key
+    // ranges = the join structure replicates exactly; see MakeHeavy's doc)
+    def scaled(table: String, shifts: Map[String, Long]): DataFrame = {
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      val cols = df.columns.map { c =>
+        shifts.get(c) match {
+          case Some(s) => (col(c) + $"k" * s).as(c)
+          case None => col(c)
+        }
+      }
+      df.crossJoin(reps).select(cols.toSeq: _*)
+    }
+
+    val FILES = 32 // scan parallelism = cores (MakeHeavy's rationale)
+    scaled("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+      .repartition(FILES)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    scaled("customer", Map("c_custkey" -> 1000000L))
+      .repartition(FILES)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    scaled("lineitem", Map("l_orderkey" -> 10000000L))
+      .repartition(FILES)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    for (t <- Seq("hv_orders_b", "hv_lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"$out/warehouse/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
+    spark.read.parquet(s"$out/orders.parquet")
+      .repartition(MakeHeavy.BUCKETS, col("o_orderkey"))
+      .write.bucketBy(MakeHeavy.BUCKETS, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("hv_orders_b")
+    spark.read.parquet(s"$out/lineitem.parquet")
+      .repartition(MakeHeavy.BUCKETS, col("l_orderkey"))
+      .write.bucketBy(MakeHeavy.BUCKETS, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("hv_lineitem_b")
+    println(s"STAR_DATA_AT=$out copies=$copies")
+    spark.stop()
+  }
+}
+
+object BenchStar {
+
+  val SWEEPS = 3
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val label = if (args.length > 1) args(1) else dir.split('/').last
+    val spark = MakeHeavy.session(Some(s"$dir/warehouse"))
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val haveBuckets = MakeHeavy.registerBucketed(spark, dir,
+      Seq(("hv_orders_b", "o_orderkey"), ("hv_lineitem_b", "l_orderkey")))
+    require(haveBuckets, s"bucketed tables missing under $dir/warehouse — run MakeStar first")
+
+    def pq(t: String): DataFrame = spark.read.parquet(s"$dir/$t.parquet")
+    val runnable: Seq[(String, () => DataFrame)] = Seq(
+      "q2_shipping_priority" -> (() =>
+        graft.operators.Analytics.q2From(spark, pq("customer"), pq("orders"), pq("lineitem"))),
+      "q3_revenue_by_nation" -> (() =>
+        graft.operators.Analytics.q3From(spark, pq("region"), pq("nation"),
+          pq("customer"), pq("orders"), pq("lineitem"))),
+      "q2_bucketed" -> (() => graft.operators.Analytics.q2From(spark, pq("customer"),
+        spark.table("hv_orders_b"), spark.table("hv_lineitem_b").hint("merge"))),
+      "q3_bucketed" -> (() => graft.operators.Analytics.q3From(spark, pq("region"),
+        pq("nation"), pq("customer"),
+        spark.table("hv_orders_b"), spark.table("hv_lineitem_b").hint("merge"))))
+
+    val stageMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val st = s.stageInfo
+        for (c <- st.completionTime; b <- st.submissionTime) stageMs.addAndGet(c - b)
+      }
+    })
+    for ((_, fn) <- runnable) fn().count() // warmup: JIT + codegen + listing
+
+    val samples = scala.collection.mutable.Map(
+      runnable.map(_._1 -> Vector.empty[(Double, Double)]): _*)
+    for (_ <- 1 to SWEEPS; (name, fn) <- runnable) {
+      stageMs.set(0)
+      val t0 = System.nanoTime()
+      fn().count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(150) // let the listener bus drain stage-completed events
+      samples(name) :+= ((wall, stageMs.get() / 1e3))
+    }
+    val results = runnable.map { case (name, _) =>
+      val v = samples(name).sortBy(_._1)
+      name -> v((v.size - 1) / 2)
+    }
+    val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + w }
+      .mkString("{", ",", "}")
+    val cs = results.map { case (k, (_, c)) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"star_total","value":${results.map(_._2._1).sum},"unit":"sec","tier":"$label","queries":$qs,"stage_compute":$cs,"sf":"$dir"}"""
+    println(line)
+    graft.BenchUtil.writeArtifact(s"target/bench_star_$label.json", line)
+    spark.stop()
+  }
+}

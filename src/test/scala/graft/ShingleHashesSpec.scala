@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The native shingle-hash expression must be bit-equal to the SQL
+  * composition it replaces: distinct `xxhash64`/`md5_prefix48` of the
+  * space-joined word k-grams, first-occurrence order. Edge cases pin the
+  * split-on-' ' semantics the byte scan re-implements (empty words from
+  * doubled/leading/trailing spaces, fewer words than k, multi-byte
+  * UTF-8), then the whole fixture corpus is swept for both algos. */
+class ShingleHashesSpec extends SparkSpecBase {
+
+  private def sqlForm(algo: String, k: Int) = {
+    val h = if (algo == "xxh64") "xxhash64(s)" else "md5_prefix48(s)"
+    s"transform(array_distinct(transform(sequence(1, size(split(text, ' ')) - ${k - 1}), " +
+      s"i -> array_join(slice(split(text, ' '), i, $k), ' '))), s -> $h)"
+  }
+
+  private def check(texts: Seq[String], algo: String, k: Int = 5): Unit = {
+    import spark.implicits._
+    graft.plans.Md5Prefix48.register(spark)
+    graft.plans.ShingleHashes.register(spark)
+    val df = texts.toDF("text")
+      .withColumn("native", expr(s"shingle_hashes(text, $k, '$algo')"))
+      .withColumn("sql",
+        when(size(split($"text", " ")) >= k, expr(sqlForm(algo, k)))
+          .otherwise(array().cast("array<bigint>")))
+    val bad = df.filter(not($"native" <=> $"sql"))
+    assert(bad.isEmpty, s"algo=$algo k=$k mismatches: ${bad.collect().mkString("; ")}")
+  }
+
+  private val edges = Seq(
+    "a b c d e",              // exactly k words
+    "a b c d",                // fewer than k -> empty
+    "",                       // one empty word
+    "a b c d e f g",          // sliding windows
+    "x x x x x x x x",        // all-duplicate shingles -> one hash
+    "a  b c d e f",           // doubled space: empty word is a word
+    " a b c d e",             // leading space
+    "a b c d e ",             // trailing space
+    "héllo wörld ü ñ ß çat",  // multi-byte UTF-8 regions
+    "a b a b a b a b a b")    // period-2 repetition
+
+  test("native xxh64 shingles equal the SQL composition") {
+    check(edges, "xxh64")
+    check(edges, "xxh64", k = 2)
+  }
+
+  test("native md5p48 shingles equal the SQL composition") {
+    check(edges, "md5p48")
+    check(edges, "md5p48", k = 3)
+  }
+
+  test("fixture corpus sweep: both algos, k=5") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sfDir).select($"text")
+      .as[String].collect().toSeq
+    check(texts, "xxh64")
+    check(texts, "md5p48")
+  }
+}

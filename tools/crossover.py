@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Produce CROSSOVER.md: the q2/q3 star-join Spark-vs-DuckDB ratio as a
+function of scale factor, to test BENCHNOTES_HEAVY's claim that the
+single-node constant-factor gap closes as the fact tables grow.
+
+Per tier it reads Spark timings from target/bench_star_<label>.json
+(written by graft.tools.BenchStar) and times DuckDB on the identical
+oracle SQL (median of 3, same host). Hand-written analysis lives in
+tools/bench_analysis.json under the "CROSSOVER.md" key and is re-rendered
+on every regeneration, matching bench_compare.py's convention.
+
+Usage:
+  python3 tools/crossover.py <oracleJson> sf1=<dir> sf5=<dir> sf25=<dir> \
+      [--out=CROSSOVER.md]
+"""
+import json
+import os
+import statistics
+import sys
+import time
+
+import duckdb
+
+ANALYSIS_PATH = os.path.join(os.path.dirname(__file__), "bench_analysis.json")
+TABLES = ["region", "nation", "customer", "orders", "lineitem"]
+QUERIES = ["q2_shipping_priority", "q3_revenue_by_nation"]
+RUNS = 3
+
+
+def duck_time(sf_dir, sql):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p += "/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    con.sql(sql).fetchall()  # warmup: page cache + plan
+    times = []
+    for _ in range(RUNS):
+        t0 = time.time()
+        con.sql(sql).fetchall()
+        times.append(time.time() - t0)
+    con.close()
+    return statistics.median(times)
+
+
+def main():
+    out_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                     if a.startswith("--out=")), "CROSSOVER.md")
+    args = [a for a in sys.argv[1:] if not a.startswith("--out=")]
+    oracle = json.load(open(args[0]))
+    tiers = [a.split("=", 1) for a in args[1:]]
+
+    rows = []  # (label, lineitem_rows, {q: (spark_wall, spark_stage, duck)})
+    for label, sf_dir in tiers:
+        bench = json.load(open(f"target/bench_star_{label}.json"))
+        con = duckdb.connect()
+        li = f"{sf_dir}/lineitem.parquet"
+        if os.path.isdir(li):
+            li += "/*.parquet"
+        n_li = con.sql(f"SELECT count(*) FROM '{li}'").fetchone()[0]
+        con.close()
+        per = {}
+        for q in QUERIES:
+            duck = duck_time(sf_dir, oracle[q])
+            per[q] = (bench["queries"][q], bench["stage_compute"][q], duck,
+                      bench["queries"][q + "_bucketed"],
+                      bench["stage_compute"][q + "_bucketed"])
+        rows.append((label, n_li, per))
+
+    analysis = {}
+    if os.path.exists(ANALYSIS_PATH):
+        analysis = json.load(open(ANALYSIS_PATH)).get("CROSSOVER.md", {})
+
+    with open(out_path, "w") as f:
+        f.write("# CROSSOVER — star-join ratio vs scale factor\n\n")
+        f.write("Spark `local[32]` (BenchStar: 3 interleaved sweeps, lower-median, "
+                f"post-warmup) vs DuckDB {duckdb.__version__} (median of {RUNS}, "
+                "post-warmup) on the identical oracle SQL; `stage` is executor "
+                "stage-compute seconds (wall minus the fixed driver/AQE floor). "
+                "Regenerate: `python3 tools/crossover.py <oracleJson> "
+                "sf1=<dir> ...` after `graft.tools.MakeStar` + `BenchStar` "
+                "per tier.\n\n")
+        for q in QUERIES:
+            f.write(f"## {q}\n\n")
+            f.write("| tier | lineitem rows | spark wall s | spark stage s | "
+                    "bucketed wall s | bucketed stage s | duckdb s | "
+                    "wall ratio | stage ratio | bucketed stage ratio |\n")
+            f.write("|---|---|---|---|---|---|---|---|---|---|\n")
+            for label, n_li, per in rows:
+                w, s, d, bw, bs = per[q]
+                f.write(f"| {label} | {n_li:,} | {w:.2f} | {s:.2f} | {bw:.2f} | "
+                        f"{bs:.2f} | {d:.2f} | {w / d:.1f}x | {s / d:.1f}x | "
+                        f"{bs / d:.1f}x |\n")
+            f.write("\n")
+            if q in analysis:
+                f.write(analysis[q] + "\n\n")
+        if "summary" in analysis:
+            f.write("## Reading the trend\n\n" + analysis["summary"] + "\n")
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
