@@ -46,29 +46,30 @@ object Dedup {
     expr(s"array_min(transform(hs, h -> ((h % $P) * ${lcgA(seed)} + ${lcgB(seed)}) % $P))")
 
   private def withShingles(docs: DataFrame): DataFrame = {
-    // native digest-bytes->long expression: bit-equal to
-    // conv(substr(md5(s),1,12),16,10) but without the hex round trip,
-    // which dominated the shingle scan at sf1 (see plans.Md5Prefix48)
-    graft.plans.Md5Prefix48.register(docs.sparkSession)
+    // native one-pass distinct-shingle hashing (plans.ShingleHashes):
+    // bit-equal to transform(array_distinct(<k-gram strings>), s ->
+    // md5_prefix48(s)) but with no shingle string, no word array, and no
+    // interpreted lambda — measured 17x faster than the transform form at
+    // sf5 (BENCHNOTES_HEAVY's l2f ladder; the digest itself stopped being
+    // the bottleneck with plans.Md5Prefix48, the LAMBDA was). Dedup is on
+    // the hash: a within-doc 48-bit collision merges two shingles, which
+    // the md5-anchored oracles absorb identically (hash-internal keys).
+    // Empty hs == fewer than SHINGLE_K words, replacing the size filter.
+    graft.plans.ShingleHashes.register(docs.sparkSession)
     docs
-      .withColumn("words", wordsCol)
-      .filter(size(col("words")) >= SHINGLE_K)
-      .withColumn("shingles", shinglesExpr)
-      .withColumn("hs", expr("transform(shingles, s -> md5_prefix48(s))"))
+      .withColumn("hs", expr(s"shingle_hashes(text, $SHINGLE_K, 'md5p48')"))
+      .filter(size(col("hs")) > 0)
   }
 
-  /** One row per (doc, shingle hash) with the doc's shingle count —
-    * the exploded form l2d/l2f join on. The digest runs in a flat
-    * codegen'd projection AFTER the explode: higher-order `transform`
-    * lambdas evaluate interpreted per element, which at 43M shingles is
-    * the difference between a ~0.3µs and a ~4µs digest. */
-  private def explodedShingleHashes(docs: DataFrame): DataFrame =
-    explodedShingleHashesBy(docs, "md5_prefix48(s)")
-
-  /** Same exploded form with a caller-chosen shingle hash expression over
-    * `s`. The hash key never appears in any output — only pair counts
-    * derived from equality on it — so any collision-sparse 64-bit hash
-    * yields identical results. */
+  /** One row per (doc, shingle hash) with the doc's shingle count, with a
+    * caller-chosen shingle hash expression over `s`. The hash key never
+    * appears in any output — only pair counts derived from equality on it
+    * — so any collision-sparse 64-bit hash yields identical results.
+    * The digest runs in a flat codegen'd projection AFTER the explode, but
+    * the shingle STRINGS are still built in an interpreted `transform`
+    * lambda — this is the measured middle rung of the shingle-cost ladder
+    * (BENCHNOTES_HEAVY l2f); only the l2f baseline variants still use it,
+    * production paths use [[explodedShingleHashesNative]]. */
   private def explodedShingleHashesBy(docs: DataFrame, hashSql: String): DataFrame = {
     graft.plans.Md5Prefix48.register(docs.sparkSession)
     docs
@@ -415,8 +416,9 @@ object Dedup {
   }
 
   /** L2f on zero-lambda positional keys (see [[explodedShinglePos]]) —
-    * the PRODUCTION decontamination path: every per-shingle operation runs
-    * post-explode inside whole-stage codegen. The md5-keyed oracle stays
+    * the second-to-last ladder rung (l2f_gen's native expression halves it
+    * again): every per-shingle operation runs post-explode inside
+    * whole-stage codegen. The md5-keyed oracle stays
     * the expected output (hash is join-internal) and equality doubles as
     * the per-run collision check. `countDistinct` replaces the plain count
     * because the positional form has no pre-explode distinct; the join has
@@ -454,6 +456,10 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** DELIBERATELY the interpreted-`transform` form: l2f_decontam/l2f_xxh
+    * are the measured baseline rungs of the shingle-cost ladder
+    * (BENCHNOTES_HEAVY) that motivated plans.ShingleHashes — production
+    * callers use [[l2fDecontamGen]]. */
   private def decontamBy(spark: SparkSession, sfDir: String, hashSql: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
@@ -510,7 +516,7 @@ object Dedup {
     * key instead of ~25-byte text. Exact set arithmetic (longs) so the
     * similarity is deterministic. */
   def l2dNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardBy(spark, sfDir, "md5_prefix48(s)")
+    ngramJaccardBy(spark, sfDir, "md5p48")
 
   /** L2d on `xxhash64` shingle keys instead of md5: the 64-bit key is
     * just as collision-sparse, so the pair set — and therefore every
@@ -524,11 +530,25 @@ object Dedup {
     * equality is a per-run machine check that xxhash64 introduced no
     * colliding shingle. */
   def l2dNgramJaccardXx(spark: SparkSession, sfDir: String): DataFrame =
-    ngramJaccardBy(spark, sfDir, "xxhash64(s)")
+    ngramJaccardBy(spark, sfDir, "xxh64")
 
-  private def ngramJaccardBy(spark: SparkSession, sfDir: String, hashSql: String): DataFrame = {
+  /** Native exploded (doc_id, n_sh, sh) form: one-pass distinct shingle
+    * hashes off the text bytes (plans.ShingleHashes), no lambda, no
+    * shingle string. n_sh counts distinct HASHES (vs the transform form's
+    * distinct strings) — identical modulo within-doc collisions, which the
+    * md5-anchored oracles check per run. */
+  private def explodedShingleHashesNative(docs: DataFrame, algo: String): DataFrame = {
+    graft.plans.ShingleHashes.register(docs.sparkSession)
+    docs
+      .withColumn("hs", expr(s"shingle_hashes(text, $SHINGLE_K, '$algo')"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("sh"))
+  }
+
+  private def ngramJaccardBy(spark: SparkSession, sfDir: String, algo: String): DataFrame = {
     import spark.implicits._
-    val sh = explodedShingleHashesBy(Tables.documents(spark, sfDir), hashSql)
+    val sh = explodedShingleHashesNative(Tables.documents(spark, sfDir), algo)
     // merge hint -> shared shuffle exchange: shingle hashing runs once
     // (see l2bLshCandidates; measured faster than shuffle_hash here).
     val a = sh.as("a"); val b = sh.hint("merge").as("b")

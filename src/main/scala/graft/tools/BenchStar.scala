@@ -97,34 +97,43 @@ object BenchStar {
         spark.table("hv_orders_b"), spark.table("hv_lineitem_b").hint("merge"))))
 
     val stageMs = new java.util.concurrent.atomic.AtomicLong(0)
+    // spill tracking: at the largest tiers a high-cardinality per-task
+    // aggregate can exceed executor memory — surfacing diskBytesSpilled
+    // per query tells the ratio table WHY a point regressed (memory
+    // ceiling, not plan shape)
+    val spillB = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val st = s.stageInfo
         for (c <- st.completionTime; b <- st.submissionTime) stageMs.addAndGet(c - b)
       }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) spillB.addAndGet(t.taskMetrics.diskBytesSpilled)
     })
     for ((_, fn) <- runnable) fn().count() // warmup: JIT + codegen + listing
 
     val samples = scala.collection.mutable.Map(
-      runnable.map(_._1 -> Vector.empty[(Double, Double)]): _*)
+      runnable.map(_._1 -> Vector.empty[(Double, Double, Double)]): _*)
     for (_ <- 1 to SWEEPS; (name, fn) <- runnable) {
-      stageMs.set(0)
+      stageMs.set(0); spillB.set(0)
       val t0 = System.nanoTime()
       fn().count()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(150) // let the listener bus drain stage-completed events
-      samples(name) :+= ((wall, stageMs.get() / 1e3))
+      samples(name) :+= ((wall, stageMs.get() / 1e3, spillB.get() / 1e9))
     }
     val results = runnable.map { case (name, _) =>
       val v = samples(name).sortBy(_._1)
       name -> v((v.size - 1) / 2)
     }
-    val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + w }
+    val qs = results.map { case (k, (w, _, _)) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val cs = results.map { case (k, (_, c)) => s"\"" + k + "\":" + c }
+    val cs = results.map { case (k, (_, c, _)) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"star_total","value":${results.map(_._2._1).sum},"unit":"sec","tier":"$label","queries":$qs,"stage_compute":$cs,"sf":"$dir"}"""
+    val sp = results.map { case (k, (_, _, s)) => s"\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"star_total","value":${results.map(_._2._1).sum},"unit":"sec","tier":"$label","queries":$qs,"stage_compute":$cs,"disk_spill_gb":$sp,"sf":"$dir"}"""
     println(line)
     graft.BenchUtil.writeArtifact(s"target/bench_star_$label.json", line)
     spark.stop()

@@ -62,10 +62,10 @@ def main():
         con.close()
         per = {}
         for q in QUERIES:
+            b = q.split("_", 1)[0] + "_bucketed"  # q2_bucketed / q3_bucketed
             duck = duck_time(sf_dir, oracle[q])
             per[q] = (bench["queries"][q], bench["stage_compute"][q], duck,
-                      bench["queries"][q + "_bucketed"],
-                      bench["stage_compute"][q + "_bucketed"])
+                      bench["queries"][b], bench["stage_compute"][b])
         rows.append((label, n_li, per))
 
     analysis = {}
