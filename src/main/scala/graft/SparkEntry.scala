@@ -77,11 +77,13 @@ object SparkEntry {
     "l2_minhash_dedup" -> (graft.llm.Dedup.l2MinhashDedup _),
     "l2b_lsh_candidates" -> (graft.llm.Dedup.l2bLshCandidates _),
     "l2c_simhash" -> (graft.llm.Dedup.l2cSimhash _),
+    "l2g_incremental_simhash" -> (graft.llm.Dedup.l2gIncrementalSimhash _),
     "l2e_connected_components" -> (graft.llm.Dedup.l2eConnectedComponents _),
     "l2d_ngram_jaccard" -> (graft.llm.Dedup.l2dNgramJaccard _),
     "l2d_xxh" -> (graft.llm.Dedup.l2dNgramJaccardXx _),
     "l3_similarity_search" -> (graft.llm.Similarity.l3BruteForceTopk _),
     "l3b_lsh_neardup" -> (graft.llm.Similarity.l3bLshNearDup _),
+    "l3h_neardup_prune" -> (graft.llm.Similarity.l3hNearDupPrune _),
     "l3c_ivf_topk" -> (graft.llm.Similarity.l3cIvfTopk _),
     "l3e_banded_lsh" -> (graft.llm.Similarity.l3eBandedLsh _),
     "l3g_seeded_lsh" -> (graft.llm.Similarity.l3gSeededLsh _),
@@ -94,6 +96,7 @@ object SparkEntry {
     "l4d_token_count" -> (graft.llm.TextAnalysis.l4dTokenCount _),
     "l4e_fingerprint" -> (graft.llm.TextAnalysis.l4eFingerprint _),
     "l4f_repetition_stats" -> (graft.llm.TextAnalysis.l4fRepetitionStats _),
+    "l4g_quality_filter" -> (graft.llm.TextAnalysis.l4gQualityFilter _),
     "l2f_decontam" -> (graft.llm.Dedup.l2fDecontam _),
     "l2f_xxh" -> (graft.llm.Dedup.l2fDecontamXx _),
     "l2f_roll" -> (graft.llm.Dedup.l2fDecontamRoll _),
@@ -188,6 +191,20 @@ object SparkEntry {
        |FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The l2c/l2g shared SimHash pipeline as DuckDB CTEs (voted, simmed). */
+  private val simhashCtes: String = {
+    val votes = (0 until 16).map { b =>
+      s"list_sum([CASE WHEN (instr('0123456789abcdef', substr(md5(w || '#$b'), 1, 1)) - 1) & 1 = 1 " +
+        s"THEN 1 ELSE -1 END for w in words]) AS vote$b"
+    }.mkString(",\n  ")
+    val sim = (0 until 16)
+      .map(b => s"(CASE WHEN vote$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""voted AS (
+       |  SELECT doc_id, $votes
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+       |simmed AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM voted)""".stripMargin
+  }
 
   /** l2f's oracle, shared by `l2f_xxh` (hash is join-internal). */
   private val l2fOracle: String =
@@ -547,20 +564,24 @@ object SparkEntry {
          |SELECT a AS doc_id, MIN(b) AS component FROM reach
          |GROUP BY a ORDER BY doc_id""".stripMargin
     },
-    "l2c_simhash" -> {
-      val votes = (0 until 16).map { b =>
-        s"list_sum([CASE WHEN (instr('0123456789abcdef', substr(md5(w || '#$b'), 1, 1)) - 1) & 1 = 1 " +
-          s"THEN 1 ELSE -1 END for w in words]) AS vote$b"
-      }.mkString(",\n  ")
-      val sim = (0 until 16)
-        .map(b => s"(CASE WHEN vote$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-      s"""WITH voted AS (
-         |  SELECT doc_id, $votes
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
-         |simmed AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM voted)
+    "l2c_simhash" ->
+      s"""WITH $simhashCtes
          |SELECT doc_id, simhash, MIN(doc_id) OVER (PARTITION BY simhash) AS cluster_id
-         |FROM simmed ORDER BY doc_id""".stripMargin
-    },
+         |FROM simmed ORDER BY doc_id""".stripMargin,
+    // incremental screening: corpus = ids below the computed cutoff,
+    // batch = the rest; same simmed CTE as l2c
+    "l2g_incremental_simhash" ->
+      s"""WITH $simhashCtes,
+         |m AS (SELECT CAST(max(doc_id) * 4 / 5 AS BIGINT) AS cutoff FROM simmed),
+         |corpus AS (SELECT DISTINCT simhash FROM simmed, m WHERE doc_id < cutoff),
+         |b AS (SELECT doc_id, simhash, MIN(doc_id) OVER (PARTITION BY simhash) AS first_id
+         |      FROM (SELECT s.doc_id, s.simhash FROM simmed s, m WHERE s.doc_id >= m.cutoff))
+         |SELECT b.doc_id, b.simhash,
+         |  (c.simhash IS NOT NULL) AS corpus_dup,
+         |  b.doc_id <> b.first_id AS batch_dup,
+         |  (c.simhash IS NULL AND b.doc_id = b.first_id) AS keep
+         |FROM b LEFT JOIN corpus c ON b.simhash = c.simhash
+         |ORDER BY b.doc_id""".stripMargin,
     "l2d_ngram_jaccard" -> l2dOracle,
     // the xx variant's hash never appears in the output, so the md5-keyed
     // oracle is the exact expected result — their equality is the per-run
@@ -581,6 +602,25 @@ object SparkEntry {
          |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    // same sigs/pair machinery as l3b + the l2e recursive-reachability
+    // pattern, over embeddings
+    "l3h_neardup_prune" -> {
+      val sig = (1 to 8)
+        .map(i => s"(CASE WHEN embedding[$i] > 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH RECURSIVE sigs AS (
+         |  SELECT vec_id, embedding, CAST($sig AS BIGINT) AS bucket FROM embeddings),
+         |edges AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3),
+         |reach(a, b) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT a AS vec_id, MIN(b) AS component, (a = MIN(b)) AS keep
+         |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
     },
     "l3e_banded_lsh" -> {
       // 4 bands of 8 bits: band b = sign pattern of dims [b*8, (b+1)*8)
@@ -726,6 +766,24 @@ object SparkEntry {
         |    CAST(LEN(text) - LEN(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // naive single-window form of the two-phase order-statistic selection
+    // the Spark side runs; equality proves the two-phase exact
+    "l4g_quality_filter" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    (CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / LEN(string_split(text, ' '))) * 0.7 +
+        |    (CASE WHEN LEN(string_split(text, ' ')) BETWEEN 20 AND 1000
+        |       THEN 0.3 ELSE 0.0 END) AS quality_score
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS rk,
+        |             count(*) OVER (PARTITION BY lang) AS n FROM scored),
+        |thr AS (SELECT lang, quality_score AS ts, doc_id AS td FROM r WHERE n >= 4 AND rk = n // 4)
+        |SELECT s.doc_id, s.lang, s.quality_score,
+        |  (t.lang IS NULL OR s.quality_score > t.ts
+        |    OR (s.quality_score = t.ts AND s.doc_id > t.td)) AS keep
+        |FROM scored s LEFT JOIN thr t ON s.lang = t.lang
+        |ORDER BY s.doc_id""".stripMargin,
     "l4d_token_count" ->
       """SELECT doc_id,
         |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

@@ -488,8 +488,9 @@ object Dedup {
   /** L2c: SimHash — 16-bit signature; per bit, every word votes ±1 by a
     * seeded md5 bit, weighted by term frequency. Pure array fold per row,
     * no shuffle until the final cluster window. */
-  def l2cSimhash(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** (doc_id, simhash) for every doc — the shared signature frame l2c
+    * clusters on and l2g screens against. */
+  private def simhashed(docs: DataFrame): DataFrame = {
     val BITS = 16
     val voteExprs = (0 until BITS).map { b =>
       expr(
@@ -497,17 +498,53 @@ object Dedup {
           s"CASE WHEN ((instr('0123456789abcdef', substr(md5(concat(w, '#$b')), 1, 1)) - 1) & 1) = 1 " +
           s"THEN 1 ELSE -1 END)").as(s"vote$b")
     }
-    val voted = Tables.documents(spark, sfDir)
-      .withColumn("words", wordsCol)
-      .select($"doc_id" +: voteExprs: _*)
     val sim = (0 until BITS)
       .map(b => when(col(s"vote$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
+    docs
+      .withColumn("words", wordsCol)
+      .select(col("doc_id") +: voteExprs: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+  }
+
+  def l2cSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val w = Window.partitionBy($"simhash")
-    voted
-      .withColumn("simhash", sim)
+    simhashed(Tables.documents(spark, sfDir))
       .withColumn("cluster_id", min($"doc_id").over(w))
       .select($"doc_id", $"simhash", $"cluster_id")
+      .orderBy($"doc_id")
+  }
+
+  /** L2g [EXT]: incremental near-dup screening — the nightly-ingest form
+    * of fuzzy dedup: flag NEW documents (the newest ~20% by doc_id; the
+    * cutoff is computed from the data so the split exists at every SF)
+    * whose 16-bit SimHash signature collides with the established corpus
+    * or with an earlier batch document.
+    *
+    * Scale: the corpus reduces to its DISTINCT signature set, bounded by
+    * 2^16 REGARDLESS of corpus size — it broadcasts at any scale, so
+    * screening costs one batch-side scan plus a map-side join; a real
+    * deployment maintains that signature index incrementally and never
+    * rescans the corpus (here the one-time reduction is part of the
+    * query). Batch-internal firsts are a window over the signature
+    * (state: one min per signature; ≤ 2^16 groups). */
+  def l2gIncrementalSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = simhashed(Tables.documents(spark, sfDir))
+    val cut = broadcast(sh.agg(expr("CAST(max(doc_id) * 4 / 5 AS BIGINT)").as("cutoff")))
+    val withCut = sh.crossJoin(cut)
+    val corpus = withCut.filter($"doc_id" < $"cutoff")
+      .select($"simhash").distinct().withColumn("in_corpus", lit(true))
+    val batch = withCut.filter($"doc_id" >= $"cutoff").select($"doc_id", $"simhash")
+    val w = Window.partitionBy($"simhash")
+    batch
+      .withColumn("first_id", min($"doc_id").over(w))
+      .join(broadcast(corpus), Seq("simhash"), "left_outer")
+      .select($"doc_id", $"simhash",
+        coalesce($"in_corpus", lit(false)).as("corpus_dup"),
+        ($"doc_id" =!= $"first_id").as("batch_dup"),
+        ($"in_corpus".isNull && $"doc_id" === $"first_id").as("keep"))
       .orderBy($"doc_id")
   }
 

@@ -100,6 +100,30 @@ object Similarity {
       .filter($"cosine" >= simCut)
   }
 
+  /** L3h [EXT]: embedding near-dup pruning (the SemDeDup shape, Abbas et
+    * al. 2023): LSH candidate pairs above the cosine cut -> connected
+    * components -> keep one representative (the min vec_id) per component.
+    * This is the end-to-end "drop semantic duplicates" operator a corpus
+    * pipeline runs; l3b emits the pairs, this emits the KEEP LIST.
+    *
+    * Scale: pairs are bucket-bound (signLshPairs's reused-exchange
+    * self-join, never n^2); the component loop is Dedup.connectedComponents
+    * (min-label here — near-dup components are small and dense; the star
+    * contraction handles pathological graphs); the output is one row per
+    * vector. The DuckDB oracle replays the same pipeline with a recursive
+    * CTE for reachability. */
+  def l3hNearDupPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val pairs = signLshPairs(emb, DEFAULT_SIGN_BITS, 0.3)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    val vertices = emb.select($"vec_id".as("doc_id"))
+    graft.llm.Dedup.connectedComponents(vertices, pairs)
+      .select($"doc_id".as("vec_id"), $"component",
+        ($"doc_id" === $"component").as("keep"))
+      .orderBy($"vec_id")
+  }
+
   /** Banded sign-LSH: candidate pairs colliding in ANY of `bands`
     * independent bit-sets — the recall restoration MinHash banding gives
     * Jaccard dedup (Dedup.lshCandidatePairs), applied to cosine. A single

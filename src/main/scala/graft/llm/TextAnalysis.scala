@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -64,6 +65,67 @@ object TextAnalysis {
         (($"n_distinct".cast("double") / $"n_words") * lit(0.7)
           + when($"n_words" >= 20 && $"n_words" <= 1000, lit(0.3)).otherwise(lit(0.0)))
           .as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  /** L4g [EXT]: per-language relative quality gate — drop the bottom
+    * quartile of l4c's quality score within each language (the C4/CCNet
+    * posture: thresholds are per-stratum, not global, so a low-resource
+    * language is not judged by a high-resource language's distribution).
+    * "Bottom quartile" is the EXACT k-th order statistic (k = n/4, ties
+    * broken by doc_id), not an interpolated percentile — interpolation
+    * arithmetic differs across engines, an actual data value does not.
+    *
+    * Scale: a naive per-language rank is an unpartitioned window over the
+    * stratum's full rows. Instead the threshold comes from a TWO-PHASE
+    * selection (the W2 bucket-rank construction generalized to order
+    * statistics): phase A aggregates a (lang, score-bucket) histogram
+    * (tiny: |langs| x 64 rows) and locates the bucket containing rank k;
+    * phase B ranks ONLY inside that one bucket (~1/64 of the stratum).
+    * The thresholds then broadcast onto one full scan for the keep flag.
+    * The DuckDB oracle replays the naive single-window form — equality
+    * proves the two-phase selection exact. */
+  def l4gQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val B = 64
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("words", split($"text", " "))
+      .select($"doc_id", $"lang",
+        ((size(array_distinct($"words")).cast("double") / size($"words")) * lit(0.7)
+          + when(size($"words").between(20, 1000), lit(0.3)).otherwise(lit(0.0)))
+          .as("quality_score"))
+    val bucketed = scored.withColumn("bucket",
+      least(floor($"quality_score" * B), lit(B - 1)).cast("long"))
+    // phase A: per-(lang, bucket) counts -> locate the k-th value's bucket
+    val hist = bucketed.groupBy($"lang", $"bucket").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"lang").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy($"lang")
+    val cum = hist
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n", sum($"cnt").over(wAll))
+      .withColumn("k", ($"n" / 4).cast("long"))
+    val target = cum
+      .filter($"k" >= 1 && $"cum" >= $"k" && ($"cum" - $"cnt") < $"k")
+      .select($"lang", $"bucket".as("tb"), $"k", ($"cum" - $"cnt").as("prev_cum"))
+    // phase B: rank only within the located bucket; global rank = prev_cum + rb
+    val wB = Window.partitionBy($"lang").orderBy($"quality_score", $"doc_id")
+    val thr = bucketed.as("bk")
+      .join(broadcast(target.as("tg")),
+        $"bk.lang" === $"tg.lang" && $"bk.bucket" === $"tg.tb")
+      .select($"bk.lang".as("lang"), $"bk.quality_score".as("quality_score"),
+        $"bk.doc_id".as("doc_id"), $"tg.k".as("k"), $"tg.prev_cum".as("prev_cum"))
+      .withColumn("rb", row_number().over(wB))
+      .filter($"rb" === $"k" - $"prev_cum")
+      .select($"lang".as("t_lang"), $"quality_score".as("thr_score"),
+        $"doc_id".as("thr_doc"))
+    // keep = rank > k, i.e. (score, doc_id) lexicographically above the
+    // k-th pair; strata with n < 4 have no threshold row and keep all
+    scored
+      .join(broadcast(thr), $"lang" === $"t_lang", "left_outer")
+      .select($"doc_id", $"lang", $"quality_score",
+        ($"thr_score".isNull || $"quality_score" > $"thr_score"
+          || ($"quality_score" === $"thr_score" && $"doc_id" > $"thr_doc")).as("keep"))
       .orderBy($"doc_id")
   }
 

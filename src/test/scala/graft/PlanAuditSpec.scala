@@ -150,6 +150,32 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("l11: rate table broadcasts; the corpus never hash-shuffles") {
+    val p = plan(q("l11_source_mix"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only hash exchanges move the tiny per-lang aggregate; a
+    // doc_id-keyed exchange would mean the corpus itself shuffled
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), p)
+  }
+
+  test("l9: one window pass, partitioned by (source, shard)") {
+    val p = plan(q("l9_sequence_pack"))
+    val windows = p.linesIterator.filter(_.trim.startsWith("+- Window ")).toSeq
+    assert(windows.size === 1, p)
+    // the window's partition spec is [source#N, shard#N] — never
+    // unpartitioned over raw rows
+    assert("""\], \[source#\d+, shard#\d+L?\], \[doc_id""".r
+      .findFirstIn(windows.head).isDefined, windows.head)
+  }
+
+  test("l2f_gen: native expression in the plan, no lambda artifacts") {
+    val p = plan(q("l2f_gen"))
+    assert(p.contains("shingle_hashes"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the ladder baselines' interpreted machinery must be absent
+    assert(!p.contains("array_distinct") && !p.contains("lambda"), p)
+  }
+
   test("no operator plan contains a cartesian product") {
     val sinkQueries = Set("s5_s6_partitioned_sink", "s7_json_sink", "s2_json_array_scan",
       "s9_clustered_scan")

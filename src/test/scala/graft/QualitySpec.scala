@@ -110,4 +110,36 @@ class QualitySpec extends SparkSpecBase {
       .collect().map(_.getInt(0)).toSeq
     assert(d === Seq(3, 2, 3, 0))
   }
+
+  test("L4g drops exactly floor(n/4) documents per language") {
+    import spark.implicits._
+    // the oracle hash-checks values; this pins the SELECTION CARDINALITY
+    // the two-phase order statistic must deliver, per stratum
+    val out = graft.llm.TextAnalysis.l4gQualityFilter(spark, "/root/testdata/sf0.01")
+    val perLang = out.groupBy($"lang")
+      .agg(count(lit(1)).as("n"), sum(when($"keep", 0L).otherwise(1L)).as("dropped"))
+      .collect()
+    assert(perLang.nonEmpty)
+    perLang.foreach { r =>
+      val (n, dropped) = (r.getAs[Long]("n"), r.getAs[Long]("dropped"))
+      assert(dropped === (if (n >= 4) n / 4 else 0L), s"lang ${r.get(0)}")
+    }
+  }
+
+  test("L2g incremental screen: flags are internally consistent and non-degenerate") {
+    import spark.implicits._
+    val out = graft.llm.Dedup.l2gIncrementalSimhash(spark, "/root/testdata/sf0.01")
+    // keep == neither corpus- nor batch-duplicate
+    assert(out.filter($"keep" =!= (!$"corpus_dup" && !$"batch_dup")).count() === 0)
+    // the first batch occurrence of a signature is never a batch_dup
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"simhash")
+    assert(out.withColumn("first", min($"doc_id").over(w))
+      .filter($"doc_id" === $"first" && $"batch_dup").count() === 0)
+    // the fixture genuinely exercises both duplicate kinds and keeps
+    val agg = out.agg(
+      sum(when($"corpus_dup", 1L).otherwise(0L)),
+      sum(when($"batch_dup", 1L).otherwise(0L)),
+      sum(when($"keep", 1L).otherwise(0L))).head()
+    assert(agg.getLong(0) > 0 && agg.getLong(1) > 0 && agg.getLong(2) > 0)
+  }
 }
