@@ -111,6 +111,7 @@ object SparkEntry {
     "a11_histogram" -> (Analytics.a11Histogram _),
     "r7_stream_join" -> (graft.streaming.Streams.r7StreamJoin _),
     "r8_high_water" -> (graft.streaming.Streams.r8HighWater _),
+    "r9_signature_screen" -> (graft.streaming.Streams.r9SignatureScreen _),
     "s9_clustered_scan" -> (graft.operators.Etl.s9ClusteredScan _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
@@ -570,6 +571,12 @@ object SparkEntry {
          |FROM simmed ORDER BY doc_id""".stripMargin,
     // incremental screening: corpus = ids below the computed cutoff,
     // batch = the rest; same simmed CTE as l2c
+    // R9's batch form = the screen without the corpus split; same simmed CTE
+    "r9_signature_screen" ->
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash,
+         |  doc_id <> MIN(doc_id) OVER (PARTITION BY simhash) AS is_dup
+         |FROM simmed ORDER BY doc_id""".stripMargin,
     "l2g_incremental_simhash" ->
       s"""WITH $simhashCtes,
          |m AS (SELECT CAST(max(doc_id) * 4 / 5 AS BIGINT) AS cutoff FROM simmed),

@@ -489,8 +489,9 @@ object Dedup {
     * seeded md5 bit, weighted by term frequency. Pure array fold per row,
     * no shuffle until the final cluster window. */
   /** (doc_id, simhash) for every doc — the shared signature frame l2c
-    * clusters on and l2g screens against. */
-  private def simhashed(docs: DataFrame): DataFrame = {
+    * clusters on, l2g screens against, and R9 streams through (the
+    * projection is stateless, so it runs unchanged on a streaming frame). */
+  private[graft] def simhashed(docs: DataFrame): DataFrame = {
     val BITS = 16
     val voteExprs = (0 until BITS).map { b =>
       expr(

@@ -180,18 +180,15 @@ object Similarity {
       simCut: Double, seed: Long): DataFrame = {
     require(signBits >= 1 && signBits <= 62, s"signBits out of range: $signBits")
     require(bands >= 1, s"bands out of range: $bands")
-    val dim = probeDim(embFrame)
-    val proj = rademacher(seed, bands * signBits, dim)
-    def bandSig(b: Int): Column = (1 to signBits)
-      .map { i =>
-        val signs = proj(b * signBits + i - 1)
-          .map(v => if (v > 0) "1D" else "-1D").mkString("array(", ", ", ")")
-        val dotP = s"aggregate(zip_with(embedding, $signs, " +
-          "(x, s) -> CAST(x AS DOUBLE) * s), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        when(expr(dotP) > 0d, lit(1L << (i - 1))).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
-    bandedPairs(embFrame, bands, bandSig, simCut)
+    // all band signatures in ONE native pass (plans.RademacherSigs,
+    // bit-equal to the aggregate(zip_with(...)) SQL fold this replaces —
+    // the fold paid two nested interpreted lambdas per bit); signs are
+    // splitmix64-derived inline, so no matrix materializes or broadcasts
+    graft.plans.RademacherSigs.register(embFrame.sparkSession)
+    val withSigs = embFrame.withColumn("rsigs",
+      expr(s"rademacher_sigs(embedding, ${seed}L, $signBits, $bands)"))
+    def bandSig(b: Int): Column = col("rsigs").getItem(b)
+    bandedPairs(withSigs, bands, bandSig, simCut)
   }
 
   /** Deterministic ±1 (Rademacher) projection matrix: entry (k, d) is the
@@ -202,15 +199,9 @@ object Similarity {
     * identical matrix. */
   private[graft] def rademacher(seed: Long, rows: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(rows, dim) { (k, d) =>
-      if (splitmix64(seed * 1000003L + k.toLong * 8191L + d) < 0) -1.0 else 1.0
+      if (graft.plans.RademacherSigs.splitmix64(
+        seed * 1000003L + k.toLong * 8191L + d) < 0) -1.0 else 1.0
     }
-
-  private def splitmix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
 
   /** One-row dimension probe (first row of the first non-empty
     * partition) — a deliberate driver-side single-row read that prevents

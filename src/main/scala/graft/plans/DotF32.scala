@@ -110,5 +110,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
       (exprs: Seq[Expression]) => DotF32(exprs.head, exprs(1))))
     ext.injectFunction(Md5Prefix48.injection)
+    ext.injectFunction(ShingleHashes.injection)
+    ext.injectFunction(RademacherSigs.injection)
   }
 }

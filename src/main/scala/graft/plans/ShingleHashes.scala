@@ -161,4 +161,10 @@ object ShingleHashes {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", builder, "internal")
+
+  private[plans] def injection = ((
+    org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[ShingleHashes].getName, "shingle_hashes"),
+    builder))
 }

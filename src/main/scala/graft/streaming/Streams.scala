@@ -20,6 +20,42 @@ case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, ev
 case class ProgressUpdate(event_id: Long, user_id: Long, events_so_far: Long)
 case class ValuedEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
 case class HighWater(event_id: Long, user_id: Long, value: Double)
+case class ScreenDoc(doc_id: Long, simhash: Long)
+case class ScreenFlag(doc_id: Long, simhash: Long, is_dup: Boolean)
+
+/** R9 streaming form: the l2g signature screen as CONTINUOUS INGEST —
+  * one `ValueState[Long]` per 16-bit SimHash signature holds the first
+  * doc_id seen, so later arrivals with a colliding signature flag as
+  * duplicates across micro-batches. State cardinality is bounded by 2^16
+  * signatures regardless of stream length (the same bound that lets
+  * l2g's batch index broadcast). Rows are sorted by doc_id within each
+  * micro-batch; as with [[HighWaterProcessor]], batch/stream parity
+  * holds PROVIDED batches arrive in doc_id order per signature — a
+  * later-batch doc with an earlier id would be flagged where the batch
+  * window would keep it (strict subset of keeps, never a wrong keep). */
+class SignatureScreenProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ScreenDoc, ScreenFlag] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+  @transient private var firstId: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    firstId = getHandle.getValueState[Long](
+      "firstId", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      sig: Long, rows: Iterator[ScreenDoc],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[ScreenFlag] = {
+    val sorted = rows.toSeq.sortBy(_.doc_id)
+    var first: Option[Long] = if (firstId.exists()) Some(firstId.get()) else None
+    val out = sorted.map { d =>
+      val dup = first.isDefined
+      if (first.isEmpty) first = Some(d.doc_id)
+      ScreenFlag(d.doc_id, sig, dup)
+    }
+    first.foreach(firstId.update)
+    out.iterator
+  }
+}
 
 /** R8 streaming form: Spark 4 arbitrary-state-v2 processor. One
   * `ValueState[Double]` per user holds the running max across
@@ -260,5 +296,35 @@ object Streams {
       events.filter($"event_type" === "purchase"),
       events.filter($"event_type" === "signup"))
       .orderBy($"purchase_id", $"signup_id")
+  }
+
+  /** R9 batch form: the l2g signature screen without the corpus split —
+    * every doc flags whether an earlier doc (lower id) shares its SimHash
+    * signature. Shuffle key = the 16-bit signature, so per-group window
+    * state is bounded; same body feeds the oracle and defines the
+    * semantics [[SignatureScreenProcessor]] must reproduce per batch. */
+  def signatureScreenBatch(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"simhash")
+    graft.llm.Dedup.simhashed(docs)
+      .withColumn("first_id", min($"doc_id").over(w))
+      .select($"doc_id", $"simhash", ($"doc_id" =!= $"first_id").as("is_dup"))
+  }
+
+  /** R9 streaming entry: [[SignatureScreenProcessor]] via
+    * `transformWithState` (TimeMode NONE, append) — continuous-ingest
+    * duplicate screening with 2^16-bounded state. */
+  def signatureScreenStream(docs: org.apache.spark.sql.Dataset[ScreenDoc]):
+      org.apache.spark.sql.Dataset[ScreenFlag] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    docs.groupByKey(_.simhash)
+      .transformWithState(new SignatureScreenProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  def r9SignatureScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    signatureScreenBatch(Tables.documents(spark, sfDir)).orderBy($"doc_id")
   }
 }

@@ -58,4 +58,25 @@ class ShingleHashesSpec extends SparkSpecBase {
     check(texts, "xxh64")
     check(texts, "md5p48")
   }
+
+  test("native rademacher_sigs equals the aggregate(zip_with) SQL fold") {
+    import spark.implicits._
+    graft.plans.RademacherSigs.register(spark)
+    val (seed, signBits, bands) = (7L, 8, 12)
+    val proj = graft.llm.Similarity.rademacher(seed, bands * signBits, 64)
+    // the interpreted composition the native expression replaced,
+    // replayed per band from the same matrix
+    def sqlBand(b: Int) = (1 to signBits).map { i =>
+      val signs = proj(b * signBits + i - 1)
+        .map(v => if (v > 0) "1D" else "-1D").mkString("array(", ", ", ")")
+      s"(CASE WHEN aggregate(zip_with(embedding, $signs, " +
+        s"(x, s) -> CAST(x AS DOUBLE) * s), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0D " +
+        s"THEN ${1L << (i - 1)}L ELSE 0L END)"
+    }.mkString(" + ")
+    val sqlArr = (0 until bands).map(sqlBand).mkString("array(", ", ", ")")
+    val df = Tables.embeddings(spark, sfDir)
+      .withColumn("native", expr(s"rademacher_sigs(embedding, ${seed}L, $signBits, $bands)"))
+      .withColumn("sql", expr(sqlArr))
+    assert(df.filter(not($"native" <=> $"sql")).isEmpty)
+  }
 }

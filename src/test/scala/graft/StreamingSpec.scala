@@ -243,4 +243,45 @@ class StreamingSpec extends SparkSpecBase {
     q.stop()
     assert(seen.get() === fixture.size)
   }
+
+  test("R9 signature screen: stream equals batch, duplicates detected ACROSS micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // real signatures from the fixture corpus, fed in doc_id order (the
+      // processor's documented parity precondition)
+      val docs = graft.streaming.Streams
+        .signatureScreenBatch(Tables.documents(spark, "/root/testdata/sf0.01"))
+        .select($"doc_id", $"simhash").as[graft.streaming.ScreenDoc]
+        .collect().sortBy(_.doc_id).toSeq
+      val mem = MemoryStream[graft.streaming.ScreenDoc]
+      val q = graft.streaming.Streams.signatureScreenStream(mem.toDS())
+        .writeStream.format("memory").queryName("r9_screen")
+        .outputMode("append").start()
+      // split so colliding signatures land in DIFFERENT batches: the dup
+      // flag must come from RocksDB state, not the in-batch sort
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("r9_screen")
+      val batch = graft.streaming.Streams
+        .signatureScreenBatch(Tables.documents(spark, "/root/testdata/sf0.01"))
+      assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0)
+      // non-degenerate: some batch-2 doc was flagged against batch-1 state
+      val b1Sigs = b1.map(_.simhash).toSet
+      val crossBatch = b2.filter(d => b1Sigs.contains(d.simhash)).map(_.doc_id).toSet
+      assert(crossBatch.nonEmpty)
+      val flagged = streamed.filter($"is_dup").select($"doc_id").as[Long].collect().toSet
+      assert(crossBatch.subsetOf(flagged))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
