@@ -33,32 +33,25 @@ object Dedup {
     s"array_distinct(transform(sequence(1, size(words) - ${SHINGLE_K - 1}), " +
       s"i -> array_join(slice(words, i, $SHINGLE_K), ' ')))")
 
-  /** MinHash constants: one md5 per shingle (48-bit prefix as the base
-    * hash), then H cheap LCG variants — 16x fewer digests than seeded-md5
-    * per signature, the standard permutation-family trick. Constants are
-    * mirrored into the oracle SQL via [[graft.SparkEntry]]. */
-  val P: Long = 1000000007L
-  def lcgA(h: Int): Long = 1000003L * (h + 1) + 17
-  def lcgB(h: Int): Long = 7919L * (h + 1) + 3
+  /** MinHash constants — delegating to [[graft.plans.MinHashSigs]], the
+    * native expression that computes the signatures (one md5p48 per
+    * shingle, then H cheap LCG variants). Kept here because the oracle
+    * SQL builder ([[graft.SparkEntry]]) mirrors them by these names. */
+  val P: Long = graft.plans.MinHashSigs.P
+  def lcgA(h: Int): Long = graft.plans.MinHashSigs.lcgA(h)
+  def lcgB(h: Int): Long = graft.plans.MinHashSigs.lcgB(h)
 
-  /** One MinHash signature from the precomputed base hashes `hs`. */
-  private def minhash(seed: Int): Column =
-    expr(s"array_min(transform(hs, h -> ((h % $P) * ${lcgA(seed)} + ${lcgB(seed)}) % $P))")
-
-  private def withShingles(docs: DataFrame): DataFrame = {
-    // native one-pass distinct-shingle hashing (plans.ShingleHashes):
-    // bit-equal to transform(array_distinct(<k-gram strings>), s ->
-    // md5_prefix48(s)) but with no shingle string, no word array, and no
-    // interpreted lambda — measured 17x faster than the transform form at
-    // sf5 (BENCHNOTES_HEAVY's l2f ladder; the digest itself stopped being
-    // the bottleneck with plans.Md5Prefix48, the LAMBDA was). Dedup is on
-    // the hash: a within-doc 48-bit collision merges two shingles, which
-    // the md5-anchored oracles absorb identically (hash-internal keys).
-    // Empty hs == fewer than SHINGLE_K words, replacing the size filter.
-    graft.plans.ShingleHashes.register(docs.sparkSession)
+  /** (doc_id, sigs[numHashes]) — every MinHash signature in ONE native
+    * pass over the text bytes (plans.MinHashSigs): no shingle array, no
+    * per-signature interpreted `transform` lambda. Bit-equal to
+    * array_min(transform(hs, h -> LCG)) over the md5p48 hash array the
+    * previous form materialized. Empty sigs == fewer than SHINGLE_K
+    * words — the size filter the array form needed. */
+  private def withMinhashSigs(docs: DataFrame, numHashes: Int): DataFrame = {
+    graft.plans.MinHashSigs.register(docs.sparkSession)
     docs
-      .withColumn("hs", expr(s"shingle_hashes(text, $SHINGLE_K, 'md5p48')"))
-      .filter(size(col("hs")) > 0)
+      .withColumn("sigs", expr(s"minhash_sigs(text, $SHINGLE_K, $numHashes)"))
+      .filter(size(col("sigs")) > 0)
   }
 
   /** One row per (doc, shingle hash) with the doc's shingle count, with a
@@ -151,8 +144,8 @@ object Dedup {
   def l2MinhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val H = 8
-    val sigs = (0 until H).map(h => minhash(h).as(s"sig$h"))
-    val signed = withShingles(Tables.documents(spark, sfDir))
+    val sigs = (0 until H).map(h => col("sigs").getItem(h).as(s"sig$h"))
+    val signed = withMinhashSigs(Tables.documents(spark, sfDir), H)
       .select($"doc_id" +: sigs: _*)
     val w = Window.partitionBy((0 until H).map(h => col(s"sig$h")): _*)
     signed
@@ -191,8 +184,9 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = numHashes / bands
-    val sigs = (0 until numHashes).map(h => minhash(h).as(s"sig$h"))
-    val signed = withShingles(docs).select($"doc_id" +: sigs: _*)
+    val signed = withMinhashSigs(docs, numHashes)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(h => col("sigs").getItem(h).as(s"sig$h")): _*)
     val bandKeys = (0 until bands).map { b =>
       val parts = (0 until rows).map(r => col(s"sig${b * rows + r}"))
       struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("band_key"))
@@ -224,7 +218,7 @@ object Dedup {
   def l2eConnectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pairs = lshCandidatePairs(spark, sfDir).select($"doc_a", $"doc_b")
-    val vertices = withShingles(Tables.documents(spark, sfDir)).select($"doc_id")
+    val vertices = withMinhashSigs(Tables.documents(spark, sfDir), 1).select($"doc_id")
     // honor a configured reliable checkpoint dir (cluster deployments);
     // default to executor-local checkpoints (fast, fine on local[n])
     val ckptDir = Option(spark.conf.get("spark.graft.checkpointDir", null))

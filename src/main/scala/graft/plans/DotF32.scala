@@ -111,6 +111,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotF32(exprs.head, exprs(1))))
     ext.injectFunction(Md5Prefix48.injection)
     ext.injectFunction(ShingleHashes.injection)
+    ext.injectFunction(MinHashSigs.injection)
     ext.injectFunction(RademacherSigs.injection)
   }
 }

@@ -139,6 +139,54 @@ object ShingleHashes {
     new GenericArrayData(if (m == nSh) out else java.util.Arrays.copyOf(out, m))
   }
 
+  /** All `numHashes` MinHash signatures of the text's word k-grams in the
+    * same single byte-pass: signature j is
+    * `min over shingles of ((md5p48(shingle) % P) * a_j + b_j) % P` —
+    * bit-equal to `array_min(transform(hs, h -> ...))` over the md5p48
+    * hash array (llm.Dedup's LCG family; constants passed in so the
+    * expression stays algorithm-agnostic). No shingle array, no dedup set
+    * (min is idempotent over duplicate shingles), no interpreted lambda —
+    * H multiply-adds per shingle in a JIT'd loop. Empty result (fewer
+    * than k words) replaces the caller's size filter. */
+  def evalMinhash(s: UTF8String, k: Int, p: Long,
+      as: Array[Long], bs: Array[Long]): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var nWords = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    if (nWords < k) return EMPTY
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    i = 0
+    while (i < len) { if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
+    starts(nWords) = len + 1
+
+    val H = as.length
+    val mins = Array.fill(H)(Long.MaxValue)
+    val md = digests.get()
+    val nSh = nWords - k + 1
+    var sh = 0
+    while (sh < nSh) {
+      val off = starts(sh)
+      val end = starts(sh + k) - 1
+      md.reset()
+      md.update(bytes, off, end - off)
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+        ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      val hp = h % p
+      var j = 0
+      while (j < H) {
+        val v = (hp * as(j) + bs(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      sh += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   // SQL surface: shingle_hashes(text, k, algo) with foldable k/algo
   private val builder = (exprs: Seq[Expression]) => {
     require(exprs.length == 3,

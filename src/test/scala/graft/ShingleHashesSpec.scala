@@ -59,6 +59,31 @@ class ShingleHashesSpec extends SparkSpecBase {
     check(texts, "md5p48")
   }
 
+  test("native minhash_sigs equals array_min over the LCG-transformed hash array") {
+    import spark.implicits._
+    graft.plans.Md5Prefix48.register(spark)
+    graft.plans.ShingleHashes.register(spark)
+    graft.plans.MinHashSigs.register(spark)
+    val (k, h) = (5, 16)
+    val P = graft.plans.MinHashSigs.P
+    // the interpreted composition the native form replaced: md5p48 hash
+    // array (distinct shingles) -> H array_min(transform(...)) folds
+    val sqlSigs = (0 until h).map { j =>
+      s"array_min(transform(shingle_hashes(text, $k, 'md5p48'), " +
+        s"h -> ((h % $P) * ${graft.plans.MinHashSigs.lcgA(j)} + ${graft.plans.MinHashSigs.lcgB(j)}) % $P))"
+    }.mkString("array(", ", ", ")")
+    val df = Tables.documents(spark, sfDir)
+      .filter(size(split($"text", " ")) >= k)
+      .withColumn("native", expr(s"minhash_sigs(text, $k, $h)"))
+      .withColumn("sql", expr(sqlSigs))
+    assert(df.filter(not($"native" <=> $"sql")).isEmpty)
+    // below k words -> empty array (the callers' filter contract)
+    val empty = Seq("a b c").toDF("text")
+      .select(expr(s"minhash_sigs(text, $k, $h)").as("sigs"))
+      .head().getSeq[Long](0)
+    assert(empty.isEmpty)
+  }
+
   test("native rademacher_sigs equals the aggregate(zip_with) SQL fold") {
     import spark.implicits._
     graft.plans.RademacherSigs.register(spark)
