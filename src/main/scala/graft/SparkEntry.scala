@@ -103,6 +103,7 @@ object SparkEntry {
     "l2f_pos" -> (graft.llm.Dedup.l2fDecontamPos _),
     "l2f_gen" -> (graft.llm.Dedup.l2fDecontamGen _),
     "l5_multimodal_columns" -> (graft.llm.Multimodal.l5MultimodalColumns _),
+    "l5b_frame_sample" -> (graft.llm.Multimodal.l5bFrameSample _),
     "l6_hash_sample" -> (graft.llm.TextAnalysis.l6HashSample _),
     "l7_tfidf_topterms" -> (graft.llm.TextAnalysis.l7TfidfTopTerms _),
     "l9_sequence_pack" -> (graft.llm.Assembly.l9SequencePack _),
@@ -843,6 +844,20 @@ object SparkEntry {
     "l2f_pos" -> l2fOracle,
     // the native one-pass expression hashes the identical byte regions
     "l2f_gen" -> l2fOracle,
+    // same frame geometry as Multimodal.sampleFrames (256-byte windows,
+    // every 4th) replayed as pure arithmetic over the byte length
+    "l5b_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
+        |    (CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) + 255) // 256 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(i * 256 AS BIGINT) AS frame_off,
+        |  CAST(LEAST(256, byte_len - i * 256) AS BIGINT) AS frame_len, n_frames
+        |FROM (SELECT doc_id, byte_len, n_frames,
+        |        unnest(generate_series(CAST(0 AS BIGINT), n_frames - 1, CAST(4 AS BIGINT))) AS i
+        |      FROM f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "l5_multimodal_columns" ->
       """SELECT doc_id, 'image/px' || CAST(doc_id % 3 AS VARCHAR) AS media_type,
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,

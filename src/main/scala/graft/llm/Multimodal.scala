@@ -109,6 +109,45 @@ object Multimodal {
     }
   }
 
+  case class FrameSample(doc_id: Long, frame_idx: Int, frame_off: Long,
+                         frame_len: Long, n_frames: Long)
+
+  /** Frame geometry: fixed 256-byte windows stand in for codec frames
+    * (a real container's keyframe index drops into the same seam), every
+    * 4th frame sampled — the standard video-training decimation. */
+  val FRAME_BYTES = 256L
+  val SAMPLE_EVERY = 4
+
+  /** L5b [EXT]: frame sampling — the video half of the multimodal
+    * contract: one input payload fans out to MANY sampled-frame rows.
+    * The plumbing is the real thing: `mapPartitions` streams each
+    * partition's payloads through a per-partition iterator and FLATTENS
+    * to frame rows lazily, so executor memory holds one payload plus one
+    * emitted row at a time — never the expanded frame table (the shape
+    * that matters when a payload is a 2 GB video and the fan-out is
+    * thousands of frames). The frame SPLIT is the declared stub (fixed
+    * byte windows instead of a codec's keyframe index); offsets, lengths
+    * and the sampling stride are exact arithmetic, which is what the
+    * DuckDB oracle replays (generate_series over the same geometry). */
+  def sampleFrames(media: Dataset[MediaRow]): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec/demuxer handle would init here
+      rows.flatMap { r =>
+        val n = (r.byte_len + FRAME_BYTES - 1) / FRAME_BYTES
+        Iterator.range(0, n.toInt, SAMPLE_EVERY).map { i =>
+          val off = i.toLong * FRAME_BYTES
+          FrameSample(r.doc_id, i, off, math.min(FRAME_BYTES, r.byte_len - off), n)
+        }
+      }
+    }
+  }
+
+  def l5bFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(mediaTable(spark, sfDir)).toDF().orderBy($"doc_id", $"frame_idx")
+  }
+
   /** L5 query: metadata + decoded-feature summary per media row. The
     * oracle checks the plumbing-visible parts (ids, types, byte lengths);
     * the stub features are covered by MultimodalSpec. */

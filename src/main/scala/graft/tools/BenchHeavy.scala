@@ -173,7 +173,8 @@ object BenchHeavy {
     "q3_revenue_by_nation", "s5_s6_partitioned_sink", "l1_exact_dedup",
     "w1_topk_per_group", "r4_session_window", "a9_percentiles",
     "s4_point_lookup", "l2f_decontam", "l2f_xxh", "l2f_roll", "l2f_pos", "l2f_gen",
-    "l4f_repetition_stats")
+    "l4f_repetition_stats", "l9_sequence_pack", "l11_source_mix",
+    "l4g_quality_filter")
 
   val SWEEPS = 3
 

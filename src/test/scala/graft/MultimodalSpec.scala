@@ -108,6 +108,28 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("L5b frame sampling: stride, offsets, and the partial last frame") {
+    import spark.implicits._
+    // fixture docs are single-frame (~300 bytes); synthesize payloads that
+    // exercise the stride and a partial final window
+    val media = Seq(
+      Multimodal.MediaRow(1L, new Array[Byte](1100), "video/x", 1100L), // 5 frames -> idx 0, 4; last len 76
+      Multimodal.MediaRow(2L, new Array[Byte](2304), "video/x", 2304L), // 9 frames -> idx 0, 4, 8; all full
+      Multimodal.MediaRow(3L, new Array[Byte](10), "video/x", 10L))     // 1 frame -> idx 0, len 10
+      .toDS()
+    val out = Multimodal.sampleFrames(media).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> (f.frame_off, f.frame_len, f.n_frames)).toMap
+    assert(out.keySet === Set((1L, 0), (1L, 4), (2L, 0), (2L, 4), (2L, 8), (3L, 0)))
+    assert(out((1L, 4)) === ((1024L, 76L, 5L)))
+    assert(out((2L, 8)) === ((2048L, 256L, 9L)))
+    assert(out((3L, 0)) === ((0L, 10L, 1L)))
+    // fan-out is lazy per partition: a 1-partition stream of many payloads
+    // emits without materializing the expanded table (smoke: count only)
+    val many = spark.range(200).map(i =>
+      Multimodal.MediaRow(i, Array.emptyByteArray, "video/x", 4096L)).repartition(1)
+    assert(Multimodal.sampleFrames(many).count() === 200L * 4) // 16 frames -> 4 sampled
+  }
+
   test("repartitioning does not change extracted features (no cross-row state)") {
     val base = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sfDir))
       .collect().map(f => f.doc_id -> f.features.toSeq).toMap

@@ -121,4 +121,34 @@ class PropertiesSpec extends SparkSpecBase {
       assert(a === b)
     } finally spark.conf.set("spark.sql.shuffle.partitions", sparkConfTouch)
   }
+
+  test("property: native shingle hashing equals a reference implementation on random texts") {
+    // pure-function property (no Spark plan): the byte-scan reimplements
+    // split-on-' ' (limit -1) + sliding k-gram + join + first-occurrence
+    // distinct; a reference built from exactly those Scala operations must
+    // agree on arbitrary word soup — empty words, doubled/leading/trailing
+    // spaces, multi-byte UTF-8, all-duplicate runs
+    import org.apache.spark.unsafe.types.UTF8String
+    val word = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.const(""), Gen.const("héllo"),
+      Gen.const("汉字"), Gen.const("x"), Gen.const("ß"))
+    val text = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    def refHashes(t: String, k: Int): Seq[Long] = {
+      val words = t.split(" ", -1)
+      if (words.length < k) Seq.empty
+      else {
+        val shingles = words.sliding(k).map(_.mkString(" ")).toSeq.distinct
+        shingles.map { sh =>
+          val b = sh.getBytes("UTF-8")
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+        }
+      }
+    }
+    for (t <- samples(text, 300); k <- Seq(1, 2, 5)) {
+      val native = graft.plans.ShingleHashes
+        .eval(UTF8String.fromString(t), k, true).toLongArray().toSeq
+      assert(native === refHashes(t, k), s"text='$t' k=$k")
+    }
+  }
 }
