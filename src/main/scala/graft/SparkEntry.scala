@@ -74,6 +74,7 @@ object SparkEntry {
     "r5_dedup_stream" -> (graft.streaming.Streams.r5DedupStream _),
     "r6_stateful_progress" -> (graft.streaming.Streams.r6StatefulProgress _),
     "l1_exact_dedup" -> (graft.llm.Dedup.l1ExactDedup _),
+    "l1_xxh" -> (graft.llm.Dedup.l1ExactDedupXx _),
     "l2_minhash_dedup" -> (graft.llm.Dedup.l2MinhashDedup _),
     "l2b_lsh_candidates" -> (graft.llm.Dedup.l2bLshCandidates _),
     "l2c_simhash" -> (graft.llm.Dedup.l2cSimhash _),
@@ -537,6 +538,11 @@ object SparkEntry {
     "l1_exact_dedup" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY rep_doc_id""".stripMargin,
+    // hash-internal key: the oracle groups by the text itself, so result
+    // equality is the per-run xxhash64 collision check
+    "l1_xxh" ->
+      """SELECT min(doc_id) AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text ORDER BY rep_doc_id""".stripMargin,
     "l2_minhash_dedup" -> {
       val parts = (0 until 8).map(h => s"sig$h").mkString(", ")
       s"""${duckSigs(8)}

@@ -139,6 +139,22 @@ object Dedup {
       .orderBy($"rep_doc_id")
   }
 
+  /** L1 production variant: the shuffle key is `xxhash64` of the text —
+    * 8 bytes and ~20x the digest throughput of md5 — and the hash never
+    * appears in the output, so the oracle groups by the TEXT itself
+    * (plain SQL) and equality doubles as the per-run collision check
+    * (the l2d_xxh argument applied to exact dedup). md5-keyed [[
+    * l1ExactDedup]] stays as the hash-visible anchor. */
+  def l1ExactDedupXx(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .withColumn("th", xxhash64($"text"))
+      .groupBy($"th")
+      .agg(min($"doc_id").as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .select($"rep_doc_id", $"n_copies")
+      .orderBy($"rep_doc_id")
+  }
+
   /** L2: MinHash near-dup clustering. H=8 signatures as one band: docs
     * agreeing on the full signature cluster together (rep = min doc_id). */
   def l2MinhashDedup(spark: SparkSession, sfDir: String): DataFrame = {

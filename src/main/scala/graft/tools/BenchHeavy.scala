@@ -174,7 +174,7 @@ object BenchHeavy {
     "w1_topk_per_group", "r4_session_window", "a9_percentiles",
     "s4_point_lookup", "l2f_decontam", "l2f_xxh", "l2f_roll", "l2f_pos", "l2f_gen",
     "l4f_repetition_stats", "l9_sequence_pack", "l11_source_mix",
-    "l4g_quality_filter")
+    "l4g_quality_filter", "l1_xxh")
 
   val SWEEPS = 3
 

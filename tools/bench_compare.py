@@ -71,13 +71,19 @@ def main():
         print(f"SPARK FAILURES (recorded as -1 by Bench): {failed}", file=sys.stderr)
     total_spark = sum(r[1] for r in rows if r[1] is not None and r[1] >= 0)
     total_duck = sum(r[2] for r in rows if r[2] is not None)
+    analysis = {}
+    if os.path.exists(ANALYSIS_PATH):
+        analysis = json.load(open(ANALYSIS_PATH)).get(os.path.basename(out_path), {})
     with open(out_path, "w") as f:
         f.write(f"# {out_path.rsplit('.', 1)[0]} — Spark (graft) vs DuckDB on the oracle queries\n\n")
         f.write(f"Scale: `{sf_dir}`; Spark `local[32]` steady-state (post-warmup), "
                 f"DuckDB {duckdb.__version__} same host, same SQL as the correctness oracle.\n\n")
         failed_note = f" **{len(failed)} queries FAILED: {', '.join(failed)}.**" if failed else ""
+        header_note = analysis.get("_header_note", "")
+        if header_note:
+            header_note = " " + header_note
         f.write(f"**Totals: Spark {total_spark:.1f}s, DuckDB {total_duck:.1f}s over "
-                f"{len(rows) - len(failed)} queries.**{failed_note} Note ~0.1-0.2s fixed Spark job overhead per "
+                f"{len(rows) - len(failed)} queries.**{failed_note}{header_note} Note ~0.1-0.2s fixed Spark job overhead per "
                 f"query (~{0.15*len(rows):.0f}s across the suite) dominates the gap; "
                 f"per-query ratios below reflect that floor, not asymptotic cost.\n\n")
         def fmt(row_name, spark_val, cells):
@@ -113,7 +119,7 @@ def main():
                     f.write(f"| {name} | {s:.2f} | — | — |\n")
         notes = {}
         if os.path.exists(ANALYSIS_PATH):
-            notes = json.load(open(ANALYSIS_PATH)).get(os.path.basename(out_path), {})
+            notes = {k: v for k, v in analysis.items() if not k.startswith("_")}
         if notes:
             f.write("\n## Notes on entries above the 2x compute gate\n\n")
             for name in sorted(notes):
