@@ -176,6 +176,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("array_distinct") && !p.contains("lambda"), p)
   }
 
+  test("l2g/l4g: index and thresholds broadcast; the corpus never hash-shuffles by doc") {
+    for (name <- Seq("l2g_incremental_simhash", "l4g_quality_filter")) {
+      val p = plan(q(name))
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n$p")
+      // the corpus-side frame must never hash-exchange on doc_id — only
+      // tiny aggregates and the bounded signature/threshold frames shuffle
+      assert(!p.contains("Exchange hashpartitioning(doc_id"), s"$name:\n$p")
+    }
+  }
+
   test("no operator plan contains a cartesian product") {
     val sinkQueries = Set("s5_s6_partitioned_sink", "s7_json_sink", "s2_json_array_scan",
       "s9_clustered_scan")
