@@ -180,6 +180,9 @@ object BenchHeavy {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/target/bench_heavy/sf5")
+    // optional trailing args: run only these queries (scale-sweep aid —
+    // at sf25+ the deliberate ladder baselines would dominate the wall)
+    val only = args.drop(1).toSet
     val spark = MakeHeavy.session(Some(s"$dir/warehouse"))
     import spark.implicits._
     // trust the one-file-per-bucket sort order at the scan (off by default
@@ -206,7 +209,8 @@ object BenchHeavy {
 
     val queries = graft.SparkEntry.queries // bind once: queries is a def
     val runnable: Seq[(String, () => DataFrame)] =
-      HEAVY_QUERIES.map(n => n -> (() => queries(n)(spark, dir))) ++ bucketed
+      (HEAVY_QUERIES.map(n => n -> (() => queries(n)(spark, dir))) ++ bucketed)
+        .filter { case (n, _) => only.isEmpty || only(n) }
 
     // track genuine executor stage time per query: deep plans (q2/q3's
     // broadcast-dim chains) pay a fixed ~2-3s driver/AQE stage-scheduling
