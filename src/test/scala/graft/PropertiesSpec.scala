@@ -151,4 +151,33 @@ class PropertiesSpec extends SparkSpecBase {
       assert(native === refHashes(t, k), s"text='$t' k=$k")
     }
   }
+
+  test("property: fused minhash equals LCG-min over the reference shingle hashes") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val word = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(5)), Gen.const(""), Gen.const("é"), Gen.const("字"))
+    val text = Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val P = graft.plans.MinHashSigs.P
+    val H = 8
+    val as = Array.tabulate(H)(graft.plans.MinHashSigs.lcgA)
+    val bs = Array.tabulate(H)(graft.plans.MinHashSigs.lcgB)
+    def md5p48(sh: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(sh.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+        ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+    }
+    def ref(t: String, k: Int): Seq[Long] = {
+      val words = t.split(" ", -1)
+      if (words.length < k) Seq.empty
+      else {
+        val hs = words.sliding(k).map(_.mkString(" ")).toSeq.distinct.map(md5p48)
+        (0 until H).map(j => hs.map(h => ((h % P) * as(j) + bs(j)) % P).min)
+      }
+    }
+    for (t <- samples(text, 300); k <- Seq(1, 3, 5)) {
+      val native = graft.plans.ShingleHashes
+        .evalMinhash(UTF8String.fromString(t), k, P, as, bs).toLongArray().toSeq
+      assert(native === ref(t, k), s"text='$t' k=$k")
+    }
+  }
 }
