@@ -586,7 +586,7 @@ object SparkEntry {
          |FROM simmed ORDER BY doc_id""".stripMargin,
     "l2g_incremental_simhash" ->
       s"""WITH $simhashCtes,
-         |m AS (SELECT CAST(max(doc_id) * 4 / 5 AS BIGINT) AS cutoff FROM simmed),
+         |m AS (SELECT max(doc_id) * 4 // 5 AS cutoff FROM simmed),
          |corpus AS (SELECT DISTINCT simhash FROM simmed, m WHERE doc_id < cutoff),
          |b AS (SELECT doc_id, simhash, MIN(doc_id) OVER (PARTITION BY simhash) AS first_id
          |      FROM (SELECT s.doc_id, s.simhash FROM simmed s, m WHERE s.doc_id >= m.cutoff))
@@ -883,7 +883,7 @@ object SparkEntry {
         |    [CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
         |     for j in range(1, 3)]), (acc, x) -> acc * 16 + x) < 51 END
         |ORDER BY doc_id""".stripMargin,
-    // the md5 bucket is l6's (2 hex digits -> [0,256)); shard = bucket % 16
+    // the md5 bucket is l6's (2 hex digits -> [0,256)); shard = bucket % PACK_SHARDS (=4)
     "l9_sequence_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,
@@ -893,8 +893,9 @@ object SparkEntry {
          |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS tokens
          |  FROM documents)
          |SELECT doc_id, source, shard, tokens,
-         |  COALESCE(SUM(tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${graft.llm.Assembly.PACK_BUDGET} AS pack_id
+         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${graft.llm.Assembly.PACK_BUDGET}
+         |    AS BIGINT) AS pack_id
          |FROM t ORDER BY doc_id""".stripMargin,
     "l11_source_mix" ->
       """WITH counts AS (

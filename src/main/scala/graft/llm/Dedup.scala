@@ -234,7 +234,12 @@ object Dedup {
   def l2eConnectedComponents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pairs = lshCandidatePairs(spark, sfDir).select($"doc_a", $"doc_b")
-    val vertices = withMinhashSigs(Tables.documents(spark, sfDir), 1).select($"doc_id")
+    // the vertex set is "docs with >= SHINGLE_K words" — filter on the
+    // word count directly so Catalyst prunes every hash column; going via
+    // withMinhashSigs(_, 1) would force a full digest pass just to test
+    // size(sigs) > 0
+    val vertices = Tables.documents(spark, sfDir)
+      .filter(size(wordsCol) >= SHINGLE_K).select($"doc_id")
     // honor a configured reliable checkpoint dir (cluster deployments);
     // default to executor-local checkpoints (fast, fine on local[n])
     val ckptDir = Option(spark.conf.get("spark.graft.checkpointDir", null))
@@ -543,7 +548,10 @@ object Dedup {
   def l2gIncrementalSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sh = simhashed(Tables.documents(spark, sfDir))
-    val cut = broadcast(sh.agg(expr("CAST(max(doc_id) * 4 / 5 AS BIGINT)").as("cutoff")))
+    // integer floor division (DIV / DuckDB //) on BOTH sides: `/` yields
+    // DOUBLE and Spark's cast truncates while DuckDB's rounds, so the
+    // engines would disagree whenever max(doc_id) mod 5 is 1 or 2
+    val cut = broadcast(sh.agg(expr("max(doc_id) * 4 DIV 5").as("cutoff")))
     val withCut = sh.crossJoin(cut)
     val corpus = withCut.filter($"doc_id" < $"cutoff")
       .select($"simhash").distinct().withColumn("in_corpus", lit(true))

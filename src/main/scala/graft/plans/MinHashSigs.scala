@@ -70,13 +70,9 @@ object MinHashSigs {
   private val builder = (exprs: Seq[Expression]) => {
     require(exprs.length == 3,
       "minhash_sigs(text, k, numHashes) takes exactly 3 arguments")
-    def intArg(i: Int): Int = exprs(i).eval(InternalRow.empty) match {
-      case n: Int => n
-      case n: Long => n.toInt
-      case other => throw new IllegalArgumentException(
-        s"minhash_sigs argument $i must be an integer literal, got $other")
-    }
-    MinHashSigs(exprs.head, intArg(1), intArg(2))
+    MinHashSigs(exprs.head,
+      FoldableArgs.int("minhash_sigs", "k", exprs(1)),
+      FoldableArgs.int("minhash_sigs", "numHashes", exprs(2)))
   }
 
   /** Runtime registration (idempotent) — usable on any session. */

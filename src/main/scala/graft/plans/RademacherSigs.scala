@@ -60,14 +60,10 @@ object RademacherSigs {
   private val builder = (exprs: Seq[Expression]) => {
     require(exprs.length == 4,
       "rademacher_sigs(emb, seed, signBits, bands) takes exactly 4 arguments")
-    def longArg(i: Int): Long =
-      exprs(i).eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
-        case n: Int => n.toLong
-        case n: Long => n
-        case other => throw new IllegalArgumentException(
-          s"rademacher_sigs argument $i must be an integer literal, got $other")
-      }
-    RademacherSigs(exprs.head, longArg(1), longArg(2).toInt, longArg(3).toInt)
+    RademacherSigs(exprs.head,
+      FoldableArgs.long("rademacher_sigs", "seed", exprs(1)),
+      FoldableArgs.int("rademacher_sigs", "signBits", exprs(2)),
+      FoldableArgs.int("rademacher_sigs", "bands", exprs(3)))
   }
 
   /** Runtime registration (idempotent) — usable on any session. */

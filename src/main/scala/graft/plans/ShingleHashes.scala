@@ -191,18 +191,9 @@ object ShingleHashes {
   private val builder = (exprs: Seq[Expression]) => {
     require(exprs.length == 3,
       "shingle_hashes(text, k, algo) takes exactly 3 arguments")
-    val k = exprs(1).eval(InternalRow.empty) match {
-      case n: Int => n
-      case n: Long => n.toInt
-      case other => throw new IllegalArgumentException(
-        s"shingle_hashes k must be an integer literal, got $other")
-    }
-    val algo = exprs(2).eval(InternalRow.empty) match {
-      case s: UTF8String => s.toString
-      case other => throw new IllegalArgumentException(
-        s"shingle_hashes algo must be a string literal, got $other")
-    }
-    ShingleHashes(exprs.head, k, algo)
+    ShingleHashes(exprs.head,
+      FoldableArgs.int("shingle_hashes", "k", exprs(1)),
+      FoldableArgs.string("shingle_hashes", "algo", exprs(2)))
   }
 
   /** Runtime registration (idempotent) — usable on any session. */

@@ -35,6 +35,18 @@ class SemanticsSpec extends SparkSpecBase {
     assert(topk.select($"user_id", $"event_id").except(src).count() === 0)
   }
 
+  test("A6b approx distinct lands in the HLL error envelope (rsd=0.01, 5-sigma)") {
+    // a6b has no DuckDB oracle (sketch results are engine-specific); this
+    // is its quantitative check: |approx - exact| / exact < 5 * rsd. HLL
+    // is deterministic for a fixed input, so the assertion cannot flake.
+    val exact = Relational.a6DistinctCodes(spark, sfDir)
+      .collect()(0).getLong(0)
+    val approx = Relational.a6bApproxDistinct(spark, sfDir)
+      .collect()(0).getLong(0)
+    val relErr = math.abs(approx - exact).toDouble / exact.toDouble
+    assert(relErr < 0.05, s"approx=$approx exact=$exact relErr=$relErr")
+  }
+
   test("F3 epoch-seconds round trip is identity at second granularity") {
     import spark.implicits._
     val df = Seq("2024-03-01 12:34:56").toDF("s")

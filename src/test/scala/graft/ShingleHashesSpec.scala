@@ -51,6 +51,24 @@ class ShingleHashesSpec extends SparkSpecBase {
     check(edges, "md5p48", k = 3)
   }
 
+  test("non-foldable scalar args fail fast with a named AnalysisException") {
+    import spark.implicits._
+    graft.plans.MinHashSigs.register(spark)
+    graft.plans.ShingleHashes.register(spark)
+    graft.plans.RademacherSigs.register(spark)
+    val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("minhash_sigs(text, 5, doc_id)")).collect()
+    }
+    assert(ex.getMessage.contains("minhash_sigs"))
+    assert(ex.getMessage.contains("numHashes"))
+    val ex2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("shingle_hashes(text, doc_id, 'xxh64')")).collect()
+    }
+    assert(ex2.getMessage.contains("shingle_hashes"))
+    assert(ex2.getMessage.contains("`k`"))
+  }
+
   test("fixture corpus sweep: both algos, k=5") {
     import spark.implicits._
     val texts = Tables.documents(spark, sfDir).select($"text")
