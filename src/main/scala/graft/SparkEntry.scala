@@ -98,10 +98,12 @@ object SparkEntry {
     "l4e_fingerprint" -> (graft.llm.TextAnalysis.l4eFingerprint _),
     "l4f_repetition_stats" -> (graft.llm.TextAnalysis.l4fRepetitionStats _),
     "l4g_quality_filter" -> (graft.llm.TextAnalysis.l4gQualityFilter _),
-    "l2f_decontam" -> (graft.llm.Dedup.l2fDecontam _),
-    "l2f_xxh" -> (graft.llm.Dedup.l2fDecontamXx _),
-    "l2f_roll" -> (graft.llm.Dedup.l2fDecontamRoll _),
-    "l2f_pos" -> (graft.llm.Dedup.l2fDecontamPos _),
+    // l2f in the default suite = the two native endpoints: md5p48 (oracle
+    // anchor, collision-free equality with the md5-keyed SQL) and xxh64
+    // (production digest). The interpreted/positional ladder rungs that
+    // motivated plans.ShingleHashes live in [[ladderQueries]] (opt-in,
+    // benched by BenchHeavy; analysis in BENCHNOTES_HEAVY).
+    "l2f_decontam" -> (graft.llm.Dedup.l2fDecontamMd5 _),
     "l2f_gen" -> (graft.llm.Dedup.l2fDecontamGen _),
     "l5_multimodal_columns" -> (graft.llm.Multimodal.l5MultimodalColumns _),
     "l5b_frame_sample" -> (graft.llm.Multimodal.l5bFrameSample _),
@@ -130,6 +132,26 @@ object SparkEntry {
     "dq1_quality_profile" -> (Quality.dq1QualityProfile _),
     "u1_latest_wins" -> (Quality.u1LatestWins _),
     "l10_pii_redact" -> (graft.llm.TextAnalysis.l10PiiRedact _),
+  )
+
+  /** Opt-in registry: the measured NEGATIVE-result rungs of the l2f
+    * shingle-cost ladder (BENCHNOTES_HEAVY). Not part of the driver's
+    * correctness/bench suite — they are kept as reproducible evidence for
+    * the interpreted-lambda tax that motivated plans.ShingleHashes, and
+    * BenchHeavy times them on demand. LadderSpec pins each rung's RESULT
+    * to the suite's l2f_decontam (same md5-keyed semantics), so eviction
+    * from the default suite loses no correctness coverage.
+    *
+    *  - l2f_interp_md5: interpreted-`transform` shingles, md5p48 keys
+    *    (the suite's pre-round-6 "l2f_decontam" baseline)
+    *  - l2f_xxh: interpreted shingles, xxh64 keys
+    *  - l2f_roll: lambda-interior positional multi-arg hash (slowest)
+    *  - l2f_pos: zero-lambda positional keys (second-fastest) */
+  def ladderQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l2f_interp_md5" -> (graft.llm.Dedup.l2fDecontam _),
+    "l2f_xxh" -> (graft.llm.Dedup.l2fDecontamXx _),
+    "l2f_roll" -> (graft.llm.Dedup.l2fDecontamRoll _),
+    "l2f_pos" -> (graft.llm.Dedup.l2fDecontamPos _),
   )
 
   /** Single source of truth for the listing page size (main.rs:120). */
@@ -840,15 +862,12 @@ object SparkEntry {
          |    OR (CAST(top_bigram_n AS DOUBLE) / (n_words - 1)) > 0.1 AS flagged
          |FROM tops ORDER BY doc_id""".stripMargin
     },
+    // native md5p48 form: both engines dedupe on the SAME 48-bit md5 key,
+    // so equality holds with no collision caveat — the family's anchor
     "l2f_decontam" -> l2fOracle,
-    // same md5-keyed oracle: the xx variant's hash is join-internal (see
-    // Dedup.l2fDecontamXx), so equality is the per-run collision check
-    "l2f_xxh" -> l2fOracle,
-    "l2f_roll" -> l2fOracle,
-    // the zero-lambda positional production path hashes the identical
-    // shingle strings (slice+join post-explode), so the md5 oracle holds
-    "l2f_pos" -> l2fOracle,
-    // the native one-pass expression hashes the identical byte regions
+    // xxh64 production digest: the hash is join-internal, so the md5-keyed
+    // oracle is the exact expected output and equality doubles as the
+    // per-run zero-collision check (ladder rungs: see ladderQueries)
     "l2f_gen" -> l2fOracle,
     // same frame geometry as Multimodal.sampleFrames (256-byte windows,
     // every 4th) replayed as pure arithmetic over the byte length

@@ -471,10 +471,32 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** DELIBERATELY the interpreted-`transform` form: l2f_decontam/l2f_xxh
-    * are the measured baseline rungs of the shingle-cost ladder
-    * (BENCHNOTES_HEAVY) that motivated plans.ShingleHashes — production
-    * callers use [[l2fDecontamGen]]. */
+  /** L2f on the native one-pass expression with md5p48 keys — the suite's
+    * oracle ANCHOR: it hashes the identical md5 prefixes the DuckDB oracle
+    * computes, and both sides deduplicate on that same 48-bit key, so
+    * equality holds with NO collision caveat at all (a colliding pair
+    * merges identically in both engines). Same plan shape and speed tier
+    * as [[l2fDecontamGen]]; only the digest differs (md5 vs xxh64, ~2x
+    * digest cost, both inside whole-stage codegen). */
+  def l2fDecontamMd5(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.ShingleHashes.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    def exploded(d: DataFrame): DataFrame = d.select($"doc_id",
+      explode(expr(s"shingle_hashes(text, $SHINGLE_K, 'md5p48')")).as("sh"))
+    val bench = exploded(docs.filter($"doc_id" < 50)).select($"sh").distinct()
+    val corpus = exploded(docs.filter($"doc_id" >= 50))
+    corpus.join(broadcast(bench), "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
+  /** DELIBERATELY the interpreted-`transform` form: the l2f_interp_md5 /
+    * l2f_xxh ladder rungs (opt-in registry, benched by BenchHeavy) are the
+    * measured baseline rungs of the shingle-cost ladder (BENCHNOTES_HEAVY)
+    * that motivated plans.ShingleHashes — production callers use
+    * [[l2fDecontamGen]] (xxh64) or [[l2fDecontamMd5]] (oracle anchor). */
   private def decontamBy(spark: SparkSession, sfDir: String, hashSql: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)

@@ -32,10 +32,10 @@ case class Md5Prefix48(child: Expression) extends UnaryExpression {
   override def prettyName: String = "md5_prefix48"
 
   protected override def nullSafeEval(input: Any): Any =
-    Md5Prefix48.eval(input.asInstanceOf[UTF8String])
+    Md5Prefix48.evalMd5p48(input.asInstanceOf[UTF8String])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.Md5Prefix48.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Md5Prefix48.evalMd5p48($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Prefix48 =
     copy(child = newChild)
@@ -51,7 +51,7 @@ object Md5Prefix48 {
   }
 
   /** First 6 md5 digest bytes, big-endian — equals the hex-prefix fold. */
-  def eval(s: UTF8String): Long = {
+  def evalMd5p48(s: UTF8String): Long = {
     val md = digests.get()
     md.reset()
     val d = md.digest(s.getBytes)

@@ -43,11 +43,11 @@ case class RademacherSigs(child: Expression, seed: Long, signBits: Int, bands: I
   override def prettyName: String = "rademacher_sigs"
 
   protected override def nullSafeEval(input: Any): Any =
-    RademacherSigs.eval(input.asInstanceOf[ArrayData], seed, signBits, bands)
+    RademacherSigs.evalSigs(input.asInstanceOf[ArrayData], seed, signBits, bands)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.plans.RademacherSigs.eval($c, ${seed}L, $signBits, $bands)")
+      c => s"graft.plans.RademacherSigs.evalSigs($c, ${seed}L, $signBits, $bands)")
 
   override protected def withNewChildInternal(newChild: Expression): RademacherSigs =
     copy(child = newChild)
@@ -87,7 +87,13 @@ object RademacherSigs {
     z ^ (z >>> 31)
   }
 
-  def eval(arr: ArrayData, seed: Long, signBits: Int, bands: Int): ArrayData = {
+  // named evalSigs, NOT eval: the case class inherits eval(InternalRow)
+  // from Expression, which suppresses the static forwarder for a
+  // companion method of the same name — generated Java then resolves
+  // graft.plans.RademacherSigs.eval to the instance method and the
+  // whole-stage compile fails, silently demoting every caller to
+  // interpreted eval (found via the CompileException in bench logs)
+  def evalSigs(arr: ArrayData, seed: Long, signBits: Int, bands: Int): ArrayData = {
     val x = arr.toFloatArray()
     val dim = x.length
     val out = new Array[Long](bands)

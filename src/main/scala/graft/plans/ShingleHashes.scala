@@ -57,11 +57,11 @@ case class ShingleHashes(child: Expression, k: Int, algo: String)
   override def prettyName: String = "shingle_hashes"
 
   protected override def nullSafeEval(input: Any): Any =
-    ShingleHashes.eval(input.asInstanceOf[UTF8String], k, algo == "xxh64")
+    ShingleHashes.evalHashes(input.asInstanceOf[UTF8String], k, algo == "xxh64")
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.plans.ShingleHashes.eval($c, $k, ${algo == "xxh64"})")
+      c => s"graft.plans.ShingleHashes.evalHashes($c, $k, ${algo == "xxh64"})")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -77,7 +77,7 @@ object ShingleHashes {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def eval(s: UTF8String, k: Int, xx: Boolean): ArrayData = {
+  def evalHashes(s: UTF8String, k: Int, xx: Boolean): ArrayData = {
     val bytes = s.getBytes
     val len = bytes.length
     // word starts: Java/Spark split-on-" " with limit -1 semantics — words

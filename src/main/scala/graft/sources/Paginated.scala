@@ -54,7 +54,15 @@ object Paginated {
     val codes = Tables.orders(spark, sfDir).select($"o_orderkey".as("code"))
       .repartition(spark.sparkContext.defaultParallelism)
     val hexDigits = "0123456789abcdef".toCharArray
-    val looked = codes.as[Long].mapPartitions { it =>
+    // politeness throttle (main.rs:139-141 / vendor.rs:44): per-partition
+    // rows/second with keyed jitter, OFF by default (0) so recorded-table
+    // replays run at full speed; a live deployment sets the conf and each
+    // partition's client paces itself (see sources/Throttle.scala)
+    val maxPerSec = spark.conf.get("spark.graft.source.maxRowsPerSecond", "0").toDouble
+    val jitterFrac = spark.conf.get("spark.graft.source.rateJitter", "0.2").toDouble
+    val looked = codes.as[Long].mapPartitions { it0 =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val it = Throttle.paced(it0, maxPerSec, jitterFrac, seed = pid.toLong)
       // per-partition "connection" init (pool.rs analog): one digest/client
       // instance reused for every row of the partition
       val md = java.security.MessageDigest.getInstance("MD5")

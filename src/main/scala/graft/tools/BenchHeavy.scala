@@ -29,6 +29,7 @@ object MakeHeavy {
   private val SHIFT_DOC = 1000000L
   private val SHIFT_EVENT = 100000000L
   private val SHIFT_USER = 1000000L
+  private val SHIFT_VEC = 1000000L
 
   // one bucket per local[32] core: bucketed scans parallelize at bucket
   // granularity, so fewer buckets than cores would cap the zero-exchange
@@ -39,6 +40,10 @@ object MakeHeavy {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/root/repo/target/bench_heavy/sf5"
     val copies = if (args.length > 2) args(2).toInt else 50
+    // optional trailing args: regenerate only these tables (iteration aid —
+    // e.g. adding one table to an existing tier without the docs crossJoin)
+    val onlyTables = args.drop(3).toSet
+    def want(t: String): Boolean = onlyTables.isEmpty || onlyTables(t)
     val spark = session(Some(s"$out/warehouse"))
     import spark.implicits._
     val reps = broadcast(spark.range(copies).toDF("k"))
@@ -60,19 +65,19 @@ object MakeHeavy {
     // (shingle+digest, bigram hashing) on top of it. A real table at this
     // scale is thousands of files; 32 keeps scan parallelism = cores.
     val FILES = 32
-    scaled("orders", Map("o_orderkey" -> SHIFT_ORDER, "o_custkey" -> SHIFT_CUST))
+    if (want("orders")) scaled("orders", Map("o_orderkey" -> SHIFT_ORDER, "o_custkey" -> SHIFT_CUST))
       .repartition(FILES)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
-    scaled("customer", Map("c_custkey" -> SHIFT_CUST))
+    if (want("customer")) scaled("customer", Map("c_custkey" -> SHIFT_CUST))
       .repartition(FILES)
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
-    scaled("lineitem", Map("l_orderkey" -> SHIFT_ORDER))
+    if (want("lineitem")) scaled("lineitem", Map("l_orderkey" -> SHIFT_ORDER))
       .repartition(FILES)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     // the source fixture stores ts as TIMESTAMP(NANOS) (read here as a
     // long via nanosAsLong); emit micros TIMESTAMP so both engines read
     // the heavy tier natively (Tables.events passes timestamps through)
-    scaled("events", Map("event_id" -> SHIFT_EVENT, "user_id" -> SHIFT_USER))
+    if (want("events")) scaled("events", Map("event_id" -> SHIFT_EVENT, "user_id" -> SHIFT_USER))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .repartition(FILES)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
@@ -80,7 +85,7 @@ object MakeHeavy {
     // every word with the replica tag — shingles/terms never collide across
     // replicas, so near-dup pair volume scales linearly (as a real corpus
     // does), not quadratically from 10 verbatim copies of every doc.
-    spark.read.parquet(s"$src/documents.parquet")
+    if (want("documents")) spark.read.parquet(s"$src/documents.parquet")
       .crossJoin(reps)
       .select(
         ($"doc_id" + $"k" * SHIFT_DOC).as("doc_id"),
@@ -88,7 +93,33 @@ object MakeHeavy {
         $"lang", $"source", ($"n_chars" + 0L).as("n_chars"))
       .repartition(FILES)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    for (t <- Seq("region", "nation", "supplier", "part"))
+    // embeddings: shift ids AND apply a per-replica ORTHOGONAL transform —
+    // circular rotation by k % 64 composed with a k-seeded diagonal ±1
+    // sign flip (xxhash64(k, d) parity). Orthogonal ⇒ every replica
+    // preserves the base fixture's INTERNAL geometry exactly (all
+    // intra-replica dot products and norms), while cross-replica vectors
+    // decorrelate — the corpus grows the way a real one does (new regions
+    // of the space), instead of verbatim copies of every vector, which
+    // would make every LSH bucket quadratically dense with exact
+    // duplicates and turn near-dup pruning into a degenerate all-replicas
+    // cluster per base vector. The sign flip keeps replicas distinct at
+    // ANY copy count (rotation alone repeats past k = 64 = dim).
+    if (want("embeddings")) spark.read.parquet(s"$src/embeddings.parquet")
+      .crossJoin(reps)
+      .select(
+        ($"vec_id" + $"k" * SHIFT_VEC).as("vec_id"),
+        expr("""transform(
+               |  concat(slice(embedding, CAST(k % 64 AS INT) + 1, 64 - CAST(k % 64 AS INT)),
+               |         slice(embedding, 1, CAST(k % 64 AS INT))),
+               |  (x, d) -> IF((xxhash64(k, d) & 1) = 1, -x, x))""".stripMargin)
+          .as("embedding"),
+        // labels shift too: replica 7's rotated cluster 3 is a DIFFERENT
+        // region of the space than replica 0's cluster 3 — sharing the id
+        // would give IVF mushy cross-replica centroids
+        ($"label" + ($"k" * 100).cast("int")).as("label"))
+      .repartition(FILES)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    for (t <- Seq("region", "nation", "supplier", "part") if want(t))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
@@ -97,6 +128,7 @@ object MakeHeavy {
     // the groupBy(o_orderkey) above it) runs with zero shuffle exchanges
     // the in-memory catalog forgets tables between JVMs but their managed
     // dirs survive — clear both
+    if (want("buckets")) {
     for (t <- Seq("hv_orders_b", "hv_lineitem_b", "hv_events_b")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val p = new org.apache.hadoop.fs.Path(s"$out/warehouse/$t")
@@ -121,6 +153,7 @@ object MakeHeavy {
       .repartition(BUCKETS, col("user_id"))
       .write.bucketBy(BUCKETS, "user_id").sortBy("user_id")
       .mode("overwrite").saveAsTable("hv_events_b")
+    }
     println(s"HEAVY_DATA_AT=$out copies=$copies buckets=$BUCKETS")
     spark.stop()
   }
@@ -172,9 +205,22 @@ object BenchHeavy {
     "l7_tfidf_topterms", "q1_pricing_summary", "q2_shipping_priority",
     "q3_revenue_by_nation", "s5_s6_partitioned_sink", "l1_exact_dedup",
     "w1_topk_per_group", "r4_session_window", "a9_percentiles",
-    "s4_point_lookup", "l2f_decontam", "l2f_xxh", "l2f_roll", "l2f_pos", "l2f_gen",
+    "s4_point_lookup", "l2f_decontam", "l2f_gen",
+    // the l2f ladder rungs live in SparkEntry.ladderQueries (opt-in,
+    // negative results kept reproducible — BENCHNOTES_HEAVY has the story)
+    "l2f_interp_md5", "l2f_xxh", "l2f_roll", "l2f_pos",
     "l4f_repetition_stats", "l9_sequence_pack", "l11_source_mix",
-    "l4g_quality_filter", "l1_xxh")
+    "l4g_quality_filter", "l1_xxh",
+    // ANN family at scale (needs the round-6 MakeHeavy embeddings). The
+    // fixture-width l3e/l3g queries (8-bit bands) are deliberately NOT
+    // here: at 100k vectors 8 bits = 256 buckets = ~390 vectors/bucket,
+    // ~20M candidate pairs PER BAND (the quadratic bucket tax the
+    // Similarity.DEFAULT_SIGN_BITS doc warns about) — l3g's 12 bands blew
+    // past 10 min/run when tried. The *_sized thunks below are the same
+    // operators at the module's own sizing rule — the form a deployment
+    // actually runs at this N; the mis-sized cost is measured once in
+    // BENCHNOTES_HEAVY's notes, not rented per-sweep.
+    "l3f_ivf_multiprobe", "l3h_neardup_prune")
 
   val SWEEPS = 3
 
@@ -207,9 +253,32 @@ object BenchHeavy {
         graft.operators.Windows.w1From(spark.table("hv_events_b")))
     ) else Seq.empty
 
-    val queries = graft.SparkEntry.queries // bind once: queries is a def
+    // ANN scale path: the same banded-LSH operators with signBits sized by
+    // the module's own rule (signBits ≈ log2(N / targetBucket), target ~32
+    // — Similarity.DEFAULT_SIGN_BITS doc) instead of the fixture's 8 bits.
+    // This is what a 100 TB deployment tunes; benching both widths makes
+    // the under-sized fixture form's quadratic bucket tax measurable.
+    val annSized: Seq[(String, () => DataFrame)] = {
+      val embPath = new java.io.File(s"$dir/embeddings.parquet")
+      if (!embPath.exists()) Seq.empty
+      else {
+        lazy val emb = graft.Tables.embeddings(spark, dir)
+        lazy val n = emb.count()
+        lazy val sized =
+          math.max(8, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+        Seq(
+          "l3e_sized" -> (() =>
+            graft.llm.Similarity.signLshPairs(emb, sized, 4, 0.2)),
+          "l3g_sized" -> (() =>
+            graft.llm.Similarity.signLshPairs(emb, sized, 12, 0.2, 7L)))
+      }
+    }
+
+    // bind once (defs); heavy tier resolves suite + opt-in ladder names
+    val queries = graft.SparkEntry.queries ++ graft.SparkEntry.ladderQueries
     val runnable: Seq[(String, () => DataFrame)] =
-      (HEAVY_QUERIES.map(n => n -> (() => queries(n)(spark, dir))) ++ bucketed)
+      (HEAVY_QUERIES.map(n => n -> (() => queries(n)(spark, dir))) ++
+        bucketed ++ annSized)
         .filter { case (n, _) => only.isEmpty || only(n) }
 
     // track genuine executor stage time per query: deep plans (q2/q3's

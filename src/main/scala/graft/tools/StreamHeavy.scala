@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Heavy-tier STREAMING measurement: the batch oracles prove r8/r9's
+  * semantics; this measures what they cannot see — RocksDB state growth
+  * and per-micro-batch throughput under continuous ingest at scale.
+  *
+  * Source shape: the heavy parquet dirs replayed as a file stream
+  * (`maxFilesPerTrigger` of the 32-file layout per trigger), which is the
+  * production micro-batch-ingest topology (R1): each trigger ingests a
+  * bounded file set, exactly how an object-store landing zone drains.
+  *
+  *  - r8_high_water: transformWithState, one ValueState[Double] per user
+  *    — state cardinality tracks DISTINCT USERS (unbounded in general;
+  *    the measurement shows bytes/key so a deployment can budget).
+  *  - r9_signature_screen: transformWithState, one ValueState[Long] per
+  *    16-bit SimHash signature — state bounded by 2^16 keys REGARDLESS of
+  *    stream length; the measurement demonstrates the plateau while rows
+  *    keep flowing (the simhash projection itself is the per-batch
+  *    compute: 16 md5 votes per word).
+  *
+  * Emits one JSON line per query with per-batch rows/sec and the state
+  * operator's numRowsTotal / memoryUsedBytes trajectory, plus a summary —
+  * appended to `target/stream_heavy.json`; tools/bench_compare has no role
+  * here (there is no DuckDB analog of a state store), the artifact feeds
+  * BENCHNOTES_HEAVY's streaming section by hand via bench_analysis.json.
+  */
+object StreamHeavy {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/target/bench_heavy/sf5")
+    val filesPerTrigger = if (args.length > 1) args(1).toInt else 4
+    val spark = MakeHeavy.session()
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // bound the per-batch shuffle like the batch suite does
+    val scratch = java.nio.file.Files.createTempDirectory("stream_heavy").toString
+
+    def run(name: String, src: DataFrame,
+        toOut: DataFrame => org.apache.spark.sql.Dataset[_]): String = {
+      val out = toOut(src)
+      val t0 = System.nanoTime()
+      val q = out.writeStream
+        .format("noop") // sink cost excluded: we measure transform + state
+        .option("checkpointLocation", s"$scratch/$name")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      val batches = progress.map { p =>
+        val st = p.stateOperators.headOption
+        val rocksTotal = st.map(_.customMetrics
+          .getOrDefault("rocksdbTotalSstFilesSize", 0L).longValue()).getOrElse(0L)
+        s"""{"rows":${p.numInputRows},"batch_s":${p.batchDuration / 1000.0},""" +
+          s""""state_rows":${st.map(_.numRowsTotal).getOrElse(0L)},""" +
+          s""""state_bytes":${st.map(_.memoryUsedBytes).getOrElse(0L)},""" +
+          s""""rocksdb_sst_bytes":$rocksTotal}"""
+      }
+      val totalRows = progress.map(_.numInputRows).sum
+      s"""{"query":"$name","dir":"$dir","files_per_trigger":$filesPerTrigger,""" +
+        s""""wall_s":${f"$wall%.1f"},"total_rows":$totalRows,""" +
+        s""""rows_per_s":${f"${totalRows / wall}%.0f"},""" +
+        s""""n_batches":${batches.length},"batches":[${batches.mkString(",")}]}"""
+    }
+
+    val eventsSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def fileStream(table: String, schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(s"$dir/$table.parquet")
+
+    val lines = Seq(
+      run("r8_high_water", fileStream("events", eventsSchema), df =>
+        graft.streaming.Streams.highWaterStream(
+          df.select($"event_id", $"ts", $"user_id", $"value")
+            .as[graft.streaming.ValuedEvent])),
+      run("r9_signature_screen", fileStream("documents", docsSchema), df =>
+        graft.streaming.Streams.signatureScreenStream(
+          graft.llm.Dedup.simhashed(df).select($"doc_id", $"simhash")
+            .as[graft.streaming.ScreenDoc])))
+
+    val json = lines.mkString("[", ",\n", "]")
+    graft.BenchUtil.writeArtifact("target/stream_heavy.json", json)
+    println(json)
+    spark.stop()
+  }
+}

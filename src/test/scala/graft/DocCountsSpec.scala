@@ -58,8 +58,9 @@ class DocCountsSpec extends org.scalatest.funsuite.AnyFunSuite {
       === SparkEntry.queries.size)
   }
 
-  test("BENCHNOTES_HEAVY covers the heavy tier plus the three bucketed variants") {
+  test("BENCHNOTES_HEAVY covers the heavy tier plus bucketed and ANN-sized variants") {
+    // +3 bucketed (q2/q3/w1) +2 ANN sized-width (l3e_sized/l3g_sized)
     assert(captured(read("BENCHNOTES_HEAVY.md"), """over (\d+) queries""", "BENCHNOTES_HEAVY")
-      === graft.tools.BenchHeavy.HEAVY_QUERIES.size + 3)
+      === graft.tools.BenchHeavy.HEAVY_QUERIES.size + 5)
   }
 }

@@ -147,7 +147,7 @@ class PropertiesSpec extends SparkSpecBase {
     }
     for (t <- samples(text, 300); k <- Seq(1, 2, 5)) {
       val native = graft.plans.ShingleHashes
-        .eval(UTF8String.fromString(t), k, true).toLongArray().toSeq
+        .evalHashes(UTF8String.fromString(t), k, true).toLongArray().toSeq
       assert(native === refHashes(t, k), s"text='$t' k=$k")
     }
   }

@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * `vendorFrame` through the non-default v2 FileOutputCommitter algorithm,
   * proving graft's write paths do not depend on the default commit
   * algorithm's job-commit rename semantics.
+  *
+  * Real-S3-protocol round trip: ATTEMPTED 2026-08-13, not possible in
+  * this sandbox — no in-JVM S3 mock (adobe/s3mock, findify/s3mock) exists
+  * in the offline coursier cache (zero-egress resolution fails), and
+  * /opt/spark/jars ships no hadoop-aws/aws-sdk at all, so even a mock
+  * endpoint could not mount an s3a:// filesystem. The committer seam
+  * assertions below remain the sandbox-maximal verification; on a real
+  * deployment the first smoke test is a PUT + >=64M multipart through
+  * these exact confs (minio.rs:139-242 behavior).
   */
 class S8SinkSpec extends SparkSpecBase {
 
