@@ -222,13 +222,31 @@ object BenchHeavy {
     // BENCHNOTES_HEAVY's notes, not rented per-sweep.
     "l3f_ivf_multiprobe", "l3h_neardup_prune")
 
+  /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
+    * production paths plus the sized-width ANN family — the compute-bound
+    * queries whose sf5→sf25 ratio trend is the "would this survive 100x"
+    * evidence. Ladder baselines and the mis-sized 8-bit ANN forms are
+    * excluded (their cost is documented once at sf5); l2f_pos stays as the
+    * one ladder rung cheap enough to track across tiers. Invoke as
+    * `BenchHeavy <sf25Dir> --sf25`. */
+  val SF25_QUERIES: Seq[String] = Seq(
+    "l2d_ngram_jaccard", "l7_tfidf_topterms", "l2e_connected_components",
+    "l2b_lsh_candidates", "l4f_repetition_stats", "l4g_quality_filter",
+    "l2f_pos", "l2f_gen", "l2f_decontam", "l1_exact_dedup", "l11_source_mix",
+    "q1_pricing_summary", "l1_xxh", "l9_sequence_pack",
+    "l3e_sized", "l3g_sized", "l3f_ivf_multiprobe")
+
   val SWEEPS = 3
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/target/bench_heavy/sf5")
     // optional trailing args: run only these queries (scale-sweep aid —
-    // at sf25+ the deliberate ladder baselines would dominate the wall)
-    val only = args.drop(1).toSet
+    // at sf25+ the deliberate ladder baselines would dominate the wall);
+    // `--sf25` expands to the canonical SF25_QUERIES subset
+    val only = args.drop(1).toSet match {
+      case s if s == Set("--sf25") => SF25_QUERIES.toSet
+      case s => s
+    }
     val spark = MakeHeavy.session(Some(s"$dir/warehouse"))
     import spark.implicits._
     // trust the one-file-per-bucket sort order at the scan (off by default

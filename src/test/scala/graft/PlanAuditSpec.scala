@@ -176,6 +176,13 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("array_distinct") && !p.contains("lambda"), p)
   }
 
+  test("l2f_decontam (native md5 anchor): same plan shape as l2f_gen") {
+    val p = plan(q("l2f_decontam"))
+    assert(p.contains("shingle_hashes"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("array_distinct") && !p.contains("lambda"), p)
+  }
+
   test("l2g/l4g: index and thresholds broadcast; the corpus never hash-shuffles by doc") {
     for (name <- Seq("l2g_incremental_simhash", "l4g_quality_filter")) {
       val p = plan(q(name))
