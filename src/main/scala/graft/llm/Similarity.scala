@@ -112,13 +112,23 @@ object Similarity {
     * contraction handles pathological graphs); the output is one row per
     * vector. The DuckDB oracle replays the same pipeline with a recursive
     * CTE for reachability. */
-  def l3hNearDupPrune(spark: SparkSession, sfDir: String): DataFrame = {
+  def l3hNearDupPrune(spark: SparkSession, sfDir: String): DataFrame =
+    neardupKeepList(Tables.embeddings(spark, sfDir),
+      signLshPairs(Tables.embeddings(spark, sfDir), DEFAULT_SIGN_BITS, 0.3))
+
+  /** SemDeDup keep-list from any candidate-pair frame: connected
+    * components over the pairs, one representative (min vec_id) per
+    * component. Factored out of [[l3hNearDupPrune]] so the pair generator
+    * is a parameter — the fixture form feeds the 8-bit single-projection
+    * pairs; a production deployment feeds banded pairs at the sized width
+    * (BenchHeavy's `l3h_sized`), where the candidate volume is
+    * collision-bound instead of quadratic-bucket-bound. */
+  def neardupKeepList(emb: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val emb = graft.Tables.embeddings(spark, sfDir)
-    val pairs = signLshPairs(emb, DEFAULT_SIGN_BITS, 0.3)
-      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
     val vertices = emb.select($"vec_id".as("doc_id"))
-    graft.llm.Dedup.connectedComponents(vertices, pairs)
+    graft.llm.Dedup.connectedComponents(vertices,
+        pairs.select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
       .select($"doc_id".as("vec_id"), $"component",
         ($"doc_id" === $"component").as("keep"))
       .orderBy($"vec_id")

@@ -223,18 +223,29 @@ object BenchHeavy {
     "l3f_ivf_multiprobe", "l3h_neardup_prune")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
-    * production paths plus the sized-width ANN family — the compute-bound
-    * queries whose sf5→sf25 ratio trend is the "would this survive 100x"
-    * evidence. Ladder baselines and the mis-sized 8-bit ANN forms are
-    * excluded (their cost is documented once at sf5); l2f_pos stays as the
-    * one ladder rung cheap enough to track across tiers. Invoke as
-    * `BenchHeavy <sf25Dir> --sf25`. */
+    * production paths — the compute-bound queries whose sf5→sf25 ratio
+    * trend is the "would this survive 100x" evidence. Ladder baselines and
+    * the mis-sized 8-bit ANN forms are excluded (their cost is documented
+    * once at sf5); l2f_pos stays as the one ladder rung cheap enough to
+    * track across tiers. Invoke as `BenchHeavy <sf25Dir> --sf25`.
+    *
+    * The ANN family is deliberately NOT here: at sf25 l3g_sized runs ~100s
+    * per pass, and keeping it in the interleaved sweep poisons every other
+    * query's samples through sustained JVM heap pressure (measured: l2d
+    * 46s interleaved with it vs 5.3s isolated — the pass-major median
+    * rejects one contended sample, not a contender present in ALL sweeps).
+    * Bench each SF25_ANN query in its OWN JVM — one BenchHeavy invocation
+    * per query name — and merge the JSONs for the notes regen. */
   val SF25_QUERIES: Seq[String] = Seq(
     "l2d_ngram_jaccard", "l7_tfidf_topterms", "l2e_connected_components",
     "l2b_lsh_candidates", "l4f_repetition_stats", "l4g_quality_filter",
     "l2f_pos", "l2f_gen", "l2f_decontam", "l1_exact_dedup", "l11_source_mix",
-    "q1_pricing_summary", "l1_xxh", "l9_sequence_pack",
-    "l3e_sized", "l3g_sized", "l3f_ivf_multiprobe")
+    "q1_pricing_summary", "l1_xxh", "l9_sequence_pack")
+
+  /** ANN queries for the sf25 tier: run each in an isolated JVM (see
+    * SF25_QUERIES note on cross-query heap contamination). */
+  val SF25_ANN: Seq[String] =
+    Seq("l3e_sized", "l3g_sized", "l3h_sized", "l3f_ivf_multiprobe")
 
   val SWEEPS = 3
 
@@ -288,7 +299,13 @@ object BenchHeavy {
           "l3e_sized" -> (() =>
             graft.llm.Similarity.signLshPairs(emb, sized, 4, 0.2)),
           "l3g_sized" -> (() =>
-            graft.llm.Similarity.signLshPairs(emb, sized, 12, 0.2, 7L)))
+            graft.llm.Similarity.signLshPairs(emb, sized, 12, 0.2, 7L)),
+          // SemDeDup's production form: the same keep-list pipeline as the
+          // suite's l3h, but fed banded pairs at the sized width — prices
+          // what the sizing rule saves vs l3h's 8-bit quadratic buckets
+          "l3h_sized" -> (() =>
+            graft.llm.Similarity.neardupKeepList(emb,
+              graft.llm.Similarity.signLshPairs(emb, sized, 4, 0.3))))
       }
     }
 

@@ -59,8 +59,14 @@ class DocCountsSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("BENCHNOTES_HEAVY covers the heavy tier plus bucketed and ANN-sized variants") {
-    // +3 bucketed (q2/q3/w1) +2 ANN sized-width (l3e_sized/l3g_sized)
+    // +3 bucketed (q2/q3/w1) +3 ANN sized-width (l3e/l3g/l3h_sized)
     assert(captured(read("BENCHNOTES_HEAVY.md"), """over (\d+) queries""", "BENCHNOTES_HEAVY")
-      === graft.tools.BenchHeavy.HEAVY_QUERIES.size + 5)
+      === graft.tools.BenchHeavy.HEAVY_QUERIES.size + 6)
+  }
+
+  test("BENCHNOTES_SF25 covers the sf25 subset plus the isolated ANN runs") {
+    assert(captured(read("BENCHNOTES_SF25.md"), """over (\d+) queries""", "BENCHNOTES_SF25")
+      === graft.tools.BenchHeavy.SF25_QUERIES.size
+        + graft.tools.BenchHeavy.SF25_ANN.size)
   }
 }
