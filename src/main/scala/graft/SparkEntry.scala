@@ -91,6 +91,7 @@ object SparkEntry {
     "l3f_ivf_multiprobe" -> (graft.llm.Similarity.l3fIvfMultiprobe _),
     "l3d_batch_topk" -> (graft.llm.Similarity.l3dBatchTopk _),
     "l8_quantize_int8" -> (graft.llm.Similarity.l8QuantizeInt8 _),
+    "l3i_sq8_topk" -> (graft.llm.Similarity.l3iSq8Topk _),
     "l4_text_stats" -> (graft.llm.TextAnalysis.l4TextStats _),
     "l4b_lang_id" -> (graft.llm.TextAnalysis.l4bLangId _),
     "l4c_quality_score" -> (graft.llm.TextAnalysis.l4cQualityScore _),
@@ -774,6 +775,28 @@ object SparkEntry {
         |  CAST(list_sum([CAST(TRUNC(CAST(x AS DOUBLE) * (127.0 / max_abs)) AS BIGINT) for x in embedding]) AS BIGINT) AS code_sum
         |FROM scaled WHERE max_abs > 0
         |ORDER BY vec_id""".stripMargin,
+    // L8's quantization convention replayed (greatest(list_max, -list_min)
+    // = max|x| with no per-element fold; TRUNC = Spark's truncating cast),
+    // then the top-k runs on EXACT BIGINT code dots — the double division
+    // at the end is one deterministic op on exact inputs
+    "l3i_sq8_topk" ->
+      """WITH codes AS (
+        |  SELECT vec_id, 127.0 / max_abs AS scale,
+        |         generate_subscripts(embedding, 1) - 1 AS pos,
+        |         CAST(TRUNC(CAST(unnest(embedding) AS DOUBLE) * (127.0 / max_abs)) AS BIGINT) AS code
+        |  FROM (SELECT vec_id, embedding,
+        |          greatest(CAST(list_max(embedding) AS DOUBLE),
+        |                   -CAST(list_min(embedding) AS DOUBLE)) AS max_abs
+        |        FROM embeddings)
+        |  WHERE max_abs > 0),
+        |q AS (SELECT pos AS q_pos, code AS q_code, scale AS q_scale
+        |      FROM codes WHERE vec_id = 0)
+        |SELECT c.vec_id, CAST(SUM(c.code * q.q_code) AS BIGINT) AS qdot,
+        |  CAST(SUM(c.code * q.q_code) AS BIGINT) / (ANY_VALUE(c.scale) * ANY_VALUE(q.q_scale)) AS approx_dot
+        |FROM codes c JOIN q ON c.pos = q.q_pos
+        |WHERE c.vec_id <> 0
+        |GROUP BY c.vec_id
+        |ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin,
     "l4_text_stats" ->
       """SELECT doc_id, CAST(LEN(text) AS BIGINT) AS n_chars,
         |  CAST(LEN(words) AS BIGINT) AS n_words,

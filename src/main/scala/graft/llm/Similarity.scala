@@ -336,6 +336,44 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** L3i [EXT]: top-k similarity search OVER the quantized codes — the
+    * operator that makes L8's 4x compression a search path, not just a
+    * storage trick: score = Σ code_d·qcode_d is exact BIGINT arithmetic
+    * (SIMD-friendly int8 dots in a columnar engine), dequantized once per
+    * candidate as qdot / (scale·q_scale). Quantization follows L8's
+    * convention exactly (per-vector scale = 127/max|x|, truncating cast).
+    *
+    * Plan shape: max|x| = greatest(array_max, -array_min) — native
+    * collection functions, NO higher-order lambda (the measured
+    * interpreted-lambda tax) and no pre-shuffle; codes materialize
+    * post-explode in codegen; the 64-row query code vector broadcasts;
+    * partial aggregation collapses the exploded frame to one row per
+    * vector BEFORE the single exchange; TakeOrdered emits the top 10. At
+    * 100 TB the codes would be precomputed once and this plan starts at
+    * the (16x smaller) code scan — everything downstream is identical. */
+  def l3iSq8Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val codes = Tables.embeddings(spark, sfDir)
+      .withColumn("max_abs", greatest(
+        expr("CAST(array_max(embedding) AS DOUBLE)"),
+        -expr("CAST(array_min(embedding) AS DOUBLE)")))
+      .filter($"max_abs" > 0)
+      .withColumn("scale", lit(127.0) / $"max_abs")
+      .select($"vec_id", $"scale", posexplode($"embedding").as(Seq("pos", "x")))
+      // truncating cast = DuckDB TRUNC (the L8 convention)
+      .withColumn("code", expr("CAST(CAST(x AS DOUBLE) * scale AS BIGINT)"))
+    val qcodes = codes.filter($"vec_id" === 0)
+      .select($"pos".as("q_pos"), $"code".as("q_code"), $"scale".as("q_scale"))
+    codes.filter($"vec_id" =!= 0)
+      .join(broadcast(qcodes), $"pos" === $"q_pos")
+      .groupBy($"vec_id", $"scale", $"q_scale")
+      .agg(sum($"code" * $"q_code").as("qdot"))
+      .select($"vec_id", $"qdot",
+        ($"qdot" / ($"scale" * $"q_scale")).as("approx_dot"))
+      .orderBy($"approx_dot".desc, $"vec_id")
+      .limit(10)
+  }
+
   /** L3c: IVF probe. Centroids are exact decimal sums per (label, dim)
     * divided in double (deterministic); the query probes its nearest
     * centroid and searches only that inverted list. */

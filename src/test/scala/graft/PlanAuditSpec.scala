@@ -176,6 +176,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("array_distinct") && !p.contains("lambda"), p)
   }
 
+  test("l3i: one real exchange — query codes broadcast, partial agg pre-shuffle, TakeOrdered top-k") {
+    val p = plan(q("l3i_sq8_topk"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // exactly ONE shuffle (the post-partial-agg exchange); max|x| must come
+    // from array_max/array_min, not a windowed explode or a lambda fold
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(shuffles === 1, s"expected 1 shuffle exchange, got $shuffles:\n$p")
+    assert(!p.contains("Window") && !p.contains("lambda"), p)
+  }
+
   test("l2f_decontam (native md5 anchor): same plan shape as l2f_gen") {
     val p = plan(q("l2f_decontam"))
     assert(p.contains("shingle_hashes"), p)

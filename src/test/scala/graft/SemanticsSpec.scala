@@ -47,6 +47,18 @@ class SemanticsSpec extends SparkSpecBase {
     assert(relErr < 0.05, s"approx=$approx exact=$exact relErr=$relErr")
   }
 
+  test("L3i quantized top-10 recovers the exact top-10 (SQ8 recall sanity)") {
+    // int8 quantization perturbs each dot by at most ~d·|x|max²/127 — on the
+    // fixture the exact and quantized top-10 coincide outright; assert ≥8
+    // so a legitimate near-boundary reorder can't flake the suite
+    val exact = graft.llm.Similarity.l3BruteForceTopk(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val quant = graft.llm.Similarity.l3iSq8Topk(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(quant).size >= 8,
+      s"quantized top-10 lost the exact set: $quant vs $exact")
+  }
+
   test("F3 epoch-seconds round trip is identity at second granularity") {
     import spark.implicits._
     val df = Seq("2024-03-01 12:34:56").toDF("s")
