@@ -97,6 +97,9 @@ def main():
                 f.write(analysis[q] + "\n\n")
         if "summary" in analysis:
             f.write("## Reading the trend\n\n" + analysis["summary"] + "\n")
+        if "beyond" in analysis:
+            f.write("\n## Beyond the star joins — the other families' "
+                    "scale points\n\n" + analysis["beyond"] + "\n")
     print(f"wrote {out_path}")
 
 
