@@ -92,6 +92,7 @@ object SparkEntry {
     "l3d_batch_topk" -> (graft.llm.Similarity.l3dBatchTopk _),
     "l8_quantize_int8" -> (graft.llm.Similarity.l8QuantizeInt8 _),
     "l3i_sq8_topk" -> (graft.llm.Similarity.l3iSq8Topk _),
+    "l3j_rerank_topk" -> (graft.llm.Similarity.l3jRerankTopk _),
     "l4_text_stats" -> (graft.llm.TextAnalysis.l4TextStats _),
     "l4b_lang_id" -> (graft.llm.TextAnalysis.l4bLangId _),
     "l4c_quality_score" -> (graft.llm.TextAnalysis.l4cQualityScore _),
@@ -797,6 +798,31 @@ object SparkEntry {
         |WHERE c.vec_id <> 0
         |GROUP BY c.vec_id
         |ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin,
+    // two-stage retrieval: the l3i scoring CTE shortlists 100, exact
+    // cosine re-ranks only those — replayed with the identical arithmetic
+    "l3j_rerank_topk" ->
+      s"""WITH codes AS (
+        |  SELECT vec_id, 127.0 / max_abs AS scale,
+        |         generate_subscripts(embedding, 1) - 1 AS pos,
+        |         CAST(TRUNC(CAST(unnest(embedding) AS DOUBLE) * (127.0 / max_abs)) AS BIGINT) AS code
+        |  FROM (SELECT vec_id, embedding,
+        |          greatest(CAST(list_max(embedding) AS DOUBLE),
+        |                   -CAST(list_min(embedding) AS DOUBLE)) AS max_abs
+        |        FROM embeddings)
+        |  WHERE max_abs > 0),
+        |qc AS (SELECT pos AS q_pos, code AS q_code, scale AS q_scale
+        |       FROM codes WHERE vec_id = 0),
+        |shortlist AS (
+        |  SELECT c.vec_id,
+        |    CAST(SUM(c.code * qc.q_code) AS BIGINT) / (ANY_VALUE(c.scale) * ANY_VALUE(qc.q_scale)) AS approx_dot
+        |  FROM codes c JOIN qc ON c.pos = qc.q_pos
+        |  WHERE c.vec_id <> 0
+        |  GROUP BY c.vec_id
+        |  ORDER BY approx_dot DESC, vec_id LIMIT ${graft.llm.Similarity.SHORTLIST}),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, ${duckCosine("e.embedding", "q_emb")} AS cosine
+        |FROM embeddings e JOIN shortlist s ON e.vec_id = s.vec_id, q
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
     "l4_text_stats" ->
       """SELECT doc_id, CAST(LEN(text) AS BIGINT) AS n_chars,
         |  CAST(LEN(words) AS BIGINT) AS n_words,

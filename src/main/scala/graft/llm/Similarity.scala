@@ -351,7 +351,15 @@ object Similarity {
     * vector BEFORE the single exchange; TakeOrdered emits the top 10. At
     * 100 TB the codes would be precomputed once and this plan starts at
     * the (16x smaller) code scan — everything downstream is identical. */
-  def l3iSq8Topk(spark: SparkSession, sfDir: String): DataFrame = {
+  def l3iSq8Topk(spark: SparkSession, sfDir: String): DataFrame =
+    sq8Ranked(spark, sfDir)
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+      .limit(10)
+
+  /** The quantized-dot scoring frame l3i/l3j rank: one row per corpus
+    * vector with the exact BIGINT code dot and its dequantized estimate.
+    * Unlimited — callers apply their own TakeOrdered. */
+  private def sq8Ranked(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val codes = Tables.embeddings(spark, sfDir)
       .withColumn("max_abs", greatest(
@@ -370,9 +378,40 @@ object Similarity {
       .agg(sum($"code" * $"q_code").as("qdot"))
       .select($"vec_id", $"qdot",
         ($"qdot" / ($"scale" * $"q_scale")).as("approx_dot"))
+  }
+
+  /** L3j [EXT]: two-stage retrieval — the production serving shape for
+    * vector search at corpus scale: a CHEAP quantized scan shortlists
+    * `SHORTLIST` candidates (l3i's scoring, 16x-smaller scan once codes
+    * are precomputed), then EXACT cosine re-ranks only the shortlist
+    * against the float vectors. Quantization error moves a true neighbor
+    * a few places, never out of a 10x-deep shortlist (SemanticsSpec
+    * asserts l3j ≡ the full brute-force l3 top-10 on the fixture), so
+    * the re-rank repairs SQ8's ranking noise at 1/SHORTLIST-th of the
+    * exact scan's cost. The shortlist broadcasts: the float-vector
+    * re-read is a semi-join pruned scan, not a second pass. */
+  def l3jRerankTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    withNative(spark)
+    import spark.implicits._
+    val shortlist = sq8Ranked(spark, sfDir)
       .orderBy($"approx_dot".desc, $"vec_id")
+      .limit(SHORTLIST)
+      .select($"vec_id")
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".as("q_emb"))
+      .withColumn("norm_q", sqrt(expr(dot("q_emb", "q_emb"))))
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("dot", expr(dot("embedding", "q_emb")))
+      .withColumn("norm_a", sqrt(expr(dot("embedding", "embedding"))))
+      .select($"vec_id", ($"dot" / ($"norm_a" * $"norm_q")).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id")
       .limit(10)
   }
+
+  /** l3j's shortlist depth: 10x the final k. */
+  val SHORTLIST = 100
 
   /** L3c: IVF probe. Centroids are exact decimal sums per (label, dim)
     * divided in double (deterministic); the query probes its nearest

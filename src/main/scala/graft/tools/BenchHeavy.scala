@@ -220,7 +220,8 @@ object BenchHeavy {
     // operators at the module's own sizing rule — the form a deployment
     // actually runs at this N; the mis-sized cost is measured once in
     // BENCHNOTES_HEAVY's notes, not rented per-sweep.
-    "l3f_ivf_multiprobe", "l3h_neardup_prune", "l3i_sq8_topk")
+    "l3f_ivf_multiprobe", "l3h_neardup_prune", "l3i_sq8_topk",
+    "l3j_rerank_topk")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio
@@ -246,7 +247,7 @@ object BenchHeavy {
     * SF25_QUERIES note on cross-query heap contamination). */
   val SF25_ANN: Seq[String] =
     Seq("l3e_sized", "l3g_sized", "l3h_sized", "l3f_ivf_multiprobe",
-      "l3i_sq8_topk")
+      "l3i_sq8_topk", "l3j_rerank_topk")
 
   val SWEEPS = 3
 

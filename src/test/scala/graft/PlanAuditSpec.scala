@@ -187,6 +187,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window") && !p.contains("lambda"), p)
   }
 
+  test("l3j: shortlist broadcasts into the re-rank scan; top-k is TakeOrdered") {
+    val p = plan(q("l3j_rerank_topk"))
+    // stage-2 must join the float vectors against a BROADCAST shortlist
+    // (pruned re-read), and both stages' top-k must avoid a global sort
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("l2f_decontam (native md5 anchor): same plan shape as l2f_gen") {
     val p = plan(q("l2f_decontam"))
     assert(p.contains("shingle_hashes"), p)

@@ -180,4 +180,31 @@ class PropertiesSpec extends SparkSpecBase {
       assert(native === ref(t, k), s"text='$t' k=$k")
     }
   }
+
+  test("property: SQ8 dequantized dot is within the analytic error bound (L3i/L3j)") {
+    // convention = L8/l3i exactly: scale = 127/max|x|, code = trunc(x·scale).
+    // Then |code_d/scale − x_d| ≤ 1/scale = max|x|/127 per dimension, so
+    // |approx_dot − dot| ≤ d·(εa·(max|b|+εb) + max|a|·εb), ε = max/127 —
+    // the bound that justifies the 10x shortlist in l3j: error is O(d·|a||b|/127),
+    // a fraction of any meaningful score gap.
+    val genVec = Gen.listOfN(64, Gen.chooseNum(-4.0f, 4.0f)).map(_.toArray)
+      .suchThat(v => v.exists(_ != 0f))
+    def quant(v: Array[Float]): (Array[Long], Double) = {
+      val maxAbs = math.max(v.max.toDouble, -v.min.toDouble)
+      val scale = 127.0 / maxAbs
+      (v.map(x => (x.toDouble * scale).toLong), scale)
+    }
+    val pairs = samples(Gen.zip(genVec, genVec), 200)
+    for ((a, b) <- pairs) {
+      val exact = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val (ca, sa) = quant(a); val (cb, sb) = quant(b)
+      val approx = ca.zip(cb).map { case (x, y) => x * y }.sum / (sa * sb)
+      val (ea, eb) = (1.0 / sa, 1.0 / sb)
+      val maxA = math.max(a.max.toDouble, -a.min.toDouble)
+      val maxB = math.max(b.max.toDouble, -b.min.toDouble)
+      val bound = 64.0 * (ea * (maxB + eb) + maxA * eb)
+      assert(math.abs(approx - exact) <= bound,
+        s"err=${math.abs(approx - exact)} bound=$bound")
+    }
+  }
 }

@@ -59,6 +59,15 @@ class SemanticsSpec extends SparkSpecBase {
       s"quantized top-10 lost the exact set: $quant vs $exact")
   }
 
+  test("L3j two-stage retrieval ≡ exact brute-force top-10 (re-rank repairs SQ8 noise)") {
+    // the whole point of the 10x shortlist: quantization may reorder
+    // WITHIN the shortlist but cannot push a true top-10 neighbor out of
+    // the top 100, so after exact re-rank the result is bit-identical
+    val exact = graft.llm.Similarity.l3BruteForceTopk(spark, sfDir).collect()
+    val staged = graft.llm.Similarity.l3jRerankTopk(spark, sfDir).collect()
+    assert(staged.toSeq === exact.toSeq)
+  }
+
   test("F3 epoch-seconds round trip is identity at second granularity") {
     import spark.implicits._
     val df = Seq("2024-03-01 12:34:56").toDF("s")
