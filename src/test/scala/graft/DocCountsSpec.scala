@@ -53,20 +53,56 @@ class DocCountsSpec extends org.scalatest.funsuite.AnyFunSuite {
       === SparkEntry.oracleSql.size)
   }
 
+  /** Query names in a BENCHNOTES table: first cell of each data row.
+    * Diffing name SETS (not counts) makes a drift failure name the
+    * missing/extra query — round 6's "19 did not equal 20" cost a bisect
+    * to attribute to l3j_rerank_topk. */
+  private def tableQueries(file: String): Set[String] = {
+    // the MAIN bench table only: from its `| query |` header to the next
+    // section heading (the recall/streaming tables have their own headers
+    // and their own registries)
+    val text = read(file)
+    val start = text.indexOf("| query |")
+    assert(start >= 0, s"$file: no '| query |' table header")
+    val rest = text.substring(start)
+    val table = "(?s)^(.*?)(\n#|\\z)".r.findFirstMatchIn(rest).get.group(1)
+    """(?m)^\| (\w+) \| [\d.]""".r
+      .findAllMatchIn(table).map(_.group(1)).toSet
+  }
+
+  private def assertSameQueries(file: String, expected: Set[String]): Unit = {
+    val actual = tableQueries(file)
+    val missing = expected -- actual
+    val extra = actual -- expected
+    assert(missing.isEmpty && extra.isEmpty,
+      s"$file table drift — missing from table: ${missing.toSeq.sorted.mkString(", ")}; " +
+        s"not in registry: ${extra.toSeq.sorted.mkString(", ")} (regenerate the artifact)")
+  }
+
   test("BENCHNOTES covers every declared query (regenerate after adding one)") {
     assert(captured(read("BENCHNOTES.md"), """over (\d+) queries""", "BENCHNOTES")
       === SparkEntry.queries.size)
+    assertSameQueries("BENCHNOTES.md", SparkEntry.queries.keySet)
   }
 
+  // the variants BenchHeavy constructs locally (not SparkEntry queries):
+  // bucketed q2/q3/w1 + the sized-width ANN forms
+  private val heavyLocal = Set("q2_bucketed", "q3_bucketed", "w1_bucketed",
+    "l3e_sized", "l3g_sized", "l3h_sized")
+
   test("BENCHNOTES_HEAVY covers the heavy tier plus bucketed and ANN-sized variants") {
-    // +3 bucketed (q2/q3/w1) +3 ANN sized-width (l3e/l3g/l3h_sized)
     assert(captured(read("BENCHNOTES_HEAVY.md"), """over (\d+) queries""", "BENCHNOTES_HEAVY")
-      === graft.tools.BenchHeavy.HEAVY_QUERIES.size + 6)
+      === graft.tools.BenchHeavy.HEAVY_QUERIES.size + heavyLocal.size)
+    assertSameQueries("BENCHNOTES_HEAVY.md",
+      graft.tools.BenchHeavy.HEAVY_QUERIES.toSet ++ heavyLocal)
   }
 
   test("BENCHNOTES_SF25 covers the sf25 subset plus the isolated ANN runs") {
     assert(captured(read("BENCHNOTES_SF25.md"), """over (\d+) queries""", "BENCHNOTES_SF25")
       === graft.tools.BenchHeavy.SF25_QUERIES.size
         + graft.tools.BenchHeavy.SF25_ANN.size)
+    assertSameQueries("BENCHNOTES_SF25.md",
+      graft.tools.BenchHeavy.SF25_QUERIES.toSet
+        ++ graft.tools.BenchHeavy.SF25_ANN)
   }
 }
