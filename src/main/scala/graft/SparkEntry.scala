@@ -220,16 +220,24 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** The l2c/l2g shared SimHash pipeline as DuckDB CTEs (voted, simmed). */
+  // Mirrors plans.SimHashSig exactly: ONE md5 per word (unnested to rows
+  // so DuckDB computes the digest once), bit b = low bit of hex nibble
+  // b+1; every doc has >= 1 word (string_split of '' is ['']) so the
+  // GROUP BY drops no rows. The one-digest form is ~16x cheaper for the
+  // oracle too — cheap enough to run at the sf5 heavy tier (~2s), which
+  // retired the round-5 "simhash family can't be oracled at sf5" trap.
   private val simhashCtes: String = {
-    val votes = (0 until 16).map { b =>
-      s"list_sum([CASE WHEN (instr('0123456789abcdef', substr(md5(w || '#$b'), 1, 1)) - 1) & 1 = 1 " +
-        s"THEN 1 ELSE -1 END for w in words]) AS vote$b"
+    val votes = (0 until graft.llm.Dedup.SIMHASH_BITS).map { b =>
+      s"SUM(CASE WHEN (instr('0123456789abcdef', substr(h, ${b + 1}, 1)) - 1) & 1 = 1 " +
+        s"THEN 1 ELSE -1 END) AS vote$b"
     }.mkString(",\n  ")
-    val sim = (0 until 16)
+    val sim = (0 until graft.llm.Dedup.SIMHASH_BITS)
       .map(b => s"(CASE WHEN vote$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
     s"""voted AS (
        |  SELECT doc_id, $votes
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+       |  FROM (SELECT doc_id, md5(w) AS h
+       |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents))
+       |  GROUP BY doc_id),
        |simmed AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM voted)""".stripMargin
   }
 

@@ -523,26 +523,25 @@ object Dedup {
   }
 
   /** L2c: SimHash — 16-bit signature; per bit, every word votes ±1 by a
-    * seeded md5 bit, weighted by term frequency. Pure array fold per row,
-    * no shuffle until the final cluster window. */
+    * bit of its md5 digest, weighted by term frequency. Pure per-row
+    * projection, no shuffle until the final cluster window. */
   /** (doc_id, simhash) for every doc — the shared signature frame l2c
     * clusters on, l2g screens against, and R9 streams through (the
-    * projection is stateless, so it runs unchanged on a streaming frame). */
+    * projection is stateless, so it runs unchanged on a streaming frame).
+    *
+    * One native codegen'd expression ([[graft.plans.SimHashSig]]): ONE
+    * md5 per word, all 16 bit-votes from that digest's nibbles. The form
+    * it replaced — 16 per-bit `aggregate(words, ...)` higher-order folds,
+    * each digesting `md5(w || '#bit')` — evaluated the lambda interpreted
+    * (the repo's measured lambda tax) and cost SIXTEEN digests per word;
+    * measured symptom: r9 streamed at 6k rows/s vs r8's 419k on the same
+    * tier (BENCHNOTES_HEAVY round 6). */
+  private[graft] val SIMHASH_BITS = 16
+
   private[graft] def simhashed(docs: DataFrame): DataFrame = {
-    val BITS = 16
-    val voteExprs = (0 until BITS).map { b =>
-      expr(
-        s"aggregate(words, 0L, (acc, w) -> acc + " +
-          s"CASE WHEN ((instr('0123456789abcdef', substr(md5(concat(w, '#$b')), 1, 1)) - 1) & 1) = 1 " +
-          s"THEN 1 ELSE -1 END)").as(s"vote$b")
-    }
-    val sim = (0 until BITS)
-      .map(b => when(col(s"vote$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    docs
-      .withColumn("words", wordsCol)
-      .select(col("doc_id") +: voteExprs: _*)
-      .select(col("doc_id"), sim.as("simhash"))
+    graft.plans.SimHashSig.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      expr(s"simhash_sig(text, $SIMHASH_BITS)").as("simhash"))
   }
 
   def l2cSimhash(spark: SparkSession, sfDir: String): DataFrame = {

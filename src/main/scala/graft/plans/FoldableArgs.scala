@@ -28,9 +28,11 @@ private[plans] object FoldableArgs {
   def int(fn: String, name: String, e: Expression): Int =
     folded(fn, name, "INT", e) match {
       case n: Int => n
-      case n: Long => n.toInt
+      // reject (not truncate) an out-of-range BIGINT literal — 4294967301
+      // silently becoming 5 is worse than the type error
+      case n: Long if n.isValidInt => n.toInt
       case other => throw new IllegalArgumentException(
-        s"$fn: parameter $name must be an integer literal, got $other")
+        s"$fn: parameter $name must be an INT-range integer literal, got $other")
     }
 
   def long(fn: String, name: String, e: Expression): Long =
