@@ -93,6 +93,11 @@ object SparkEntry {
     "l8_quantize_int8" -> (graft.llm.Similarity.l8QuantizeInt8 _),
     "l3i_sq8_topk" -> (graft.llm.Similarity.l3iSq8Topk _),
     "l3j_rerank_topk" -> (graft.llm.Similarity.l3jRerankTopk _),
+    // index build/serve split: lazily build the persisted index, serve
+    // from it; oracle = the base query's SQL (AnnIndex doc)
+    "l3i_serve" -> (graft.llm.AnnIndex.l3iServe _),
+    "l3j_serve" -> (graft.llm.AnnIndex.l3jServe _),
+    "l3f_serve" -> (graft.llm.AnnIndex.l3fServe _),
     "l4_text_stats" -> (graft.llm.TextAnalysis.l4TextStats _),
     "l4b_lang_id" -> (graft.llm.TextAnalysis.l4bLangId _),
     "l4c_quality_score" -> (graft.llm.TextAnalysis.l4cQualityScore _),
@@ -251,7 +256,9 @@ object SparkEntry {
        |FROM corp c JOIN bench b ON c.h = b.h
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ serveOracles
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
@@ -1139,4 +1146,13 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(raw, '[0-9]{9,}')) AS BIGINT) AS n_nums
         |FROM r ORDER BY doc_id""".stripMargin,
   )
+
+  /** The ANN serve paths (llm.AnnIndex) are BIT-EQUAL to their build-free
+    * base queries — DuckDB recomputes from the raw embeddings, so hash
+    * equality against the base SQL is the per-run machine check that the
+    * persisted index reproduces the on-the-fly computation. */
+  private lazy val serveOracles: Map[String, String] = Map(
+    "l3i_serve" -> baseOracleSql("l3i_sq8_topk"),
+    "l3j_serve" -> baseOracleSql("l3j_rerank_topk"),
+    "l3f_serve" -> baseOracleSql("l3f_ivf_multiprobe"))
 }

@@ -25,15 +25,15 @@ object Similarity {
   /** Sequential-fold dot product in double: the native codegen'd
     * expression (graft.plans.DotF32) — bit-identical to the composed
     * `aggregate(zip_with(...))` form but a single fused loop per row. */
-  private def dot(a: String, b: String): String = s"dot_f32($a, $b)"
+  private[llm] def dot(a: String, b: String): String = s"dot_f32($a, $b)"
 
   /** Same fold for non-float arrays (IVF centroids are double): composed
     * built-ins, same left-to-right order, bit-equal results. */
-  private def dotD(a: String, b: String): String =
+  private[llm] def dotD(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
-  private def withNative(spark: SparkSession): SparkSession = {
+  private[llm] def withNative(spark: SparkSession): SparkSession = {
     graft.plans.DotF32.register(spark); spark
   }
 

@@ -113,5 +113,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ShingleHashes.injection)
     ext.injectFunction(MinHashSigs.injection)
     ext.injectFunction(RademacherSigs.injection)
+    ext.injectFunction(DotI64.injection)
   }
 }

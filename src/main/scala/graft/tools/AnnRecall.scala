@@ -47,7 +47,7 @@ object AnnRecall {
 
     // 2 queries per replica (vec_id mod SHIFT_VEC < 2); on a non-replicated
     // dir (plain fixture) this degenerates to vec_id < 2 — still valid
-    val queries = emb.filter($"vec_id" % 1000000L < 2)
+    val queries = emb.filter($"vec_id" % MakeHeavy.SHIFT_VEC < 2)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
       .withColumn("norm_q", sqrt(expr("dot_f32(q_emb, q_emb)")))
 

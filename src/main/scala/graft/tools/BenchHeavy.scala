@@ -29,7 +29,9 @@ object MakeHeavy {
   private val SHIFT_DOC = 1000000L
   private val SHIFT_EVENT = 100000000L
   private val SHIFT_USER = 1000000L
-  private val SHIFT_VEC = 1000000L
+  // package-visible: AnnRecall samples "first 2 vec_ids per replica" via
+  // this stride — referencing it here keeps the two in lockstep
+  private[tools] val SHIFT_VEC = 1000000L
 
   // one bucket per local[32] core: bucketed scans parallelize at bucket
   // granularity, so fewer buckets than cores would cap the zero-exchange
@@ -221,7 +223,14 @@ object BenchHeavy {
     // actually runs at this N; the mis-sized cost is measured once in
     // BENCHNOTES_HEAVY's notes, not rented per-sweep.
     "l3f_ivf_multiprobe", "l3h_neardup_prune", "l3i_sq8_topk",
-    "l3j_rerank_topk")
+    "l3j_rerank_topk",
+    // the simhash family: oracle-able at sf5 since the one-digest
+    // plans.SimHashSig form (the 16-md5-per-word original was ~16x too
+    // slow on the DuckDB side to compare at this tier)
+    "l2c_simhash", "l2g_incremental_simhash", "r9_signature_screen",
+    // index build/serve split: serve paths read the persisted ANN index
+    // (llm.AnnIndex); the ann_build_* rows below price the build step
+    "l3i_serve", "l3j_serve", "l3f_serve")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio
@@ -247,7 +256,9 @@ object BenchHeavy {
     * SF25_QUERIES note on cross-query heap contamination). */
   val SF25_ANN: Seq[String] =
     Seq("l3e_sized", "l3g_sized", "l3h_sized", "l3f_ivf_multiprobe",
-      "l3i_sq8_topk", "l3j_rerank_topk")
+      "l3i_sq8_topk", "l3j_rerank_topk",
+      "l3i_serve", "l3j_serve", "l3f_serve",
+      "ann_build_sq8", "ann_build_ivf", "ann_build_vecs")
 
   val SWEEPS = 3
 
@@ -311,11 +322,32 @@ object BenchHeavy {
       }
     }
 
+    // ANN index BUILD cost, timed (overwrite rebuild): what a deployment
+    // pays ONCE per corpus refresh — the serve rows price the recurring
+    // per-query side of the split
+    val annBuild: Seq[(String, () => DataFrame)] = {
+      val embPath = new java.io.File(s"$dir/embeddings.parquet")
+      if (!embPath.exists()) Seq.empty
+      else Seq(
+        "ann_build_sq8" -> (() => {
+          val p = graft.llm.AnnIndex.buildSq8(spark, dir)
+          spark.read.parquet(p).select(lit(1)).limit(1)
+        }),
+        "ann_build_ivf" -> (() => {
+          val d = graft.llm.AnnIndex.buildIvf(spark, dir)
+          spark.read.parquet(s"$d/ivf_centroids").select(lit(1)).limit(1)
+        }),
+        "ann_build_vecs" -> (() => {
+          val p = graft.llm.AnnIndex.buildVecById(spark, dir)
+          spark.read.parquet(p).select(lit(1)).limit(1)
+        }))
+    }
+
     // bind once (defs); heavy tier resolves suite + opt-in ladder names
     val queries = graft.SparkEntry.queries ++ graft.SparkEntry.ladderQueries
     val runnable: Seq[(String, () => DataFrame)] =
       (HEAVY_QUERIES.map(n => n -> (() => queries(n)(spark, dir))) ++
-        bucketed ++ annSized)
+        bucketed ++ annSized ++ annBuild)
         .filter { case (n, _) => only.isEmpty || only(n) }
 
     // track genuine executor stage time per query: deep plans (q2/q3's

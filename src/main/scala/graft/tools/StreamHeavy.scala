@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *    16-bit SimHash signature — state bounded by 2^16 keys REGARDLESS of
   *    stream length; the measurement demonstrates the plateau while rows
   *    keep flowing (the simhash projection itself is the per-batch
-  *    compute: 16 md5 votes per word).
+  *    compute: one md5 per word via the native plans.SimHashSig).
   *
   * Emits one JSON line per query with per-batch rows/sec and the state
   * operator's numRowsTotal / memoryUsedBytes trajectory, plus a summary —
@@ -36,6 +36,10 @@ object StreamHeavy {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // totals below read q.recentProgress, which Spark caps at this conf
+    // (default 100) — a filesPerTrigger=1 run on a >100-file tier would
+    // silently undercount total_rows without the raise
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     // bound the per-batch shuffle like the batch suite does
     val scratch = java.nio.file.Files.createTempDirectory("stream_heavy").toString
 

@@ -29,6 +29,7 @@ class CodegenSpec extends SparkSpecBase {
     graft.plans.RademacherSigs.register(spark)
     graft.plans.DotF32.register(spark)
     graft.plans.SimHashSig.register(spark)
+    graft.plans.DotI64.register(spark)
     val docs = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n"))
       .toDF("doc_id", "text")
     val vecs = Seq((1L, Array(0.1f, -0.2f, 0.3f, 0.4f)),
@@ -39,6 +40,10 @@ class CodegenSpec extends SparkSpecBase {
       assert(docs.select(expr("shingle_hashes(text, 5, 'md5p48')")).collect().length === 2)
       assert(docs.select(expr("minhash_sigs(text, 5, 4)")).collect().length === 2)
       assert(docs.select(expr("simhash_sig(text, 16)")).collect().length === 2)
+      assert(vecs.as("a").crossJoin(vecs.as("b"))
+        .select(expr("dot_i64(transform(a.embedding, x -> CAST(x * 10 AS BIGINT)), " +
+          "transform(b.embedding, x -> CAST(x * 10 AS BIGINT)))"))
+        .collect().length === 4)
       assert(vecs.select(expr("rademacher_sigs(embedding, 7L, 8, 4)")).collect().length === 2)
       assert(vecs.as("a").crossJoin(vecs.as("b"))
         .select(expr("dot_f32(a.embedding, b.embedding)")).collect().length === 4)

@@ -214,6 +214,46 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("l3i_serve: scans ONLY the persisted packed codes, zero exchanges") {
+    val p = plan(q("l3i_serve"))
+    assert(p.contains("sq8_codes"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // packed layout + native dot_i64: one row per vector, no explode, no
+    // position join — nothing shuffles before the TakeOrdered
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("dot_i64"), p)
+  }
+
+  test("l3j_serve: shortlist from codes; floats only from the by-id index copy") {
+    val p = plan(q("l3j_serve"))
+    assert(p.contains("sq8_codes"), p)
+    // every float byte comes from the index: the vec_id=0 query lookup
+    // (row-group pruned by the sorted layout) and the shortlist-pruned
+    // re-read both scan vectors_by_id — the raw table is never touched
+    assert(p.contains("vectors_by_id"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("l3f_serve: probe reads the partitioned inverted lists, pruned dynamically") {
+    val p = plan(q("l3f_serve"))
+    assert(p.contains("ivf_centroids"), p)
+    assert(p.contains("ivf_corpus"), p)
+    // the corpus scan must carry a dynamic partition filter from the
+    // broadcast probe join — the on-disk realization of "search only the
+    // probed inverted lists"
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    // the raw embeddings table is never touched: the query lookup reads
+    // the by-id index copy (row-group pruned vec_id=0 point read; the DPP
+    // subquery replays it), the corpus side reads the inverted lists
+    assert(!p.contains("embeddings.parquet"), p)
+    val vecScans = p.linesIterator.filter(_.contains("vectors_by_id")).toSeq
+    assert(vecScans.nonEmpty && vecScans.forall(_.contains("EqualTo(vec_id,0)")),
+      s"non-point-lookup vectors_by_id scan:\n${vecScans.mkString("\n")}")
+  }
+
   test("no operator plan contains a cartesian product") {
     val sinkQueries = Set("s5_s6_partitioned_sink", "s7_json_sink", "s2_json_array_scan",
       "s9_clustered_scan")

@@ -82,6 +82,19 @@ def main():
                 if th.is_alive():
                     con.interrupt()
                     th.join(30)
+                    if th.is_alive():
+                        # the interrupt was not honored: the stuck query may
+                        # still hold this connection, so timings on it are
+                        # unreliable — start a fresh one (views are cheap)
+                        print(f"oracle interrupt not honored for {name}; "
+                              "recreating DuckDB connection", file=sys.stderr)
+                        con = duckdb.connect()
+                        for t in TABLES:
+                            p = f"{sf_dir}/{t}.parquet"
+                            if os.path.isdir(p):
+                                p += "/*.parquet"
+                            if os.path.exists(f"{sf_dir}/{t}.parquet"):
+                                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
                     print(f"oracle TIMED OUT for {name} after {timeout_s}s",
                           file=sys.stderr)
                     duck_s = None
@@ -188,23 +201,54 @@ def main():
             f.write("\nLSH knob = bands; IVF knob = nProbe. Recall for LSH rises "
                     "with bands at fixed width; the sized width trades per-band "
                     "recall for collision-bound buckets and earns it back in "
-                    "bands — the scale posture argument made measurable.\n")
+                    "bands — the scale posture argument made measurable. The "
+                    "cos >= 0.9 operating-point claim is MEASURED in the "
+                    "planted-near-dup section below, not argued.\n")
+        planted_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                             if a.startswith("--planted=")), None)
+        if planted_path and os.path.exists(planted_path):
+            pr = json.load(open(planted_path))
+            f.write(
+                "\n## Planted-near-dup recall (graft.tools.PlantedRecall)\n\n"
+                "Near-duplicates PLANTED at exactly known cosines (v' = "
+                "|v|·(c·v̂ + sqrt(1-c²)·û), seeded orthogonal direction û; "
+                "`measured` = mean cosine after float storage rounds it) — "
+                "the regime a dedup pipeline actually screens, measured "
+                "instead of extrapolated from the isotropic fixture's weak-"
+                f"cosine top-k. {pr['n']} corpus vectors, dim {pr['dim']}, "
+                f"sized = {pr['sized_bits']} bits.\n")
+            for tier in pr["tiers"]:
+                f.write(f"\n**cos = {tier['cos']}** (measured "
+                        f"{tier['measured_cos']:.5f}, {tier['pairs']} pairs)\n\n")
+                f.write("| knob | seeded 8-bit | seeded sized | axis 8-bit | ivf |\n"
+                        "|---|---|---|---|---|\n")
+                def col2(rows):
+                    return {e["k"]: e["recall"] for e in rows}
+                s8, ss = col2(tier["seeded_8bit"]), col2(tier["seeded_sized"])
+                ax, ivf = col2(tier["axis_8bit"]), col2(tier["ivf"])
+                for k in sorted(set(s8) | set(ss) | set(ax) | set(ivf)):
+                    def c2(m):
+                        return f"{m[k]:.3f}" if k in m else "—"
+                    f.write(f"| {k} | {c2(s8)} | {c2(ss)} | {c2(ax)} | {c2(ivf)} |\n")
         if stream_path and os.path.exists(stream_path):
             runs = json.load(open(stream_path))
             f.write(
                 "\n## Streaming state at scale (graft.tools.StreamHeavy)\n\n"
-                "Heavy parquet replayed as a file stream "
-                f"({runs[0]['files_per_trigger']} of 32 files per trigger), "
-                "transformWithState on RocksDB, noop sink (transform + state "
-                "cost only). `state rows` / `state MB` are the LAST batch's "
-                "state-operator totals — the trajectory shows whether state "
-                "plateaus (bounded keyspace) or tracks the stream.\n\n")
-            f.write("| query | rows | batches | wall s | rows/s | state rows (per-batch) | final state MB |\n"
-                    "|---|---|---|---|---|---|---|\n")
+                "Heavy parquet replayed as a file stream (`files/trig` of the "
+                "32-file layout per trigger), transformWithState on RocksDB, "
+                "noop sink (transform + state cost only). `state rows` / "
+                "`state MB` are the LAST batch's state-operator totals — the "
+                "trajectory shows whether state plateaus (bounded keyspace) "
+                "or tracks the stream. Rows at different `files/trig` price "
+                "the latency/throughput trade: per-trigger state-commit cost "
+                "is fixed, so bigger micro-batches amortize it.\n\n")
+            f.write("| query | files/trig | rows | batches | wall s | rows/s | state rows (per-batch) | final state MB |\n"
+                    "|---|---|---|---|---|---|---|---|\n")
             for r in runs:
                 traj = " → ".join(str(b["state_rows"]) for b in r["batches"])
                 mb = r["batches"][-1]["state_bytes"] / 1e6 if r["batches"] else 0
-                f.write(f"| {r['query']} | {r['total_rows']} | {r['n_batches']} "
+                f.write(f"| {r['query']} | {r['files_per_trigger']} "
+                        f"| {r['total_rows']} | {r['n_batches']} "
                         f"| {r['wall_s']} | {r['rows_per_s']} | {traj} | {mb:.1f} |\n")
     print(f"{out_path} written: spark {total_spark:.1f}s vs duckdb {total_duck:.1f}s")
 

@@ -19,8 +19,9 @@ def main():
         if merged is None:
             merged = b
         else:
-            merged["queries"].update(b.get("queries", {}))
-            merged["stage_compute"].update(b.get("stage_compute", {}))
+            merged.setdefault("queries", {}).update(b.get("queries", {}))
+            # setdefault: an older/partial first input may lack the key
+            merged.setdefault("stage_compute", {}).update(b.get("stage_compute", {}))
             merged["failed"] = sorted(set(merged.get("failed", []))
                                       | set(b.get("failed", [])))
     merged["value"] = sum(v for v in merged["queries"].values() if v >= 0)
