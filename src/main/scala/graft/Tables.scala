@@ -14,8 +14,29 @@ object Tables {
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val all: Seq[String] = starSchema ++ Seq("events", "documents", "embeddings")
 
+  /** Parquet schema memo, keyed by path. `spark.read.parquet` without an
+    * explicit schema runs footer inference on the DRIVER on every call —
+    * measured at ~25 ms per table reference (tools.FloorProbe: the "build"
+    * phase is 0.09-0.42 s/query, ~11 s of the sf0.1 suite total, with
+    * 5-table joins like q3 paying 5 inferences). A real deployment reads
+    * catalog tables whose schema is declared once in the metastore;
+    * memoizing the first inference per path gives the library the same
+    * read-path cost without a catalog. Safe because the fixture files are
+    * immutable for the life of the JVM; sink read-backs (Etl) bypass this
+    * on purpose — they re-write their paths within a run.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Read a parquet path with per-JVM schema memoization (first call
+    * infers, later calls skip straight to the scan). */
+  def readMemo(spark: SparkSession, path: String): DataFrame = {
+    val s = schemaMemo.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(s).parquet(path)
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    readMemo(spark, s"$sfDir/$name.parquet")
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")

@@ -123,7 +123,7 @@ object AnnIndex {
   private def sq8RankedServe(spark: SparkSession, sfDir: String): DataFrame = {
     graft.plans.DotI64.register(spark)
     import spark.implicits._
-    val codes = spark.read.parquet(ensureSq8(spark, sfDir))
+    val codes = Tables.readMemo(spark, ensureSq8(spark, sfDir))
     val q = codes.filter($"vec_id" === 0)
       .select($"codes".as("q_codes"), $"scale".as("q_scale"))
     codes.filter($"vec_id" =!= 0)
@@ -152,7 +152,7 @@ object AnnIndex {
       .select($"vec_id")
     // all float bytes come from the by-id index copy: the q lookup prunes
     // to one row group, the re-read is shortlist-pruned
-    val emb = spark.read.parquet(ensureVecById(spark, sfDir))
+    val emb = Tables.readMemo(spark, ensureVecById(spark, sfDir))
     val q = emb.filter($"vec_id" === 0)
       .select($"embedding".as("q_emb"))
       .withColumn("norm_q", sqrt(expr(dot("q_emb", "q_emb"))))
@@ -215,13 +215,13 @@ object AnnIndex {
     withNative(spark)
     import spark.implicits._
     val dir = ensureIvf(spark, sfDir)
-    val comps = spark.read.parquet(s"$dir/ivf_centroids")
+    val comps = Tables.readMemo(spark, s"$dir/ivf_centroids")
     val centroids = comps
       .groupBy($"label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
     // the query vector arrives with the request in a real serving system;
     // here a point lookup against the by-id copy (row-group pruned)
-    val q = spark.read.parquet(ensureVecById(spark, sfDir))
+    val q = Tables.readMemo(spark, ensureVecById(spark, sfDir))
       .filter($"vec_id" === 0)
       .select($"embedding".as("q_emb"))
       .withColumn("norm_q", sqrt(expr(dot("q_emb", "q_emb"))))
@@ -235,7 +235,7 @@ object AnnIndex {
       // the probed SEGMENT drives dynamic partition pruning; the exact
       // list filter rides on the data column inside the pruned segments
       .withColumn("probe_shard", pmod($"probe_label", lit(LIST_SHARDS)))
-    val corpus = spark.read.parquet(s"$dir/ivf_corpus")
+    val corpus = Tables.readMemo(spark, s"$dir/ivf_corpus")
     corpus.join(broadcast(nearest),
         corpus("pshard") === col("probe_shard") && corpus("label") === col("probe_label"))
       .filter($"vec_id" =!= 0)
