@@ -118,6 +118,7 @@ object SparkEntry {
     "l7_tfidf_topterms" -> (graft.llm.TextAnalysis.l7TfidfTopTerms _),
     "l9_sequence_pack" -> (graft.llm.Assembly.l9SequencePack _),
     "l11_source_mix" -> (graft.llm.Assembly.l11SourceMix _),
+    "l12_shuffle_shard" -> (graft.llm.Assembly.l12ShuffleShard _),
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
     "a11_histogram" -> (Analytics.a11Histogram _),
     "r7_stream_join" -> (graft.streaming.Streams.r7StreamJoin _),
@@ -994,6 +995,20 @@ object SparkEntry {
         |    [CAST(instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
         |     for j in range(1, 3)]), (acc, x) -> acc * 16 + x) AS DOUBLE) < r.rate * 256
         |ORDER BY d.doc_id""".stripMargin,
+    // 48-bit md5-prefix shuffle key (the l2f fold, scalar form); shard and
+    // within-shard rank are both pure functions of (seed, doc_id)
+    "l12_shuffle_shard" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(instr('0123456789abcdef',
+         |         substr(md5('${graft.llm.Assembly.SHUFFLE_SEED}#' || CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+         |       for j in range(1, 13)]), (acc, x) -> acc * 16 + x) AS k
+         |  FROM documents)
+         |SELECT k % ${graft.llm.Assembly.SHUFFLE_SHARDS} AS shard, doc_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY k % ${graft.llm.Assembly.SHUFFLE_SHARDS}
+         |    ORDER BY k, doc_id) AS BIGINT) AS pos
+         |FROM keyed ORDER BY shard, pos""".stripMargin,
     "s3_paginated_scan" ->
       s"""SELECT (o_orderkey - 1) // $pageSize AS page, COUNT(*) AS returned_count,
          |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key

@@ -87,4 +87,44 @@ object Assembly {
       .select($"doc_id", $"lang", $"n_lang", $"rate")
       .orderBy($"doc_id")
   }
+
+  /** Shard count for [[l12ShuffleShard]] — at 100 TB this is the loader
+    * fan-out (thousands); the fixture keeps it small so every shard has
+    * depth. */
+  val SHUFFLE_SHARDS = 8L
+
+  /** Seed folded into the shuffle key: a new seed is a complete, equally
+    * uniform reshuffle — no state to rotate, nothing rewritten but the
+    * order itself. */
+  val SHUFFLE_SEED = "42"
+
+  /** L12 [EXT]: seeded global training-order shuffle + sharding — the
+    * final step of every training-data pipeline: fix a reproducible
+    * random READ ORDER over the corpus and split it into loader shards.
+    * Key = 48-bit md5 prefix of (seed # doc_id); shard = key mod
+    * [[SHUFFLE_SHARDS]]; pos = rank of the key within its shard. The
+    * order is a pure function of (seed, doc_id): independent of input
+    * partitioning, cluster size, and engine — the reproducibility
+    * property rand() can never give.
+    *
+    * Scale: a global ORDER BY over 100 TB is a range-exchange over
+    * everything — and pointless, since loaders only need per-shard order.
+    * This plan is ONE hash exchange on `shard` with an in-partition sort
+    * (the window's sort spec), i.e. exactly a shuffle write; each shard
+    * then lands as one contiguous, internally ordered file set. The
+    * trailing global orderBy exists for oracle row-order comparability at
+    * fixture scale; a deployment writes `partitionBy(shard)` sorted
+    * within partitions instead (the S9 clustered-sink idiom). */
+  def l12ShuffleShard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"k", $"doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        expr(s"CAST(conv(substr(md5(CONCAT('$SHUFFLE_SEED#', CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+          .as("k"))
+      .withColumn("shard", pmod($"k", lit(SHUFFLE_SHARDS)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"shard", $"doc_id", $"pos")
+      .orderBy($"shard", $"pos")
+  }
 }

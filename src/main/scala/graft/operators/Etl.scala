@@ -89,7 +89,9 @@ object Etl {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("city_id", "year", "month", "day")
       .parquet(out)
-    spark.read.parquet(out)
+    // read-back skips footer inference (the written schema is a constant
+    // of this query); partition discovery still runs against the fresh dirs
+    Tables.readMemo(spark, out)
       .groupBy($"city_id", $"day")
       .agg(count(lit(1)).as("n"))
       .select($"city_id".cast("long").as("city_id"), $"day".cast("long").as("day"), $"n")
@@ -122,7 +124,7 @@ object Etl {
     clusteredWrite(
       Tables.orders(spark, sfDir).withColumn("o_date", to_date($"o_orderdate")),
       out, files = 8, clusterCol = "o_date")
-    spark.read.parquet(out)
+    Tables.readMemo(spark, out)
       .filter($"o_date" >= lit("2000-03-01").cast("date")
         && $"o_date" < lit("2000-04-01").cast("date"))
       .groupBy($"o_orderpriority")

@@ -168,6 +168,17 @@ class PlanAuditSpec extends SparkSpecBase {
       .findFirstIn(windows.head).isDefined, windows.head)
   }
 
+  test("l12: corpus shuffles ONCE, on shard — never a global sort over raw rows") {
+    val p = plan(q("l12_shuffle_shard"))
+    val windows = p.linesIterator.filter(_.trim.startsWith("+- Window ")).toSeq
+    assert(windows.size === 1, p)
+    // one hash exchange feeds the window (the loader-shard split); the
+    // only range exchange is the trailing fixture-scale presentation sort
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).size
+    assert(hashEx === 1, p)
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+
   test("l2f_gen: native expression in the plan, no lambda artifacts") {
     val p = plan(q("l2f_gen"))
     assert(p.contains("shingle_hashes"), p)
