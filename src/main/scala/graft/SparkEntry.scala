@@ -120,6 +120,7 @@ object SparkEntry {
     "l11_source_mix" -> (graft.llm.Assembly.l11SourceMix _),
     "l12_shuffle_shard" -> (graft.llm.Assembly.l12ShuffleShard _),
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
+    "a13_exact_percentiles" -> (Analytics.a13ExactPercentiles _),
     "a11_histogram" -> (Analytics.a11Histogram _),
     "r7_stream_join" -> (graft.streaming.Streams.r7StreamJoin _),
     "r8_high_water" -> (graft.streaming.Streams.r8HighWater _),
@@ -1009,6 +1010,23 @@ object SparkEntry {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY k % ${graft.llm.Assembly.SHUFFLE_SHARDS}
          |    ORDER BY k, doc_id) AS BIGINT) AS pos
          |FROM keyed ORDER BY shard, pos""".stripMargin,
+    // rank k computed in integer arithmetic on both sides; the value at
+    // rank k is tie-invariant, so no tiebreak column is needed
+    "a13_exact_percentiles" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT grp, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n
+        |  FROM v),
+        |q AS (SELECT * FROM (VALUES (50, 'p50'), (90, 'p90'), (99, 'p99')) t(q_num, q_label))
+        |SELECT r.grp AS grp, q.q_label AS q_label, CAST(r.cents AS DOUBLE) / 100 AS value
+        |FROM r, q
+        |WHERE r.rn = GREATEST(1, (q.q_num * r.n + 99) // 100)
+        |ORDER BY grp, q_label""".stripMargin,
     "s3_paginated_scan" ->
       s"""SELECT (o_orderkey - 1) // $pageSize AS page, COUNT(*) AS returned_count,
          |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -153,6 +154,52 @@ object Analytics {
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"))
       .orderBy($"bucket")
+  }
+
+  /** A13 [EXT]: exact DISCRETE percentiles (p50/p90/p99 per group) by
+    * two-phase order-statistic selection — the scale path where A9's
+    * built-in `percentile` cannot go: that aggregate buffers every group
+    * value in executor memory (OOM at 100 TB group sizes), while this
+    * plan's state is a bounded value-range histogram. Phase A: bucket =
+    * cents div [[A13_BUCKET]] (exact integer ranges), per-(group, bucket)
+    * counts, cumulative sum over the TINY histogram locates the bucket
+    * holding each target rank k = max(1, ceil(q*n)) — computed in integer
+    * arithmetic ((q_num*n + 99) div 100), never float ceil. Phase B ranks
+    * ONLY inside located buckets (≈ n/B rows reshuffled, B ~ value range /
+    * bucket width). The value at rank k is well-defined under ties — tied
+    * rows are interchangeable, the k-th VALUE is invariant — so output is
+    * deterministic without a tiebreak column. Same construction as L4g's
+    * quartile gate, generalized to a percentile vector. */
+  val A13_BUCKET = 1L << 17 // ~$1310 ranges -> ~80 buckets over the fixture
+
+  def a13ExactPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag".as("grp"),
+        (money($"l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn("bucket", expr(s"cents div $A13_BUCKET"))
+    // phase A: histogram + cumulative counts (|groups| x |buckets| rows)
+    val hist = v.groupBy($"grp", $"bucket").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"grp").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"grp")))
+    val qs = Seq((50L, "p50"), (90L, "p90"), (99L, "p99"))
+      .toDF("q_num", "q_label")
+    val targets = cum.crossJoin(broadcast(qs))
+      .withColumn("k", greatest(lit(1L), expr("(q_num * n + 99) div 100")))
+      .filter($"cum" >= $"k" && ($"cum" - $"cnt") < $"k")
+      .select($"grp".as("t_grp"), $"q_label", $"bucket".as("tb"),
+        $"k", ($"cum" - $"cnt").as("prev_cum"))
+    // phase B: rank only the located buckets; global rank = prev_cum + rb
+    val wB = Window.partitionBy($"t_grp", $"q_label").orderBy($"cents")
+    v.join(broadcast(targets), $"grp" === $"t_grp" && $"bucket" === $"tb")
+      .withColumn("rb", row_number().over(wB))
+      .filter($"rb" === $"k" - $"prev_cum")
+      .select($"grp", $"q_label",
+        ($"cents".cast("double") / 100.0).as("value"))
+      .orderBy($"grp", $"q_label")
   }
 
   /** A7 [EXT]: salted two-phase aggregation — the skew pattern. Phase 1

@@ -179,6 +179,14 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("hashpartitioning(shard"), p)
   }
 
+  test("a13: no per-group value buffering — histogram agg + broadcast target join") {
+    val p = plan(q("a13_exact_percentiles"))
+    // the scale claim: never Spark's buffering `percentile` aggregate
+    assert(!p.contains("percentile"), p)
+    // phase B joins the located buckets via broadcast, not a corpus shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("l2f_gen: native expression in the plan, no lambda artifacts") {
     val p = plan(q("l2f_gen"))
     assert(p.contains("shingle_hashes"), p)
