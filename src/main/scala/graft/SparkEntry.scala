@@ -119,6 +119,7 @@ object SparkEntry {
     "l9_sequence_pack" -> (graft.llm.Assembly.l9SequencePack _),
     "l11_source_mix" -> (graft.llm.Assembly.l11SourceMix _),
     "l12_shuffle_shard" -> (graft.llm.Assembly.l12ShuffleShard _),
+    "l13_corpus_export" -> (graft.llm.Assembly.l13CorpusExport _),
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
     "a13_exact_percentiles" -> (Analytics.a13ExactPercentiles _),
     "a11_histogram" -> (Analytics.a11Histogram _),
@@ -1010,6 +1011,53 @@ object SparkEntry {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY k % ${graft.llm.Assembly.SHUFFLE_SHARDS}
          |    ORDER BY k, doc_id) AS BIGINT) AS pos
          |FROM keyed ORDER BY shard, pos""".stripMargin,
+    // the five-stage export replayed as a CTE chain; dedup partitions by
+    // the TEXT (Spark keys the window on xxhash64(text) — equality is the
+    // collision check, the l1_xxh convention); decontam reuses the l2f
+    // md5p48 CTEs; the md5 bucket is computed once and reused for the mix
+    // keep and the pack shard
+    "l13_corpus_export" ->
+      s"""WITH sh AS ($duckShingles),
+         |$duckBaseHashes,
+         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id < 50),
+         |corp AS (SELECT doc_id, unnest(hs) AS h FROM hashed WHERE doc_id >= 50),
+         |contaminated AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b ON c.h = b.h),
+         |scored AS (
+         |  SELECT doc_id, lang, source, text,
+         |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS tokens
+         |  FROM documents
+         |  WHERE doc_id >= 50
+         |    AND CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |        / LEN(string_split(text, ' ')) >= ${graft.llm.Assembly.EXPORT_MIN_QUALITY}
+         |    AND LEN(string_split(text, ' ')) BETWEEN 5 AND 2000),
+         |dedup AS (
+         |  SELECT * FROM (
+         |    SELECT s.*, min(doc_id) OVER (PARTITION BY text) AS rep FROM scored s)
+         |  WHERE doc_id = rep),
+         |clean AS (
+         |  SELECT d.doc_id, d.lang, d.source, d.tokens,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+         |       for j in range(1, 3)]), (acc, x) -> acc * 16 + x) AS bkt
+         |  FROM dedup d
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM clean GROUP BY lang),
+         |m AS (SELECT min(n_lang) AS n_min FROM counts),
+         |rates AS (
+         |  SELECT lang, sqrt(CAST(n_min AS DOUBLE) / CAST(n_lang AS DOUBLE)) AS rate
+         |  FROM counts, m),
+         |mixed AS (
+         |  SELECT c.doc_id, c.lang, c.source, c.tokens, c.bkt
+         |  FROM clean c JOIN rates r ON c.lang = r.lang
+         |  WHERE CAST(c.bkt AS DOUBLE) < r.rate * 256)
+         |SELECT doc_id, lang, source, tokens,
+         |  bkt % ${graft.llm.Assembly.PACK_SHARDS} AS shard,
+         |  CAST(COALESCE(SUM(tokens) OVER (
+         |      PARTITION BY source, bkt % ${graft.llm.Assembly.PACK_SHARDS}
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    // ${graft.llm.Assembly.PACK_BUDGET} AS BIGINT) AS pack_id
+         |FROM mixed ORDER BY doc_id""".stripMargin,
     // rank k computed in integer arithmetic on both sides; the value at
     // rank k is tie-invariant, so no tiebreak column is needed
     "a13_exact_percentiles" ->

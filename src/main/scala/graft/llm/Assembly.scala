@@ -127,4 +127,92 @@ object Assembly {
       .select($"shard", $"doc_id", $"pos")
       .orderBy($"shard", $"pos")
   }
+
+  /** Quality floor for [[l13CorpusExport]]'s fixed-threshold gate (the
+    * adaptive per-stratum form is L4g; a flagship pipeline uses the cheap
+    * production rule so every stage stays one codegen'd scan). */
+  val EXPORT_MIN_QUALITY = 0.5
+
+  /** L13 [EXT]: the whole training-corpus export as ONE declarative plan —
+    * the query a user of this engine actually ships: quality gate → exact
+    * dedup → benchmark decontamination → language-mix rebalance → token
+    * packing, emitting the loader manifest (doc, shard, pack). Each stage
+    * is the production shape its standalone operator established:
+    *
+    *  1. gate: distinct-word ratio ≥ [[EXPORT_MIN_QUALITY]] and a token
+    *     band — per-row codegen, no shuffle;
+    *  2. exact dedup: min doc_id per text over ONE window keyed by the
+    *     8-byte xxhash64 of the text (l1_xxh posture: the oracle groups by
+    *     the text itself, so equality doubles as the collision check).
+    *     This is the pipeline's one full-corpus shuffle — unavoidable,
+    *     because unlike L1's hash rollup the survivors' rows must ship;
+    *  3. decontam: drop docs sharing ANY 5-gram md5p48 key with the
+    *     benchmark set (doc_id < 50) — broadcast bench keys, left-anti on
+    *     the distinct contaminated ids (l2f anchor semantics);
+    *  4. mix: temperature-0.5 language rates computed over the SURVIVORS
+    *     (mixture targets apply to what ships, not the raw corpus), kept
+    *     via the deterministic md5 bucket — broadcast rates, no shuffle;
+    *  5. pack: l9's exclusive-running-total pack assignment per
+    *     (source, shard) stratum.
+    *
+    * Catalyst pipelines stages 1/3-filter/4/5-projection into the scans
+    * around the single stage-2 exchange: the five-stage pipeline costs one
+    * corpus shuffle plus two broadcast builds — the plan a hand-rolled
+    * five-job workflow (reference src/pipeline: extract→store→query as
+    * separate async stages) cannot fuse. */
+  def l13CorpusExport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.ShingleHashes.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val K = graft.llm.Dedup.SHINGLE_K
+
+    // 1: quality gate (corpus side only; doc_id < 50 is the held-out bench)
+    val scored = docs
+      .filter($"doc_id" >= 50)
+      .withColumn("words", split($"text", " "))
+      .withColumn("qscore",
+        size(array_distinct($"words")).cast("double") / size($"words"))
+      .withColumn("tokens", size($"words").cast("long"))
+      .filter($"qscore" >= EXPORT_MIN_QUALITY && $"tokens".between(5, 2000))
+      .select($"doc_id", $"lang", $"source", $"text", $"tokens")
+
+    // 2: exact dedup — the one corpus-wide exchange
+    val wT = Window.partitionBy(xxhash64($"text"))
+    val deduped = scored
+      .withColumn("rep", min($"doc_id").over(wT))
+      .filter($"doc_id" === $"rep")
+      .drop("rep")
+
+    // 3: decontamination (shingles only over survivors — cheaper than the
+    // full corpus, same result: the anti-join can only remove rows present)
+    val bench = docs.filter($"doc_id" < 50)
+      .select(explode(expr(s"shingle_hashes(text, $K, 'md5p48')")).as("sh"))
+      .distinct()
+    val contaminated = deduped
+      .select($"doc_id", explode(expr(s"shingle_hashes(text, $K, 'md5p48')")).as("sh"))
+      .join(broadcast(bench), "sh")
+      .select($"doc_id").distinct()
+    val clean = deduped
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 4: language mix over survivors
+    val counts = clean.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min($"n_lang").as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select($"lang",
+        sqrt($"n_min".cast("double") / $"n_lang".cast("double")).as("rate"))
+    val mixed = clean
+      .join(broadcast(rates), "lang")
+      .filter(bucket256.cast("double") < $"rate" * 256d)
+
+    // 5: pack + manifest
+    val wP = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mixed
+      .withColumn("shard", bucket256 % PACK_SHARDS)
+      .withColumn("pack_id",
+        (coalesce(sum($"tokens").over(wP), lit(0L)) / PACK_BUDGET).cast("long"))
+      .select($"doc_id", $"lang", $"source", $"tokens", $"shard", $"pack_id")
+      .orderBy($"doc_id")
+  }
 }

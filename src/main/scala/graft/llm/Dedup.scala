@@ -28,7 +28,7 @@ object Dedup {
   private def wordsCol: Column = split(col("text"), " ")
 
   /** Distinct word 5-gram shingles (k=5 per SURVEY §7.4). */
-  private val SHINGLE_K = 5
+  private[llm] val SHINGLE_K = 5
   private def shinglesExpr: Column = expr(
     s"array_distinct(transform(sequence(1, size(words) - ${SHINGLE_K - 1}), " +
       s"i -> array_join(slice(words, i, $SHINGLE_K), ' ')))")
@@ -63,6 +63,16 @@ object Dedup {
     * lambda — this is the measured middle rung of the shingle-cost ladder
     * (BENCHNOTES_HEAVY l2f); only the l2f baseline variants still use it,
     * production paths use [[explodedShingleHashesNative]]. */
+  /** Shingle STRINGS exploded per doc — the independent re-derivation
+    * path specs use to cross-check the hashed production forms (a hash
+    * bug upstream cannot hide behind the same hash downstream). */
+  private[graft] def shingleStrings(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", wordsCol)
+      .filter(size(col("words")) >= SHINGLE_K)
+      .withColumn("shingles", shinglesExpr)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+
   private def explodedShingleHashesBy(docs: DataFrame, hashSql: String): DataFrame = {
     graft.plans.Md5Prefix48.register(docs.sparkSession)
     docs

@@ -164,19 +164,33 @@ object Analytics {
     * cents div [[A13_BUCKET]] (exact integer ranges), per-(group, bucket)
     * counts, cumulative sum over the TINY histogram locates the bucket
     * holding each target rank k = max(1, ceil(q*n)) — computed in integer
-    * arithmetic ((q_num*n + 99) div 100), never float ceil. Phase B ranks
-    * ONLY inside located buckets (≈ n/B rows reshuffled, B ~ value range /
-    * bucket width). The value at rank k is well-defined under ties — tied
+    * arithmetic ((q_num*n + 99) div 100), never float ceil. Phase B counts
+    * per DISTINCT value inside located buckets only (≈ n/B rows aggregated,
+    * B ~ value range / bucket width) and walks the cumulative counts to the
+    * target rank. The value at rank k is well-defined under ties — tied
     * rows are interchangeable, the k-th VALUE is invariant — so output is
     * deterministic without a tiebreak column. Same construction as L4g's
-    * quartile gate, generalized to a percentile vector. */
+    * quartile gate, generalized to a percentile vector. Measured sf1→sf50
+    * (6M→300M rows): 1.5s→3.7s, crossing DuckDB's rank-replay between sf5
+    * and sf25 (CROSSOVER.md). */
   val A13_BUCKET = 1L << 17 // ~$1310 ranges -> ~80 buckets over the fixture
 
-  def a13ExactPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+  def a13ExactPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    a13From(spark, Tables.lineitem(spark, sfDir))
+
+  /** A13 over a caller-supplied lineitem (see [[q2From]]): the star-tier
+    * crossover sweep passes the replicated fact table so the two-phase
+    * selection's scale claim is measured, not asserted. */
+  def a13From(spark: SparkSession, lineitemT: DataFrame): DataFrame = {
     import spark.implicits._
-    val v = Tables.lineitem(spark, sfDir)
+    // cents via primitive double math, not DECIMAL(18,2): for positive
+    // 2-decimal prices, x*100 is within ~1e-11 of the integer, so +0.5 and
+    // truncate recovers it exactly — same integers as the decimal cast the
+    // oracle uses, at 2.7x the scan throughput (5.5s -> 2.0s per 150M-row
+    // pass, A13Probe; this query pays the conversion on BOTH scans)
+    val v = lineitemT
       .select($"l_returnflag".as("grp"),
-        (money($"l_extendedprice") * 100).cast("long").as("cents"))
+        ($"l_extendedprice" * 100 + lit(0.5)).cast("long").as("cents"))
       .withColumn("bucket", expr(s"cents div $A13_BUCKET"))
     // phase A: histogram + cumulative counts (|groups| x |buckets| rows)
     val hist = v.groupBy($"grp", $"bucket").agg(count(lit(1)).as("cnt"))
@@ -192,12 +206,34 @@ object Analytics {
       .filter($"cum" >= $"k" && ($"cum" - $"cnt") < $"k")
       .select($"grp".as("t_grp"), $"q_label", $"bucket".as("tb"),
         $"k", ($"cum" - $"cnt").as("prev_cum"))
-    // phase B: rank only the located buckets; global rank = prev_cum + rb
+    // phase B: count per DISTINCT value inside the located buckets (hash
+    // aggregate — map-side combined, parallel across all cores), then walk
+    // the cumulative counts; global rank of the last row at value c is
+    // prev_cum + cum(c). The per-target sort is over distinct values
+    // (≤ bucket width), never rows — a row-level row_number here would
+    // funnel each target's rows through ONE task (measured 17.9s at 150M
+    // rows).
+    //
+    // The probe key is ONE fused long, not (grp, bucket): a single-long
+    // equi key gets a LongHashedRelation (dense long-keyed map); a string
+    // or composite key gets an UnsafeHashedRelation probed at ~2.3us/row —
+    // measured 14x (0.8s vs 11s) on this very join at 150M rows, and at
+    // that cost the probe IS the query. Exactness does not ride on the
+    // hash: the residual range checks re-verify both columns, and range
+    // predicates stay residual (ExtractEquiJoinKeys lifts only equalities
+    // into the probe key).
     val wB = Window.partitionBy($"t_grp", $"q_label").orderBy($"cents")
-    v.join(broadcast(targets), $"grp" === $"t_grp" && $"bucket" === $"tb")
-      .withColumn("rb", row_number().over(wB))
-      .filter($"rb" === $"k" - $"prev_cum")
-      .select($"grp", $"q_label",
+    v.withColumn("jk", xxhash64($"grp", $"bucket"))
+      .join(broadcast(targets.withColumn("tjk", xxhash64($"t_grp", $"tb"))),
+        $"jk" === $"tjk" &&
+          $"grp" >= $"t_grp" && $"grp" <= $"t_grp" &&
+          $"bucket" >= $"tb" && $"bucket" <= $"tb")
+      .groupBy($"t_grp", $"q_label", $"k", $"prev_cum", $"cents")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum_b", sum($"c").over(wB))
+      .filter($"prev_cum" + $"cum_b" >= $"k" &&
+        $"prev_cum" + $"cum_b" - $"c" < $"k")
+      .select($"t_grp".as("grp"), $"q_label",
         ($"cents".cast("double") / 100.0).as("value"))
       .orderBy($"grp", $"q_label")
   }

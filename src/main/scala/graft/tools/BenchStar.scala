@@ -77,6 +77,10 @@ object BenchStar {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val label = if (args.length > 1) args(1) else dir.split('/').last
+    // trailing args past (dir, label) subset the sweep — BenchHeavy's
+    // convention, so a new query joins existing tier JSONs via
+    // tools/merge_bench.py without re-running the whole tier
+    val subset = args.drop(2).toSet
     val spark = MakeHeavy.session(Some(s"$dir/warehouse"))
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val haveBuckets = MakeHeavy.registerBucketed(spark, dir,
@@ -84,7 +88,7 @@ object BenchStar {
     require(haveBuckets, s"bucketed tables missing under $dir/warehouse — run MakeStar first")
 
     def pq(t: String): DataFrame = spark.read.parquet(s"$dir/$t.parquet")
-    val runnable: Seq[(String, () => DataFrame)] = Seq(
+    val all: Seq[(String, () => DataFrame)] = Seq(
       "q2_shipping_priority" -> (() =>
         graft.operators.Analytics.q2From(spark, pq("customer"), pq("orders"), pq("lineitem"))),
       "q3_revenue_by_nation" -> (() =>
@@ -94,7 +98,14 @@ object BenchStar {
         spark.table("hv_orders_b"), spark.table("hv_lineitem_b").hint("merge"))),
       "q3_bucketed" -> (() => graft.operators.Analytics.q3From(spark, pq("region"),
         pq("nation"), pq("customer"),
-        spark.table("hv_orders_b"), spark.table("hv_lineitem_b").hint("merge"))))
+        spark.table("hv_orders_b"), spark.table("hv_lineitem_b").hint("merge"))),
+      // two-phase exact percentile selection over the replicated fact
+      // table: the point where DuckDB's full-sort rank replay grows with
+      // n·log n while the histogram locate's shuffle stays |groups|×|buckets|
+      "a13_exact_percentiles" -> (() =>
+        graft.operators.Analytics.a13From(spark, pq("lineitem"))))
+    val runnable = if (subset.isEmpty) all else all.filter(p => subset(p._1))
+    require(runnable.nonEmpty, s"no queries match subset $subset")
 
     val stageMs = new java.util.concurrent.atomic.AtomicLong(0)
     // spill tracking: at the largest tiers a high-cardinality per-task
@@ -135,7 +146,11 @@ object BenchStar {
       .mkString("{", ",", "}")
     val line = s"""{"metric":"star_total","value":${results.map(_._2._1).sum},"unit":"sec","tier":"$label","queries":$qs,"stage_compute":$cs,"disk_spill_gb":$sp,"sf":"$dir"}"""
     println(line)
-    graft.BenchUtil.writeArtifact(s"target/bench_star_$label.json", line)
+    // a subset run lands in a side file so it can't clobber the tier's
+    // full artifact — merge with tools/merge_bench.py
+    val out = if (subset.isEmpty) s"target/bench_star_$label.json"
+              else s"target/bench_star_$label.subset.json"
+    graft.BenchUtil.writeArtifact(out, line)
     spark.stop()
   }
 }

@@ -62,4 +62,37 @@ class AssemblySpec extends SparkSpecBase {
     assert(kept.select("doc_id").except(again.select("doc_id")).count() === 0)
     assert(again.select("doc_id").except(kept.select("doc_id")).count() === 0)
   }
+
+  test("L13 export honors every stage's contract end to end") {
+    import spark.implicits._
+    val out = Assembly.l13CorpusExport(spark, sf01).cache()
+    val docs = Tables.documents(spark, sf01)
+    val exported = out.select($"doc_id")
+    // stage 1+corpus split: no benchmark doc ships, every exported doc
+    // clears the quality gate (re-derive the gate independently)
+    assert(out.filter($"doc_id" < 50).count() === 0)
+    val gate = docs.withColumn("w", split($"text", " "))
+      .filter(size(array_distinct($"w")).cast("double") / size($"w")
+        < Assembly.EXPORT_MIN_QUALITY)
+    assert(exported.join(gate, "doc_id").count() === 0)
+    // stage 2: no two exported docs share a text
+    val texts = docs.join(exported, "doc_id").groupBy($"text").count()
+    assert(texts.filter($"count" > 1).count() === 0)
+    // stage 3: no exported doc shares a 5-gram with the bench set —
+    // re-derived with the INDEPENDENT shingle path (Dedup.explodedShingles
+    // string form), not the md5p48 expression the operator used
+    val benchSh = graft.llm.Dedup.shingleStrings(docs.filter($"doc_id" < 50))
+      .select($"shingle").distinct()
+    val hit = graft.llm.Dedup.shingleStrings(docs.join(exported, "doc_id"))
+      .join(benchSh, "shingle")
+    assert(hit.count() === 0)
+    // stage 5: budget respected modulo the straddler, within each stratum
+    val packs = out.groupBy($"source", $"shard", $"pack_id")
+      .agg(sum($"tokens").as("t"), max($"tokens").as("mx"))
+    assert(packs.filter($"t" - $"mx" >= Assembly.PACK_BUDGET).count() === 0)
+    // the fixture genuinely exercises the pipeline: every stage drops rows
+    val n = out.count()
+    assert(n > 0 && n < docs.filter($"doc_id" >= 50).count())
+    out.unpersist()
+  }
 }

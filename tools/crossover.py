@@ -24,6 +24,9 @@ import duckdb
 ANALYSIS_PATH = os.path.join(os.path.dirname(__file__), "bench_analysis.json")
 TABLES = ["region", "nation", "customer", "orders", "lineitem"]
 QUERIES = ["q2_shipping_priority", "q3_revenue_by_nation"]
+# queries swept per tier that have no bucketed variant (rendered without
+# the bucketed columns); missing from a tier JSON -> row skipped
+SOLO_QUERIES = ["a13_exact_percentiles"]
 RUNS = 3
 
 
@@ -66,6 +69,10 @@ def main():
             duck = duck_time(sf_dir, oracle[q])
             per[q] = (bench["queries"][q], bench["stage_compute"][q], duck,
                       bench["queries"][b], bench["stage_compute"][b])
+        for q in SOLO_QUERIES:
+            if q in bench["queries"]:
+                duck = duck_time(sf_dir, oracle[q])
+                per[q] = (bench["queries"][q], bench["stage_compute"][q], duck)
         rows.append((label, n_li, per))
 
     analysis = {}
@@ -92,6 +99,21 @@ def main():
                 f.write(f"| {label} | {n_li:,} | {w:.2f} | {s:.2f} | {bw:.2f} | "
                         f"{bs:.2f} | {d:.2f} | {w / d:.1f}x | {s / d:.1f}x | "
                         f"{bs / d:.1f}x |\n")
+            f.write("\n")
+            if q in analysis:
+                f.write(analysis[q] + "\n\n")
+        for q in SOLO_QUERIES:
+            present = [(label, n_li, per[q]) for label, n_li, per in rows
+                       if q in per]
+            if not present:
+                continue
+            f.write(f"## {q}\n\n")
+            f.write("| tier | lineitem rows | spark wall s | spark stage s | "
+                    "duckdb s | wall ratio | stage ratio |\n")
+            f.write("|---|---|---|---|---|---|---|\n")
+            for label, n_li, (w, s, d) in present:
+                f.write(f"| {label} | {n_li:,} | {w:.2f} | {s:.2f} | "
+                        f"{d:.2f} | {w / d:.1f}x | {s / d:.1f}x |\n")
             f.write("\n")
             if q in analysis:
                 f.write(analysis[q] + "\n\n")
