@@ -230,7 +230,11 @@ object BenchHeavy {
     "l2c_simhash", "l2g_incremental_simhash", "r9_signature_screen",
     // index build/serve split: serve paths read the persisted ANN index
     // (llm.AnnIndex); the ann_build_* rows below price the build step
-    "l3i_serve", "l3j_serve", "l3f_serve")
+    "l3i_serve", "l3j_serve", "l3f_serve",
+    // round 7: the two-phase exact percentile vector priced against a9's
+    // buffering built-in at the same tier (its sf1-sf50 inversion sweep is
+    // CROSSOVER.md), and the five-stage corpus-export flagship
+    "a13_exact_percentiles", "l13_corpus_export")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio
@@ -403,7 +407,11 @@ object BenchHeavy {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val line = s"""{"metric":"heavy_total","value":$total,"unit":"sec","queries":$qs,"stage_compute":$cs,"sf":"$dir","bucketed_no_exchange":$noExchange,"failed":$failed}"""
     println(line)
-    graft.BenchUtil.writeArtifact("target/bench_heavy.json", line)
+    // subset runs land in a side file so they can't clobber the full-tier
+    // artifact (BenchStar's convention) — merge with tools/merge_bench.py
+    val out = if (only.isEmpty) "target/bench_heavy.json"
+              else "target/bench_heavy.subset.json"
+    graft.BenchUtil.writeArtifact(out, line)
     spark.stop()
   }
 }

@@ -98,6 +98,21 @@ class DocCountsSpec extends org.scalatest.funsuite.AnyFunSuite {
       graft.tools.BenchHeavy.HEAVY_QUERIES.toSet ++ heavyLocal)
   }
 
+  test("CROSSOVER sections match BenchStar's swept queries") {
+    // one `## <query>` section per swept query (q2/q3 with bucketed
+    // columns, the solo sweeps without); drift = a sweep ran but the regen
+    // was skipped, or a section survived a query's removal
+    val text = read("CROSSOVER.md")
+    // single-\w+ headings are exactly the query sections (the prose
+    // headings "## Reading the trend" / "## Beyond ..." contain spaces)
+    val sections = """(?m)^## (\w+)$""".r.findAllMatchIn(text)
+      .map(_.group(1)).toSet
+    val expected = Set("q2_shipping_priority", "q3_revenue_by_nation",
+      "a13_exact_percentiles")
+    assert(sections === expected,
+      s"CROSSOVER.md drift — sections: ${sections.toSeq.sorted.mkString(", ")}")
+  }
+
   test("BENCHNOTES_SF25 covers the sf25 subset plus the isolated ANN runs") {
     assert(captured(read("BENCHNOTES_SF25.md"), """over (\d+) queries""", "BENCHNOTES_SF25")
       === graft.tools.BenchHeavy.SF25_QUERIES.size
