@@ -254,7 +254,11 @@ object BenchHeavy {
     "l2d_ngram_jaccard", "l7_tfidf_topterms", "l2e_connected_components",
     "l2b_lsh_candidates", "l4f_repetition_stats", "l4g_quality_filter",
     "l2f_pos", "l2f_gen", "l2f_decontam", "l1_exact_dedup", "l11_source_mix",
-    "q1_pricing_summary", "l1_xxh", "l9_sequence_pack")
+    "q1_pricing_summary", "l1_xxh", "l9_sequence_pack",
+    // round 7: the five-stage corpus-export flagship rides the same
+    // text/dedup data — its sf5->sf25 ratio trend is the pipeline's
+    // would-it-survive-100x evidence
+    "l13_corpus_export")
 
   /** ANN queries for the sf25 tier: run each in an isolated JVM (see
     * SF25_QUERIES note on cross-query heap contamination). */
