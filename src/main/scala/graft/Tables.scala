@@ -22,11 +22,16 @@ object Tables {
     * catalog tables whose schema is declared once in the metastore;
     * memoizing the first inference per path gives the library the same
     * read-path cost without a catalog. Safe because the fixture files are
-    * immutable for the life of the JVM; sink read-backs (Etl) bypass this
-    * on purpose — they re-write their paths within a run.
+    * immutable for the life of the JVM; sink read-backs (Etl) use the memo
+    * too, but every sink write calls [[invalidate]] on its path first —
+    * a rewritten schema is re-inferred, never served stale.
     */
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Drop the memoized schema for a path. Sinks call this after (re)writing
+    * a path so the next [[readMemo]] re-infers from the fresh footers. */
+  def invalidate(path: String): Unit = schemaMemo.remove(path)
 
   /** Read a parquet path with per-JVM schema memoization (first call
     * infers, later calls skip straight to the scan). */

@@ -89,8 +89,9 @@ object Etl {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("city_id", "year", "month", "day")
       .parquet(out)
-    // read-back skips footer inference (the written schema is a constant
-    // of this query); partition discovery still runs against the fresh dirs
+    Tables.invalidate(out)
+    // read-back re-infers once per rewrite (invalidate above), then memoizes;
+    // partition discovery still runs against the fresh dirs
     Tables.readMemo(spark, out)
       .groupBy($"city_id", $"day")
       .agg(count(lit(1)).as("n"))
