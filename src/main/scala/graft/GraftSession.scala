@@ -41,6 +41,12 @@ object GraftSession {
     // TimestampType rejects; read nanos as raw longs (Tables.events then
     // floor-divides to micros). Session-level so no loader mutates conf.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // naive parquet timestamps (isAdjustedToUTC=false — what pandas/pyarrow
+    // write by default) must read as session-UTC TimestampType, not
+    // TIMESTAMP_NTZ: graft's timestamp semantics are timezone-pinned and
+    // must not fork on a reader inference accident (Tables.events has a
+    // belt-and-braces NTZ cast for sessions missing this pin).
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
   )
 
   /** Static conf that must be present at session build time. */

@@ -22,16 +22,31 @@ object Tables {
     * catalog tables whose schema is declared once in the metastore;
     * memoizing the first inference per path gives the library the same
     * read-path cost without a catalog. Safe because the fixture files are
-    * immutable for the life of the JVM; sink read-backs (Etl) use the memo
-    * too, but every sink write calls [[invalidate]] on its path first —
-    * a rewritten schema is re-inferred, never served stale.
+    * immutable for the life of the JVM; sink read-backs (Etl) go through
+    * [[sink]], which brackets every (re)write with [[invalidate]] by
+    * construction — a rewritten schema is re-inferred, never served stale.
     */
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
-  /** Drop the memoized schema for a path. Sinks call this after (re)writing
-    * a path so the next [[readMemo]] re-infers from the fresh footers. */
+  /** Drop the memoized schema for a path. Prefer [[sink]], which calls this
+    * around the write so no caller can forget it. */
   def invalidate(path: String): Unit = schemaMemo.remove(path)
+
+  /** Run a sink write against `path` with memo invalidation by construction.
+    * Invalidates BOTH before and after the write: the before-drop keeps a
+    * concurrent [[readMemo]] from serving the pre-write schema during a long
+    * write; the after-drop evicts a stale entry that such a reader may have
+    * re-inserted mid-write (computeIfAbsent racing the overwrite). The
+    * window is not fully closed — a reader overlapping the write can still
+    * observe mixed footers, which is inherent to non-atomic FS overwrite,
+    * not to the memo — so concurrent read-during-overwrite of the SAME sink
+    * path is unsupported; distinct paths are safe (per-key memo entries). */
+  def sink(path: String)(write: => Unit): Unit = {
+    invalidate(path)
+    write
+    invalidate(path)
+  }
 
   /** Read a parquet path with per-JVM schema memoization (first call
     * infers, later calls skip straight to the scan). */
@@ -50,21 +65,41 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** The events fixture stores `ts` as Parquet TIMESTAMP(NANOS), which
-    * Spark's TimestampType (micros) rejects outright. The session must be
-    * built with `spark.sql.legacy.parquet.nanosAsLong=true` (set by
-    * GraftSession.tunedConf and the Verify/Bench/test harness sessions —
-    * a missing conf fails loudly with PARQUET_TYPE_ILLEGAL here); the raw
-    * nanos long is floor-divided to micros — the same truncation DuckDB
-    * applies when it casts the column to TIMESTAMP, so oracle comparisons
-    * line up. Derived layouts (e.g. the MakeHeavy tier) store `ts` as a
-    * plain micros TIMESTAMP already and pass through untouched.
+  /** The `ts` column has shipped in three physical layouts across fixture
+    * generations, and this loader normalizes all of them to a session-UTC
+    * `TimestampType` so every consumer sees ONE timestamp semantics
+    * (reference anchor: src/models/vendor.rs:12-15 / parquet.rs:69-75
+    * declare timezone-fixed epoch timestamps at the sink — the engine
+    * must not fork semantics on a reader inference accident):
+    *
+    *  - Parquet TIMESTAMP(NANOS): Spark's micros TimestampType rejects it;
+    *    sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (a
+    *    missing conf fails loudly with PARQUET_TYPE_ILLEGAL) and the raw
+    *    nanos long is floor-divided to micros — the same truncation DuckDB
+    *    applies casting to TIMESTAMP, so oracle comparisons line up.
+    *  - Naive TIMESTAMP(MICROS) (isAdjustedToUTC=false, the pandas/pyarrow
+    *    default since the Aug 2026 fixture regen): Spark 4 infers
+    *    TIMESTAMP_NTZ by default. Harness sessions pin
+    *    `spark.sql.parquet.inferTimestampNTZ.enabled=false` so the column
+    *    reads as TimestampType directly; the NTZ case below catches
+    *    foreign sessions without the pin — under a UTC session the cast is
+    *    wall-clock-preserving and matches DuckDB's naive reading.
+    *  - UTC TIMESTAMP(MICROS) (e.g. the MakeHeavy tier): already
+    *    TimestampType, passes through untouched.
+    *
+    * FixtureSpec pins these as the only layouts the fixtures may take, so
+    * the next silent driver-side regen fails as one named assertion
+    * instead of eight downstream analysis errors.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val df = table(spark, sfDir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

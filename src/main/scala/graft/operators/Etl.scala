@@ -80,17 +80,19 @@ object Etl {
     val out = s"${scratch(spark)}/partitioned_sink"
     // a two-day slice: the per-dir cost of a Hive layout is fixed, so the
     // demo bounds dir count; at real scale each dir holds GBs, not rows
-    vendorFrame(spark, sfDir,
-        $"o_orderdate" >= lit("2000-03-01").cast("timestamp")
-          && $"o_orderdate" < lit("2000-03-03").cast("timestamp"))
+    val vendorSlice = vendorFrame(spark, sfDir,
+      $"o_orderdate" >= lit("2000-03-01").cast("timestamp")
+        && $"o_orderdate" < lit("2000-03-03").cast("timestamp"))
+    val sliced = vendorSlice
       // co-locate each output dir's rows in one task: file count ≈ number
       // of partition dirs instead of tasks × dirs (the small-files killer)
       .repartition(col("city_id"), col("day"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("city_id", "year", "month", "day")
-      .parquet(out)
-    Tables.invalidate(out)
-    // read-back re-infers once per rewrite (invalidate above), then memoizes;
+    Tables.sink(out) {
+      sliced.write.mode(SaveMode.Overwrite)
+        .partitionBy("city_id", "year", "month", "day")
+        .parquet(out)
+    }
+    // read-back re-infers once per rewrite (sink invalidated), then memoizes;
     // partition discovery still runs against the fresh dirs
     Tables.readMemo(spark, out)
       .groupBy($"city_id", $"day")
@@ -109,9 +111,11 @@ object Etl {
     * carries no comparable stats — derive a DATE column first, as
     * [[s9ClusteredScan]] does). */
   def clusteredWrite(df: DataFrame, path: String, files: Int, clusterCol: String): Unit =
-    df.repartitionByRange(files, col(clusterCol))
-      .sortWithinPartitions(col(clusterCol))
-      .write.mode(SaveMode.Overwrite).parquet(path)
+    Tables.sink(path) {
+      df.repartitionByRange(files, col(clusterCol))
+        .sortWithinPartitions(col(clusterCol))
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    }
 
   /** S9 [EXT]: clustered-layout round trip — orders written clustered by
     * order date, read back through a one-month slice (the scan that skips

@@ -167,6 +167,7 @@ object MakeHeavy {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
     warehouse.foreach(b.config("spark.sql.warehouse.dir", _))
     val s = b.getOrCreate()

@@ -17,6 +17,7 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.warehouse.dir", "/root/repo/target/graft-tmp/warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
