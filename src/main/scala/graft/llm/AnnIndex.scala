@@ -39,6 +39,14 @@ import graft.Tables
   * / v1 / <sanitized sfDir>. Built lazily on first serve; rebuild by
   * deleting the directory (or calling a build directly — BenchHeavy's
   * ann_build_* entries do exactly that to price the build step).
+  *
+  * Staleness: every build stamps a `_GRAFT_SOURCE` fingerprint (name, size,
+  * mtime of each embeddings source file) next to `_SUCCESS`, and the
+  * ensure* gates rebuild when the live source no longer matches — a
+  * regenerated fixture under an unchanged path forces a rebuild instead of
+  * silently serving vectors that no longer exist (AnnIndexStaleSpec proves
+  * the rebuild fires). `_SUCCESS` alone only proves A build finished, not
+  * that it was built from THIS data.
   */
 object AnnIndex {
 
@@ -53,8 +61,36 @@ object AnnIndex {
   def indexDir(spark: SparkSession, sfDir: String): String =
     s"${indexRoot(spark)}/v3/${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
 
-  private def built(path: String): Boolean =
-    new java.io.File(s"$path/_SUCCESS").exists()
+  /** Fingerprint of the embeddings source this index derives from: per-file
+    * (name, length, mtime), covering both the single-file fixture layout and
+    * directory-of-parts layouts (the heavy tiers). Cheap — metadata only —
+    * so every ensure* call can afford it. */
+  def sourceFingerprint(sfDir: String): String = {
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    if (src.isFile) s"${src.getName}=${src.length}:${src.lastModified}"
+    else
+      Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .sortBy(_.getName)
+        .map(f => s"${f.getName}=${f.length}:${f.lastModified}")
+        .mkString(";")
+  }
+
+  private def fpFile(path: String) = java.nio.file.Paths.get(s"$path/_GRAFT_SOURCE")
+
+  /** An artifact is servable iff its write committed (`_SUCCESS`) AND it was
+    * built from the embeddings bytes currently on disk (fingerprint match). */
+  private def fresh(path: String, fp: String): Boolean =
+    new java.io.File(s"$path/_SUCCESS").exists() &&
+      java.nio.file.Files.isRegularFile(fpFile(path)) &&
+      new String(java.nio.file.Files.readAllBytes(fpFile(path)),
+        java.nio.charset.StandardCharsets.UTF_8) == fp
+
+  /** Stamp AFTER the artifact write commits: a crashed build leaves either
+    * no `_SUCCESS` or no stamp, and both read as not-fresh. */
+  private def stamp(path: String, fp: String): Unit =
+    java.nio.file.Files.write(fpFile(path),
+      fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   // ---------------------------------------------------------------- SQ8
 
@@ -76,22 +112,26 @@ object AnnIndex {
   def buildSq8(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     val path = s"${indexDir(spark, sfDir)}/sq8_codes"
-    Tables.embeddings(spark, sfDir)
-      .withColumn("max_abs", greatest(
-        expr("CAST(array_max(embedding) AS DOUBLE)"),
-        -expr("CAST(array_min(embedding) AS DOUBLE)")))
-      .filter($"max_abs" > 0)
-      .withColumn("scale", lit(127.0) / $"max_abs")
-      .select($"vec_id", $"scale",
-        expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) * scale AS BIGINT))")
-          .as("codes"))
-      .write.mode("overwrite").parquet(path)
+    val fp = sourceFingerprint(sfDir)
+    Tables.sink(path) {
+      Tables.embeddings(spark, sfDir)
+        .withColumn("max_abs", greatest(
+          expr("CAST(array_max(embedding) AS DOUBLE)"),
+          -expr("CAST(array_min(embedding) AS DOUBLE)")))
+        .filter($"max_abs" > 0)
+        .withColumn("scale", lit(127.0) / $"max_abs")
+        .select($"vec_id", $"scale",
+          expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) * scale AS BIGINT))")
+            .as("codes"))
+        .write.mode("overwrite").parquet(path)
+    }
+    stamp(path, fp)
     path
   }
 
   def ensureSq8(spark: SparkSession, sfDir: String): String = {
     val path = s"${indexDir(spark, sfDir)}/sq8_codes"
-    if (!built(path)) buildSq8(spark, sfDir) else path
+    if (!fresh(path, sourceFingerprint(sfDir))) buildSq8(spark, sfDir) else path
   }
 
   /** The float vectors re-laid-out for SERVING reads: range-partitioned
@@ -104,16 +144,20 @@ object AnnIndex {
   def buildVecById(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     val path = s"${indexDir(spark, sfDir)}/vectors_by_id"
-    Tables.embeddings(spark, sfDir)
-      .repartitionByRange(32, $"vec_id")
-      .sortWithinPartitions($"vec_id")
-      .write.mode("overwrite").parquet(path)
+    val fp = sourceFingerprint(sfDir)
+    Tables.sink(path) {
+      Tables.embeddings(spark, sfDir)
+        .repartitionByRange(32, $"vec_id")
+        .sortWithinPartitions($"vec_id")
+        .write.mode("overwrite").parquet(path)
+    }
+    stamp(path, fp)
     path
   }
 
   def ensureVecById(spark: SparkSession, sfDir: String): String = {
     val path = s"${indexDir(spark, sfDir)}/vectors_by_id"
-    if (!built(path)) buildVecById(spark, sfDir) else path
+    if (!fresh(path, sourceFingerprint(sfDir))) buildVecById(spark, sfDir) else path
   }
 
   /** The l3i scoring frame served from the persisted codes: one scan of
@@ -184,20 +228,29 @@ object AnnIndex {
   def buildIvf(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     val dir = indexDir(spark, sfDir)
+    val fp = sourceFingerprint(sfDir)
     val emb = Tables.embeddings(spark, sfDir)
-    emb.select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-      .groupBy($"label", $"pos")
-      .agg((sum($"v".cast("decimal(20,10)")).cast("double") / count(lit(1))).as("c"))
-      .write.mode("overwrite").parquet(s"$dir/ivf_centroids")
-    emb.withColumn("pshard", pmod($"label", lit(LIST_SHARDS)))
-      .repartition($"pshard")
-      .write.mode("overwrite").partitionBy("pshard").parquet(s"$dir/ivf_corpus")
+    Tables.sink(s"$dir/ivf_centroids") {
+      emb.select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg((sum($"v".cast("decimal(20,10)")).cast("double") / count(lit(1))).as("c"))
+        .write.mode("overwrite").parquet(s"$dir/ivf_centroids")
+    }
+    stamp(s"$dir/ivf_centroids", fp)
+    Tables.sink(s"$dir/ivf_corpus") {
+      emb.withColumn("pshard", pmod($"label", lit(LIST_SHARDS)))
+        .repartition($"pshard")
+        .write.mode("overwrite").partitionBy("pshard").parquet(s"$dir/ivf_corpus")
+    }
+    stamp(s"$dir/ivf_corpus", fp)
     dir
   }
 
   def ensureIvf(spark: SparkSession, sfDir: String): String = {
     val dir = indexDir(spark, sfDir)
-    if (!built(s"$dir/ivf_centroids") || !built(s"$dir/ivf_corpus")) buildIvf(spark, sfDir)
+    val fp = sourceFingerprint(sfDir)
+    if (!fresh(s"$dir/ivf_centroids", fp) || !fresh(s"$dir/ivf_corpus", fp))
+      buildIvf(spark, sfDir)
     else dir
   }
 
