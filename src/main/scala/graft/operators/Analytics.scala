@@ -183,14 +183,19 @@ object Analytics {
     * selection's scale claim is measured, not asserted. */
   def a13From(spark: SparkSession, lineitemT: DataFrame): DataFrame = {
     import spark.implicits._
-    // cents via primitive double math, not DECIMAL(18,2): for positive
-    // 2-decimal prices, x*100 is within ~1e-11 of the integer, so +0.5 and
-    // truncate recovers it exactly — same integers as the decimal cast the
-    // oracle uses, at 2.7x the scan throughput (5.5s -> 2.0s per 150M-row
-    // pass, A13Probe; this query pays the conversion on BOTH scans)
+    // cents via primitive double math, not DECIMAL(18,2): for 2-decimal
+    // prices, x*100 is within ~1e-11 of the integer, so a sign-aware half
+    // offset (+0.5 for x>=0, -0.5 for x<0 — CAST truncates toward zero)
+    // recovers it exactly for EITHER sign — same integers as the decimal
+    // cast the oracle uses, at 2.7x the scan throughput (5.5s -> 2.0s per
+    // 150M-row pass, A13Probe; this query pays the conversion on BOTH
+    // scans). The fixture is all-positive, but refunds/credits are not,
+    // and a silent off-by-one-cent on negatives is the kind of precondition
+    // nobody re-reads.
     val v = lineitemT
       .select($"l_returnflag".as("grp"),
-        ($"l_extendedprice" * 100 + lit(0.5)).cast("long").as("cents"))
+        ($"l_extendedprice" * 100 + signum($"l_extendedprice") * lit(0.5))
+          .cast("long").as("cents"))
       .withColumn("bucket", expr(s"cents div $A13_BUCKET"))
     // phase A: histogram + cumulative counts (|groups| x |buckets| rows)
     val hist = v.groupBy($"grp", $"bucket").agg(count(lit(1)).as("cnt"))

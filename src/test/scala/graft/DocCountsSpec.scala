@@ -66,8 +66,13 @@ class DocCountsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(start >= 0, s"$file: no '| query |' table header")
     val rest = text.substring(start)
     val table = "(?s)^(.*?)(\n#|\\z)".r.findFirstMatchIn(rest).get.group(1)
-    """(?m)^\| (\w+) \| [\d.]""".r
-      .findAllMatchIn(table).map(_.group(1)).toSet
+    // first cell only — no constraint on the second cell's shape, so a row
+    // whose wall time rendered as "—" (failed run) or in scientific
+    // notation still counts toward the drift check instead of silently
+    // vanishing from it; the header names itself "query" and the |---|
+    // separator has no word cell, so both self-exclude
+    """(?m)^\| (\w+) \|""".r
+      .findAllMatchIn(table).map(_.group(1)).filterNot(_ == "query").toSet
   }
 
   private def assertSameQueries(file: String, expected: Set[String]): Unit = {

@@ -21,6 +21,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def make_connection(sf_dir):
+    """Fresh DuckDB connection with one view per fixture table (shared by
+    the initial bootstrap and the stuck-oracle recovery path)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written table: a dir of part files
+            p += "/*.parquet"
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     out_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
@@ -32,14 +45,7 @@ def main():
     sf_dir, oracle_path = args[0], args[1]
     line = sys.stdin.read()
     bench = json.loads(line[line.index("{"):])
-    con = duckdb.connect()
-    import os
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(p):  # Spark-written table: a dir of part files
-            p += "/*.parquet"
-        if os.path.exists(f"{sf_dir}/{t}.parquet"):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    con = make_connection(sf_dir)
     oracle = json.load(open(oracle_path))
     compute = bench.get("stage_compute", {})
     rows = []
@@ -88,13 +94,7 @@ def main():
                         # unreliable — start a fresh one (views are cheap)
                         print(f"oracle interrupt not honored for {name}; "
                               "recreating DuckDB connection", file=sys.stderr)
-                        con = duckdb.connect()
-                        for t in TABLES:
-                            p = f"{sf_dir}/{t}.parquet"
-                            if os.path.isdir(p):
-                                p += "/*.parquet"
-                            if os.path.exists(f"{sf_dir}/{t}.parquet"):
-                                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+                        con = make_connection(sf_dir)
                     print(f"oracle TIMED OUT for {name} after {timeout_s}s",
                           file=sys.stderr)
                     duck_s = None
