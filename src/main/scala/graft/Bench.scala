@@ -68,12 +68,18 @@ object Bench {
       s"""{"wall":$w,"loadavg_pre":"$la0","loadavg_post":"$la1"}"""
     }.mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sweeps":$sweeps,"failed":$failedJson}"""
-    println(line)
-    // the driver's artifact capture keeps only the tail of long stdout
-    // lines, which loses the first half of the per-query map — persist the
-    // full line so the committed artifact is self-sufficient
-    BenchUtil.writeArtifact("target/bench.json", line)
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sweeps":$sweeps,"failed":$failedJson}"""
+    // The driver's artifact capture keeps only the last ~2000 chars of
+    // stdout (BENCH_r07/r08 recorded `parsed: null` with a mid-line
+    // "tail"), so the full ~4k-char per-query map is unparseable there.
+    // Persist the full line to files and print a compact line guaranteed
+    // to fit the capture window: total first, then per-query medians
+    // filled slowest-first (3 decimals) until the budget is reached — the
+    // omitted entries are the sub-0.1s job-floor queries.
+    BenchUtil.writeArtifact("target/bench.json", fullLine)
+    BenchUtil.writeArtifact("BENCHFULL.json", fullLine)
+    println(BenchUtil.compactLine(total, results, failed, sfDir,
+      sweepMeta.map(_._1), budget = 1850))
     spark.stop()
   }
 }

@@ -19,4 +19,30 @@ object BenchUtil {
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
   }
+
+  /** One JSON line guaranteed `<= budget` chars for a stdout capture that
+    * keeps only the tail of the output (the round driver keeps ~2000).
+    * The headline total and failure list always fit; the per-query map is
+    * filled slowest-first at 3-decimal precision until the budget is hit,
+    * so what gets dropped is the job-floor noise, never the signal. The
+    * full-precision map lives in BENCHFULL.json (see "full" field). */
+  def compactLine(total: Double, results: Seq[(String, Double)],
+                  failed: Seq[String], sfDir: String,
+                  sweepWalls: Seq[Double], budget: Int): String = {
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"""" +
+      s""","sweep_walls":[${sweepWalls.map(f3).mkString(",")}]""" +
+      s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]""" +
+      s""","queries_total":${results.size},"full":"BENCHFULL.json","queries":{"""
+    val tail = "}}"
+    val entries = results.filter(_._2 >= 0).sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    var len = head.length + tail.length
+    val kept = entries.takeWhile { e =>
+      val fits = len + e.length + 1 <= budget
+      if (fits) len += e.length + 1
+      fits
+    }
+    head + kept.mkString(",") + tail
+  }
 }
