@@ -45,6 +45,13 @@ def main():
     sf_dir, oracle_path = args[0], args[1]
     line = sys.stdin.read()
     bench = json.loads(line[line.index("{"):])
+    # Bench's stdout line is compacted to fit the round driver's ~2000-char
+    # capture window (slowest queries only); the full per-query map lives in
+    # the file named by "full" (BENCHFULL.json, written next to the build).
+    if "full" in bench and len(bench.get("queries", {})) < bench.get("queries_total", 0):
+        full = json.load(open(bench["full"]))
+        full.update({k: v for k, v in bench.items() if k not in full})
+        bench = full
     con = make_connection(sf_dir)
     oracle = json.load(open(oracle_path))
     compute = bench.get("stage_compute", {})
