@@ -126,6 +126,7 @@ object SparkEntry {
     "r7_stream_join" -> (graft.streaming.Streams.r7StreamJoin _),
     "r8_high_water" -> (graft.streaming.Streams.r8HighWater _),
     "r9_signature_screen" -> (graft.streaming.Streams.r9SignatureScreen _),
+    "r10_static_enrich" -> (graft.streaming.Streams.r10StaticEnrich _),
     "s9_clustered_scan" -> (graft.operators.Etl.s9ClusteredScan _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
@@ -1204,6 +1205,14 @@ object SparkEntry {
         |QUALIFY ROW_NUMBER() OVER (
         |  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    "r10_static_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |  COALESCE(d.c_name, 'Unknown') AS c_name, d.segment, d.nation
+        |FROM events e LEFT JOIN (
+        |  SELECT c_custkey, c_name, c_mktsegment AS segment, n_name AS nation
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey) d
+        |ON e.user_id = d.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
     "r8_high_water" ->
       """SELECT event_id, user_id, value FROM (
         |  SELECT event_id, user_id, value,

@@ -298,6 +298,35 @@ object Streams {
       .orderBy($"purchase_id", $"signup_id")
   }
 
+  /** R10 [EXT]: stream-static enrichment join — each event decorated with
+    * its user's customer/nation dimension row (the reference's per-batch
+    * vendor enrichment loop, vendor.rs:20-132, as the canonical
+    * Structured Streaming stream-static join). The static side is a plain
+    * batch DataFrame: Catalyst re-plans the join every micro-batch and
+    * broadcasts the dimension, so the unbounded stream side never
+    * shuffles and — unlike R7's stream-stream form — the join carries no
+    * watermark state at all. Misses keep the event with an 'Unknown'
+    * name (J1's HTTP-400 tolerance). Same body serves batch (oracle) and
+    * streaming (StreamingSpec asserts equality and the broadcast plan). */
+  def staticEnrich(events: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dim = customer
+      .select($"c_custkey", $"c_name", $"c_mktsegment", $"c_nationkey")
+      .join(nation.select($"n_nationkey", $"n_name"), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"c_mktsegment", $"n_name")
+    events.join(broadcast(dim), $"user_id" === $"c_custkey", "left_outer")
+      .select($"event_id", $"user_id", $"event_type",
+        coalesce($"c_name", lit("Unknown")).as("c_name"),
+        $"c_mktsegment".as("segment"), $"n_name".as("nation"))
+  }
+
+  def r10StaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    staticEnrich(Tables.events(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.nation(spark, sfDir)).orderBy($"event_id")
+  }
+
   /** R9 batch form: the l2g signature screen without the corpus split —
     * every doc flags whether an earlier doc (lower id) shares its SimHash
     * signature. Shuffle key = the 16-bit signature, so per-group window

@@ -229,6 +229,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.count() > 0)
   }
 
+  test("R10 stream-static enrich: stream == batch, dimension broadcast, misses tolerated") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val customer = Seq((1L, "Alice", "BUILDING", 10L), (2L, "Bob", "AUTOMOBILE", 20L))
+      .toDF("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    val nation = Seq((10L, "FRANCE"), (20L, "KENYA")).toDF("n_nationkey", "n_name")
+    val streamed = runStream(fixture,
+      df => Streams.staticEnrich(df, customer, nation), "append",
+      extra = fixture.take(0))
+      .select($"event_id", $"user_id", $"event_type", $"c_name", $"segment", $"nation")
+    val batch = Streams.staticEnrich(batchDf(fixture), customer, nation)
+    assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0)
+    // left join: every event survives; user 3 has no dimension row
+    assert(batch.count() === fixture.size)
+    assert(batch.filter($"user_id" === 3).select($"c_name").head().getString(0) === "Unknown")
+    // the stateless scale contract: the dimension broadcasts, so the
+    // stream side is never shuffled and the join keeps no watermark state
+    val phys = batch.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$phys")
+  }
+
   test("R1 micro-batch ingest: foreachBatch sees every row exactly once") {
     val sparkS = spark
     import sparkS.implicits._
