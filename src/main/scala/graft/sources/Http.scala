@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** S3 live form: the reference's paginated listing scan executed over real
+  * HTTP (main.rs:119-177), distributed Spark-side.
+  *
+  * Topology: the driver makes ONE probe request (offset 0) to learn
+  * `available_count` — exactly the reference's initial request
+  * (main.rs:119-130) — then the page index range fans out as a normal
+  * RDD, one page fetch per element, so a 1000-executor cluster scrapes
+  * 1000 connections wide with no driver bottleneck. Each partition opens
+  * its own [[Http.Pool]] in the `mapPartitions` prologue (pool.rs:14-19:
+  * four browser identities, rotated), paces itself through
+  * [[Throttle.paced]] (main.rs:139-141 inter-page politeness), and runs
+  * every fetch under [[Retry.withRetry]] (retry.rs:4-29; api.rs:136-146:
+  * 429/5xx retry, 4xx is data). The attempt index rotates the pool so a
+  * poisoned client is replaced on retry (clients/http.rs:110-138).
+  *
+  * Everything here is plain JDK (`java.net.http`) + json4s from Spark's
+  * own classpath — no extra dependencies. HttpSourceSpec drives the whole
+  * loop against an in-process HTTP server with fault injection; the
+  * recorded-table form ([[Paginated.s3PaginatedScan]]) remains the
+  * correctness-oracle surface because a live endpoint is not available to
+  * the differential harness.
+  */
+object Http {
+
+  /** The reference's four-browser client pool (clients/pool.rs:14-19).
+    * One `HttpClient` per identity; `pick(i)` round-robins. */
+  val USER_AGENTS: Seq[String] = Seq(
+    "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Edge/120.0")
+
+  final class Pool(timeoutMs: Long, userAgents: Seq[String] = USER_AGENTS) {
+    private val clients = userAgents.map { _ =>
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+        .build()
+    }
+    def size: Int = clients.size
+    /** GET `url` with the i-th identity; returns (status, body, userAgent). */
+    def get(i: Int, url: String): (Int, String, String) = {
+      val idx = math.floorMod(i, clients.size)
+      val ua = userAgents(idx)
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("User-Agent", ua)
+        .GET().build()
+      val resp = clients(idx).send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body(), ua)
+    }
+  }
+
+  /** One listing page (response.rs:8-18). */
+  final case class ListingPage(availableCount: Long, returnedCount: Long,
+                               items: Seq[(String, String)])
+
+  /** Fetch + parse one page under the retry policy. 429/5xx raise
+    * [[Retry.Transient]] (retried, pool rotated via the attempt index);
+    * any other non-200 is a fatal routing outcome (api.rs:136-146). */
+  def fetchListingPage(pool: Pool, baseUrl: String, offset: Long, limit: Int,
+                       maxAttempts: Int, baseDelayMs: Long,
+                       clientSeed: Int = 0,
+                       sleep: Long => Unit = Thread.sleep): ListingPage =
+    Retry.withRetry(maxAttempts, baseDelayMs, seed = offset, sleep = sleep) { attempt =>
+      val url = s"$baseUrl?offset=$offset&limit=$limit"
+      val (status, body, _) = pool.get(clientSeed + attempt - 1, url)
+      if (status == 429 || status >= 500)
+        throw Retry.Transient(s"HTTP $status for $url")
+      require(status == 200, s"fatal HTTP $status for $url")
+      parseListing(body)
+    }
+
+  /** Parse `{"available_count":N,"returned_count":n,"items":[{"code":..,
+    * "name":..}]}` — the response.rs:8-18 shape. */
+  def parseListing(body: String): ListingPage = {
+    val j = JsonMethods.parse(body)
+    def num(v: JValue): Long = v match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case other => sys.error(s"expected number, got $other")
+    }
+    def str(v: JValue): String = v match {
+      case JString(s) => s
+      case other => sys.error(s"expected string, got $other")
+    }
+    val items = (j \ "items") match {
+      case JArray(xs) => xs.map(x => (str(x \ "code"), str(x \ "name")))
+      case other => sys.error(s"expected items array, got $other")
+    }
+    ListingPage(num(j \ "available_count"), num(j \ "returned_count"), items)
+  }
+
+  /** The distributed live scan. Returns one row per listing item with its
+    * page provenance (`batch_number` = page + 1, main.rs:159). Pacing and
+    * retry knobs mirror the recorded-form confs; pacing is per partition
+    * (= per client), the deployment's politeness unit. */
+  def s3LiveScan(spark: SparkSession, baseUrl: String,
+                 pageSize: Int = Paginated.PAGE_SIZE,
+                 maxAttempts: Int = 3, baseDelayMs: Long = 1000L,
+                 timeoutMs: Long = 30000L): DataFrame = {
+    import spark.implicits._
+    // driver probe: ONE request to size the scan (main.rs:119-130)
+    val probe = fetchListingPage(new Pool(timeoutMs), baseUrl, 0, pageSize,
+      maxAttempts, baseDelayMs)
+    val nPages = ((probe.availableCount + pageSize - 1) / pageSize).toInt
+    val maxPerSec = spark.conf.get("spark.graft.source.maxRowsPerSecond", "0").toDouble
+    val jitterFrac = spark.conf.get("spark.graft.source.rateJitter", "0.2").toDouble
+    val slots = math.max(1, math.min(nPages, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(0 until nPages, slots)
+      .mapPartitions { pages0 =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val pool = new Pool(timeoutMs) // per-partition connections (pool.rs)
+        val pages = Throttle.paced(pages0, maxPerSec, jitterFrac, seed = pid.toLong)
+        pages.flatMap { page =>
+          val lp = fetchListingPage(pool, baseUrl, page.toLong * pageSize,
+            pageSize, maxAttempts, baseDelayMs, clientSeed = page)
+          lp.items.map { case (code, name) =>
+            (code, name, page, page + 1, lp.availableCount, lp.returnedCount)
+          }
+        }
+      }
+      .toDF("code", "name", "page", "batch_number", "available_count", "returned_count")
+  }
+}
