@@ -97,6 +97,55 @@ object Http {
     ListingPage(num(j \ "available_count"), num(j \ "returned_count"), items)
   }
 
+  /** S4 live form: fetch one detail document (api.rs:73-150). The 400/404
+    * routing outcomes are DATA — the reference keeps the vendor row with a
+    * NULL payload (vendor.rs:82-115) — so they return None rather than
+    * raising; only 429/5xx transients retry. */
+  def fetchDetail(pool: Pool, baseUrl: String, code: String,
+                  maxAttempts: Int, baseDelayMs: Long, clientSeed: Int = 0,
+                  sleep: Long => Unit = Thread.sleep): Option[String] =
+    Retry.withRetry(maxAttempts, baseDelayMs, seed = code.hashCode.toLong,
+      sleep = sleep) { attempt =>
+      val url = s"$baseUrl?code=$code"
+      val (status, body, _) = pool.get(clientSeed + attempt - 1, url)
+      if (status == 429 || status >= 500)
+        throw Retry.Transient(s"HTTP $status for $url")
+      if (status == 400 || status == 404) None // miss kept as NULL payload
+      else { require(status == 200, s"fatal HTTP $status for $url"); Some(body) }
+    }
+
+  /** S4 live: per-key detail lookup over HTTP, distributed. Input is a
+    * one-column `code` frame; output matches the recorded form
+    * ([[Paginated.s4PointLookup]]): the miss row survives with NULLs. The
+    * keys are repartitioned to cores first — a point-lookup source is
+    * bound by the per-element call, so parallelism must track
+    * cores/connections, not input bytes. */
+  def s4LiveLookup(spark: SparkSession, codes: DataFrame, baseUrl: String,
+                   maxAttempts: Int = 3, baseDelayMs: Long = 1000L,
+                   timeoutMs: Long = 30000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val maxPerSec = spark.conf.get("spark.graft.source.maxRowsPerSecond", "0").toDouble
+    val jitterFrac = spark.conf.get("spark.graft.source.rateJitter", "0.2").toDouble
+    val looked = codes.select($"code".cast("string")).as[String]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it0 =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val pool = new Pool(timeoutMs)
+        val it = Throttle.paced(it0, maxPerSec, jitterFrac, seed = pid.toLong)
+        var i = 0
+        it.map { code =>
+          i += 1
+          (code, fetchDetail(pool, baseUrl, code, maxAttempts, baseDelayMs,
+            clientSeed = pid + i))
+        }
+      }
+      .toDF("code", "detail")
+    looked.select($"code", $"detail",
+      $"detail".isNull.as("is_miss"),
+      coalesce($"detail", lit("Unknown")).as("detail_or_default"))
+  }
+
   /** The distributed live scan. Returns one row per listing item with its
     * page provenance (`batch_number` = page + 1, main.rs:159). Pacing and
     * retry knobs mirror the recorded-form confs; pacing is per partition

@@ -86,6 +86,46 @@ class HttpSourceSpec extends SparkSpecBase {
     } finally server.stop(0)
   }
 
+  test("live point lookup: misses kept as NULL rows, transients retried in-plan") {
+    val detailHits = new ConcurrentHashMap[String, AtomicInteger]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/detail", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val code = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").collectFirst { case kv if kv.startsWith("code=") => kv.drop(5) }
+          .getOrElse("")
+        val id = code.drop(1).toLong
+        val n = detailHits.computeIfAbsent(code, _ => new AtomicInteger(0)).incrementAndGet()
+        if (id % 7 == 0) { ex.sendResponseHeaders(400, -1); ex.close() } // miss = data
+        else if (id % 5 == 0 && n == 1) { ex.sendResponseHeaders(429, -1); ex.close() }
+        else {
+          val bytes = s"""{"name":"vendor $id"}""".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes); ex.close()
+        }
+      }
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}/detail"
+    try {
+      val sparkS = spark
+      import sparkS.implicits._
+      val codes = (0L until 70L).map(i => s"v$i").toDF("code")
+      val out = Http.s4LiveLookup(spark, codes, base,
+        maxAttempts = 3, baseDelayMs = 1L, timeoutMs = 5000L).collect()
+      assert(out.length === 70) // every key survives, miss or not
+      val misses = out.filter(_.getBoolean(2)).map(_.getString(0)).toSet
+      assert(misses === (0L until 70L).filter(_ % 7 == 0).map(i => s"v$i").toSet)
+      assert(out.filter(_.getBoolean(2)).forall(_.getString(3) === "Unknown"))
+      assert(out.filterNot(_.getBoolean(2)).forall(r =>
+        r.getString(1).contains("vendor " + r.getString(0).drop(1))))
+      // a 429 key (id%5==0, not a miss) must have been requested twice
+      val retried = (0L until 70L).filter(i => i % 5 == 0 && i % 7 != 0)
+      assert(retried.forall(i => detailHits.get(s"v$i").get() === 2),
+        "429 keys were not retried exactly once")
+    } finally server.stop(0)
+  }
+
   test("fatal status is not retried; transient exhaustion propagates") {
     val fatalHits = new AtomicInteger(0)
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
