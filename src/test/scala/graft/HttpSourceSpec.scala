@@ -126,6 +126,73 @@ class HttpSourceSpec extends SparkSpecBase {
     } finally server.stop(0)
   }
 
+  test("live ETL end-to-end: listing -> detail enrich -> partitioned parquet sink") {
+    // the reference's whole main() flow (main.rs:107-273) over real HTTP:
+    // paginated listing scan, per-code detail enrichment with 400-misses
+    // kept as 'Unknown', the typed projection, and a page-partitioned
+    // parquet write with read-back — every stage a distributed plan
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/listing", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v
+          }.toMap
+        val offset = params("offset").toLong
+        val limit = params("limit").toInt
+        val items = (offset until math.min(offset + limit, N_ITEMS.toLong)).map { i =>
+          s"""{"code":"v$i","name":"vendor $i"}"""
+        }
+        val body = s"""{"available_count":$N_ITEMS,"returned_count":${items.size},"items":[${items.mkString(",")}]}"""
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes); ex.close()
+      }
+    })
+    server.createContext("/detail", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val code = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").collectFirst { case kv if kv.startsWith("code=") => kv.drop(5) }
+          .getOrElse("")
+        val id = code.drop(1).toLong
+        if (id % 7 == 0) { ex.sendResponseHeaders(400, -1); ex.close() }
+        else {
+          val bytes = s"""{"segment":"seg${id % 3}"}""".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes); ex.close()
+        }
+      }
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val sparkS = spark
+      import sparkS.implicits._
+      import org.apache.spark.sql.functions._
+      val listing = Http.s3LiveScan(spark, s"http://127.0.0.1:$port/listing",
+        pageSize = PAGE, maxAttempts = 3, baseDelayMs = 1L, timeoutMs = 5000L)
+      val details = Http.s4LiveLookup(spark, listing.select($"code"),
+        s"http://127.0.0.1:$port/detail",
+        maxAttempts = 3, baseDelayMs = 1L, timeoutMs = 5000L)
+      val vendors = listing.join(details, Seq("code"))
+        .select($"code", $"name",
+          $"detail_or_default".as("details"), $"is_miss",
+          $"batch_number")
+      val out = java.nio.file.Files.createTempDirectory("live_etl").toString
+      vendors.write.mode("overwrite").partitionBy("batch_number").parquet(out)
+      val back = spark.read.parquet(out)
+      assert(back.count() === N_ITEMS)
+      // partition dirs follow page provenance
+      val parts = back.groupBy($"batch_number").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(parts === Map(1 -> 48L, 2 -> 48L, 3 -> 48L, 4 -> 48L, 5 -> 38L))
+      // the 400-miss rows survived with the default payload
+      val misses = back.filter($"is_miss").select($"code").collect().map(_.getString(0)).toSet
+      assert(misses === (0 until N_ITEMS).filter(_ % 7 == 0).map(i => s"v$i").toSet)
+      assert(back.filter($"is_miss").select($"details").collect().forall(_.getString(0) == "Unknown"))
+    } finally server.stop(0)
+  }
+
   test("fatal status is not retried; transient exhaustion propagates") {
     val fatalHits = new AtomicInteger(0)
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
