@@ -50,8 +50,7 @@ object MakeHeavy {
     import spark.implicits._
     val reps = broadcast(spark.range(copies).toDF("k"))
 
-    def scaled(table: String, shifts: Map[String, Long]): DataFrame = {
-      val df = spark.read.parquet(s"$src/$table.parquet")
+    def scaledFrom(df: DataFrame, shifts: Map[String, Long]): DataFrame = {
       val cols = df.columns.map { c =>
         shifts.get(c) match {
           case Some(s) => (col(c) + $"k" * s).as(c)
@@ -60,6 +59,8 @@ object MakeHeavy {
       }
       df.crossJoin(reps).select(cols.toSeq: _*)
     }
+    def scaled(table: String, shifts: Map[String, Long]): DataFrame =
+      scaledFrom(spark.read.parquet(s"$src/$table.parquet"), shifts)
 
     // FILES output files per big table: the crossJoin inherits the source
     // file's 1-2 splits, and a single ~60 MB parquet file is ONE row group
@@ -76,11 +77,12 @@ object MakeHeavy {
     if (want("lineitem")) scaled("lineitem", Map("l_orderkey" -> SHIFT_ORDER))
       .repartition(FILES)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    // the source fixture stores ts as TIMESTAMP(NANOS) (read here as a
-    // long via nanosAsLong); emit micros TIMESTAMP so both engines read
-    // the heavy tier natively (Tables.events passes timestamps through)
-    if (want("events")) scaled("events", Map("event_id" -> SHIFT_EVENT, "user_id" -> SHIFT_USER))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // events: load via Tables.events so EVERY fixture layout the contract
+    // admits (nanos-as-long, micros-naive, micros-UTC — see FixtureSpec)
+    // is normalized to micros TimestampType before scaling; the heavy tier
+    // then stores native micros both engines read directly
+    if (want("events")) scaledFrom(graft.Tables.events(spark, src),
+        Map("event_id" -> SHIFT_EVENT, "user_id" -> SHIFT_USER))
       .repartition(FILES)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     // documents: shift ids AND make the text replica-distinct by suffixing
