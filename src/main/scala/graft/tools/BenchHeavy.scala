@@ -253,17 +253,16 @@ object BenchHeavy {
     * rejects one contended sample, not a contender present in ALL sweeps).
     * Bench each SF25_ANN query in its OWN JVM — one BenchHeavy invocation
     * per query name — and merge the JSONs for the notes regen. */
+  // l13_corpus_export (the five-stage corpus-export flagship) is here for
+  // its sf5->sf25 ratio trend — the pipeline's would-it-survive-100x
+  // evidence. A query joins this registry ONLY together with its measured
+  // row in BENCHNOTES_SF25.md (DocCountsSpec enforces the set equality;
+  // three rounds shipped the registry ahead of the artifact).
   val SF25_QUERIES: Seq[String] = Seq(
     "l2d_ngram_jaccard", "l7_tfidf_topterms", "l2e_connected_components",
     "l2b_lsh_candidates", "l4f_repetition_stats", "l4g_quality_filter",
     "l2f_pos", "l2f_gen", "l2f_decontam", "l1_exact_dedup", "l11_source_mix",
-    "q1_pricing_summary", "l1_xxh", "l9_sequence_pack")
-  // l13_corpus_export (the five-stage corpus-export flagship) belongs here
-  // — its sf5->sf25 ratio trend is the pipeline's would-it-survive-100x
-  // evidence — but a query joins this registry ONLY together with its
-  // measured row in BENCHNOTES_SF25.md (DocCountsSpec enforces the set
-  // equality; three rounds shipped the registry ahead of the artifact).
-  // Re-add it in the same commit as the regenerated notes.
+    "q1_pricing_summary", "l1_xxh", "l9_sequence_pack", "l13_corpus_export")
 
   /** ANN queries for the sf25 tier: run each in an isolated JVM (see
     * SF25_QUERIES note on cross-query heap contamination). */
