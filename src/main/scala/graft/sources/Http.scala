@@ -11,9 +11,10 @@ import org.json4s.jackson.JsonMethods
   * `available_count` — exactly the reference's initial request
   * (main.rs:119-130) — then the page index range fans out as a normal
   * RDD, one page fetch per element, so a 1000-executor cluster scrapes
-  * 1000 connections wide with no driver bottleneck. Each partition opens
-  * its own [[Http.Pool]] in the `mapPartitions` prologue (pool.rs:14-19:
-  * four browser identities, rotated), paces itself through
+  * 1000 connections wide with no driver bottleneck. Each task binds the
+  * executor-JVM [[Http.Pool]] in the `mapPartitions` prologue
+  * (pool.rs:14-19: four browser identities, rotated, one pool per
+  * process — see [[cachedPool]]), paces itself through
   * [[Throttle.paced]] (main.rs:139-141 inter-page politeness), and runs
   * every fetch under [[Retry.withRetry]] (retry.rs:4-29; api.rs:136-146:
   * 429/5xx retry, 4xx is data). The attempt index rotates the pool so a
@@ -35,6 +36,16 @@ object Http {
     "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0 Safari/537.36",
     "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15",
     "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Edge/120.0")
+
+  /** One pool per executor JVM (keyed by timeout), matching the
+    * reference's one-pool-per-process topology (pool.rs:14-19). A
+    * per-TASK pool would spin up four fresh HttpClients (each with its
+    * own selector thread) for every partition a long-lived executor
+    * processes; the JVM-level cache bounds that at four clients per
+    * distinct timeout for the life of the executor. */
+  private val poolCache = new java.util.concurrent.ConcurrentHashMap[Long, Pool]()
+  def cachedPool(timeoutMs: Long): Pool =
+    poolCache.computeIfAbsent(timeoutMs, t => new Pool(t))
 
   final class Pool(timeoutMs: Long, userAgents: Seq[String] = USER_AGENTS) {
     private val clients = userAgents.map { _ =>
@@ -131,7 +142,7 @@ object Http {
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it0 =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val pool = new Pool(timeoutMs)
+        val pool = cachedPool(timeoutMs)
         val it = Throttle.paced(it0, maxPerSec, jitterFrac, seed = pid.toLong)
         var i = 0
         it.map { code =>
@@ -165,7 +176,7 @@ object Http {
     spark.sparkContext.parallelize(0 until nPages, slots)
       .mapPartitions { pages0 =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val pool = new Pool(timeoutMs) // per-partition connections (pool.rs)
+        val pool = cachedPool(timeoutMs) // per-JVM connections (pool.rs)
         val pages = Throttle.paced(pages0, maxPerSec, jitterFrac, seed = pid.toLong)
         pages.flatMap { page =>
           val lp = fetchListingPage(pool, baseUrl, page.toLong * pageSize,
