@@ -105,6 +105,7 @@ object SparkEntry {
     "l4e_fingerprint" -> (graft.llm.TextAnalysis.l4eFingerprint _),
     "l4f_repetition_stats" -> (graft.llm.TextAnalysis.l4fRepetitionStats _),
     "l4g_quality_filter" -> (graft.llm.TextAnalysis.l4gQualityFilter _),
+    "l16_domain_cap" -> (graft.llm.TextAnalysis.l16DomainCap _),
     // l2f in the default suite = the two native endpoints: md5p48 (oracle
     // anchor, collision-free equality with the md5-keyed SQL) and xxh64
     // (production digest). The interpreted/positional ladder rungs that
@@ -112,6 +113,7 @@ object SparkEntry {
     // benched by BenchHeavy; analysis in BENCHNOTES_HEAVY).
     "l2f_decontam" -> (graft.llm.Dedup.l2fDecontamMd5 _),
     "l2f_gen" -> (graft.llm.Dedup.l2fDecontamGen _),
+    "l14_span_screen" -> (graft.llm.Dedup.l14SpanScreen _),
     "l5_multimodal_columns" -> (graft.llm.Multimodal.l5MultimodalColumns _),
     "l5b_frame_sample" -> (graft.llm.Multimodal.l5bFrameSample _),
     "l6_hash_sample" -> (graft.llm.TextAnalysis.l6HashSample _),
@@ -120,6 +122,7 @@ object SparkEntry {
     "l11_source_mix" -> (graft.llm.Assembly.l11SourceMix _),
     "l12_shuffle_shard" -> (graft.llm.Assembly.l12ShuffleShard _),
     "l13_corpus_export" -> (graft.llm.Assembly.l13CorpusExport _),
+    "l15_chunk" -> (graft.llm.Assembly.l15Chunk _),
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
     "a13_exact_percentiles" -> (Analytics.a13ExactPercentiles _),
     "a11_histogram" -> (Analytics.a11Histogram _),
@@ -888,6 +891,20 @@ object SparkEntry {
         |    OR (s.quality_score = t.ts AND s.doc_id > t.td)) AS keep
         |FROM scored s LEFT JOIN thr t ON s.lang = t.lang
         |ORDER BY s.doc_id""".stripMargin,
+    // l16 replays l4c's score with a DESC-ranked QUALIFY cap per source
+    "l16_domain_cap" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    (CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |       / LEN(string_split(text, ' '))) * 0.7 +
+         |    (CASE WHEN LEN(string_split(text, ' ')) BETWEEN 20 AND 1000
+         |       THEN 0.3 ELSE 0.0 END) AS quality_score
+         |  FROM documents)
+         |SELECT doc_id, source, quality_score,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |         ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rk
+         |FROM scored QUALIFY rk <= ${graft.llm.TextAnalysis.DOMAIN_CAP}
+         |ORDER BY source, rk""".stripMargin,
     "l4d_token_count" ->
       """SELECT doc_id,
         |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
@@ -937,6 +954,20 @@ object SparkEntry {
     // oracle is the exact expected output and equality doubles as the
     // per-run zero-collision check (ladder rungs: see ladderQueries)
     "l2f_gen" -> l2fOracle,
+    // l14: the naive single-window replay of the span screen — per-span
+    // document frequency over the same md5p48 shingle CTEs the l2 family
+    // anchors on; equality doubles as the per-run collision check
+    "l14_span_screen" ->
+      s"""WITH sh AS ($duckShingles),
+         |$duckBaseHashes,
+         |spans AS (SELECT doc_id, CAST(LEN(hs) AS BIGINT) AS n_spans,
+         |            unnest(hs) AS h FROM hashed),
+         |dfd AS (SELECT doc_id, n_spans,
+         |          count(*) OVER (PARTITION BY h) AS df FROM spans)
+         |SELECT doc_id, n_spans,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / n_spans AS dup_ratio
+         |FROM dfd GROUP BY doc_id, n_spans ORDER BY doc_id""".stripMargin,
     // same frame geometry as Multimodal.sampleFrames (256-byte windows,
     // every 4th) replayed as pure arithmetic over the byte length
     "l5b_frame_sample" ->
@@ -971,6 +1002,18 @@ object SparkEntry {
         |     for j in range(1, 3)]), (acc, x) -> acc * 16 + x) < 51 END
         |ORDER BY doc_id""".stripMargin,
     // the md5 bucket is l6's (2 hex digits -> [0,256)); shard = bucket % PACK_SHARDS (=4)
+    // l15: lateral fan-out — one row per (doc, window start); slice
+    // bounds and the ragged-tail length are pure integer arithmetic
+    "l15_chunk" -> {
+      val (w, s) = (graft.llm.Assembly.CHUNK_WIDTH, graft.llm.Assembly.CHUNK_STRIDE)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+         |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS nw FROM documents)
+         |SELECT doc_id, i AS chunk_id,
+         |  array_to_string(w[(i*$s+1):(i*$s+$w)], ' ') AS chunk_text,
+         |  LEAST(nw - i*$s, CAST($w AS BIGINT)) AS n_tokens
+         |FROM t CROSS JOIN unnest(range(0, (GREATEST(nw - $w, 0) + ${s - 1}) // $s + 1)) AS u(i)
+         |ORDER BY doc_id, chunk_id""".stripMargin
+    },
     "l9_sequence_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

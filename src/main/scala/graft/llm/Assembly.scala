@@ -215,4 +215,40 @@ object Assembly {
       .select($"doc_id", $"lang", $"source", $"tokens", $"shard", $"pack_id")
       .orderBy($"doc_id")
   }
+
+  /** Chunk width / stride in words. Width models a context budget the way
+    * PACK_BUDGET does (raise to 2048+ in production); stride < width gives
+    * the 25% overlap RAG indexers keep so no answer span is cut at a
+    * boundary. */
+  val CHUNK_WIDTH = 32
+  val CHUNK_STRIDE = 24
+
+  /** L15 [EXT]: sliding-window chunking — fan each document out into
+    * overlapping fixed-width word windows (doc_id, chunk_id, chunk_text,
+    * n_tokens): the unit-of-retrieval split every RAG index and every
+    * fixed-context training shard starts from. A document with n words
+    * yields 1 + ceil(max(n - W, 0) / S) chunks; the final chunk is the
+    * ragged tail (n_tokens <= W), kept because dropping it loses the
+    * document ending.
+    *
+    * Scale: pure per-row fan-out — `sequence`/`explode`/`slice` are all
+    * codegen'd (no higher-order lambda; the chunk is sliced directly from
+    * the split word array), so the operator streams at scan speed with NO
+    * shuffle at all (the trailing orderBy is fixture-scale presentation,
+    * dropped in production where the sink partitions by doc hash). Output
+    * size is input x (W/S) — the expansion is the operator's contract,
+    * bounded by the overlap ratio, never quadratic. */
+  def l15Chunk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (w, s) = (CHUNK_WIDTH, CHUNK_STRIDE)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .withColumn("nw", size($"w").cast("long"))
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(0L, (greatest(nw - $w, 0L) + ${s - 1}) div $s)")))
+      .select($"doc_id", $"chunk_id",
+        concat_ws(" ", slice($"w", ($"chunk_id" * s + 1).cast("int"), lit(w))).as("chunk_text"),
+        least($"nw" - $"chunk_id" * s, lit(w.toLong)).as("n_tokens"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
 }

@@ -49,9 +49,13 @@ object Dedup {
     * words — the size filter the array form needed. */
   private def withMinhashSigs(docs: DataFrame, numHashes: Int): DataFrame = {
     graft.plans.MinHashSigs.register(docs.sparkSession)
+    // The short-doc gate tests the CHEAP equivalent predicate (word count
+    // >= k ⟺ non-empty sigs), not size(sigs) > 0: a filter on the computed
+    // column sits below the projection after pushdown and would re-run the
+    // whole digest+LCG pass a second time per row just to test emptiness.
     docs
+      .filter(size(split(col("text"), " ")) >= SHINGLE_K)
       .withColumn("sigs", expr(s"minhash_sigs(text, $SHINGLE_K, $numHashes)"))
-      .filter(size(col("sigs")) > 0)
   }
 
   /** One row per (doc, shingle hash) with the doc's shingle count, with a
@@ -626,11 +630,52 @@ object Dedup {
     * md5-anchored oracles check per run. */
   private def explodedShingleHashesNative(docs: DataFrame, algo: String): DataFrame = {
     graft.plans.ShingleHashes.register(docs.sparkSession)
+    // No size(hs) > 0 pre-filter: explode already drops empty arrays, and
+    // an explicit filter is NOT free — Catalyst pushes it into the scan's
+    // DataFilters and keeps the FilterExec, so the (expensive) shingle
+    // expression would run up to three times per row (scan filter, Filter,
+    // Project) with no cross-operator CSE to merge them.
     docs
       .withColumn("hs", expr(s"shingle_hashes(text, $SHINGLE_K, '$algo')"))
-      .filter(size(col("hs")) > 0)
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
         explode(col("hs")).as("sh"))
+  }
+
+  /** L14 [EXT]: frequent-span screen — the n-gram form of exact-substring
+    * deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): find word 5-grams that recur ACROSS
+    * documents and score each document by the fraction of its spans that
+    * are corpus-duplicated (boilerplate, licenses, templated text). The
+    * suffix-array construction of the paper is replaced by the shingle
+    * hash the dedup family already computes natively — the screen is the
+    * same linear explode/count the L2 pipeline runs, not a new machine.
+    *
+    * Output: (doc_id, n_spans, n_dup_spans, dup_ratio) for every doc with
+    * >= 5 words; a pipeline drops docs above a dup_ratio threshold or
+    * feeds the flagged spans to a span-removal pass.
+    *
+    * Scale: spans are the per-doc DISTINCT md5p48 hashes off one native
+    * byte-pass ([[graft.plans.ShingleHashes]]) — the corpus-wide exchange
+    * ships (doc_id, n_sh, 8-byte hash), never text. Document frequency
+    * comes from a count-only window over that ONE exchange, so the text is
+    * hashed exactly once; the per-doc rollup then shuffles only (doc_id,
+    * counts). Under pathological hot spans (one license duplicated 10^9
+    * times) the window partition for that hash concentrates — the swap is
+    * the two-scan form (partial-agg groupBy(sh) + re-join against a
+    * persisted spans frame), which trades a second spans materialization
+    * for map-side combining; at fixture-to-sf25 scale the one-pass window
+    * wins (no second scan, no join). */
+  def l14SpanScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val spans = explodedShingleHashesNative(Tables.documents(spark, sfDir), "md5p48")
+    val byHash = Window.partitionBy($"sh")
+    spans
+      .withColumn("df", count(lit(1)).over(byHash))
+      .groupBy($"doc_id", $"n_sh")
+      .agg(sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select($"doc_id", $"n_sh".as("n_spans"), $"n_dup_spans",
+        ($"n_dup_spans".cast("double") / $"n_sh").as("dup_ratio"))
+      .orderBy($"doc_id")
   }
 
   private def ngramJaccardBy(spark: SparkSession, sfDir: String, algo: String): DataFrame = {

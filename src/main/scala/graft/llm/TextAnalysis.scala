@@ -297,4 +297,45 @@ object TextAnalysis {
         regexp_count($"raw", lit(digits)).cast("long").as("n_nums"))
       .orderBy($"doc_id")
   }
+
+  /** Per-domain cap (docs kept per source). */
+  val DOMAIN_CAP = 10
+
+  /** L16 [EXT]: per-domain quota cap — keep at most [[DOMAIN_CAP]]
+    * documents per source, best-first by l4c's quality score with doc_id
+    * as the deterministic tiebreak. The RefinedWeb/FineWeb posture: an
+    * over-represented domain (one forum mirrored a million times) must not
+    * dominate the mixture, and the cap keeps the domain's BEST documents,
+    * not a random slice — the per-stratum complement to l11's rate-based
+    * source rebalancing.
+    *
+    * Scale: a rank-then-filter window is the one shape Spark optimizes
+    * into a partial top-K: `InferWindowGroupLimit` rewrites the
+    * row_number <= N filter into a WindowGroupLimit that keeps N+1 rows
+    * per (source) per MAP PARTITION before the exchange — so the shuffle
+    * ships O(domains x N) rows, not the corpus, and a billion-document
+    * hot domain costs each map task at most N buffered rows. PlanAudit
+    * asserts the WindowGroupLimit(Partial) is in the plan — without it
+    * this operator would be a corpus-wide skewed shuffle. */
+  def l16DomainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("words", split($"text", " "))
+      .withColumn("n_words", size($"words").cast("long"))
+      .withColumn("n_distinct", size(array_distinct($"words")).cast("long"))
+      .select($"doc_id", $"source",
+        (($"n_distinct".cast("double") / $"n_words") * lit(0.7)
+          + when($"n_words" >= 20 && $"n_words" <= 1000, lit(0.3)).otherwise(lit(0.0)))
+          .as("quality_score"))
+    val bySource = Window.partitionBy($"source")
+      .orderBy($"quality_score".desc, $"doc_id".asc)
+    scored
+      // the filter sits directly on the raw row_number attribute — the
+      // exact Filter-over-Window shape InferWindowGroupLimit rewrites; a
+      // cast in between would hide the rank column from the rule
+      .withColumn("rk", row_number().over(bySource))
+      .filter($"rk" <= DOMAIN_CAP)
+      .select($"doc_id", $"source", $"quality_score", $"rk".cast("long").as("rk"))
+      .orderBy($"source", $"rk")
+  }
 }

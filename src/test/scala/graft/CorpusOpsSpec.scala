@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the corpus-prep additions (l14/l15/l16) the
+  * DuckDB hash-compare can't express as clearly: chunk reconstruction,
+  * screen-count consistency, and the cap/ordering contract. */
+class CorpusOpsSpec extends SparkSpecBase {
+
+  test("l15: stride-prefixes of chunks reassemble every document exactly") {
+    import spark.implicits._
+    val s = graft.llm.Assembly.CHUNK_STRIDE
+    // take the first CHUNK_STRIDE words of every chunk except the last,
+    // then the whole last chunk: concatenated in chunk order this must be
+    // the original text — the overlap is redundant BY CONSTRUCTION, so
+    // dropping it loses nothing (the property a RAG splitter must hold)
+    val chunks = graft.llm.Assembly.l15Chunk(spark, sfDir)
+    val maxId = chunks.groupBy($"doc_id").agg(max($"chunk_id").as("last_id"))
+    val rebuilt = chunks.join(maxId, "doc_id")
+      .select($"doc_id", $"chunk_id",
+        when($"chunk_id" < $"last_id",
+          concat_ws(" ", slice(split($"chunk_text", " "), 1, s)))
+          .otherwise($"chunk_text").as("piece"))
+      .groupBy($"doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(struct($"chunk_id", $"piece")))
+        .getField("piece")).as("rebuilt"))
+    val joined = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").join(rebuilt, "doc_id")
+    assert(joined.filter($"text" =!= $"rebuilt").count() === 0)
+    // and every non-final chunk is exactly CHUNK_WIDTH tokens
+    val w = graft.llm.Assembly.CHUNK_WIDTH
+    assert(chunks.join(maxId, "doc_id")
+      .filter($"chunk_id" < $"last_id" && $"n_tokens" =!= w).count() === 0)
+  }
+
+  test("l14: span counts agree with a first-principles string recount") {
+    import spark.implicits._
+    val r = graft.llm.Dedup.l14SpanScreen(spark, sfDir).cache()
+    // bounds: 0 <= n_dup_spans <= n_spans, ratio = quotient
+    assert(r.filter($"n_dup_spans" < 0 || $"n_dup_spans" > $"n_spans").count() === 0)
+    assert(r.filter(abs($"dup_ratio" * $"n_spans" - $"n_dup_spans") > 1e-9).count() === 0)
+    // self-check against first principles: recompute one doc's dup count
+    // from the raw corpus (distinct 5-gram strings shared with ANY other
+    // doc) and compare — ties the hash pipeline back to strings
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 5)
+      .select($"doc_id", explode(expr(
+        "array_distinct(transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5))))"))
+        .as("g"))
+    val df = docs.groupBy($"g").agg(countDistinct($"doc_id").as("docs"),
+      count(lit(1)).as("occurrences"))
+    val expected = docs.join(df.filter($"occurrences" >= 2), "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("exp_dup"))
+    val cmp = r.join(expected, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_dup_spans", coalesce($"exp_dup", lit(0L)).as("exp_dup"))
+    assert(cmp.filter($"n_dup_spans" =!= $"exp_dup").count() === 0)
+    r.unpersist()
+  }
+
+  test("l16: at most DOMAIN_CAP per source, dense ranks, scores non-increasing") {
+    import spark.implicits._
+    val n = graft.llm.TextAnalysis.DOMAIN_CAP
+    val r = graft.llm.TextAnalysis.l16DomainCap(spark, sfDir).cache()
+    val per = r.groupBy($"source").agg(count(lit(1)).as("kept"),
+      max($"rk").as("max_rk"), min($"rk").as("min_rk"))
+    assert(per.filter($"kept" > n).count() === 0)
+    // ranks are exactly 1..kept (dense, no gaps)
+    assert(per.filter($"min_rk" =!= 1 || $"max_rk" =!= $"kept").count() === 0)
+    // kept scores never increase as rank grows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"rk")
+    assert(r.withColumn("prev", lag($"quality_score", 1).over(w))
+      .filter($"prev".isNotNull && $"quality_score" > $"prev").count() === 0)
+    // and nothing kept scores worse than anything dropped in its source
+    val scoredAll = Tables.documents(spark, sfDir)
+      .withColumn("ws", split($"text", " "))
+      .select($"doc_id", $"source",
+        ((size(array_distinct($"ws")).cast("double") / size($"ws")) * 0.7
+          + when(size($"ws") >= 20 && size($"ws") <= 1000, 0.3).otherwise(0.0))
+          .as("score"))
+    val dropped = scoredAll.join(r.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy($"source").agg(max($"score").as("best_dropped"))
+    val worstKept = r.groupBy($"source").agg(min($"quality_score").as("worst_kept"))
+    assert(worstKept.join(dropped, "source")
+      .filter($"best_dropped" > $"worst_kept").count() === 0)
+    r.unpersist()
+  }
+}

@@ -292,6 +292,38 @@ class PlanAuditSpec extends SparkSpecBase {
       s"non-point-lookup vectors_by_id scan:\n${vecScans.mkString("\n")}")
   }
 
+  test("l16: rank filter compiles to a partial WindowGroupLimit before the exchange") {
+    // the 100 TB claim: the per-domain cap ships O(domains x N) rows, not
+    // the corpus — InferWindowGroupLimit must turn the row_number <= N
+    // filter into map-side top-N pruning BEFORE the shuffle
+    val p = plan(q("l16_domain_cap"))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), s"no map-side (Partial) window group limit:\n$p")
+    // and the only hash exchange carries the already-capped rows on source
+    assert(p.contains("Exchange hashpartitioning(source"), p)
+  }
+
+  test("l15: chunk fan-out is shuffle-free — Generate over the scan, no exchange before the presentation sort") {
+    val p = plan(q("l15_chunk"))
+    assert(p.contains("Generate explode(sequence"), p)
+    assert(!p.contains("Exchange hashpartitioning"), s"chunking introduced a shuffle:\n$p")
+    // the chunk text is sliced from the split array — no lambda machinery
+    assert(!p.contains("lambda"), p)
+  }
+
+  test("l14: one corpus exchange, keyed by the 8-byte span hash; native shingles") {
+    val p = plan(q("l14_span_screen"))
+    assert(p.contains("shingle_hashes"), p)
+    // exactly two hash exchanges: the span-hash window feed and the tiny
+    // per-doc rollup — and the corpus one is keyed on sh, never the text
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size === 2, s"expected 2 hash exchanges, got ${hashEx.size}:\n$p")
+    assert(hashEx.exists(_.contains("hashpartitioning(sh#")), p)
+    assert(!hashEx.exists(_.contains("text")), p)
+    // the rollup pre-aggregates map-side (partial_sum before its exchange)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("no operator plan contains a cartesian product") {
     val sinkQueries = Set("s5_s6_partitioned_sink", "s7_json_sink", "s2_json_array_scan",
       "s9_clustered_scan")
