@@ -237,7 +237,12 @@ object BenchHeavy {
     // round 7: the two-phase exact percentile vector priced against a9's
     // buffering built-in at the same tier (its sf1-sf50 inversion sweep is
     // CROSSOVER.md), and the five-stage corpus-export flagship
-    "a13_exact_percentiles", "l13_corpus_export")
+    "a13_exact_percentiles", "l13_corpus_export",
+    // round 9: the corpus-prep additions — the span screen is a second
+    // corpus-exchange heavyweight (every token rides the shuffle as an
+    // 8-byte span key), chunking prices the scan-speed fan-out claim, and
+    // the domain cap prices the partial WindowGroupLimit path
+    "l14_span_screen", "l15_chunk", "l16_domain_cap")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio
