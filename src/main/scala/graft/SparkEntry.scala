@@ -123,6 +123,8 @@ object SparkEntry {
     "l12_shuffle_shard" -> (graft.llm.Assembly.l12ShuffleShard _),
     "l13_corpus_export" -> (graft.llm.Assembly.l13CorpusExport _),
     "l15_chunk" -> (graft.llm.Assembly.l15Chunk _),
+    "l17_unigram_logprob" -> (graft.llm.TextAnalysis.l17UnigramLogprob _),
+    "l18_leakage_split" -> (graft.llm.Assembly.l18LeakageSplit _),
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
     "a13_exact_percentiles" -> (Analytics.a13ExactPercentiles _),
     "a11_histogram" -> (Analytics.a11Histogram _),
@@ -905,6 +907,35 @@ object SparkEntry {
          |         ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rk
          |FROM scored QUALIFY rk <= ${graft.llm.TextAnalysis.DOMAIN_CAP}
          |ORDER BY source, rk""".stripMargin,
+    "l17_unigram_logprob" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |cnts AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts),
+         |vocab AS (SELECT w, cnt FROM cnts
+         |          ORDER BY cnt DESC, w LIMIT ${graft.llm.TextAnalysis.VOCAB_TOP_K}),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |    CAST(round(ln(coalesce(CAST(v.cnt AS DOUBLE), 0.5) / tot.total)
+         |               * 1000000) AS BIGINT) AS mn
+         |  FROM tok t LEFT JOIN vocab v USING (w) CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(mn) AS BIGINT) AS sum_micronats,
+         |  CAST(sum(mn) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_micronats
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "l18_leakage_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(instr('0123456789abcdef', substr(md5(source), j, 1)) - 1 AS BIGINT)
+        |       for j in range(1, 3)]), (acc, x) -> acc * 16 + x) AS bucket,
+        |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, bucket,
+        |  CASE WHEN bucket < 205 THEN 'train'
+        |       WHEN bucket < 230 THEN 'valid' ELSE 'test' END AS split,
+        |  n_tokens
+        |FROM b ORDER BY doc_id""".stripMargin,
     "l4d_token_count" ->
       """SELECT doc_id,
         |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

@@ -251,4 +251,30 @@ object Assembly {
         least($"nw" - $"chunk_id" * s, lit(w.toLong)).as("n_tokens"))
       .orderBy($"doc_id", $"chunk_id")
   }
+
+  /** L18 [EXT]: leakage-safe train/valid/test split. The split key is the
+    * GROUP (here `source`, the domain), not the document: near-duplicates
+    * overwhelmingly share a provenance group, so hashing the group sends
+    * every member to the SAME split and the eval set can't leak training
+    * text — the standard guard (docs-level random split is the classic
+    * train/test contamination bug). Fractions over 256 md5 buckets:
+    * [0,205) train (~80%), [205,230) valid (~10%), [230,256) test.
+    *
+    * Pure map over the corpus — zero shuffles, streams at scan speed at
+    * any size; the decision is a function of content (md5 of the group
+    * key), so re-runs, retries, engine swaps, and later corpus additions
+    * assign identically (new docs of a known domain join its split). */
+  def l18LeakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = expr("CAST(conv(substr(md5(source), 1, 2), 16, 10) AS BIGINT)")
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when($"bucket" < 205, lit("train"))
+          .when($"bucket" < 230, lit("valid"))
+          .otherwise(lit("test")))
+      .select($"doc_id", $"source", $"bucket", $"split",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
 }

@@ -142,6 +142,73 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Vocabulary cap for [[l17UnigramLogprob]]. 24 of the fixture's 31
+    * distinct words — small enough that the OOV floor path is exercised
+    * by the correctness oracle, not just declared. A production run
+    * raises this to ~1e6; the broadcast stays tens of MB either way. */
+  val VOCAB_TOP_K = 24
+
+  /** L17 [EXT]: unigram log-probability scoring — the perplexity-proxy
+    * quality filter of CCNet-style pipelines (score docs by how likely
+    * their tokens are under a language model; here the corpus's own
+    * unigram model, the degenerate-but-real base case — a trained KenLM
+    * slots in behind the same broadcast-table contract).
+    *
+    * Two phases, both 100 TB-shaped:
+    *  1. MODEL BUILD: one corpus scan → explode → hash-agg word counts.
+    *     Map-side partial aggregation collapses the exchange to
+    *     vocab-sized rows; the top-K cut (count desc, word asc — total
+    *     order, so ties are deterministic) compiles to TakeOrdered, and
+    *     the corpus total is a second tiny agg over the SAME counts
+    *     exchange (AQE reuse), not a second corpus scan.
+    *  2. SCORING: one corpus scan with the (vocab-map, total) singleton
+    *     broadcast-joined in — the per-doc score is a per-row fold over
+    *     the words array, so the corpus itself crosses ZERO exchanges.
+    *     No explode + groupBy(doc_id) round trip: at trillions of tokens
+    *     that shuffle (12+ bytes/token) is the difference between a
+    *     map-only stage and the biggest exchange in the pipeline.
+    *
+    * Determinism across engines: per-token log-probs are quantized to
+    * integer MICRONATS (round(ln(p)*1e6) as a long) before summing.
+    * Integer sums are associative — any partitioning, any partial-agg
+    * order, and DuckDB's unnest+SUM all produce the identical bits —
+    * whereas a double sum is order-dependent and a hash-compare breaks.
+    * The residual risk is `ln` itself differing in the last ulp between
+    * libm and the JVM (the hazard l7 avoids by never calling ln): a
+    * 1-ulp slip moves ln(p)*1e6 by ~1e-9, so it only matters if some
+    * vocab value lands that close to a .5 rounding boundary —
+    * QualityLmSpec asserts every distinct (cnt, total) value keeps a
+    * >1e-6 margin, making the quantization provably engine-stable for
+    * the fixture and loudly checkable for any future corpus.
+    *
+    * OOV tokens (outside top-K) get the floor probability 0.5/total —
+    * an add-half smoothing consistent with the model being a cut vocab. */
+  def l17UnigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val vocabMap = counts
+      .orderBy($"cnt".desc, $"w".asc).limit(VOCAB_TOP_K)
+      .agg(map_from_arrays(collect_list($"w"), collect_list($"cnt")).as("vocab"))
+    val total = counts.agg(sum($"cnt").as("total"))
+    docs
+      .crossJoin(broadcast(vocabMap.crossJoin(total)))
+      .withColumn("words", split($"text", " "))
+      .select(
+        $"doc_id",
+        size($"words").cast("long").as("n_tokens"),
+        expr(
+          """aggregate(words, 0L, (acc, w) ->
+            |  acc + CAST(round(ln(coalesce(CAST(try_element_at(vocab, w) AS DOUBLE), 0.5d)
+            |                     / total) * 1000000d) AS BIGINT))""".stripMargin)
+          .as("sum_micronats"))
+      .withColumn("avg_micronats",
+        $"sum_micronats".cast("double") / $"n_tokens".cast("double"))
+      .orderBy($"doc_id")
+  }
+
   /** L6 [EXT]: deterministic hash-based sampling — the reproducible way to
     * subsample a training corpus (rand() differs per engine/partitioning;
     * a content-keyed hash does not). Stratified: per-language rates, e.g.

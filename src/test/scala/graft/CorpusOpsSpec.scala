@@ -86,4 +86,64 @@ class CorpusOpsSpec extends SparkSpecBase {
       .filter($"best_dropped" > $"worst_kept").count() === 0)
     r.unpersist()
   }
+
+  test("l17: quantization margins are engine-safe, OOV live, score recomputes from first principles") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val K = graft.llm.TextAnalysis.VOCAB_TOP_K
+    // the vocab cap must actually cut — otherwise the OOV floor is dead
+    // code the oracle never checks
+    assert(counts.size > K, s"fixture vocab ${counts.size} <= cap $K: OOV path untested")
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(K)
+    // determinism claim made checkable: a 1-ulp ln() difference between
+    // the JVM and libm moves ln(p)*1e6 by ~1e-9, so cross-engine
+    // bit-equality needs every distinct quantized value to sit far from a
+    // .5 rounding boundary — enforce a 1e-6 margin (1000x the slip) for
+    // each vocab count and the OOV floor
+    (vocab.map(_._2.toDouble) :+ 0.5).foreach { c =>
+      val x = math.log(c / total) * 1e6
+      val frac = x - math.floor(x)
+      assert(math.abs(frac - 0.5) > 1e-6, s"cnt=$c quantizes within 1e-6 of a .5 boundary")
+    }
+    // first principles: one doc's score recomputed in plain Scala
+    val row = graft.llm.TextAnalysis.l17UnigramLogprob(spark, sfDir)
+      .filter($"doc_id" === 0).collect()(0)
+    val words = docs.filter($"doc_id" === 0)
+      .select($"text").collect()(0).getString(0).split(" ")
+    val vmap = vocab.toMap
+    val expected = words.map { w =>
+      math.round(math.log(vmap.get(w).map(_.toDouble).getOrElse(0.5) / total) * 1e6)
+    }.sum
+    assert(row.getAs[Long]("sum_micronats") === expected)
+    assert(row.getAs[Long]("n_tokens") === words.length)
+  }
+
+  test("l18: no source straddles splits; buckets are md5-derived and boundaries hold") {
+    import spark.implicits._
+    val r = graft.llm.Assembly.l18LeakageSplit(spark, sfDir).cache()
+    // the leakage guard itself: every provenance group in exactly one split
+    assert(r.groupBy($"source").agg(countDistinct($"split").as("k"))
+      .filter($"k" =!= 1).count() === 0)
+    // bucket really is the md5 prefix of the GROUP key (recomputed in
+    // plain Scala), so the assignment is content-determined — identical
+    // across re-runs, partitionings, and engines
+    val (src, b) = r.select($"source", $"bucket").as[(String, Long)].head()
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(src.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    assert(java.lang.Long.parseLong(hex, 16) === b)
+    // split boundaries honored exactly
+    assert(r.filter($"split" === "train" && $"bucket" >= 205).count() === 0)
+    assert(r.filter($"split" === "valid"
+      && ($"bucket" < 205 || $"bucket" >= 230)).count() === 0)
+    assert(r.filter($"split" === "test" && $"bucket" < 230).count() === 0)
+    // n_tokens consistent with the raw text
+    val bad = r.join(Tables.documents(spark, sfDir).select($"doc_id", $"text"), "doc_id")
+      .filter(size(split($"text", " ")).cast("long") =!= $"n_tokens")
+    assert(bad.count() === 0)
+    r.unpersist()
+  }
 }

@@ -324,6 +324,29 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("l17: corpus crosses only the vocab-build exchange; scoring pass is shuffle-free") {
+    val p = plan(q("l17_unigram_logprob"))
+    // model build: hash exchanges exist only for the word-count agg (8-byte
+    // word keys after map-side partial_count); the scoring scan must NOT
+    // shuffle the corpus — no explode + groupBy(doc_id) round trip
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("hashpartitioning(w#")),
+      s"unexpected hash exchange keys:\n$p")
+    assert(!p.contains("hashpartitioning(doc_id"), s"scoring shuffled the corpus:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine on the vocab build:\n$p")
+    // top-K vocab via TakeOrdered (no global sort of the counts)
+    assert(p.contains("TakeOrdered"), p)
+    // the (vocab, total) singleton rides a broadcast, not an exchange
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("l18: split assignment is a pure map — no exchange before the presentation sort") {
+    val p = plan(q("l18_leakage_split"))
+    assert(!p.contains("Exchange hashpartitioning"), s"split introduced a shuffle:\n$p")
+    // the hash rides the GROUP key — the leakage guard is visible in the plan
+    assert(p.contains("md5(") && p.contains("source"), p)
+  }
+
   test("no operator plan contains a cartesian product") {
     val sinkQueries = Set("s5_s6_partitioned_sink", "s7_json_sink", "s2_json_array_scan",
       "s9_clustered_scan")
