@@ -242,7 +242,12 @@ object BenchHeavy {
     // corpus-exchange heavyweight (every token rides the shuffle as an
     // 8-byte span key), chunking prices the scan-speed fan-out claim, and
     // the domain cap prices the partial WindowGroupLimit path
-    "l14_span_screen", "l15_chunk", "l16_domain_cap")
+    "l14_span_screen", "l15_chunk", "l16_domain_cap",
+    // round 9 (cont.): the model-scored filter and the split assigner —
+    // l17 prices the build/apply two-pass shape (vocab-sized exchange +
+    // shuffle-free broadcast scoring pass) against DuckDB's unnest+join
+    // formulation, which must materialize the per-token frame
+    "l17_unigram_logprob", "l18_leakage_split")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio
