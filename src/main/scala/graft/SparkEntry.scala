@@ -125,6 +125,7 @@ object SparkEntry {
     "l15_chunk" -> (graft.llm.Assembly.l15Chunk _),
     "l17_unigram_logprob" -> (graft.llm.TextAnalysis.l17UnigramLogprob _),
     "l18_leakage_split" -> (graft.llm.Assembly.l18LeakageSplit _),
+    "l19_split_screen" -> (graft.llm.Dedup.l19SplitScreen _),
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
     "a13_exact_percentiles" -> (Analytics.a13ExactPercentiles _),
     "a11_histogram" -> (Analytics.a11Histogram _),
@@ -605,6 +606,32 @@ object SparkEntry {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+    "l19_split_screen" ->
+      s"""${duckSigs(16)},
+         |$duckBands,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bkt < 205 THEN 'train'
+         |         WHEN bkt < 230 THEN 'valid' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(instr('0123456789abcdef', substr(md5(source), j, 1)) - 1 AS BIGINT)
+         |       for j in range(1, 3)]), (acc, x) -> acc * 16 + x) AS bkt
+         |    FROM documents)),
+         |sides AS (
+         |  SELECT doc_a AS doc_id, doc_b AS other FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs)
+         |SELECT s.doc_id AS doc_id, me.split AS split,
+         |  CAST(count(*) AS BIGINT) AS n_train_dups
+         |FROM sides s JOIN sp me ON s.doc_id = me.doc_id
+         |             JOIN sp op ON s.other = op.doc_id
+         |WHERE me.split IN ('valid', 'test') AND op.split = 'train'
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "l2e_connected_components" -> {
       s"""${duckSigs(16).replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$duckBands,

@@ -264,15 +264,18 @@ object Assembly {
     * any size; the decision is a function of content (md5 of the group
     * key), so re-runs, retries, engine swaps, and later corpus additions
     * assign identically (new docs of a known domain join its split). */
+  /** The l18 assignment expressions, shared so the contamination screen
+    * (l19, Dedup.scala) audits the EXACT split l18 ships. */
+  private[llm] val splitBucket: org.apache.spark.sql.Column =
+    expr("CAST(conv(substr(md5(source), 1, 2), 16, 10) AS BIGINT)")
+  private[llm] def splitLabel(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(b < 205, lit("train")).when(b < 230, lit("valid")).otherwise(lit("test"))
+
   def l18LeakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val bucket = expr("CAST(conv(substr(md5(source), 1, 2), 16, 10) AS BIGINT)")
     Tables.documents(spark, sfDir)
-      .withColumn("bucket", bucket)
-      .withColumn("split",
-        when($"bucket" < 205, lit("train"))
-          .when($"bucket" < 230, lit("valid"))
-          .otherwise(lit("test")))
+      .withColumn("bucket", splitBucket)
+      .withColumn("split", splitLabel($"bucket"))
       .select($"doc_id", $"source", $"bucket", $"split",
         size(split($"text", " ")).cast("long").as("n_tokens"))
       .orderBy($"doc_id")

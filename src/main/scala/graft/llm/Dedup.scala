@@ -678,6 +678,37 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** L19 [EXT]: cross-split contamination screen — the audit a training
+    * launch runs after splitting: which eval (valid/test) documents have
+    * a TRAIN near-duplicate under the same LSH screen the dedup pipeline
+    * uses (l2b's banding)? The group-keyed split (l18, whose exact
+    * bucket/label expressions this reuses) keeps same-provenance
+    * near-dups together, but cross-domain mirrors and syndication are
+    * precisely how eval text still leaks into training — this emits the
+    * per-doc drop-list (eval doc, split, train-partner count) the gate
+    * consumes before the run starts.
+    *
+    * Scale: candidate volume is LSH-bucket-bound (never all-pairs), the
+    * split map is a 2-column projection of the corpus joined on the
+    * 8-byte doc key, and the rollup ships one row per contaminated doc. */
+  def l19SplitScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val splits = Tables.documents(spark, sfDir)
+      .select($"doc_id", Assembly.splitLabel(Assembly.splitBucket).as("split"))
+    val sides = lshCandidatePairs(spark, sfDir)
+      .select(explode(array(
+        struct($"doc_a".as("d"), $"doc_b".as("o")),
+        struct($"doc_b".as("d"), $"doc_a".as("o")))).as("x"))
+      .select($"x.d".as("doc_id"), $"x.o".as("other"))
+    sides
+      .join(splits, "doc_id")
+      .join(splits.select($"doc_id".as("other"), $"split".as("other_split")), "other")
+      .filter($"split".isin("valid", "test") && $"other_split" === "train")
+      .groupBy($"doc_id", $"split")
+      .agg(count(lit(1)).as("n_train_dups"))
+      .orderBy($"doc_id")
+  }
+
   private def ngramJaccardBy(spark: SparkSession, sfDir: String, algo: String): DataFrame = {
     import spark.implicits._
     val sh = explodedShingleHashesNative(Tables.documents(spark, sfDir), algo)

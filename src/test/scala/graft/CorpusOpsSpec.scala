@@ -146,4 +146,33 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(bad.count() === 0)
     r.unpersist()
   }
+
+  test("l19: screen recounts from raw pairs x splits; only eval docs reported") {
+    import spark.implicits._
+    val r = graft.llm.Dedup.l19SplitScreen(spark, sfDir).cache()
+    // only eval-side docs appear, each with at least one train partner
+    assert(r.filter(!$"split".isin("valid", "test")).count() === 0)
+    assert(r.filter($"n_train_dups" < 1).count() === 0)
+    // first principles: rebuild (eval doc, train-partner count) from the
+    // standalone pair query and the standalone split query — the screen
+    // must agree exactly with composing its two building blocks
+    val splits = graft.llm.Assembly.l18LeakageSplit(spark, sfDir)
+      .select($"doc_id", $"split")
+    val pairs = graft.llm.Dedup.l2bLshCandidates(spark, sfDir)
+      .select($"doc_a", $"doc_b")
+    val expected = pairs
+      .join(splits.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(splits.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .select(
+        when($"sa" === "train" && $"sb" =!= "train", struct($"doc_b".as("doc_id"), $"sb".as("split")))
+          .when($"sb" === "train" && $"sa" =!= "train", struct($"doc_a".as("doc_id"), $"sa".as("split")))
+          .as("hit"))
+      .filter($"hit".isNotNull)
+      .groupBy($"hit.doc_id".as("doc_id"), $"hit.split".as("split"))
+      .agg(count(lit(1)).as("n_train_dups"))
+    assert(r.join(expected, Seq("doc_id", "split"), "full_outer")
+      .filter(r("n_train_dups").isNull || expected("n_train_dups").isNull
+        || r("n_train_dups") =!= expected("n_train_dups")).count() === 0)
+    r.unpersist()
+  }
 }

@@ -347,6 +347,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("md5(") && p.contains("source"), p)
   }
 
+  test("l19: no exchange carries document text; split map joins on the doc key") {
+    val p = plan(q("l19_split_screen"))
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    // the corpus-scale frames on the wire are (doc_id, band keys) and
+    // (doc_id, split) — the text itself reduces to signatures before any
+    // exchange, same diet as the l2b pipeline this screen reuses
+    assert(hashEx.nonEmpty && !hashEx.exists(_.contains("text")),
+      s"document text rides an exchange:\n$p")
+  }
+
   test("no operator plan contains a cartesian product") {
     val sinkQueries = Set("s5_s6_partitioned_sink", "s7_json_sink", "s2_json_array_scan",
       "s9_clustered_scan")
