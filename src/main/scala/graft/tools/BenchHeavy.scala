@@ -272,7 +272,11 @@ object BenchHeavy {
     "l2d_ngram_jaccard", "l7_tfidf_topterms", "l2e_connected_components",
     "l2b_lsh_candidates", "l4f_repetition_stats", "l4g_quality_filter",
     "l2f_pos", "l2f_gen", "l2f_decontam", "l1_exact_dedup", "l11_source_mix",
-    "q1_pricing_summary", "l1_xxh", "l9_sequence_pack", "l13_corpus_export")
+    "q1_pricing_summary", "l1_xxh", "l9_sequence_pack", "l13_corpus_export",
+    // round 9: the model-scored filter's sf5->sf25 trend — the build pass
+    // is the vocab-sized exchange, the scoring pass is shuffle-free, so
+    // the ratio should track the scan, not the corpus pair volume
+    "l17_unigram_logprob")
 
   /** ANN queries for the sf25 tier: run each in an isolated JVM (see
     * SF25_QUERIES note on cross-query heap contamination). */
