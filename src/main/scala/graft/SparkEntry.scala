@@ -126,6 +126,7 @@ object SparkEntry {
     "l17_unigram_logprob" -> (graft.llm.TextAnalysis.l17UnigramLogprob _),
     "l18_leakage_split" -> (graft.llm.Assembly.l18LeakageSplit _),
     "l19_split_screen" -> (graft.llm.Dedup.l19SplitScreen _),
+    "l20_bpe_pair_count" -> (graft.llm.TextAnalysis.l20BpePairCount _),
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
     "a13_exact_percentiles" -> (Analytics.a13ExactPercentiles _),
     "a11_histogram" -> (Analytics.a11Histogram _),
@@ -133,6 +134,7 @@ object SparkEntry {
     "r8_high_water" -> (graft.streaming.Streams.r8HighWater _),
     "r9_signature_screen" -> (graft.streaming.Streams.r9SignatureScreen _),
     "r10_static_enrich" -> (graft.streaming.Streams.r10StaticEnrich _),
+    "r11_model_score" -> (graft.streaming.Streams.r11ModelScore _),
     "s9_clustered_scan" -> (graft.operators.Etl.s9ClusteredScan _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
@@ -950,6 +952,28 @@ object SparkEntry {
          |  CAST(sum(mn) AS BIGINT) AS sum_micronats,
          |  CAST(sum(mn) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_micronats
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "r11_model_score" ->
+      s"""WITH m AS (SELECT max(doc_id) * 4 // 5 AS cutoff FROM documents),
+         |hist AS (SELECT d.* FROM documents d, m WHERE d.doc_id < m.cutoff),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM hist),
+         |cnts AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts),
+         |vocab AS (SELECT w, cnt FROM cnts
+         |          ORDER BY cnt DESC, w LIMIT ${graft.llm.TextAnalysis.VOCAB_TOP_K}),
+         |vmn AS (SELECT w, CAST(round(ln(CAST(cnt AS DOUBLE) / tot.total)
+         |                             * 1000000) AS BIGINT) AS mn
+         |        FROM vocab CROSS JOIN tot),
+         |oov AS (SELECT CAST(round(ln(0.5 / total) * 1000000) AS BIGINT) AS oov_mn
+         |        FROM tot),
+         |btok AS (SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS w
+         |         FROM documents d, m WHERE d.doc_id >= m.cutoff),
+         |scored AS (
+         |  SELECT b.doc_id, coalesce(v.mn, o.oov_mn) AS mn
+         |  FROM btok b LEFT JOIN vmn v USING (w) CROSS JOIN oov o)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(mn) AS BIGINT) AS sum_micronats,
+         |  CAST(sum(mn) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_micronats
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "l18_leakage_split" ->
       """WITH b AS (
         |  SELECT doc_id, source,
@@ -963,6 +987,15 @@ object SparkEntry {
         |       WHEN bucket < 230 THEN 'valid' ELSE 'test' END AS split,
         |  n_tokens
         |FROM b ORDER BY doc_id""".stripMargin,
+    "l20_bpe_pair_count" ->
+      s"""WITH w AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |p AS (
+         |  SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair
+         |  FROM w WHERE len(w) >= 2)
+         |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+         |ORDER BY cnt DESC, pair
+         |LIMIT ${graft.llm.TextAnalysis.BPE_TOP_PAIRS}""".stripMargin,
     "l4d_token_count" ->
       """SELECT doc_id,
         |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

@@ -183,17 +183,19 @@ object TextAnalysis {
     *
     * OOV tokens (outside top-K) get the floor probability 0.5/total —
     * an add-half smoothing consistent with the model being a cut vocab. */
-  def l17UnigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The fitted model as a ONE-ROW frame (vocab→micronats map, OOV floor).
+    * Quantization happens HERE, once per vocab entry: the broadcast map
+    * carries word -> micronats directly, so the per-token fold is a map
+    * probe + integer add — no ln/round/divide per token (measured 2.4x
+    * DuckDB compute at sf5 with the transcendental inside the fold).
+    * Reused as the static side of the r11 streaming scorer. */
+  def unigramModel(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
     val counts = docs
       .select(explode(split($"text", " ")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum($"cnt").as("total"))
-    // quantize ONCE per vocab entry at model-build time: the broadcast map
-    // carries word -> micronats directly, so the per-token fold is a map
-    // probe + integer add — no ln/round/divide per token (measured 2.4x
-    // DuckDB compute at sf5 with the transcendental inside the fold)
     val mn = (p: org.apache.spark.sql.Column) =>
       round(log(p) * lit(1000000d)).cast("long")
     val vocabMn = counts
@@ -202,8 +204,17 @@ object TextAnalysis {
       .select($"w", mn($"cnt".cast("double") / $"total").as("mn"))
       .agg(map_from_arrays(collect_list($"w"), collect_list($"mn")).as("vmn"))
     val oov = total.select(mn(lit(0.5d) / $"total").as("oov_mn"))
+    vocabMn.crossJoin(oov)
+  }
+
+  /** Score any `(doc_id, text, ...)` frame against a fitted model — one
+    * shuffle-free pass (broadcast singleton + per-row integer fold), so
+    * the same body scores a batch corpus and an unbounded stream. */
+  def scoreWithModel(docs: DataFrame, model: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs
-      .crossJoin(broadcast(vocabMn.crossJoin(oov)))
+      .crossJoin(broadcast(model))
       .withColumn("words", split($"text", " "))
       .select(
         $"doc_id",
@@ -214,7 +225,43 @@ object TextAnalysis {
           .as("sum_micronats"))
       .withColumn("avg_micronats",
         $"sum_micronats".cast("double") / $"n_tokens".cast("double"))
-      .orderBy($"doc_id")
+  }
+
+  def l17UnigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    scoreWithModel(docs, unigramModel(docs)).orderBy($"doc_id")
+  }
+
+  /** Merge candidates kept by [[l20BpePairCount]]. */
+  val BPE_TOP_PAIRS = 50
+
+  /** L20 [EXT]: BPE pair counting — the inner loop of byte-pair-encoding
+    * tokenizer training: count adjacent symbol pairs inside every word
+    * across the corpus; the top pair is the next merge. One training
+    * iteration as a first-class operator (the full loop re-runs it on the
+    * re-segmented corpus; the counting pass is where all the data motion
+    * lives, so it is the part that must be distributed right).
+    *
+    * Plan shape at 100 TB: Generate(words) → Generate(pair positions) →
+    * partial hash-agg, all inside ONE codegen'd map stage — the per-char
+    * row fan-out never crosses a wire because map-side combine collapses
+    * it to the pair alphabet (~|chars|², hundreds) before the only
+    * exchange; the top-K cut is a TakeOrdered over that tiny frame with a
+    * total order (count desc, pair asc), so ties break identically on any
+    * cluster and in the DuckDB oracle. */
+  def l20BpePairCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("w"))
+      // 1-char words have no pairs; the guard also keeps sequence() from
+      // its descending-range behavior when length-1 < 1
+      .filter(length($"w") >= 2)
+      .select($"w", explode(expr("sequence(1, length(w) - 1)")).as("i"))
+      .select(expr("substr(w, i, 2)").as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"pair".asc)
+      .limit(BPE_TOP_PAIRS)
   }
 
   /** L6 [EXT]: deterministic hash-based sampling — the reproducible way to

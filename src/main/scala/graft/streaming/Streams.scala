@@ -327,6 +327,33 @@ object Streams {
       Tables.nation(spark, sfDir)).orderBy($"event_id")
   }
 
+  /** R11 [EXT]: incremental model scoring — continuous ingest scored by a
+    * model fitted to YESTERDAY's corpus: docs below the l2g-style id
+    * cutoff (max*4/5) fit the l17 unigram model; docs at or above it are
+    * "today's batch" and each gets its perplexity-proxy score from the
+    * broadcast (vocab→micronats, OOV floor) singleton. Scoring is a
+    * per-row integer fold (TextAnalysis.scoreWithModel), so in streaming
+    * form the stream side never shuffles and the join holds no state —
+    * r10's stream-static contract with a COMPUTED static side (an
+    * aggregate of the historical corpus, not a dimension table). The
+    * model refresh cadence is the deployment's choice: re-fit nightly,
+    * stream all day against a constant broadcast. */
+  def modelScoreBatch(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("cutoff"))
+    val hist = docs.crossJoin(broadcast(cut)).filter($"doc_id" < $"cutoff")
+    val today = docs.crossJoin(broadcast(cut)).filter($"doc_id" >= $"cutoff")
+      .drop("cutoff")
+    graft.llm.TextAnalysis.scoreWithModel(
+      today, graft.llm.TextAnalysis.unigramModel(hist))
+  }
+
+  def r11ModelScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    modelScoreBatch(Tables.documents(spark, sfDir)).orderBy($"doc_id")
+  }
+
   /** R9 batch form: the l2g signature screen without the corpus split —
     * every doc flags whether an earlier doc (lower id) shares its SimHash
     * signature. Shuffle key = the 16-bit signature, so per-group window

@@ -147,6 +147,27 @@ class CorpusOpsSpec extends SparkSpecBase {
     r.unpersist()
   }
 
+  test("l20: pair counts recount from plain Scala; top cut is total-ordered") {
+    import spark.implicits._
+    val r = graft.llm.TextAnalysis.l20BpePairCount(spark, sfDir)
+      .orderBy($"cnt".desc, $"pair".asc).collect()
+      .map(row => row.getString(0) -> row.getLong(1))
+    // first principles: recount every adjacent char pair in plain Scala
+    val words = Tables.documents(spark, sfDir)
+      .select($"text").collect().flatMap(_.getString(0).split(" "))
+    val all = scala.collection.mutable.Map.empty[String, Long]
+    for (w <- words if w.length >= 2; i <- 0 until w.length - 1) {
+      val p = w.substring(i, i + 2)
+      all(p) = all.getOrElse(p, 0L) + 1L
+    }
+    val expected = all.toSeq
+      .sortBy { case (p, c) => (-c, p) }
+      .take(graft.llm.TextAnalysis.BPE_TOP_PAIRS)
+    assert(r.toSeq === expected)
+    // and every returned pair is exactly 2 chars with a positive count
+    assert(r.forall { case (p, c) => p.length == 2 && c > 0 })
+  }
+
   test("l19: screen recounts from raw pairs x splits; only eval docs reported") {
     import spark.implicits._
     val r = graft.llm.Dedup.l19SplitScreen(spark, sfDir).cache()

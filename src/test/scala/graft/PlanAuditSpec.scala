@@ -357,6 +357,17 @@ class PlanAuditSpec extends SparkSpecBase {
       s"document text rides an exchange:\n$p")
   }
 
+  test("l20: per-char fan-out collapses map-side — only the pair-alphabet exchange") {
+    val p = plan(q("l20_bpe_pair_count"))
+    // the double Generate (words, pair positions) and the partial count
+    // run in one map stage; the sole hash exchange carries the pair key
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size === 1 && hashEx.head.contains("hashpartitioning(pair#"),
+      s"expected one pair-keyed exchange:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine before the exchange:\n$p")
+    assert(p.contains("TakeOrdered"), p)
+  }
+
   test("no operator plan contains a cartesian product") {
     val sinkQueries = Set("s5_s6_partitioned_sink", "s7_json_sink", "s2_json_array_scan",
       "s9_clustered_scan")

@@ -300,6 +300,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(phys.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$phys")
   }
 
+  test("R11 incremental model scoring: stream == batch, constant broadcast model, stateless append") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch body's split: model fitted on the historical corpus, then
+    // "today's" docs streamed against the CONSTANT broadcast model
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val cutoff = docs.agg(expr("max(doc_id) * 4 div 5")).head().getLong(0)
+    val hist = docs.filter($"doc_id" < cutoff)
+    val today = docs.filter($"doc_id" >= cutoff).as[(Long, String)].collect().toSeq
+    assert(today.size >= 2, "fixture must leave a non-trivial today batch")
+    val model = graft.llm.TextAnalysis.unigramModel(hist)
+    val mem = MemoryStream[(Long, String)]
+    val name = "sink_r11_" + System.nanoTime()
+    val q = graft.llm.TextAnalysis
+      .scoreWithModel(mem.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName(name)
+      // append with NO watermark: scoring is stateless by construction —
+      // an aggregation over the stream would be rejected here
+      .outputMode("append").start()
+    mem.addData(today.take(today.size / 2)); q.processAllAvailable()
+    mem.addData(today.drop(today.size / 2)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+    val batch = Streams.modelScoreBatch(docs)
+    assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0)
+    assert(batch.count() === today.size)
+    // scale contract: the model rides a broadcast, never an exchange
+    val phys = batch.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastNestedLoopJoin"), s"model not broadcast:\n$phys")
+  }
+
   test("R1 micro-batch ingest: foreachBatch sees every row exactly once") {
     val sparkS = spark
     import sparkS.implicits._
