@@ -247,7 +247,10 @@ object BenchHeavy {
     // l17 prices the build/apply two-pass shape (vocab-sized exchange +
     // shuffle-free broadcast scoring pass) against DuckDB's unnest+join
     // formulation, which must materialize the per-token frame
-    "l17_unigram_logprob", "l18_leakage_split")
+    "l17_unigram_logprob", "l18_leakage_split",
+    // the contamination screen prices l2b's LSH pass + two thin joins;
+    // BPE pair counting prices the char-level fan-out/collapse claim
+    "l19_split_screen", "l20_bpe_pair_count")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio
