@@ -127,6 +127,8 @@ object SparkEntry {
     "l18_leakage_split" -> (graft.llm.Assembly.l18LeakageSplit _),
     "l19_split_screen" -> (graft.llm.Dedup.l19SplitScreen _),
     "l20_bpe_pair_count" -> (graft.llm.TextAnalysis.l20BpePairCount _),
+    "l21_bpe_learn" -> (graft.llm.TextAnalysis.l21BpeLearn _),
+    "l22_bpe_tokenize" -> (graft.llm.TextAnalysis.l22BpeTokenize _),
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
     "a13_exact_percentiles" -> (Analytics.a13ExactPercentiles _),
     "a11_histogram" -> (Analytics.a11Histogram _),
@@ -267,6 +269,43 @@ object SparkEntry {
        |SELECT c.doc_id, COUNT(DISTINCT c.h) AS n_shared
        |FROM corp c JOIN bench b ON c.h = b.h
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Generated CTEs for the BPE oracles (l21/l22): the learn chain
+    * unrolled — w0 builds the segmented (word, freq) vocabulary; each rank
+    * i contributes p_i (freq-weighted pair counts off w_{i-1}), t_i (the
+    * 1-row argmax under the total order) and, up to `lastW`, w_i (the
+    * vocabulary re-segmented by that merge). `carryW` threads the original
+    * word through every w_i so the apply oracle can join the final
+    * dictionary back onto the corpus. */
+  private def bpeOracleCtes(k: Int, lastW: Int, carryW: Boolean): Seq[String] = {
+    val wCol = if (carryW) "w, " else ""
+    val w0 =
+      s"""w0 AS (
+         |  SELECT ${wCol}chr(31) || regexp_replace(w, '(?s)(.)', '\\1' || chr(31), 'g') AS s, freq FROM (
+         |    SELECT w, CAST(count(*) AS BIGINT) AS freq
+         |    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |    WHERE len(w) >= 2 AND NOT contains(w, chr(31))
+         |    GROUP BY w))""".stripMargin
+    val iters = (1 to k).flatMap { i =>
+      val pair =
+        s"""p$i AS (
+           |  SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest([{'a': syms[i], 'b': syms[i+1]} for i in range(1, len(syms))]) AS u, freq
+           |    FROM (SELECT string_split(substr(s, 2, len(s) - 2), chr(31)) AS syms, freq FROM w${i - 1})
+           |    WHERE len(syms) >= 2)
+           |  GROUP BY u.a, u.b)""".stripMargin
+      val top = s"t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"
+      val next =
+        if (i > lastW) Nil
+        else Seq(
+          s"""w$i AS (
+             |  SELECT ${wCol}replace(s, chr(31) || a || chr(31) || b || chr(31),
+             |                    chr(31) || a || b || chr(31)) AS s, freq
+             |  FROM w${i - 1}, t$i)""".stripMargin)
+      Seq(pair, top) ++ next
+    }
+    w0 +: iters
+  }
 
   def oracleSql: Map[String, String] = baseOracleSql ++ serveOracles
 
@@ -996,6 +1035,36 @@ object SparkEntry {
          |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
          |ORDER BY cnt DESC, pair
          |LIMIT ${graft.llm.TextAnalysis.BPE_TOP_PAIRS}""".stripMargin,
+    // the BPE merge loop unrolled: each rank's CTE trio is one iteration
+    // (pair counts off the re-segmented vocab -> 1-row argmax -> replace);
+    // generated by bpeOracleCtes so the unroll depth always equals
+    // TextAnalysis.BPE_MERGES
+    "l21_bpe_learn" -> {
+      val k = graft.llm.TextAnalysis.BPE_MERGES
+      val union = (1 to k).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS merge_rank, a AS pair_a, b AS pair_b, cnt FROM t$i")
+        .mkString(" UNION ALL ")
+      bpeOracleCtes(k, lastW = k - 1, carryW = false).mkString("WITH ", ",\n", "\n") +
+        s"SELECT * FROM ($union) ORDER BY merge_rank"
+    },
+    // the apply side: the same learn chain carried one replace further and
+    // threaded with the original word, collapsed to a (word -> token count)
+    // dictionary joined back onto the corpus — mirroring the broadcast-join
+    // tokenization the Spark side runs
+    "l22_bpe_tokenize" -> {
+      val k = graft.llm.TextAnalysis.BPE_MERGES
+      val ctes = bpeOracleCtes(k, lastW = k, carryW = true) ++ Seq(
+        s"""dict AS (
+           |  SELECT w, CAST(len(s) - len(replace(s, chr(31), '')) - 1 AS BIGINT) AS n
+           |  FROM w$k)""".stripMargin,
+        """tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)""".stripMargin)
+      ctes.mkString("WITH ", ",\n", "\n") +
+        """SELECT doc_id, CAST(count(*) AS BIGINT) AS ws_tokens,
+          |  CAST(sum(coalesce(n, 1)) AS BIGINT) AS bpe_tokens
+          |FROM tok LEFT JOIN dict USING (w)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "l4d_token_count" ->
       """SELECT doc_id,
         |  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

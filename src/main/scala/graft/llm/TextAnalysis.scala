@@ -264,6 +264,125 @@ object TextAnalysis {
       .limit(BPE_TOP_PAIRS)
   }
 
+  /** Merge iterations learned by [[l21BpeLearn]]. */
+  val BPE_MERGES = 8
+
+  /** Symbol separator inside a segmented word; filtered out of the corpus
+    * so a symbol boundary can never be faked by document content. */
+  private val BPE_SEP = "\u001f"
+
+  /** L21 [EXT]: the full BPE merge loop — learn a ranked merge table over
+    * the corpus, the training step [[l20BpePairCount]] is one iteration
+    * of. Returns (merge_rank, pair_a, pair_b, cnt): at each rank the
+    * most frequent adjacent symbol pair (ties broken by pair text, so
+    * the table is identical on any cluster and in the oracle), which is
+    * then merged into one symbol everywhere before the next rank counts.
+    *
+    * The 100 TB shape is the word-frequency collapse: the corpus is
+    * scanned ONCE into a (word, freq) vocabulary — the only full-data
+    * pass — and all K iterations run on that vocab-sized cached frame
+    * (pair counting weights by freq, exactly how single-node BPE
+    * trainers avoid re-reading the corpus). Each iteration is one tiny
+    * job: per-word pair fan-out, partial agg to the pair alphabet before
+    * the only exchange, a 1-row argmax to the driver (the merge decision
+    * is the loop-carried state, like l2e's fixpoint labels), and a
+    * codegen'd `replace` re-segmenting the cached vocab. Words are
+    * carried as separator-joined symbol strings so re-segmentation is
+    * string replace, not list surgery; merge application is standard
+    * non-overlapping left-to-right replace in BOTH engines (on a run of
+    * the same symbol this defers re-pairing across a replacement
+    * boundary to the next rank — a deliberate, documented deviation from
+    * canonical BPE that makes the semantics engine-exact).
+    *
+    * The pair fan-out uses an interpreted transform lambda — fine here
+    * because it runs on the VOCAB frame (distinct words), not the
+    * corpus; the shingle ladder's 40x lambda tax (BENCHNOTES_HEAVY) is
+    * about per-corpus-row lambdas.
+    */
+  def bpeLearn(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2 && !$"w".contains(BPE_SEP))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      // SEP + a + SEP + b + SEP ...: one separator between every symbol plus
+      // sentinels at both ends, so a merge pattern always matches whole
+      // symbols; (?s) so a stray newline inside a word is still one char
+      .select(
+        concat(lit(BPE_SEP), regexp_replace($"w", "(?s)(.)", "$1" + BPE_SEP)).as("s"),
+        $"freq")
+      .persist()
+    try {
+      var words: DataFrame = vocab
+      val learned = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (rank <- 1 to merges) {
+        val top = words
+          .select(split(expr("substr(s, 2, length(s) - 2)"), BPE_SEP).as("syms"), $"freq")
+          .filter(size($"syms") >= 2)
+          .select(
+            explode(expr(
+              "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))"))
+              .as("p"),
+            $"freq")
+          .groupBy($"p.a".as("a"), $"p.b".as("b"))
+          .agg(sum($"freq").as("cnt"))
+          .orderBy($"cnt".desc, $"a".asc, $"b".asc)
+          .limit(1)
+          .collect()(0)
+        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        learned += ((rank, a, b, cnt))
+        words = words.select(
+          call_function("replace", $"s",
+            lit(BPE_SEP + a + BPE_SEP + b + BPE_SEP),
+            lit(BPE_SEP + a + b + BPE_SEP)).as("s"),
+          $"freq")
+      }
+      learned.toSeq.toDF("merge_rank", "pair_a", "pair_b", "cnt").orderBy($"merge_rank")
+    } finally { vocab.unpersist(false); () }
+  }
+
+  def l21BpeLearn(spark: SparkSession, sfDir: String): DataFrame =
+    bpeLearn(Tables.documents(spark, sfDir), BPE_MERGES)
+
+  /** L22 [EXT]: tokenize the corpus under the LEARNED tokenizer — the
+    * apply side of [[bpeLearn]], producing per-doc token counts (the
+    * compression-ratio stat real pipelines track per tokenizer change).
+    *
+    * The 100 TB shape is learn-once/apply-by-dictionary: segmentation is
+    * a pure per-word function, so the K merges are applied ONCE to the
+    * distinct-word vocabulary and the resulting (word → token count)
+    * dictionary BROADCASTS onto one corpus scan — tokenization is a
+    * broadcast hash join at scan speed, never a re-run of the merge loop
+    * per occurrence, and the only exchange is the per-doc partial agg.
+    * Words outside the vocabulary (length 1 or carrying the separator)
+    * count as one token via the left join's coalesce.
+    */
+  def l22BpeTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val table = bpeLearn(docs, BPE_MERGES).collect()
+    val seg0 = docs.select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2 && !$"w".contains(BPE_SEP))
+      .distinct()
+      .select($"w", concat(lit(BPE_SEP), regexp_replace($"w", "(?s)(.)", "$1" + BPE_SEP)).as("s"))
+    val seg = table.foldLeft(seg0) { (df, m) =>
+      val (a, b) = (m.getString(1), m.getString(2))
+      df.withColumn("s", call_function("replace", $"s",
+        lit(BPE_SEP + a + BPE_SEP + b + BPE_SEP), lit(BPE_SEP + a + b + BPE_SEP)))
+    }
+    // symbols per word = separators - 1 (sentinels at both ends)
+    val dict = seg.select($"w",
+      (length($"s") - length(call_function("replace", $"s", lit(BPE_SEP), lit(""))) - 1)
+        .cast("long").as("n"))
+    docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+      .join(broadcast(dict), Seq("w"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("ws_tokens"),
+        sum(coalesce($"n", lit(1L))).as("bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** L6 [EXT]: deterministic hash-based sampling — the reproducible way to
     * subsample a training corpus (rand() differs per engine/partitioning;
     * a content-keyed hash does not). Stratified: per-language rates, e.g.

@@ -250,7 +250,10 @@ object BenchHeavy {
     "l17_unigram_logprob", "l18_leakage_split",
     // the contamination screen prices l2b's LSH pass + two thin joins;
     // BPE pair counting prices the char-level fan-out/collapse claim
-    "l19_split_screen", "l20_bpe_pair_count")
+    "l19_split_screen", "l20_bpe_pair_count",
+    // the merge LOOP prices K vocab-frame iterations + argmax driver
+    // rounds; tokenize prices the broadcast-dictionary apply scan
+    "l21_bpe_learn", "l22_bpe_tokenize")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio

@@ -168,6 +168,94 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(r.forall { case (p, c) => p.length == 2 && c > 0 })
   }
 
+  /** Sequential single-node BPE with the operator's exact semantics:
+    * vocab collapse, freq-weighted pair counts, (cnt desc, pair asc)
+    * argmax, and single-pass left-to-right `String.replace` merge
+    * application (Java and both engines' `replace` share it). */
+  private def refBpe(docs: Seq[String], k: Int): Seq[(Int, String, String, Long)] = {
+    val S = "\u001f"
+    var vocab: Seq[(String, Long)] = docs.flatMap(_.split(" "))
+      .filter(w => w.length >= 2 && !w.contains(S))
+      .groupBy(identity).toSeq
+      .map { case (w, g) => (S + w.map(c => s"$c$S").mkString) -> g.size.toLong }
+    val out = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to k) {
+      val pairs = collection.mutable.Map.empty[(String, String), Long]
+      for ((s, f) <- vocab) {
+        val syms = s.substring(1, s.length - 1).split(S)
+        if (syms.length >= 2)
+          for (i <- 0 until syms.length - 1) {
+            val key = (syms(i), syms(i + 1))
+            pairs(key) = pairs.getOrElse(key, 0L) + f
+          }
+      }
+      val ((a, b), c) = pairs.toSeq.sortBy { case ((x, y), n) => (-n, x, y) }.head
+      out += ((rank, a, b, c))
+      vocab = vocab.map { case (s, f) => s.replace(S + a + S + b + S, S + a + b + S) -> f }
+    }
+    out.toSeq
+  }
+
+  test("l21: merge table equals the sequential reference; rank 1 is l20's top pair") {
+    import spark.implicits._
+    // corpus chosen so a learned merge feeds a later one (th -> the) AND a
+    // repeated-symbol run ('aaaa') wins a rank, pinning the documented
+    // single-pass replace semantics on runs
+    val corpus = Seq(
+      "the theme thesis brother ethos aaaa",
+      "aaaa aaaa banana bananas weather",
+      "theme the feather aaaa loom bloom banana")
+    val k = 6
+    val got = graft.llm.TextAnalysis.bpeLearn(corpus.map(Tuple1(_)).toDF("text"), k)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val want = refBpe(corpus, k)
+    assert(got === want)
+    // the run-word must actually have been merged at some rank, and at
+    // least one merge must consume an earlier merge's output symbol
+    assert(want.exists { case (_, a, b, _) => a == "a" && b == "a" })
+    assert(want.exists { case (_, a, b, _) => a.length > 1 || b.length > 1 })
+    // on the fixture corpus, rank 1 of the loop IS l20's top pair (l20 is
+    // one iteration of this loop, counted per word instance)
+    val r1 = graft.llm.TextAnalysis.l21BpeLearn(spark, sfDir)
+      .orderBy($"merge_rank").limit(1).collect()(0)
+    val top20 = graft.llm.TextAnalysis.l20BpePairCount(spark, sfDir).limit(1).collect()(0)
+    assert(r1.getString(1) + r1.getString(2) === top20.getString(0))
+    assert(r1.getLong(3) === top20.getLong(1))
+  }
+
+  test("l22: per-doc token counts recompute from the reference tokenizer") {
+    import spark.implicits._
+    val S = "\u001f"
+    val k = graft.llm.TextAnalysis.BPE_MERGES
+    val corpusRows = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // learn with the sequential reference, then apply: segment each
+    // distinct word, run the K merges with String.replace (the operator's
+    // documented semantics), count symbols
+    val merges = refBpe(corpusRows.map(_._2).toSeq, k)
+    val dict = corpusRows.flatMap(_._2.split(" ")).distinct
+      .filter(w => w.length >= 2 && !w.contains(S))
+      .map { w =>
+        val seg0 = S + w.map(c => s"$c$S").mkString
+        val segK = merges.foldLeft(seg0) { case (s, (_, a, b, _)) =>
+          s.replace(S + a + S + b + S, S + a + b + S)
+        }
+        w -> (segK.count(_ == S.head).toLong - 1)
+      }.toMap
+    val expected = corpusRows.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      (id, ws.length.toLong, ws.map(w => dict.getOrElse(w, 1L)).sum)
+    }.sortBy(_._1).toSeq
+    val got = graft.llm.TextAnalysis.l22BpeTokenize(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // the learned merges must actually compress: strictly fewer bpe tokens
+    // than characters for the corpus as a whole
+    val chars = corpusRows.map(_._2.split(" ").map(_.length.toLong).sum).sum
+    assert(got.map(_._3).sum < chars)
+  }
+
   test("l19: screen recounts from raw pairs x splits; only eval docs reported") {
     import spark.implicits._
     val r = graft.llm.Dedup.l19SplitScreen(spark, sfDir).cache()

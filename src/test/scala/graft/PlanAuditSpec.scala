@@ -368,6 +368,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("TakeOrdered"), p)
   }
 
+  test("l22: tokenization is a broadcast-dictionary join; no corpus string shuffle") {
+    val p = plan(q("l22_bpe_tokenize"))
+    // the learned dictionary broadcasts onto the corpus scan — a sort-merge
+    // join here would shuffle every word occurrence at 100 TB
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    // corpus-side exchange carries only (doc_id, partial sums); the w-keyed
+    // exchange under the broadcast subtree is the vocab-sized dict build
+    assert(hashEx.exists(_.contains("doc_id#")), s"missing per-doc agg exchange:\n$p")
+    assert(!hashEx.exists(_.contains("text")), s"document text rides an exchange:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no map-side combine before the doc agg exchange:\n$p")
+  }
+
   test("no operator plan contains a cartesian product") {
     val sinkQueries = Set("s5_s6_partitioned_sink", "s7_json_sink", "s2_json_array_scan",
       "s9_clustered_scan")
