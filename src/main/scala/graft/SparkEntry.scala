@@ -126,6 +126,7 @@ object SparkEntry {
     "l17_unigram_logprob" -> (graft.llm.TextAnalysis.l17UnigramLogprob _),
     "l18_leakage_split" -> (graft.llm.Assembly.l18LeakageSplit _),
     "l19_split_screen" -> (graft.llm.Dedup.l19SplitScreen _),
+    "l23_containment_score" -> (graft.llm.Dedup.l23ContainmentScore _),
     "l20_bpe_pair_count" -> (graft.llm.TextAnalysis.l20BpePairCount _),
     "l21_bpe_learn" -> (graft.llm.TextAnalysis.l21BpeLearn _),
     "l22_bpe_tokenize" -> (graft.llm.TextAnalysis.l22BpeTokenize _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "f15_levenshtein" -> (graft.functions.Scalars.f15Levenshtein _),
     "dq1_quality_profile" -> (Quality.dq1QualityProfile _),
     "u1_latest_wins" -> (Quality.u1LatestWins _),
+    "u2_scd2" -> (Quality.u2Scd2 _),
     "l10_pii_redact" -> (graft.llm.TextAnalysis.l10PiiRedact _),
   )
 
@@ -672,6 +674,34 @@ object SparkEntry {
          |FROM sides s JOIN sp me ON s.doc_id = me.doc_id
          |             JOIN sp op ON s.other = op.doc_id
          |WHERE me.split IN ('valid', 'test') AND op.split = 'train'
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // same span CTEs as l14 + the same split CTE as l19: the eval side's
+    // unnested spans left-join the train split's DISTINCT span set
+    "l23_containment_score" ->
+      s"""WITH sh AS ($duckShingles),
+         |$duckBaseHashes,
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bkt < 205 THEN 'train'
+         |         WHEN bkt < 230 THEN 'valid' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(instr('0123456789abcdef', substr(md5(source), j, 1)) - 1 AS BIGINT)
+         |       for j in range(1, 3)]), (acc, x) -> acc * 16 + x) AS bkt
+         |    FROM documents)),
+         |spans AS (SELECT doc_id, unnest(hs) AS h FROM hashed),
+         |train AS (
+         |  SELECT DISTINCT s.h FROM spans s JOIN sp USING (doc_id)
+         |  WHERE sp.split = 'train'),
+         |ev AS (
+         |  SELECT s.doc_id, sp.split, s.h FROM spans s JOIN sp USING (doc_id)
+         |  WHERE sp.split IN ('valid', 'test'))
+         |SELECT ev.doc_id AS doc_id, ev.split AS split,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
+         |  CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS containment
+         |FROM ev LEFT JOIN train t ON ev.h = t.h
          |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "l2e_connected_components" -> {
       s"""${duckSigs(16).replaceFirst("WITH ", "WITH RECURSIVE ")},
@@ -1408,6 +1438,16 @@ object SparkEntry {
         |QUALIFY ROW_NUMBER() OVER (
         |  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    "u2_scd2" ->
+      """SELECT user_id, event_type,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+        |  event_id, value,
+        |  CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+        |  CAST(LEAD(epoch_us(ts)) OVER w AS BIGINT) AS valid_to_us,
+        |  (LEAD(epoch_us(ts)) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |ORDER BY user_id, event_type, version""".stripMargin,
     "r10_static_enrich" ->
       """SELECT e.event_id, e.user_id, e.event_type,
         |  COALESCE(d.c_name, 'Unknown') AS c_name, d.segment, d.nation

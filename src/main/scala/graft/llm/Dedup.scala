@@ -709,6 +709,35 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** L23 [EXT]: graded containment decontamination — for every eval
+    * (valid/test) document, the FRACTION of its 5-gram spans that occur
+    * anywhere in the train split. l2f/l19 are binary screens (hit / LSH
+    * near-dup); benchmark-decontamination practice also wants the graded
+    * score so the gate can threshold partial overlap (boilerplate vs
+    * verbatim leak) instead of dropping on any single shared span.
+    *
+    * Scale: spans come off the text bytes in the same native one-pass
+    * expression as l14 and ride 8-byte keys everywhere — the split map
+    * joins on doc_id, the train span SET is a distinct-agg on the hash,
+    * and the eval-vs-train membership is a left join on the hash (never
+    * strings, never all-pairs); output is one row per eval doc. */
+  def l23ContainmentScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val splits = Tables.documents(spark, sfDir)
+      .select($"doc_id", Assembly.splitLabel(Assembly.splitBucket).as("split"))
+    val spans = explodedShingleHashesNative(Tables.documents(spark, sfDir), "md5p48")
+      .select($"doc_id", $"sh")
+    val withSplit = spans.join(splits, "doc_id")
+    val trainSpans = withSplit.filter($"split" === "train")
+      .select($"sh").distinct().withColumn("hit", lit(1L))
+    withSplit.filter($"split".isin("valid", "test"))
+      .join(trainSpans, Seq("sh"), "left_outer")
+      .groupBy($"doc_id", $"split")
+      .agg(count(lit(1)).as("n_spans"), sum(coalesce($"hit", lit(0L))).as("n_contained"))
+      .withColumn("containment", $"n_contained".cast("double") / $"n_spans")
+      .orderBy($"doc_id")
+  }
+
   private def ngramJaccardBy(spark: SparkSession, sfDir: String, algo: String): DataFrame = {
     import spark.implicits._
     val sh = explodedShingleHashesNative(Tables.documents(spark, sfDir), algo)

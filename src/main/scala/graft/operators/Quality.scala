@@ -50,4 +50,34 @@ object Quality {
       .select($"user_id", $"event_type", $"event_id", $"value")
       .orderBy($"user_id", $"event_type")
   }
+
+  /** U2 [EXT]: SCD type-2 history build — the full-history companion to
+    * [[u1LatestWins]]: instead of keeping only the latest row per entity
+    * attribute, emit every version with its validity interval
+    * [valid_from, valid_to) — valid_to is the NEXT change's timestamp
+    * (epoch micros, engine-exact), null while current — plus a dense
+    * version number and the is_current flag. Ordering inside an entity is
+    * total (ts, then event_id), so versions are deterministic under ties.
+    *
+    * Scale: one hash exchange on the entity key and a per-partition sort
+    * — identical to u1's merge-on-read shape; lead() needs no second
+    * pass. Pre-bucketing the snapshot on (user_id) removes the exchange
+    * on repeated compactions (BucketingSpec's idiom). History size is
+    * input size: no fan-out, no driver state. */
+  def u2Scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // ordering over the projected micros column (ts orders identically)
+    // so row_number and lead share one partition sort
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"valid_from_us".asc, $"event_id".asc)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"event_id", $"value",
+        expr("unix_micros(ts)").as("valid_from_us"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_us", lead($"valid_from_us", 1).over(w))
+      .withColumn("is_current", $"valid_to_us".isNull)
+      .select($"user_id", $"event_type", $"version", $"event_id", $"value",
+        $"valid_from_us", $"valid_to_us", $"is_current")
+      .orderBy($"user_id", $"event_type", $"version")
+  }
 }

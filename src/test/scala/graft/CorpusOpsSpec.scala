@@ -256,6 +256,43 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got.map(_._3).sum < chars)
   }
 
+  test("l23: containment recounts from raw 5-gram strings x splits") {
+    import spark.implicits._
+    val r = graft.llm.Dedup.l23ContainmentScore(spark, sfDir).cache()
+    // bounds and quotient consistency
+    assert(r.filter($"n_contained" < 0 || $"n_contained" > $"n_spans").count() === 0)
+    assert(r.filter(abs($"containment" * $"n_spans" - $"n_contained") > 1e-9).count() === 0)
+    // first principles: rebuild the split map and the train 5-gram STRING
+    // set in plain Scala, recount every eval doc's contained spans
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    def bucket(src: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def split(src: String): String = {
+      val b = bucket(src)
+      if (b < 205) "train" else if (b < 230) "valid" else "test"
+    }
+    def grams(text: String): Seq[String] = {
+      val w = text.split(" ")
+      if (w.length < 5) Seq.empty
+      else (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).distinct
+    }
+    val train = docs.filter(d => split(d._2) == "train").flatMap(d => grams(d._3)).toSet
+    val expected = docs.filter(d => split(d._2) != "train").flatMap { d =>
+      val g = grams(d._3)
+      if (g.isEmpty) None
+      else Some((d._1, split(d._2), g.size.toLong, g.count(train.contains).toLong))
+    }.sortBy(_._1).toSeq
+    val got = r.collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(got === expected)
+    r.unpersist()
+  }
+
   test("l19: screen recounts from raw pairs x splits; only eval docs reported") {
     import spark.implicits._
     val r = graft.llm.Dedup.l19SplitScreen(spark, sfDir).cache()

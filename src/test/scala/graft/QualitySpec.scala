@@ -126,6 +126,31 @@ class QualitySpec extends SparkSpecBase {
     }
   }
 
+  test("U2 SCD2: intervals chain gaplessly, one current row per entity, u1 = current slice") {
+    import spark.implicits._
+    val h = Quality.u2Scd2(spark, sfDir).cache()
+    // versions dense from 1; valid_from strictly precedes valid_to;
+    // consecutive versions chain exactly (no gap, no overlap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type").orderBy($"version")
+    val chained = h
+      .withColumn("prev_v", lag($"version", 1).over(w))
+      .withColumn("prev_to", lag($"valid_to_us", 1).over(w))
+    assert(chained.filter($"prev_v".isNull && $"version" =!= 1).count() === 0)
+    assert(chained.filter($"prev_v".isNotNull && $"version" =!= $"prev_v" + 1).count() === 0)
+    assert(chained.filter($"prev_to".isNotNull && $"prev_to" =!= $"valid_from_us").count() === 0)
+    assert(h.filter($"valid_to_us".isNotNull && $"valid_to_us" < $"valid_from_us").count() === 0)
+    // exactly one open (current) version per entity attribute
+    assert(h.groupBy($"user_id", $"event_type")
+      .agg(sum(when($"is_current", 1).otherwise(0)).as("open"))
+      .filter($"open" =!= 1).count() === 0)
+    // and u1's latest-wins snapshot is exactly the is_current slice
+    val current = h.filter($"is_current").select($"user_id", $"event_type", $"event_id", $"value")
+    val u1 = Quality.u1LatestWins(spark, sfDir)
+    assert(current.exceptAll(u1).count() === 0 && u1.exceptAll(current).count() === 0)
+    h.unpersist()
+  }
+
   test("L2g incremental screen: flags are internally consistent and non-degenerate") {
     import spark.implicits._
     val out = graft.llm.Dedup.l2gIncrementalSimhash(spark, "/root/testdata/sf0.01")
