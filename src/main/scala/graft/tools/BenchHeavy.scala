@@ -253,7 +253,10 @@ object BenchHeavy {
     "l19_split_screen", "l20_bpe_pair_count",
     // the merge LOOP prices K vocab-frame iterations + argmax driver
     // rounds; tokenize prices the broadcast-dictionary apply scan
-    "l21_bpe_learn", "l22_bpe_tokenize")
+    "l21_bpe_learn", "l22_bpe_tokenize",
+    // the graded containment screen prices the span fan-out plus the
+    // distinct-train set agg and the hash-keyed membership join
+    "l23_containment_score")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio
