@@ -122,6 +122,20 @@ class PropertiesSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", sparkConfTouch)
   }
 
+  test("bpe merge table is partitioning-invariant") {
+    // the loop-carried argmax rides exact counts under a total order, so a
+    // different shuffle layout must reproduce the identical merge table —
+    // the property that lets the same fit run on 32 threads or 4000 cores
+    def table(): Seq[(Int, String, String, Long)] =
+      graft.llm.TextAnalysis.l21BpeLearn(spark, sfDir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val a = table()
+    val touched = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try assert(a === table())
+    finally spark.conf.set("spark.sql.shuffle.partitions", touched)
+  }
+
   test("property: native shingle hashing equals a reference implementation on random texts") {
     // pure-function property (no Spark plan): the byte-scan reimplements
     // split-on-' ' (limit -1) + sliding k-gram + join + first-occurrence
