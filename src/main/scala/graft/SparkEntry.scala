@@ -127,6 +127,7 @@ object SparkEntry {
     "l18_leakage_split" -> (graft.llm.Assembly.l18LeakageSplit _),
     "l19_split_screen" -> (graft.llm.Dedup.l19SplitScreen _),
     "l23_containment_score" -> (graft.llm.Dedup.l23ContainmentScore _),
+    "l24_segment_dedup" -> (graft.llm.Dedup.l24SegmentDedup _),
     "l20_bpe_pair_count" -> (graft.llm.TextAnalysis.l20BpePairCount _),
     "l21_bpe_learn" -> (graft.llm.TextAnalysis.l21BpeLearn _),
     "l22_bpe_tokenize" -> (graft.llm.TextAnalysis.l22BpeTokenize _),
@@ -703,6 +704,23 @@ object SparkEntry {
          |    AS containment
          |FROM ev LEFT JOIN train t ON ev.h = t.h
          |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    "l24_segment_dedup" -> {
+      val w = graft.llm.Dedup.SEGMENT_WORDS
+      s"""WITH segs AS (
+         |  SELECT doc_id, i, array_to_string(ws[(i*$w+1):(i*$w+$w)], ' ') AS seg
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |       unnest(generate_series(CAST(0 AS BIGINT),
+         |         CAST(ceil(len(ws) / $w.0) AS BIGINT) - 1)) AS t(i)),
+         |k AS (
+         |  SELECT doc_id, i, seg,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(seg) ORDER BY doc_id, i) AS rn
+         |  FROM segs)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY i), '')
+         |    AS cleaned_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "l2e_connected_components" -> {
       s"""${duckSigs(16).replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$duckBands,

@@ -738,6 +738,48 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Segment width (words) for [[l24SegmentDedup]] — matches the span
+    * family's 5-gram unit; at this width the fixture corpus actually
+    * contains cross-document duplicates, so the drop path is exercised
+    * by the oracle, not just declared. */
+  val SEGMENT_WORDS = 5
+
+  /** L24 [EXT]: segment-level dedup with document reassembly — the C4
+    * "discard any line that appears more than once in the dataset" step,
+    * at sub-document granularity the doc-level l1 and the span COUNTER
+    * l14 don't cover: documents split into aligned SEGMENT_WORDS-word
+    * blocks; a segment text duplicated anywhere in the corpus keeps only
+    * its first occurrence (min (doc_id, position) — total order, so the
+    * survivor is identical on any cluster and in the oracle); each doc
+    * re-emerges as its kept segments in order plus kept/total counts.
+    *
+    * Scale: the only corpus-wide exchange is keyed by md5(segment) (the
+    * first-occurrence window), and the reassembly groups by doc_id — the
+    * same two-exchange shape as l7; segment text rides the exchanges
+    * once each, never pairwise (a production variant would shuffle an
+    * 8-byte xxh64 key and resolve the survivor like l7's dictionary). */
+  def l24SegmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val W = SEGMENT_WORDS
+    val segs = Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(ws) / $W.0) as int) - 1)," +
+          s" i -> array_join(slice(ws, i * $W + 1, $W), ' '))")))
+      .toDF("doc_id", "i", "seg")
+    val firstWins = Window.partitionBy(md5($"seg")).orderBy($"doc_id".asc, $"i".asc)
+    segs
+      .withColumn("rn", row_number().over(firstWins))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ",
+          array_sort(collect_list(when($"rn" === 1, struct($"i", $"seg"))))
+            .getField("seg")).as("cleaned_text"))
+      .orderBy($"doc_id")
+  }
+
   private def ngramJaccardBy(spark: SparkSession, sfDir: String, algo: String): DataFrame = {
     import spark.implicits._
     val sh = explodedShingleHashesNative(Tables.documents(spark, sfDir), algo)

@@ -293,6 +293,33 @@ class CorpusOpsSpec extends SparkSpecBase {
     r.unpersist()
   }
 
+  test("l24: segment dedup recomputes from plain Scala; the drop path fires") {
+    import spark.implicits._
+    val W = graft.llm.Dedup.SEGMENT_WORDS
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    // global first-occurrence rule replayed sequentially in (doc_id, i)
+    // order — exactly the operator's total order
+    val seen = collection.mutable.Set.empty[String]
+    val expected = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val segs = ws.grouped(W).map(_.mkString(" ")).toSeq
+      val kept = segs.filter(s => seen.add(s))
+      (id, segs.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }.toSeq
+    val got = graft.llm.Dedup.l24SegmentDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === expected)
+    // the dedup must actually drop segments on the fixture, and a doc with
+    // no duplicates must round-trip its text unchanged
+    assert(expected.map(_._3).sum < expected.map(_._2).sum)
+    val untouched = expected.filter { case (_, n, k, _) => n == k }
+    assert(untouched.nonEmpty)
+    val byId = docs.toMap
+    untouched.foreach { case (id, _, _, cleaned) => assert(cleaned === byId(id)) }
+  }
+
   test("l19: screen recounts from raw pairs x splits; only eval docs reported") {
     import spark.implicits._
     val r = graft.llm.Dedup.l19SplitScreen(spark, sfDir).cache()
