@@ -383,6 +383,17 @@ class PlanAuditSpec extends SparkSpecBase {
       s"no map-side combine before the doc agg exchange:\n$p")
   }
 
+  test("l24: exactly the two declared exchanges — segment window, then doc regroup") {
+    val p = plan(q("l24_segment_dedup"))
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    // the scale claim is "two exchanges regardless of corpus size": the
+    // md5(segment)-keyed first-occurrence window and the doc_id reassembly
+    assert(hashEx.size === 2, s"expected exactly two hash exchanges:\n$p")
+    assert(hashEx.exists(_.contains("md5")) || p.contains("md5"),
+      s"first-occurrence window not keyed by the segment digest:\n$p")
+    assert(hashEx.exists(_.contains("doc_id#")), s"missing doc_id regroup exchange:\n$p")
+  }
+
   test("no operator plan contains a cartesian product") {
     val sinkQueries = Set("s5_s6_partitioned_sink", "s7_json_sink", "s2_json_array_scan",
       "s9_clustered_scan")
