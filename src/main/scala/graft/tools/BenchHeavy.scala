@@ -443,6 +443,16 @@ object BenchHeavy {
     val out = if (only.isEmpty) "target/bench_heavy.json"
               else "target/bench_heavy.subset.json"
     graft.BenchUtil.writeArtifact(out, line)
+    // every run ALSO appends here: the subset file is last-run-wins, which
+    // made the sf25 protocol unrecoverable once its isolated-JVM runs were
+    // overwritten — regenerating BENCHNOTES_SF25 meant re-running l3g_sized
+    // at ~190s/pass. The log keeps each JSON line; feed the relevant lines
+    // to tools/merge_bench.py to rebuild a tier without re-measuring.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_heavy_runs.jsonl"),
+      (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
   }
 }
