@@ -279,7 +279,15 @@ object SparkEntry {
     * 1-row argmax under the total order) and, up to `lastW`, w_i (the
     * vocabulary re-segmented by that merge). `carryW` threads the original
     * word through every w_i so the apply oracle can join the final
-    * dictionary back onto the corpus. */
+    * dictionary back onto the corpus.
+    *
+    * Exhaustion caveat (mirrors bpeLearn's early stop): if the corpus ran
+    * out of adjacent pairs before rank k, the engine stops early and
+    * returns fewer ranks, while this unroll's empty t_i CTEs would
+    * cascade to fewer rows in a shape-dependent way — the two sides are
+    * only comparable on a corpus that sustains all k merges, which the
+    * fixture does (CorpusOpsSpec pins the engine-side early stop on a
+    * synthetic exhausting frame instead). */
   private def bpeOracleCtes(k: Int, lastW: Int, carryW: Boolean): Seq[String] = {
     val wCol = if (carryW) "w, " else ""
     val w0 =

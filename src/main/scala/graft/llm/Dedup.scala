@@ -753,30 +753,55 @@ object Dedup {
     * survivor is identical on any cluster and in the oracle); each doc
     * re-emerges as its kept segments in order plus kept/total counts.
     *
-    * Scale: the only corpus-wide exchange is keyed by md5(segment) (the
-    * first-occurrence window), and the reassembly groups by doc_id — the
-    * same two-exchange shape as l7; segment text rides the exchanges
-    * once each, never pairwise (a production variant would shuffle an
-    * 8-byte xxh64 key and resolve the survivor like l7's dictionary). */
+    * Scale — the shuffle diet is the operator (l1_xxh posture, one level
+    * down): segment text is hashed to an 8-byte xxhash64 key in the SCAN
+    * projection and dropped before any exchange, so
+    *
+    *  1. the corpus-wide first-occurrence decision is `min(struct(doc_id,
+    *     i))` grouped by the key — map-side partial min collapses each
+    *     task to its distinct segments before the only corpus-keyed
+    *     exchange, which carries 24-byte (key, doc_id, i) rows;
+    *  2. kept positions regroup by doc_id (16-byte rows);
+    *  3. survivor text is RESOLVED, not shipped: one join back to the
+    *     documents scan re-slices the kept segments from each doc's own
+    *     word array (the survivor of a duplicate segment is byte-equal
+    *     text, so every keeper resolves locally from its own document) —
+    *     the only exchange that ever carries text, and only because the
+    *     operator's OUTPUT is the cleaned corpus.
+    *
+    * Versus the window form this replaces (row_number over md5-hex with
+    * full segment text riding two exchanges): at 100 TB that ships the
+    * corpus twice; this ships 24-byte rows plus the output once.
+    * PlanAuditSpec pins the shape. Collisions: 64-bit key, same stance as
+    * l1_xxh — the oracle partitions by the segment TEXT, so the hash-exact
+    * driver compare doubles as the collision check. */
   def l24SegmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val W = SEGMENT_WORDS
-    val segs = Tables.documents(spark, sfDir)
+    // digest AFTER the explode (the l4f idiom): the interpreted transform
+    // lambda only builds the cheap segment string; xxhash64 evaluates in
+    // the codegen'd projection, and the string dies before any exchange
+    val keys = Tables.documents(spark, sfDir)
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", posexplode(expr(
         s"transform(sequence(0, cast(ceil(size(ws) / $W.0) as int) - 1)," +
           s" i -> array_join(slice(ws, i * $W + 1, $W), ' '))")))
       .toDF("doc_id", "i", "seg")
-    val firstWins = Window.partitionBy(md5($"seg")).orderBy($"doc_id".asc, $"i".asc)
-    segs
-      .withColumn("rn", row_number().over(firstWins))
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_segs"),
-        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
-        concat_ws(" ",
-          array_sort(collect_list(when($"rn" === 1, struct($"i", $"seg"))))
-            .getField("seg")).as("cleaned_text"))
+      .select($"doc_id", $"i", xxhash64($"seg").as("k"))
+    val keptPos = keys
+      .groupBy($"k").agg(min(struct($"doc_id", $"i")).as("f"))
+      .groupBy($"f.doc_id".as("doc_id"))
+      .agg(sort_array(collect_list($"f.i")).as("kept_is"),
+        count(lit(1)).as("n_kept"))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .join(keptPos, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        expr(s"cast(ceil(size(ws) / $W.0) as bigint)").as("n_segs"),
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce(expr(
+          s"array_join(transform(kept_is, i -> array_join(slice(ws, i * $W + 1, $W), ' ')), ' ')"),
+          lit("")).as("cleaned_text"))
       .orderBy($"doc_id")
   }
 

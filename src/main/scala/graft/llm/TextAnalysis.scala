@@ -177,7 +177,7 @@ object TextAnalysis {
     * libm and the JVM (the hazard l7 avoids by never calling ln): a
     * 1-ulp slip moves ln(p)*1e6 by ~1e-9, so it only matters if some
     * vocab value lands that close to a .5 rounding boundary —
-    * QualityLmSpec asserts every distinct (cnt, total) value keeps a
+    * CorpusOpsSpec asserts every distinct (cnt, total) value keeps a
     * >1e-6 margin, making the quantization provably engine-stable for
     * the fixture and loudly checkable for any future corpus.
     *
@@ -267,6 +267,19 @@ object TextAnalysis {
   /** Merge iterations learned by [[l21BpeLearn]]. */
   val BPE_MERGES = 8
 
+  /** Checkpoint cadence for [[bpeLearn]]'s re-segmented vocab: each rank
+    * stacks one `replace` projection on the cached frame, so without
+    * truncation rank k re-optimizes a k-deep plan — harmless at K=8,
+    * quadratic planning cost at a production 32k-merge vocabulary. Every
+    * N ranks the vocab is localCheckpoint'ed (eager), cutting the lineage
+    * back to a constant-depth RDD scan; the checkpoint is vocab-sized
+    * (the collapsed word-frequency frame, NOT the corpus), and superseded
+    * checkpoints are unreferenced after the next rotation, so the
+    * ContextCleaner reclaims them. CorpusOpsSpec proves the ladder binds
+    * (plan depth stays flat across 64 ranks) and that it is pure
+    * mechanism (K=8 merges are byte-identical at any cadence). */
+  val BPE_CHECKPOINT_EVERY = 100
+
   /** Symbol separator inside a segmented word; filtered out of the corpus
     * so a symbol boundary can never be faked by document content. */
   private val BPE_SEP = "\u001f"
@@ -298,8 +311,25 @@ object TextAnalysis {
     * because it runs on the VOCAB frame (distinct words), not the
     * corpus; the shingle ladder's 40x lambda tax (BENCHNOTES_HEAVY) is
     * about per-corpus-row lambdas.
+    *
+    * Exhaustion: a corpus can run out of adjacent pairs before `merges`
+    * ranks (tiny vocab, or every word fully merged into one symbol) —
+    * the loop then stops early and returns the ranks learned so far.
+    * The unrolled-CTE oracle degenerates compatibly only because the
+    * fixture never exhausts (CorpusOpsSpec pins the early stop on a
+    * synthetic frame); a production caller sizing K against a small
+    * corpus gets a short table, not an exception.
     */
-  def bpeLearn(docs: DataFrame, merges: Int): DataFrame = {
+  def bpeLearn(docs: DataFrame, merges: Int,
+               checkpointEvery: Int = BPE_CHECKPOINT_EVERY): DataFrame =
+    bpeLearnProbed(docs, merges, checkpointEvery, _ => ())
+
+  /** [[bpeLearn]] with a per-rank probe observing the loop-carried vocab
+    * frame — the seam CorpusOpsSpec uses to assert the checkpoint ladder
+    * keeps plan depth bounded. Test-only; semantics identical. */
+  private[graft] def bpeLearnProbed(docs: DataFrame, merges: Int,
+                                    checkpointEvery: Int,
+                                    probe: DataFrame => Unit): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val vocab = docs
@@ -316,7 +346,9 @@ object TextAnalysis {
     try {
       var words: DataFrame = vocab
       val learned = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      for (rank <- 1 to merges) {
+      var rank = 1
+      var exhausted = false
+      while (rank <= merges && !exhausted) {
         val top = words
           .select(split(expr("substr(s, 2, length(s) - 2)"), BPE_SEP).as("syms"), $"freq")
           .filter(size($"syms") >= 2)
@@ -329,14 +361,25 @@ object TextAnalysis {
           .agg(sum($"freq").as("cnt"))
           .orderBy($"cnt".desc, $"a".asc, $"b".asc)
           .limit(1)
-          .collect()(0)
-        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-        learned += ((rank, a, b, cnt))
-        words = words.select(
-          call_function("replace", $"s",
-            lit(BPE_SEP + a + BPE_SEP + b + BPE_SEP),
-            lit(BPE_SEP + a + b + BPE_SEP)).as("s"),
-          $"freq")
+          .collect()
+          .headOption
+        top match {
+          case None => exhausted = true // no adjacent pair left: stop early
+          case Some(row) =>
+            val (a, b, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+            learned += ((rank, a, b, cnt))
+            words = words.select(
+              call_function("replace", $"s",
+                lit(BPE_SEP + a + BPE_SEP + b + BPE_SEP),
+                lit(BPE_SEP + a + b + BPE_SEP)).as("s"),
+              $"freq")
+            // lineage ladder: cut the stacked replace chain back to a
+            // constant-depth scan every N ranks (see BPE_CHECKPOINT_EVERY)
+            if (checkpointEvery > 0 && rank % checkpointEvery == 0)
+              words = words.localCheckpoint()
+            probe(words)
+            rank += 1
+        }
       }
       learned.toSeq.toDF("merge_rank", "pair_a", "pair_b", "cnt").orderBy($"merge_rank")
     } finally { vocab.unpersist(false); () }

@@ -223,6 +223,39 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(r1.getLong(3) === top20.getLong(1))
   }
 
+  test("l21: pair exhaustion stops early with the ranks learned so far") {
+    import spark.implicits._
+    // vocab {ab, cd}: rank 1 merges a+b (freq 4), rank 2 merges c+d, then
+    // no adjacent pair remains anywhere — the loop must return 2 ranks,
+    // not throw on the empty argmax (bpeLearn takes arbitrary frames)
+    val tiny = Seq("ab ab ab", "ab cd").map(Tuple1(_)).toDF("text")
+    val got = graft.llm.TextAnalysis.bpeLearn(tiny, merges = 10).collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      === Seq((1, "a", "b", 4L), (2, "c", "d", 1L)))
+  }
+
+  test("l21: checkpoint ladder bounds plan depth without changing the merges") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"text")
+    // pure mechanism: the K=8 oracle-checked table is byte-identical under
+    // an aggressive cadence
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rows(graft.llm.TextAnalysis.bpeLearn(docs, 8, checkpointEvery = 2))
+      === rows(graft.llm.TextAnalysis.bpeLearn(docs, 8)))
+    // the ladder binds: each rank stacks one replace projection, so the
+    // logical plan of the loop-carried vocab grows by one node per rank —
+    // with cadence 8 over 64 ranks, node count must never exceed the
+    // first (pre-checkpoint) window's maximum; unladdered it would reach
+    // first-window max + ~56 by rank 64 (the silent quadratic this pins)
+    val depths = collection.mutable.ArrayBuffer.empty[Int]
+    graft.llm.TextAnalysis.bpeLearnProbed(docs, 64, checkpointEvery = 8,
+      w => depths += w.queryExecution.logical.collect { case n => n }.size)
+    assert(depths.size === 64, s"fixture exhausted at rank ${depths.size}")
+    assert(depths.max <= depths.take(8).max,
+      s"plan depth grew past the checkpoint window: ${depths.mkString(",")}")
+  }
+
   test("l22: per-doc token counts recompute from the reference tokenizer") {
     import spark.implicits._
     val S = "\u001f"

@@ -383,15 +383,37 @@ class PlanAuditSpec extends SparkSpecBase {
       s"no map-side combine before the doc agg exchange:\n$p")
   }
 
-  test("l24: exactly the two declared exchanges — segment window, then doc regroup") {
-    val p = plan(q("l24_segment_dedup"))
-    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    // the scale claim is "two exchanges regardless of corpus size": the
-    // md5(segment)-keyed first-occurrence window and the doc_id reassembly
-    assert(hashEx.size === 2, s"expected exactly two hash exchanges:\n$p")
-    assert(hashEx.exists(_.contains("md5")) || p.contains("md5"),
-      s"first-occurrence window not keyed by the segment digest:\n$p")
-    assert(hashEx.exists(_.contains("doc_id#")), s"missing doc_id regroup exchange:\n$p")
+  test("l24: dedup exchanges carry 8-byte keys; segment text never rides one") {
+    val df = q("l24_segment_dedup")
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted mode prints each Exchange with the attributes riding it:
+    //   (n) Exchange
+    //   Input [m]: [k#12L, doc_id#0L, ...]
+    //   Arguments: hashpartitioning(k#12L, 4), ENSURE_REQUIREMENTS, ...
+    val blocks = fmt.split("\n\n").toSeq.filter(_.linesIterator.next().endsWith(" Exchange"))
+    def line(b: String, p: String) = b.linesIterator.find(_.startsWith(p)).getOrElse("")
+    val hashEx = blocks.filter(b => line(b, "Arguments").contains("hashpartitioning"))
+    // the corpus-wide dedup exchange: keyed by the xxhash64 key, carrying
+    // (k, doc_id, i) ONLY — the old window form shipped full segment text
+    // under a 32-char md5 hex key here
+    val dedupEx = hashEx.filter(b => line(b, "Arguments").contains("hashpartitioning(k#"))
+    assert(dedupEx.nonEmpty, s"no key-partitioned dedup exchange:\n$fmt")
+    for (b <- dedupEx; bad <- Seq("seg", "ws#", "text"))
+      assert(!line(b, "Input").contains(bad), s"segment text rides the dedup exchange:\n$b")
+    // text appears in at most ONE hash exchange: the docs side of the
+    // output-resolving join (partitioned by doc_id, text ships once)
+    val textEx = hashEx.filter(b =>
+      Seq("seg", "ws#", "text").exists(line(b, "Input").contains))
+    assert(textEx.size <= 1, s"text rides ${textEx.size} hash exchanges:\n$fmt")
+    textEx.foreach(b => assert(line(b, "Arguments").contains("hashpartitioning(doc_id#"),
+      s"text exchange not the doc_id join side:\n$b"))
+    // map-side combine collapses each task to its distinct segments before
+    // the dedup exchange; no md5-hex keys, no window operator anywhere
+    assert(fmt.contains("partial_min"), s"no map-side partial min:\n$fmt")
+    assert(!fmt.contains("md5"), s"md5 hex key survived the rework:\n$fmt")
+    assert(!fmt.contains("RunningWindowFunction") && !blocks.exists(_.contains("Window")),
+      s"window operator in the plan:\n$fmt")
   }
 
   test("no operator plan contains a cartesian product") {
