@@ -216,6 +216,143 @@ object Assembly {
       .orderBy($"doc_id")
   }
 
+  /** l13b segment screen: minimum fraction of a doc's SEGMENT_WORDS-word
+    * segments that must be corpus-first-occurrences (the l24 rule) for the
+    * doc to survive — docs mostly made of text duplicated elsewhere are
+    * boilerplate, not signal. 0.8 exercises the drop path on the fixture's
+    * planted cross-doc segments without starving later stages. */
+  val EXPORT_SEG_KEEP_MIN = 0.8
+
+  /** l13b graded decontamination: maximum fraction of a doc's distinct
+    * 5-gram spans that may appear in the held-out benchmark set (l23's
+    * containment metric). Graded — unlike l13's any-hit anti-join, one
+    * incidental shared idiom does not nuke a document; the fixture's
+    * planted near-verbatim contaminations sit near 1.0 and are dropped. */
+  val EXPORT_CONTAM_MAX = 0.2
+
+  /** L13b [EXT]: corpus export v2 — the full training-data assembly the
+    * round-9 operators exist for, composed into ONE declarative plan:
+    *
+    *  1. quality gate (l13's: distinct-word ratio ≥ EXPORT_MIN_QUALITY,
+    *     token band) — per-row codegen on the scan;
+    *  2. exact dedup — l1_xxh as a pure HASH ROLLUP: min doc_id per
+    *     xxhash64(text), a 16-byte-row exchange (unlike l13, no survivor
+    *     row ever rides the dedup shuffle — see the manifest note below);
+    *  3. segment screen — l24's first-occurrence rule over the winners'
+    *     aligned 5-word segments, as a keep-fraction filter
+    *     (≥ EXPORT_SEG_KEEP_MIN): 24-byte (doc_id, i, key) rows only;
+    *  4. graded decontam — l23's containment metric against the held-out
+    *     bench set (doc_id < 50): distinct-span md5p48 keys, bench set
+    *     broadcast, drop docs with containment > EXPORT_CONTAM_MAX;
+    *  5. domain cap — l16's best-first per-source quota (WindowGroupLimit
+    *     partial top-K, ships O(sources × cap) rows);
+    *  6. leakage-safe split — l18's exprs VERBATIM (the shipped
+    *     assignment, not a re-derivation), zero-shuffle;
+    *  7. language mix — l13's temperature-0.5 rates over the capped
+    *     survivors, broadcast;
+    *  8. pack — l9's exclusive-running-total per (source, shard); split
+    *     is a function of source, so the stratum is unchanged by 6.
+    *
+    * The 100 TB posture: this emits the export MANIFEST (doc_id →
+    * split/shard/pack assignment), not the corpus — so unlike l13, whose
+    * dedup window must ship survivor rows, NO stage here ever puts
+    * document text on an exchange: every decision plane rides 8-byte
+    * hashes plus ids (PlanAuditSpec machine-checks no exchange input
+    * carries text/words), and the text itself ships exactly once, in the
+    * sink that joins the manifest back at write time (clusteredWrite —
+    * S9's job, not the planner's). Catalyst fuses the gate into all three
+    * scan branches and chains the per-doc decision joins on one doc_id
+    * partitioning. */
+  def l13bCorpusExportV2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.ShingleHashes.register(spark)
+    val K = graft.llm.Dedup.SHINGLE_K
+    val W = graft.llm.Dedup.SEGMENT_WORDS
+    val docs = Tables.documents(spark, sfDir)
+
+    // 1: quality gate, shared by every branch (text consumed map-side)
+    val gated = docs
+      .filter($"doc_id" >= 50)
+      .withColumn("ws", split($"text", " "))
+      .withColumn("n_words", size($"ws").cast("long"))
+      .withColumn("n_distinct", size(array_distinct($"ws")).cast("long"))
+      .withColumn("qratio", $"n_distinct".cast("double") / $"n_words")
+      .filter($"qratio" >= EXPORT_MIN_QUALITY && $"n_words".between(5, 2000))
+
+    // 2: exact-dedup winners — a 16-byte hash rollup, never the rows
+    val winners = gated
+      .groupBy(xxhash64($"text").as("h")).agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+
+    // 3: segment screen over the winners (l24 rule; l4f digest-after-
+    // explode idiom keeps xxhash64 in the codegen'd projection)
+    val segKeys = gated
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(ws) / $W.0) as int) - 1)," +
+          s" i -> array_join(slice(ws, i * $W + 1, $W), ' '))")))
+      .toDF("doc_id", "i", "seg")
+      .select($"doc_id", $"i", xxhash64($"seg").as("k"))
+      .join(winners, "doc_id")
+    val segOk = segKeys
+      .groupBy($"k").agg(min(struct($"doc_id", $"i")).as("f"))
+      .groupBy($"f.doc_id".as("doc_id")).agg(count(lit(1)).as("n_kept"))
+      .join(segKeys.groupBy($"doc_id").agg(count(lit(1)).as("n_segs")), "doc_id")
+      .filter($"n_kept".cast("double") / $"n_segs" >= EXPORT_SEG_KEEP_MIN)
+      .select($"doc_id")
+
+    // 4: graded decontam — distinct-span keys vs the broadcast bench set
+    val bench = docs.filter($"doc_id" < 50)
+      .select(explode(expr(s"shingle_hashes(text, $K, 'md5p48')")).as("sh"))
+      .distinct().withColumn("hit", lit(1L))
+    val contamBad = gated
+      .select($"doc_id", explode(expr(s"shingle_hashes(text, $K, 'md5p48')")).as("sh"))
+      .join(broadcast(bench), Seq("sh"), "left_outer")
+      .groupBy($"doc_id")
+      .agg((sum(coalesce($"hit", lit(0L))).cast("double") / count(lit(1))).as("contam"))
+      .filter($"contam" > EXPORT_CONTAM_MAX)
+      .select($"doc_id")
+
+    // 2+3+4 assemble the kept manifest on one doc_id partitioning
+    val kept = gated
+      .select($"doc_id", $"lang", $"source", $"n_words".as("tokens"),
+        ($"qratio" * 0.7 +
+          when($"n_words".between(20, 1000), 0.3).otherwise(0.0)).as("cap_score"))
+      .join(winners, "doc_id")
+      .join(segOk, "doc_id")
+      .join(contamBad, Seq("doc_id"), "left_anti")
+
+    // 5: domain cap (l16's Filter-over-Window shape → WindowGroupLimit)
+    val bySource = Window.partitionBy($"source")
+      .orderBy($"cap_score".desc, $"doc_id".asc)
+    val capped = kept
+      .withColumn("rk", row_number().over(bySource))
+      .filter($"rk" <= graft.llm.TextAnalysis.DOMAIN_CAP)
+      .select($"doc_id", $"lang", $"source", $"tokens")
+
+    // 6: the l18 split assignment, verbatim exprs
+    val withSplit = capped.withColumn("split", splitLabel(splitBucket))
+
+    // 7: language mix over the capped survivors
+    val counts = withSplit.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min($"n_lang").as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select($"lang",
+        sqrt($"n_min".cast("double") / $"n_lang".cast("double")).as("rate"))
+    val mixed = withSplit
+      .join(broadcast(rates), "lang")
+      .filter(bucket256.cast("double") < $"rate" * 256d)
+
+    // 8: pack (split = f(source), so the l9 stratum is unchanged)
+    val wP = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mixed
+      .withColumn("shard", bucket256 % PACK_SHARDS)
+      .withColumn("pack_id",
+        (coalesce(sum($"tokens").over(wP), lit(0L)) / PACK_BUDGET).cast("long"))
+      .select($"doc_id", $"lang", $"source", $"split", $"tokens", $"shard", $"pack_id")
+      .orderBy($"doc_id")
+  }
+
   /** Chunk width / stride in words. Width models a context budget the way
     * PACK_BUDGET does (raise to 2048+ in production); stride < width gives
     * the 25% overlap RAG indexers keep so no answer span is cut at a

@@ -29,6 +29,25 @@ import org.json4s.jackson.JsonMethods
   */
 object Http {
 
+  /** Conf values that reproduce the reference's politeness budgets
+    * exactly, as (rate, jitterFrac) pairs for [[Throttle.paced]] — the
+    * deployment defaults a parity-faithful scrape sets on
+    * `spark.graft.source.maxRowsPerSecond` / `rateJitter`:
+    *
+    *  - inter-page: 2000 ms + U[0, 1000] ms (main.rs:139-141,
+    *    utils/time.rs:4-7) = mean 2500 ms on support [2000, 3000] —
+    *    `paced(0.4, 0.2)` has the same mean and the same support
+    *    (2500 ms × (1 ± 0.2)), both uniform;
+    *  - inter-vendor: 1500 ms + U[0, 1000] ms (services/vendor.rs:33,44)
+    *    = mean 2000 ms on [1500, 2500] — `paced(0.5, 0.25)`.
+    *
+    * HttpSourceSpec pins both schedules against these constants (fake
+    * clock) and drives the page budget through [[s3LiveScan]] live. */
+  val REF_PAGE_RATE = 0.4
+  val REF_PAGE_JITTER = 0.2
+  val REF_VENDOR_RATE = 0.5
+  val REF_VENDOR_JITTER = 0.25
+
   /** The reference's four-browser client pool (clients/pool.rs:14-19).
     * One `HttpClient` per identity; `pick(i)` round-robins. */
   val USER_AGENTS: Seq[String] = Seq(

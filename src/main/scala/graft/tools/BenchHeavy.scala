@@ -256,7 +256,12 @@ object BenchHeavy {
     "l21_bpe_learn", "l22_bpe_tokenize",
     // the graded containment screen prices the span fan-out plus the
     // distinct-train set agg and the hash-keyed membership join
-    "l23_containment_score")
+    "l23_containment_score",
+    // round 10: segment dedup prices the 8-byte-key shuffle diet (keys
+    // through the dedup exchange, text only in the output join); SCD2
+    // prices the change-detection window + interval assembly; the v2
+    // export flagship prices all eight decision planes fused in one plan
+    "l24_segment_dedup", "u2_scd2", "l13b_corpus_export_v2")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio
@@ -285,7 +290,11 @@ object BenchHeavy {
     // round 9: the model-scored filter's sf5->sf25 trend — the build pass
     // is the vocab-sized exchange, the scoring pass is shuffle-free, so
     // the ratio should track the scan, not the corpus pair volume
-    "l17_unigram_logprob")
+    "l17_unigram_logprob",
+    // round 10: the cross-split contamination screen — its pair volume is
+    // LSH-bucket-bound (l2b banding), so the sf5->sf25 ratio tests the
+    // bucket-diet claim where collision volume grows fastest
+    "l19_split_screen")
 
   /** ANN queries for the sf25 tier: run each in an isolated JVM (see
     * SF25_QUERIES note on cross-query heap contamination). */

@@ -353,6 +353,85 @@ class CorpusOpsSpec extends SparkSpecBase {
     untouched.foreach { case (id, _, _, cleaned) => assert(cleaned === byId(id)) }
   }
 
+  test("l13b: manifest recomputes from plain Scala; every graded screen fires") {
+    import spark.implicits._
+    val A = graft.llm.Assembly
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(2), 16)
+    // 1: quality gate (raw strings throughout — proves the engine's
+    // hash-keyed planes are faithful to the text-level rules)
+    case class M(id: Long, lang: String, source: String, tokens: Long,
+                 score: Double, text: String, ws: Array[String])
+    val gated = docs.flatMap { case (id, lang, src, text) =>
+      val ws = text.split(" ", -1)
+      val ratio = ws.distinct.length.toDouble / ws.length
+      if (id >= 50 && ratio >= A.EXPORT_MIN_QUALITY
+          && ws.length >= 5 && ws.length <= 2000)
+        Some(M(id, lang, src, ws.length.toLong,
+          ratio * 0.7 + (if (ws.length >= 20 && ws.length <= 1000) 0.3 else 0.0),
+          text, ws))
+      else None
+    }.toSeq
+    // 2: exact winners — min doc_id per text
+    val winners = gated.groupBy(_.text).map(_._2.minBy(_.id).id).toSet
+    // 3: l24 keep-fraction over winners in (doc_id, position) order
+    val W = graft.llm.Dedup.SEGMENT_WORDS
+    val seen = collection.mutable.Set.empty[String]
+    val segFrac = gated.filter(m => winners(m.id)).sortBy(_.id).map { m =>
+      val segs = m.ws.grouped(W).map(_.mkString(" ")).toSeq
+      m.id -> segs.count(s => seen.add(s)).toDouble / segs.size
+    }.toMap
+    // 4: l23 containment vs the raw-string bench span set
+    def grams(ws: Array[String]): Seq[String] =
+      if (ws.length < 5) Seq.empty
+      else (0 to ws.length - 5).map(i => ws.slice(i, i + 5).mkString(" ")).distinct
+    val bench = docs.filter(_._1 < 50).flatMap(d => grams(d._4.split(" ", -1))).toSet
+    val contam = gated.map(m =>
+      m.id -> { val g = grams(m.ws); g.count(bench.contains).toDouble / g.size }).toMap
+    val kept = gated.filter(m => winners(m.id)
+      && segFrac(m.id) >= A.EXPORT_SEG_KEEP_MIN
+      && contam(m.id) <= A.EXPORT_CONTAM_MAX)
+    // 5-8: cap, split, mix, pack
+    val capped = kept.groupBy(_.source).values.flatMap(
+      _.sortBy(m => (-m.score, m.id)).take(graft.llm.TextAnalysis.DOMAIN_CAP)).toSeq
+    def splitOf(src: String): String = {
+      val b = bucket(src)
+      if (b < 205) "train" else if (b < 230) "valid" else "test"
+    }
+    val nLang = capped.groupBy(_.lang).map { case (l, ms) => l -> ms.size }
+    val nMin = nLang.values.min
+    val rate = nLang.map { case (l, n) => l -> math.sqrt(nMin.toDouble / n) }
+    val mixed = capped.filter(m => bucket(m.id.toString).toDouble < rate(m.lang) * 256)
+    val expected = mixed
+      .groupBy(m => (m.source, bucket(m.id.toString) % A.PACK_SHARDS))
+      .values.flatMap { ms =>
+        var cum = 0L
+        ms.sortBy(_.id).map { m =>
+          val pid = cum / A.PACK_BUDGET
+          cum += m.tokens
+          (m.id, m.lang, m.source, splitOf(m.source), m.tokens,
+            bucket(m.id.toString) % A.PACK_SHARDS, pid)
+        }
+      }.toSeq.sortBy(_._1)
+    val got = A.l13bCorpusExportV2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+    // every graded screen must actually fire on the fixture (the exact-dup
+    // winners screen is structural: the fixture plants no duplicate TEXTS,
+    // only duplicate segments — l24/l1 cover that rule's drop path)
+    assert(segFrac.values.exists(_ < A.EXPORT_SEG_KEEP_MIN), "segment screen idle")
+    assert(contam.values.exists(_ > A.EXPORT_CONTAM_MAX), "decontam screen idle")
+    assert(capped.size < kept.size, "domain cap idle")
+    assert(mixed.size < capped.size, "language mix idle")
+    assert(got.map(_._4).distinct.size === 3, "a split went missing")
+  }
+
   test("l19: screen recounts from raw pairs x splits; only eval docs reported") {
     import spark.implicits._
     val r = graft.llm.Dedup.l19SplitScreen(spark, sfDir).cache()

@@ -86,6 +86,84 @@ class HttpSourceSpec extends SparkSpecBase {
     } finally server.stop(0)
   }
 
+  test("politeness parity: the reference's delay budgets, as schedules and live") {
+    import graft.sources.Throttle
+    // schedule parity under a fake clock: the reference sleeps
+    // base + U[0, w] between requests; paced(rate, jit) spaces by
+    // mean*(1 ± jit) — Http's REF_* constants are exactly the pairs with
+    // the same support and the same mean, asserted here against the
+    // BASELINE.md budgets (both distributions uniform)
+    class FakeClock { var now = 0L; def sleep(n: Long): Unit = { assert(n > 0); now += n } }
+    def gaps(rate: Double, jit: Double): Vector[Long] = {
+      val c = new FakeClock; var rel = Vector.empty[Long]
+      Throttle.paced((1 to 400).iterator, rate, jit, seed = 11L,
+        nanoTime = () => c.now, sleep = c.sleep _).foreach(_ => rel :+= c.now)
+      rel.sliding(2).map(p => p(1) - p(0)).toVector
+    }
+    val ms = 1000000L
+    val pg = gaps(Http.REF_PAGE_RATE, Http.REF_PAGE_JITTER)
+    assert(pg.forall(g => g >= 2000 * ms && g <= 3000 * ms), // main.rs:139-141
+      s"page gap outside the 2000+U[0,1000]ms budget: ${pg.min}..${pg.max}")
+    assert(math.abs(pg.sum.toDouble / pg.length - 2500.0 * ms) < 0.02 * 2500 * ms)
+    val vd = gaps(Http.REF_VENDOR_RATE, Http.REF_VENDOR_JITTER)
+    assert(vd.forall(g => g >= 1500 * ms && g <= 2500 * ms), // vendor.rs:33,44
+      s"vendor gap outside the 1500+U[0,1000]ms budget: ${vd.min}..${vd.max}")
+    assert(math.abs(vd.sum.toDouble / vd.length - 2000.0 * ms) < 0.02 * 2000 * ms)
+    // live: the page budget wired through the conf seam must space
+    // consecutive same-partition page requests by the reference's 2s
+    // floor, measured at the server (one real paced gap per partition)
+    val arrivals = new ConcurrentHashMap[Long, java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]]()
+    val par = spark.sparkContext.defaultParallelism
+    val pageSz = 5
+    val nPages = 2 * par // two pages per partition -> one paced gap each
+    val nItems = nPages * pageSz
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/listing", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val t = System.nanoTime()
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2); k -> v
+          }.toMap
+        val offset = params("offset").toLong
+        arrivals.computeIfAbsent(offset,
+          _ => new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]()).add(t)
+        val items = (offset until math.min(offset + params("limit").toInt, nItems.toLong))
+          .map(i => s"""{"code":"v$i","name":"vendor $i"}""")
+        val body =
+          s"""{"available_count":$nItems,"returned_count":${items.size},
+             |"items":[${items.mkString(",")}]}""".stripMargin
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}/listing"
+    spark.conf.set("spark.graft.source.maxRowsPerSecond", Http.REF_PAGE_RATE.toString)
+    spark.conf.set("spark.graft.source.rateJitter", Http.REF_PAGE_JITTER.toString)
+    try {
+      val rows = Http.s3LiveScan(spark, base, pageSize = pageSz,
+        maxAttempts = 2, baseDelayMs = 1L, timeoutMs = 5000L).collect()
+      assert(rows.length === nItems)
+      for (p <- 0 until par) {
+        val first = arrivals.get(pageSz.toLong * (2 * p))
+        val second = arrivals.get(pageSz.toLong * (2 * p + 1))
+        assert(first != null && second != null, s"partition $p pages not fetched")
+        // last arrival of the first page (page 0 is also probed by the
+        // driver before the job) to the first arrival of the second
+        val gap = second.get(0) - first.get(first.size - 1)
+        assert(gap >= 1900 * ms, s"partition $p paced gap only ${gap / ms}ms")
+        assert(gap <= 15000 * ms, s"partition $p implausible gap ${gap / ms}ms")
+      }
+    } finally {
+      server.stop(0)
+      spark.conf.set("spark.graft.source.maxRowsPerSecond", "0")
+      spark.conf.set("spark.graft.source.rateJitter", "0.2")
+    }
+  }
+
   test("live point lookup: misses kept as NULL rows, transients retried in-plan") {
     val detailHits = new ConcurrentHashMap[String, AtomicInteger]()
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)

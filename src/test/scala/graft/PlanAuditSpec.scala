@@ -12,6 +12,18 @@ class PlanAuditSpec extends SparkSpecBase {
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
   private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
 
+  /** Formatted explain: each Exchange prints the attributes riding it —
+    *   (n) Exchange
+    *   Input [m]: [k#12L, doc_id#0L, ...]
+    *   Arguments: hashpartitioning(k#12L, 4), ENSURE_REQUIREMENTS, ...
+    * — the payload-level audit the tree string can't give. */
+  private def fmtPlan(df: DataFrame): String = df.queryExecution.explainString(
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  private def exchangeBlocks(fmt: String): Seq[String] =
+    fmt.split("\n\n").toSeq.filter(_.linesIterator.next().endsWith(" Exchange"))
+  private def blockLine(b: String, prefix: String): String =
+    b.linesIterator.find(_.startsWith(prefix)).getOrElse("")
+
   test("q1: shipdate predicate is pushed to the parquet scan") {
     val p = plan(q("q1_pricing_summary"))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
@@ -385,15 +397,9 @@ class PlanAuditSpec extends SparkSpecBase {
 
   test("l24: dedup exchanges carry 8-byte keys; segment text never rides one") {
     val df = q("l24_segment_dedup")
-    val fmt = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // formatted mode prints each Exchange with the attributes riding it:
-    //   (n) Exchange
-    //   Input [m]: [k#12L, doc_id#0L, ...]
-    //   Arguments: hashpartitioning(k#12L, 4), ENSURE_REQUIREMENTS, ...
-    val blocks = fmt.split("\n\n").toSeq.filter(_.linesIterator.next().endsWith(" Exchange"))
-    def line(b: String, p: String) = b.linesIterator.find(_.startsWith(p)).getOrElse("")
-    val hashEx = blocks.filter(b => line(b, "Arguments").contains("hashpartitioning"))
+    val fmt = fmtPlan(df)
+    def line(b: String, p: String) = blockLine(b, p)
+    val hashEx = exchangeBlocks(fmt).filter(b => line(b, "Arguments").contains("hashpartitioning"))
     // the corpus-wide dedup exchange: keyed by the xxhash64 key, carrying
     // (k, doc_id, i) ONLY — the old window form shipped full segment text
     // under a 32-char md5 hex key here
@@ -412,8 +418,26 @@ class PlanAuditSpec extends SparkSpecBase {
     // the dedup exchange; no md5-hex keys, no window operator anywhere
     assert(fmt.contains("partial_min"), s"no map-side partial min:\n$fmt")
     assert(!fmt.contains("md5"), s"md5 hex key survived the rework:\n$fmt")
-    assert(!fmt.contains("RunningWindowFunction") && !blocks.exists(_.contains("Window")),
+    assert(!fmt.contains("RunningWindowFunction") && !exchangeBlocks(fmt).exists(_.contains("Window")),
       s"window operator in the plan:\n$fmt")
+  }
+
+  test("l13b: the export manifest never puts document text on an exchange") {
+    val df = q("l13b_corpus_export_v2")
+    val fmt = fmtPlan(df)
+    // unlike l13 (whose dedup window must ship survivor rows), the v2
+    // manifest's decision planes ride hashes + ids ONLY — at 100 TB text
+    // ships once, in the sink join, never through the planner's shuffles
+    val hashEx = exchangeBlocks(fmt)
+      .filter(b => blockLine(b, "Arguments").contains("hashpartitioning"))
+    assert(hashEx.nonEmpty, fmt)
+    for (b <- hashEx; bad <- Seq("text", "ws#", "seg"))
+      assert(!blockLine(b, "Input").contains(bad),
+        s"corpus text rides a hash exchange:\n$b")
+    // bench span set + language rates broadcast; the domain cap keeps its
+    // partial WindowGroupLimit (O(sources x cap) rows to the shuffle)
+    assert(fmt.contains("BroadcastExchange"), fmt)
+    assert(fmt.contains("WindowGroupLimit") && fmt.contains("Partial"), fmt)
   }
 
   test("no operator plan contains a cartesian product") {
