@@ -130,6 +130,7 @@ object SparkEntry {
     "l23_containment_score" -> (graft.llm.Dedup.l23ContainmentScore _),
     "l24_segment_dedup" -> (graft.llm.Dedup.l24SegmentDedup _),
     "l20_bpe_pair_count" -> (graft.llm.TextAnalysis.l20BpePairCount _),
+    "l25_heavy_hitters" -> (graft.llm.TextAnalysis.l25HeavyHitters _),
     "l21_bpe_learn" -> (graft.llm.TextAnalysis.l21BpeLearn _),
     "l22_bpe_tokenize" -> (graft.llm.TextAnalysis.l22BpeTokenize _),
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
@@ -1092,6 +1093,19 @@ object SparkEntry {
          |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
          |ORDER BY cnt DESC, pair
          |LIMIT ${graft.llm.TextAnalysis.BPE_TOP_PAIRS}""".stripMargin,
+    // the two-pass Misra-Gries heavy hitters are EXACT (sketch only
+    // prunes candidates; pass 2 recounts them), so the oracle is the
+    // plain top-K the operator avoids computing via a key-space shuffle
+    "l25_heavy_hitters" ->
+      s"""WITH t AS (
+         |  SELECT string_split(text, ' ') AS ws FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |b AS (
+         |  SELECT ws[i] || ' ' || ws[i + 1] AS bg
+         |  FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i))
+         |SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bg
+         |ORDER BY cnt DESC, bg
+         |LIMIT ${graft.llm.TextAnalysis.HH_TOPK}""".stripMargin,
     // the BPE merge loop unrolled: each rank's CTE trio is one iteration
     // (pair counts off the re-segmented vocab -> 1-row argmax -> replace);
     // generated by bpeOracleCtes so the unroll depth always equals

@@ -622,4 +622,78 @@ object TextAnalysis {
       .select($"doc_id", $"source", $"quality_score", $"rk".cast("long").as("rk"))
       .orderBy($"source", $"rk")
   }
+
+  /** Misra–Gries sketch capacity (candidates kept per partition) for
+    * [[l25HeavyHitters]]. Sized BELOW the fixture's bigram key space
+    * (916 distinct) so the eviction path genuinely runs, while keeping
+    * the admission bound N/capacity under the top-K counts so the
+    * two-pass result is provably exact (CorpusOpsSpec asserts both). */
+  val HH_CAPACITY = 768
+
+  /** Top-K reported by [[l25HeavyHitters]]. */
+  val HH_TOPK = 20
+
+  /** One partition's Misra–Gries pass (Misra & Gries 1982, "Finding
+    * repeated elements"): at most `capacity` counters; a full sketch
+    * meeting an untracked key decrements every counter (amortized O(1)
+    * per element — each decrement-all consumes capacity+1 count mass, so
+    * there are at most N/(capacity+1) of them). Survivors are the
+    * partition's candidates: any key with partition count > N_p/capacity
+    * is guaranteed present. */
+  private[graft] def mgCandidates(it: Iterator[String], capacity: Int): Iterator[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    while (it.hasNext) {
+      val w = it.next()
+      m.get(w) match {
+        case Some(c) => m.update(w, c + 1)
+        case None if m.size < capacity => m.update(w, 1L)
+        case None =>
+          m.mapValuesInPlace((_, c) => c - 1)
+          m.filterInPlace((_, c) => c > 0)
+      }
+    }
+    m.keysIterator
+  }
+
+  /** L25 [EXT]: EXACT corpus-scale heavy hitters — the top-[[HH_TOPK]]
+    * most frequent word bigrams (l4f's boilerplate unit) by the classic
+    * two-pass sketch-then-recount, the shape frequency mining over an
+    * OPEN key domain (n-grams, URLs, hosts) needs at 100 TB, where the
+    * obvious full-vocabulary groupBy shuffles an unbounded distinct key
+    * space:
+    *
+    *  - pass 1: each partition runs [[mgCandidates]] over its bigrams —
+    *    bounded memory, zero shuffle of the key space; pigeonhole lifts
+    *    the per-partition guarantee to the union (Σ_p N_p/cap = N/cap,
+    *    so a key with global count > N/cap beats N_p/cap somewhere and
+    *    survives that sketch). Candidate volume ≤ partitions × capacity.
+    *  - pass 2: candidates broadcast onto a second scan; only candidate
+    *    keys are counted, so after map-side partial agg the one exchange
+    *    carries ≤ |candidates| keys, and TakeOrdered yields the top-K
+    *    with no global sort.
+    *
+    * The result is exact — hence DuckDB-oracle-able against a plain
+    * GROUP BY top-K — whenever the K-th count exceeds N/capacity;
+    * CorpusOpsSpec asserts that margin on the fixture (top-20 ≈ 43
+    * occurrences vs N/768 ≈ 36) and that the sketch actually evicts
+    * (916 distinct bigrams > 768 counters). The margin ratio is
+    * replication-invariant, so it holds unchanged at the heavy tiers. */
+  def l25HeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def bigrams = Tables.documents(spark, sfDir)
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(words) - 1), i -> concat(words[i-1], ' ', words[i]))"))
+        .as("bg"))
+    val candidates = bigrams.as[String]
+      .mapPartitions(it => mgCandidates(it, HH_CAPACITY))
+      .distinct()
+      .toDF("bg")
+    bigrams
+      .join(broadcast(candidates), "bg")
+      .groupBy($"bg").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"bg".asc)
+      .limit(HH_TOPK)
+  }
 }

@@ -261,7 +261,11 @@ object BenchHeavy {
     // through the dedup exchange, text only in the output join); SCD2
     // prices the change-detection window + interval assembly; the v2
     // export flagship prices all eight decision planes fused in one plan
-    "l24_segment_dedup", "u2_scd2", "l13b_corpus_export_v2")
+    "l24_segment_dedup", "u2_scd2", "l13b_corpus_export_v2",
+    // the two-pass Misra-Gries heavy hitters price the sketch-then-
+    // recount trade (two scans + candidate-bounded exchange) against
+    // DuckDB's one-shot full-vocabulary aggregate
+    "l25_heavy_hitters")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio

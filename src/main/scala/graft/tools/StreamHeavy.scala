@@ -32,6 +32,10 @@ object StreamHeavy {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/target/bench_heavy/sf5")
     val filesPerTrigger = if (args.length > 1) args(1).toInt else 4
+    // per-tier artifact (3rd arg): the sf25 run must not clobber the sf5
+    // one — BENCHNOTES_HEAVY renders the sf5 file, BENCHNOTES_SF25 the
+    // sf25 one (the last-run-wins clobbering bit round 9's sf25 protocol)
+    val out = if (args.length > 2) args(2) else "target/stream_heavy.json"
     val spark = MakeHeavy.session()
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -87,10 +91,24 @@ object StreamHeavy {
       run("r9_signature_screen", fileStream("documents", docsSchema), df =>
         graft.streaming.Streams.signatureScreenStream(
           graft.llm.Dedup.simhashed(df).select($"doc_id", $"simhash")
-            .as[graft.streaming.ScreenDoc])))
+            .as[graft.streaming.ScreenDoc])),
+      // the STATELESS pair: no state store at all (state_rows stays 0) —
+      // what these rows price is the per-trigger re-plan + re-broadcast of
+      // the static side, the cost model of every stream-static topology
+      run("r10_static_enrich", fileStream("events", eventsSchema), df =>
+        graft.streaming.Streams.staticEnrich(df,
+          spark.read.parquet(s"$dir/customer.parquet"),
+          spark.read.parquet(s"$dir/nation.parquet"))),
+      // r11: the broadcast static side is COMPUTED (the l17 unigram model
+      // fitted to the at-rest corpus), re-derived per trigger exactly as a
+      // nightly-refit deployment would pin it
+      run("r11_model_score", fileStream("documents", docsSchema), df =>
+        graft.llm.TextAnalysis.scoreWithModel(df,
+          graft.llm.TextAnalysis.unigramModel(
+            spark.read.parquet(s"$dir/documents.parquet")))))
 
     val json = lines.mkString("[", ",\n", "]")
-    graft.BenchUtil.writeArtifact("target/stream_heavy.json", json)
+    graft.BenchUtil.writeArtifact(out, json)
     println(json)
     spark.stop()
   }

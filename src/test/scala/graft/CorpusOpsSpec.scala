@@ -432,6 +432,41 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got.map(_._4).distinct.size === 3, "a split went missing")
   }
 
+  test("l25: heavy hitters recount exactly; the sketch evicts and the margin holds") {
+    import spark.implicits._
+    val T = graft.llm.TextAnalysis
+    val texts = Tables.documents(spark, sfDir).select($"text").collect().map(_.getString(0))
+    val bgs = texts.flatMap { t =>
+      val ws = t.split(" ", -1)
+      if (ws.length < 2) Nil else ws.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val counts = bgs.groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val expected = counts.toSeq.sortBy { case (b, c) => (-c, b) }.take(T.HH_TOPK)
+    val got = T.l25HeavyHitters(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got === expected)
+    // the exactness precondition: the K-th count clears the admission
+    // bound N/capacity, so no true heavy hitter can have been pruned
+    assert(expected.last._2 > bgs.length.toDouble / T.HH_CAPACITY,
+      s"margin broke: ${expected.last._2} vs N/cap=${bgs.length.toDouble / T.HH_CAPACITY}")
+    // and the sketch genuinely evicted (key space exceeds capacity) — a
+    // capacity above the vocabulary would make pass 1 a no-op
+    assert(counts.size > T.HH_CAPACITY,
+      s"bigram vocabulary ${counts.size} no longer exceeds HH_CAPACITY")
+  }
+
+  test("l25: Misra-Gries admission guarantee on a skewed synthetic stream") {
+    // any key with count > N/capacity is a candidate, whatever the order
+    val rnd = new scala.util.Random(42)
+    val stream = rnd.shuffle(
+      Seq.fill(600)("hot1") ++ Seq.fill(300)("hot2") ++ (1 to 2000).map(i => s"cold$i"))
+    val cap = 16
+    val cands = graft.llm.TextAnalysis.mgCandidates(stream.iterator, cap).toSet
+    // N = 2900, N/cap ~ 181: both hot keys are guaranteed survivors
+    assert(cands.contains("hot1") && cands.contains("hot2"), cands.toString)
+    assert(cands.size <= cap)
+  }
+
   test("l19: screen recounts from raw pairs x splits; only eval docs reported") {
     import spark.implicits._
     val r = graft.llm.Dedup.l19SplitScreen(spark, sfDir).cache()

@@ -440,6 +440,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(fmt.contains("WindowGroupLimit") && fmt.contains("Partial"), fmt)
   }
 
+  test("l25: recount exchange is candidate-bounded; no key-space shuffle") {
+    val p = plan(q("l25_heavy_hitters"))
+    // pass 2: candidates broadcast onto the scan, partial count before the
+    // (candidate-sized) exchange, top-K without a global sort
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    // exactly two hash exchanges, both bounded by partitions x capacity:
+    // the candidate distinct and the candidate recount — the raw bigram
+    // key space never shuffles
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2, p)
+  }
+
   test("no operator plan contains a cartesian product") {
     val sinkQueries = Set("s5_s6_partitioned_sink", "s7_json_sink", "s2_json_array_scan",
       "s9_clustered_scan")
