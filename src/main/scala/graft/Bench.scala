@@ -44,7 +44,7 @@ object Bench {
     val names = queries.keys.toSeq
     // warmup sweep: JIT + codegen compile, file-listing caches; untimed
     names.foreach { n =>
-      try queries(n)(spark, sfDir).count() catch { case _: Throwable => () }
+      try BenchUtil.force(queries(n)(spark, sfDir)) catch { case _: Throwable => () }
     }
     // samples(name) = successful wall times, one per sweep at most
     val samples = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
@@ -53,7 +53,7 @@ object Bench {
       val s0 = System.nanoTime()
       names.foreach { n =>
         val t0 = System.nanoTime()
-        val ok = try { queries(n)(spark, sfDir).count(); true }
+        val ok = try { BenchUtil.force(queries(n)(spark, sfDir)); true }
                  catch { case _: Throwable => false }
         if (ok) samples(n) :+= (System.nanoTime() - t0) / 1e9
       }

@@ -3,6 +3,20 @@ package graft
 /** Shared bits of the Bench/BenchHeavy sweep harnesses. */
 object BenchUtil {
 
+  /** Force FULL evaluation for timing: a noop-sink write materializes
+    * every output column of every row. `.count()` — the forcing both
+    * harnesses used through round 9 — lets Catalyst optimize the plan
+    * ABOVE the count: a cardinality-preserving left join is eliminated
+    * outright (l24 measured as a bare scan), a final window with no rank
+    * filter is dropped (l9/u2), and even aggregate VALUE expressions
+    * under a groupBy are pruned to their keys — while the DuckDB column
+    * of every BENCHNOTES table fetches all rows. tools/ForceProbe
+    * measured the skew at sf0.1: 1.1-2.7x per query. Round-10 artifacts
+    * are regenerated under this forcing; absolute times are therefore
+    * NOT comparable to earlier rounds' tables. */
+  def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   /** LOWER median: with an even sample count (a sweep failed) and one
     * contaminated slow sample among the survivors, the upper-middle pick
     * would select the contaminated one — prefer the uncontaminated side.

@@ -131,6 +131,8 @@ object SparkEntry {
     "l24_segment_dedup" -> (graft.llm.Dedup.l24SegmentDedup _),
     "l20_bpe_pair_count" -> (graft.llm.TextAnalysis.l20BpePairCount _),
     "l25_heavy_hitters" -> (graft.llm.TextAnalysis.l25HeavyHitters _),
+    "l3l_pq_train" -> (graft.llm.Similarity.l3lPqTrain _),
+    "l3m_pq_topk" -> (graft.llm.Similarity.l3mPqTopk _),
     "l21_bpe_learn" -> (graft.llm.TextAnalysis.l21BpeLearn _),
     "l22_bpe_tokenize" -> (graft.llm.TextAnalysis.l22BpeTokenize _),
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
@@ -290,6 +292,53 @@ object SparkEntry {
     * only comparable on a corpus that sustains all k merges, which the
     * fixture does (CorpusOpsSpec pins the engine-side early stop on a
     * synthetic exhausting frame instead). */
+  /** Generated CTEs for the PQ oracles (l3l/l3m): Lloyd's k-means per
+    * subspace unrolled PQ_ITERS times (the l21 idiom) over the BIGINT
+    * micro-quantized dims — TRUNC ≡ Spark's truncating cast (the l8
+    * convention), assignment ties to the lowest centroid id, centroid
+    * update = trunc(double(sum)/count) (sums ≪ 2^53, so the double
+    * division is bit-identical in both engines), and an empty cluster
+    * keeps its previous centroid via the LEFT JOIN coalesce. */
+  private def pqOracle(finalSelect: String => String): String = {
+    val sub = graft.llm.Similarity.PQ_SUB
+    val k = graft.llm.Similarity.PQ_K
+    val sc = graft.llm.Similarity.PQ_SCALE
+    def assign(cn: String) =
+      s"""a_$cn AS (
+         |  SELECT v.vec_id, v.m, c.c,
+         |    CAST(sum((v.qv - c.cent) * (v.qv - c.cent)) AS BIGINT) AS dist
+         |  FROM dims v JOIN $cn c ON v.m = c.m AND v.d = c.d
+         |  GROUP BY 1, 2, 3),
+         |s_$cn AS (
+         |  SELECT vec_id, m, c FROM (
+         |    SELECT a.*, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |      ORDER BY dist, c) AS rn FROM a_$cn a)
+         |  WHERE rn = 1)""".stripMargin
+    def update(cn: String, nn: String) =
+      s"""u_$nn AS (
+         |  SELECT s.m, s.c, v.d,
+         |    CAST(TRUNC(CAST(CAST(sum(v.qv) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cent
+         |  FROM s_$cn s JOIN dims v ON v.vec_id = s.vec_id AND v.m = s.m
+         |  GROUP BY 1, 2, 3),
+         |$nn AS (
+         |  SELECT c0.m, c0.c, c0.d, COALESCE(u.cent, p.cent) AS cent
+         |  FROM c0 JOIN $cn p ON c0.m = p.m AND c0.c = p.c AND c0.d = p.d
+         |  LEFT JOIN u_$nn u ON c0.m = u.m AND c0.c = u.c AND c0.d = u.d)""".stripMargin
+    val fin = s"c${graft.llm.Similarity.PQ_ITERS}"
+    val iters = (1 to graft.llm.Similarity.PQ_ITERS).flatMap { i =>
+      Seq(assign(s"c${i - 1}"), update(s"c${i - 1}", s"c$i"))
+      // one more assignment over the FINAL codebook = the shipped codes
+    } :+ assign(fin)
+    (Seq(
+      s"""q AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         |    CAST(TRUNC(CAST(unnest(embedding) AS DOUBLE) * $sc) AS BIGINT) AS qv
+         |  FROM embeddings)""".stripMargin,
+      s"dims AS (SELECT vec_id, pos // $sub AS m, pos % $sub AS d, qv FROM q)",
+      s"c0 AS (SELECT m, vec_id AS c, d, qv AS cent FROM dims WHERE vec_id < $k)")
+      ++ iters).mkString("WITH ", ",\n", "\n") + finalSelect(fin)
+  }
+
   private def bpeOracleCtes(k: Int, lastW: Int, carryW: Boolean): Seq[String] = {
     val wCol = if (carryW) "w, " else ""
     val w0 =
@@ -1106,6 +1155,23 @@ object SparkEntry {
          |SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bg
          |ORDER BY cnt DESC, bg
          |LIMIT ${graft.llm.TextAnalysis.HH_TOPK}""".stripMargin,
+    // the PQ codebook TRAINING checked hash-exactly (Lloyd unrolled, the
+    // l21 idiom) — integer fixed-point makes k-means engine-deterministic
+    "l3l_pq_train" ->
+      pqOracle(fin => s"SELECT m, c, d, cent FROM $fin ORDER BY m, c, d"),
+    // ADC search: codes from the final assignment, query subvectors vs
+    // the named centroids, exact BIGINT distance sums
+    "l3m_pq_topk" -> {
+      val qid = graft.llm.Similarity.PQ_QUERY_ID
+      pqOracle(fin =>
+        s"""SELECT cd.vec_id,
+           |  CAST(sum((qr.qv - c.cent) * (qr.qv - c.cent)) AS BIGINT) AS adc_dist
+           |FROM s_$fin cd
+           |JOIN $fin c ON c.m = cd.m AND c.c = cd.c
+           |JOIN (SELECT m, d, qv FROM dims WHERE vec_id = $qid) qr
+           |  ON qr.m = c.m AND qr.d = c.d
+           |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)
+    },
     // the BPE merge loop unrolled: each rank's CTE trio is one iteration
     // (pair counts off the re-segmented vocab -> 1-row argmax -> replace);
     // generated by bpeOracleCtes so the unroll depth always equals

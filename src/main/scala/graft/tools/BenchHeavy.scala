@@ -265,7 +265,10 @@ object BenchHeavy {
     // the two-pass Misra-Gries heavy hitters price the sketch-then-
     // recount trade (two scans + candidate-bounded exchange) against
     // DuckDB's one-shot full-vocabulary aggregate
-    "l25_heavy_hitters")
+    "l25_heavy_hitters",
+    // PQ search prices the whole path: integer Lloyd training (2 iters),
+    // encode, and the ADC rollup — all three corpus-sized passes
+    "l3m_pq_topk")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio
@@ -298,7 +301,11 @@ object BenchHeavy {
     // round 10: the cross-split contamination screen — its pair volume is
     // LSH-bucket-bound (l2b banding), so the sf5->sf25 ratio tests the
     // bucket-diet claim where collision volume grows fastest
-    "l19_split_screen")
+    "l19_split_screen",
+    // the v2 export flagship and the 8-byte-key segment dedup: the two
+    // round-10 shuffle-diet reworks, tracked at the top tier so their
+    // "text never rides the exchange" claims have a 250x scale point
+    "l13b_corpus_export_v2", "l24_segment_dedup")
 
   /** ANN queries for the sf25 tier: run each in an isolated JVM (see
     * SF25_QUERIES note on cross-query heap contamination). */
@@ -412,7 +419,7 @@ object BenchHeavy {
       }
     })
     for ((_, fn) <- runnable) // warmup: JIT + codegen + file listing
-      try fn().count() catch { case _: Throwable => () }
+      try graft.BenchUtil.force(fn()) catch { case _: Throwable => () }
 
     // pass-major interleaving, same rationale as graft.Bench: a sustained
     // host contention window corrupts one temporally-separated sample per
@@ -422,7 +429,7 @@ object BenchHeavy {
     for (_ <- 1 to SWEEPS; (name, fn) <- runnable) {
       stageMs.set(0)
       val t0 = System.nanoTime()
-      val ok = try { fn().count(); true } catch { case _: Throwable => false }
+      val ok = try { graft.BenchUtil.force(fn()); true } catch { case _: Throwable => false }
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(150) // let the listener bus drain stage-completed events
       if (ok) samples(name) :+= ((wall, stageMs.get() / 1e3))

@@ -453,6 +453,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2, p)
   }
 
+  test("l3m: PQ search broadcasts codebook + query; one rollup exchange, top-K without a sort") {
+    val p = plan(q("l3m_pq_topk"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the per-vector ADC rollup is the only data-sized exchange family;
+    // everything codebook/query-sized rides broadcasts
+    assert(p.contains("partial_sum") || p.contains("partial_min"), s"no map-side combine:\n$p")
+  }
+
   test("no operator plan contains a cartesian product") {
     val sinkQueries = Set("s5_s6_partitioned_sink", "s7_json_sink", "s2_json_array_scan",
       "s9_clustered_scan")

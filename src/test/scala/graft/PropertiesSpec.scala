@@ -136,6 +136,40 @@ class PropertiesSpec extends SparkSpecBase {
     finally spark.conf.set("spark.sql.shuffle.partitions", touched)
   }
 
+  test("heavy hitters are partitioning-invariant (sketch decomposition changes, result doesn't)") {
+    // the Misra-Gries candidate set DOES depend on how the scan splits —
+    // the pigeonhole guarantee is what makes the final top-K independent
+    // of it; force a different scan decomposition AND shuffle layout and
+    // the recounted result must be identical
+    def topk(): Seq[(String, Long)] =
+      graft.llm.TextAnalysis.l25HeavyHitters(spark, sfDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val a = topk()
+    val shuffleTouch = spark.conf.get("spark.sql.shuffle.partitions")
+    val splitTouch = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try assert(a === topk())
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", shuffleTouch)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", splitTouch)
+    }
+  }
+
+  test("the v2 export manifest is partitioning-invariant") {
+    // every screen keys on content hashes and total orders, so the full
+    // eight-stage assignment (split/shard/pack) must survive a different
+    // shuffle layout bit-for-bit — the rerun/retry/engine-swap contract
+    def manifest(): Seq[String] =
+      graft.llm.Assembly.l13bCorpusExportV2(spark, sfDir).collect()
+        .map(_.toString).toSeq
+    val a = manifest()
+    val touched = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try assert(a === manifest())
+    finally spark.conf.set("spark.sql.shuffle.partitions", touched)
+  }
+
   test("property: native shingle hashing equals a reference implementation on random texts") {
     // pure-function property (no Spark plan): the byte-scan reimplements
     // split-on-' ' (limit -1) + sliding k-gram + join + first-occurrence
