@@ -123,6 +123,7 @@ object SparkEntry {
     "l12_shuffle_shard" -> (graft.llm.Assembly.l12ShuffleShard _),
     "l13_corpus_export" -> (graft.llm.Assembly.l13CorpusExport _),
     "l13b_corpus_export_v2" -> (graft.llm.Assembly.l13bCorpusExportV2 _),
+    "l13c_export_sink" -> (graft.llm.Assembly.l13cExportSink _),
     "l15_chunk" -> (graft.llm.Assembly.l15Chunk _),
     "l17_unigram_logprob" -> (graft.llm.TextAnalysis.l17UnigramLogprob _),
     "l18_leakage_split" -> (graft.llm.Assembly.l18LeakageSplit _),
@@ -292,6 +293,91 @@ object SparkEntry {
     * only comparable on a corpus that sustains all k merges, which the
     * fixture does (CorpusOpsSpec pins the engine-side early stop on a
     * synthetic exhausting frame instead). */
+  /** The l13b eight-stage manifest chain (gate -> winners -> segment
+    * keep-fraction -> containment -> cap -> split -> mix -> pack) as a
+    * WITH chain ending in a `manifest` CTE, shared by the l13b oracle
+    * and the l13c sink round-trip (which joins md5(text) back on). */
+  private def l13bOracle(finalSelect: String): String = {
+    val w = graft.llm.Dedup.SEGMENT_WORDS
+    val dbkt =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+        |       for j in range(1, 3)]), (acc, x) -> acc * 16 + x)""".stripMargin
+    s"""WITH sh AS ($duckShingles),
+         |$duckBaseHashes,
+         |gated AS (
+         |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS ws,
+         |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS tokens
+         |  FROM documents
+         |  WHERE doc_id >= 50
+         |    AND CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |        / LEN(string_split(text, ' ')) >= ${graft.llm.Assembly.EXPORT_MIN_QUALITY}
+         |    AND LEN(string_split(text, ' ')) BETWEEN 5 AND 2000),
+         |winners AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+         |segs AS (
+         |  SELECT g.doc_id, i, array_to_string(g.ws[(i*$w+1):(i*$w+$w)], ' ') AS seg
+         |  FROM gated g JOIN winners wn ON g.doc_id = wn.doc_id,
+         |       unnest(generate_series(CAST(0 AS BIGINT),
+         |         CAST(ceil(len(g.ws) / $w.0) AS BIGINT) - 1)) AS t(i)),
+         |segk AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, i) AS rn
+         |  FROM segs),
+         |seg_ok AS (
+         |  SELECT doc_id FROM segk GROUP BY doc_id
+         |  HAVING CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    >= ${graft.llm.Assembly.EXPORT_SEG_KEEP_MIN}),
+         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id < 50),
+         |ev AS (SELECT hd.doc_id, unnest(hd.hs) AS h
+         |       FROM hashed hd JOIN gated g ON hd.doc_id = g.doc_id),
+         |contam_bad AS (
+         |  SELECT ev.doc_id FROM ev LEFT JOIN bench b ON ev.h = b.h
+         |  GROUP BY ev.doc_id
+         |  HAVING CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) > ${graft.llm.Assembly.EXPORT_CONTAM_MAX}),
+         |kept AS (
+         |  SELECT g.doc_id, g.lang, g.source, g.tokens,
+         |    (CAST(LEN(list_distinct(g.ws)) AS DOUBLE) / LEN(g.ws)) * 0.7 +
+         |    (CASE WHEN LEN(g.ws) BETWEEN 20 AND 1000 THEN 0.3 ELSE 0.0 END) AS cap_score
+         |  FROM gated g
+         |  JOIN winners wn ON g.doc_id = wn.doc_id
+         |  JOIN seg_ok s ON g.doc_id = s.doc_id
+         |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contam_bad)),
+         |capped AS (
+         |  SELECT doc_id, lang, source, tokens FROM kept
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY cap_score DESC, doc_id) <= ${graft.llm.TextAnalysis.DOMAIN_CAP}),
+         |splitd AS (
+         |  SELECT doc_id, lang, source, tokens,
+         |    CASE WHEN sbkt < 205 THEN 'train'
+         |         WHEN sbkt < 230 THEN 'valid' ELSE 'test' END AS split,
+         |    $dbkt AS dbkt
+         |  FROM (SELECT c.*,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(instr('0123456789abcdef', substr(md5(source), j, 1)) - 1 AS BIGINT)
+         |       for j in range(1, 3)]), (acc, x) -> acc * 16 + x) AS sbkt
+         |    FROM capped c)),
+         |counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM splitd GROUP BY lang),
+         |m AS (SELECT min(n_lang) AS n_min FROM counts),
+         |rates AS (
+         |  SELECT lang, sqrt(CAST(n_min AS DOUBLE) / CAST(n_lang AS DOUBLE)) AS rate
+         |  FROM counts, m),
+         |mixed AS (
+         |  SELECT s.doc_id, s.lang, s.source, s.split, s.tokens, s.dbkt
+         |  FROM splitd s JOIN rates r ON s.lang = r.lang
+         |  WHERE CAST(s.dbkt AS DOUBLE) < r.rate * 256),
+         |manifest AS (
+         |  SELECT doc_id, lang, source, split, tokens,
+         |    dbkt % ${graft.llm.Assembly.PACK_SHARDS} AS shard,
+         |    CAST(COALESCE(SUM(tokens) OVER (
+         |        PARTITION BY source, dbkt % ${graft.llm.Assembly.PACK_SHARDS}
+         |        ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // ${graft.llm.Assembly.PACK_BUDGET} AS BIGINT) AS pack_id
+         |  FROM mixed)
+         |""".stripMargin + finalSelect
+  }
+
   /** Generated CTEs for the PQ oracles (l3l/l3m): Lloyd's k-means per
     * subspace unrolled PQ_ITERS times (the l21 idiom) over the BIGINT
     * micro-quantized dims — TRUNC ≡ Spark's truncating cast (the l8
@@ -1404,84 +1490,16 @@ object SparkEntry {
     // convention) → l24 segment keep-fraction (PARTITION BY the segment
     // TEXT) → l23 containment vs the bench span set → l16 QUALIFY cap →
     // l18 split → l13 mix → l9 pack. Buckets reuse the md5-prefix fold.
-    "l13b_corpus_export_v2" -> {
-      val w = graft.llm.Dedup.SEGMENT_WORDS
-      val dbkt =
-        """list_reduce(list_prepend(CAST(0 AS BIGINT),
-          |      [CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
-          |       for j in range(1, 3)]), (acc, x) -> acc * 16 + x)""".stripMargin
-      s"""WITH sh AS ($duckShingles),
-         |$duckBaseHashes,
-         |gated AS (
-         |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS ws,
-         |    CAST(LEN(string_split(text, ' ')) AS BIGINT) AS tokens
-         |  FROM documents
-         |  WHERE doc_id >= 50
-         |    AND CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
-         |        / LEN(string_split(text, ' ')) >= ${graft.llm.Assembly.EXPORT_MIN_QUALITY}
-         |    AND LEN(string_split(text, ' ')) BETWEEN 5 AND 2000),
-         |winners AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
-         |segs AS (
-         |  SELECT g.doc_id, i, array_to_string(g.ws[(i*$w+1):(i*$w+$w)], ' ') AS seg
-         |  FROM gated g JOIN winners wn ON g.doc_id = wn.doc_id,
-         |       unnest(generate_series(CAST(0 AS BIGINT),
-         |         CAST(ceil(len(g.ws) / $w.0) AS BIGINT) - 1)) AS t(i)),
-         |segk AS (
-         |  SELECT doc_id,
-         |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, i) AS rn
-         |  FROM segs),
-         |seg_ok AS (
-         |  SELECT doc_id FROM segk GROUP BY doc_id
-         |  HAVING CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
-         |    >= ${graft.llm.Assembly.EXPORT_SEG_KEEP_MIN}),
-         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id < 50),
-         |ev AS (SELECT hd.doc_id, unnest(hd.hs) AS h
-         |       FROM hashed hd JOIN gated g ON hd.doc_id = g.doc_id),
-         |contam_bad AS (
-         |  SELECT ev.doc_id FROM ev LEFT JOIN bench b ON ev.h = b.h
-         |  GROUP BY ev.doc_id
-         |  HAVING CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*) > ${graft.llm.Assembly.EXPORT_CONTAM_MAX}),
-         |kept AS (
-         |  SELECT g.doc_id, g.lang, g.source, g.tokens,
-         |    (CAST(LEN(list_distinct(g.ws)) AS DOUBLE) / LEN(g.ws)) * 0.7 +
-         |    (CASE WHEN LEN(g.ws) BETWEEN 20 AND 1000 THEN 0.3 ELSE 0.0 END) AS cap_score
-         |  FROM gated g
-         |  JOIN winners wn ON g.doc_id = wn.doc_id
-         |  JOIN seg_ok s ON g.doc_id = s.doc_id
-         |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contam_bad)),
-         |capped AS (
-         |  SELECT doc_id, lang, source, tokens FROM kept
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY source
-         |    ORDER BY cap_score DESC, doc_id) <= ${graft.llm.TextAnalysis.DOMAIN_CAP}),
-         |splitd AS (
-         |  SELECT doc_id, lang, source, tokens,
-         |    CASE WHEN sbkt < 205 THEN 'train'
-         |         WHEN sbkt < 230 THEN 'valid' ELSE 'test' END AS split,
-         |    $dbkt AS dbkt
-         |  FROM (SELECT c.*,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      [CAST(instr('0123456789abcdef', substr(md5(source), j, 1)) - 1 AS BIGINT)
-         |       for j in range(1, 3)]), (acc, x) -> acc * 16 + x) AS sbkt
-         |    FROM capped c)),
-         |counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM splitd GROUP BY lang),
-         |m AS (SELECT min(n_lang) AS n_min FROM counts),
-         |rates AS (
-         |  SELECT lang, sqrt(CAST(n_min AS DOUBLE) / CAST(n_lang AS DOUBLE)) AS rate
-         |  FROM counts, m),
-         |mixed AS (
-         |  SELECT s.doc_id, s.lang, s.source, s.split, s.tokens, s.dbkt
-         |  FROM splitd s JOIN rates r ON s.lang = r.lang
-         |  WHERE CAST(s.dbkt AS DOUBLE) < r.rate * 256)
-         |SELECT doc_id, lang, source, split, tokens,
-         |  dbkt % ${graft.llm.Assembly.PACK_SHARDS} AS shard,
-         |  CAST(COALESCE(SUM(tokens) OVER (
-         |      PARTITION BY source, dbkt % ${graft.llm.Assembly.PACK_SHARDS}
-         |      ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |    // ${graft.llm.Assembly.PACK_BUDGET} AS BIGINT) AS pack_id
-         |FROM mixed ORDER BY doc_id""".stripMargin
-    },
+    "l13b_corpus_export_v2" -> l13bOracle(
+      "SELECT doc_id, lang, source, split, tokens, shard, pack_id " +
+        "FROM manifest ORDER BY doc_id"),
+    // the sink round-trip: same manifest chain, plus the source table's
+    // md5(text) — proving the right text landed under the right keys
+    "l13c_export_sink" -> l13bOracle(
+      """SELECT m.doc_id, m.lang, m.source, m.split, m.tokens, m.shard,
+        |  m.pack_id, md5(d.text) AS text_md5
+        |FROM manifest m JOIN documents d ON m.doc_id = d.doc_id
+        |ORDER BY m.doc_id""".stripMargin),
     // rank k computed in integer arithmetic on both sides; the value at
     // rank k is tie-invariant, so no tiebreak column is needed
     "a13_exact_percentiles" ->

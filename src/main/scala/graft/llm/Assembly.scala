@@ -353,6 +353,36 @@ object Assembly {
       .orderBy($"doc_id")
   }
 
+  /** L13c [EXT]: the export SINK — the step l13b's manifest design
+    * defers: join the manifest back to the corpus (the ONE place document
+    * text moves, exactly as l13b's scale note promises) and ship it as a
+    * (split, shard)-partitioned parquet tree — the layout a training-data
+    * loader consumes (split dirs for train/valid/test, shard dirs for
+    * parallel readers). Delivery is then PROVEN, not assumed: the result
+    * reads the tree back and emits the manifest plus md5(text) recomputed
+    * FROM THE SINK, so the oracle (the same eight-stage chain joined to
+    * the source table's md5) verifies that exactly the right text landed
+    * under exactly the right partition keys. Repartitioning on the
+    * partition columns first keeps file count ≈ dir count (the s5/s6
+    * small-files rule); at 100 TB swap the inner write for clusteredWrite
+    * per dir to add row-group skipping (S9). */
+  def l13cExportSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = spark.conf.get("spark.graft.scratchDir", "/root/repo/target/graft-tmp") +
+      "/export_sink"
+    val shipped = l13bCorpusExportV2(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"text"), "doc_id")
+      .repartition($"split", $"shard")
+    Tables.sink(out) {
+      shipped.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("split", "shard").parquet(out)
+    }
+    Tables.readMemo(spark, out)
+      .select($"doc_id", $"lang", $"source", $"split", $"tokens",
+        $"shard".cast("long").as("shard"), $"pack_id", md5($"text").as("text_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Chunk width / stride in words. Width models a context budget the way
     * PACK_BUDGET does (raise to 2048+ in production); stride < width gives
     * the 25% overlap RAG indexers keep so no answer span is cut at a

@@ -432,6 +432,30 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got.map(_._4).distinct.size === 3, "a split went missing")
   }
 
+  test("l13c: the sink tree is the loader layout and carries exactly the manifest") {
+    import spark.implicits._
+    val back = graft.llm.Assembly.l13cExportSink(spark, sfDir).cache()
+    val manifest = graft.llm.Assembly.l13bCorpusExportV2(spark, sfDir)
+    // the round-trip ships exactly the manifest (no row gained or lost in
+    // the sink) and each row's text md5 matches the source doc
+    val joined = back.join(Tables.documents(spark, sfDir)
+        .select($"doc_id", md5($"text").as("src_md5")), "doc_id")
+    assert(back.count() === manifest.count())
+    assert(joined.filter($"text_md5" =!= $"src_md5").count() === 0)
+    // the physical tree is split=/shard= — the dirs a loader globs
+    val root = new java.io.File(spark.conf.get(
+      "spark.graft.scratchDir", "/root/repo/target/graft-tmp") + "/export_sink")
+    val splits = root.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(splits === Set("split=train", "split=valid", "split=test"), splits.toString)
+    for (s <- splits) {
+      val shards = new java.io.File(root, s).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(shards.nonEmpty && shards.forall(_.startsWith("shard=")), shards.toString)
+    }
+    back.unpersist()
+    ()
+  }
+
   test("l25: heavy hitters recount exactly; the sketch evicts and the margin holds") {
     import spark.implicits._
     val T = graft.llm.TextAnalysis

@@ -464,7 +464,7 @@ class PlanAuditSpec extends SparkSpecBase {
 
   test("no operator plan contains a cartesian product") {
     val sinkQueries = Set("s5_s6_partitioned_sink", "s7_json_sink", "s2_json_array_scan",
-      "s9_clustered_scan")
+      "s9_clustered_scan", "l13c_export_sink")
     for ((name, fn) <- SparkEntry.queries if !sinkQueries(name)) {
       val p = plan(fn(spark, sfDir))
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
