@@ -488,7 +488,7 @@ object Similarity {
 
   /** (vec_id, m, d, qv): the quantized per-dimension frame every PQ stage
     * runs on — subspace m, in-subspace dim d, BIGINT micro value. */
-  private def pqDims(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def pqDims(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, sfDir)
       .select($"vec_id", posexplode($"embedding"))
@@ -510,7 +510,7 @@ object Similarity {
     * corpus size) is the loop-carried driver state — the sanctioned
     * fixpoint pattern (l21's argmax, l2e's labels), collected and
     * re-broadcast per iteration so plan depth stays constant. */
-  private def pqTrain(spark: SparkSession, sfDir: String): Seq[(Int, Int, Int, Long)] = {
+  private[graft] def pqTrain(spark: SparkSession, sfDir: String): Seq[(Int, Int, Int, Long)] = {
     import spark.implicits._
     val dims = pqDims(spark, sfDir).persist()
     try {
@@ -536,7 +536,7 @@ object Similarity {
   /** Nearest-centroid assignment: (vec_id, m, c) for every subvector —
     * broadcast codebook join, exact BIGINT distances, min(struct) ties to
     * the lowest centroid id. */
-  private def pqAssign(dims: DataFrame, cent: Seq[(Int, Int, Int, Long)]): DataFrame = {
+  private[graft] def pqAssign(dims: DataFrame, cent: Seq[(Int, Int, Int, Long)]): DataFrame = {
     val spark = dims.sparkSession
     import spark.implicits._
     dims.join(broadcast(cent.toDF("m", "c", "d", "cent")), Seq("m", "d"))

@@ -64,6 +64,9 @@ object AnnRecall {
       .withColumn("lrk", row_number().over(wL)).filter($"lrk" <= K)
       .withColumn("rk", row_number().over(wG)).filter($"rk" <= K)
       .select($"q_id", $"vec_id")
+      // tiny (queries × K rows) but derived from the exact crossJoin:
+      // cache so the PQ rank join below doesn't recompute ground truth
+      .cache()
 
     // per-vector signatures for every id the judgment touches
     def axisSig(b: Int) = (1 to 8)
@@ -131,6 +134,36 @@ object AnnRecall {
       p -> (hit.toDouble / judged.length)
     }
 
+    // PQ: rank-based recall — unlike the candidate-condition families
+    // above, ADC ranks EVERY vector, so the knob is the shortlist size R
+    // a deployment would re-rank (l3j's pattern): a true top-K neighbor is
+    // recovered iff its ADC rank (asymmetric distance to the centroid its
+    // code names) lands within R. The classic lookup-table form: per-query
+    // sub-distance LUT (queries × M × K rows), broadcast onto the code
+    // scan — exactly the shape l3mPqTopk ships, widened to many queries.
+    val pqCent = graft.llm.Similarity.pqTrain(spark, dir)
+    val pqDims = graft.llm.Similarity.pqDims(spark, dir)
+    val pqCodes = graft.llm.Similarity.pqAssign(pqDims, pqCent)
+    val qDims = pqDims.join(broadcast(queries.select($"q_id")), $"vec_id" === $"q_id")
+      .select($"q_id", $"m", $"d", $"qv")
+    val lut = qDims
+      .join(broadcast(pqCent.toDF("m", "c", "d", "cent")), Seq("m", "d"))
+      .groupBy($"q_id", $"m", $"c")
+      .agg(sum(($"qv" - $"cent") * ($"qv" - $"cent")).as("subdist"))
+    val adcRank = pqCodes.join(broadcast(lut), Seq("m", "c"))
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"subdist").as("adc"))
+      .filter($"q_id" =!= $"vec_id")
+      .withColumn("prk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"adc".asc, $"vec_id")))
+      .select($"q_id", $"vec_id", $"prk")
+    // join the (tiny) truth frame back BEFORE collecting — only the true
+    // pairs' ranks ever reach the driver, not the full n-per-query ranking
+    val pqRanks = adcRank.join(truth, Seq("q_id", "vec_id"))
+      .select($"prk").as[Int].collect()
+    val pq = Seq(10, 50, 100, 500).map(s =>
+      s -> pqRanks.count(_ <= s).toDouble / judged.length)
+
     def tbl(rows: Seq[(Int, Double)]): String =
       rows.map { case (b, r) => s"""{"k":$b,"recall":${f"$r%.4f"}}""" }
         .mkString("[", ",", "]")
@@ -138,7 +171,7 @@ object AnnRecall {
       s"""{"dir":"$dir","n":$n,"dim":$dim,"queries":${judged.map(_.getLong(0)).distinct.length},
          |"truth_pairs":${judged.length},"topk":$K,"sized_bits":$sizedBits,
          |"seeded_8bit":${tbl(r8)},"seeded_sized":${tbl(rs)},
-         |"axis_8bit":${tbl(ax)},"ivf":${tbl(ivf)}}""".stripMargin.replace("\n", "")
+         |"axis_8bit":${tbl(ax)},"ivf":${tbl(ivf)},"pq_adc":${tbl(pq)}}""".stripMargin.replace("\n", "")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"ANN_RECALL=$out n=$n sizedBits=$sizedBits pairs=${judged.length}")
     spark.stop()
