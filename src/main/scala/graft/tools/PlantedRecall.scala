@@ -137,6 +137,43 @@ object PlantedRecall {
     val baseRank = ranked.collect()
       .map(r => (r.getLong(0), r.getDouble(1)) -> r.getInt(2)).toMap
 
+    // PQ: the re-ingest dedup question stated in codes — rank every BASE
+    // vector by the planted near-dup's asymmetric distance (per-query
+    // sub-distance LUT over the corpus-trained codebook, the l3m shape);
+    // recovered at shortlist R iff the original ranks <= R. Subsampled to
+    // 2 bases/replica: the array-form crossJoin is |queries| x n rows.
+    val K_PQ = graft.llm.Similarity.PQ_K
+    val SUB = graft.llm.Similarity.PQ_SUB
+    val SC = graft.llm.Similarity.PQ_SCALE
+    val pqCent = graft.llm.Similarity.pqTrain(spark, dir)
+    val vecCodes = graft.llm.Similarity
+      .pqAssign(graft.llm.Similarity.pqDims(spark, dir), pqCent)
+      .groupBy($"vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, c))), s -> s.c)").as("cs"))
+    val qLut = planted.filter($"base_id" % MakeHeavy.SHIFT_VEC < 2)
+      .select($"base_id", $"ci", $"cos_t", posexplode($"planted_emb"))
+      .toDF("base_id", "ci", "cos_t", "pos", "x")
+      .select($"base_id", $"ci", $"cos_t",
+        expr(s"CAST(pos div $SUB AS INT)").as("m"),
+        expr(s"CAST(pos % $SUB AS INT)").as("d"),
+        expr(s"CAST(CAST(x AS DOUBLE) * $SC AS BIGINT)").as("qv"))
+      .join(broadcast(pqCent.toDF("m", "c", "d", "cent")), Seq("m", "d"))
+      .groupBy($"base_id", $"ci", $"cos_t", $"m", $"c")
+      .agg(sum(($"qv" - $"cent") * ($"qv" - $"cent")).as("subdist"))
+      .groupBy($"base_id", $"ci", $"cos_t")
+      .agg(expr("transform(array_sort(collect_list(struct(m, c, subdist))), s -> s.subdist)")
+        .as("lt")) // flat (m, c)-ordered LUT: index = m * K + c
+    val pqRankRows = vecCodes.crossJoin(broadcast(qLut))
+      .withColumn("adc", expr(
+        s"aggregate(transform(sequence(0, ${dim / SUB - 1}), " +
+          s"m -> lt[m * $K_PQ + CAST(cs[m] AS INT)]), 0L, (acc, x) -> acc + x)"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy($"base_id", $"ci").orderBy($"adc".asc, $"vec_id")))
+      .filter($"vec_id" === $"base_id")
+      .select($"base_id", $"cos_t", $"prk")
+      .collect()
+    val pqSteps = Seq(1, 10, 100)
+
     val rows = judged.drop("planted_emb").collect()
     val bandSteps = Seq(1, 2, 4, 8, 12, 16)
     val probeSteps = Seq(1, 2, 4)
@@ -163,9 +200,14 @@ object PlantedRecall {
         p -> (hit.toDouble / sub.length)
       }
       val mc = measured.find(_._1 == c).map(_._2).getOrElse(Double.NaN)
+      val pqSub = pqRankRows.filter(_.getDouble(1) == c)
+      val pq = pqSteps.map(s =>
+        s -> (if (pqSub.isEmpty) 0.0
+              else pqSub.count(_.getInt(2) <= s).toDouble / pqSub.length))
       s"""{"cos":$c,"measured_cos":${f"$mc%.5f"},"pairs":${sub.length},""" +
         s""""seeded_8bit":${tbl(r8)},"seeded_sized":${tbl(rs)},""" +
-        s""""axis_8bit":${tbl(ax)},"ivf":${tbl(ivf)}}"""
+        s""""axis_8bit":${tbl(ax)},"ivf":${tbl(ivf)},""" +
+        s""""pq_adc":${tbl(pq)},"pq_pairs":${pqSub.length}}"""
     }
     val json =
       s"""{"dir":"$dir","n":$n,"dim":$dim,"sized_bits":$sizedBits,""" +

@@ -282,6 +282,12 @@ def main():
                     def c2(m):
                         return f"{m[k]:.3f}" if k in m else "—"
                     f.write(f"| {k} | {c2(s8)} | {c2(ss)} | {c2(ax)} | {c2(ivf)} |\n")
+                if tier.get("pq_adc"):
+                    pq = ", ".join(f"{e['recall']:.2f}@R={e['k']}"
+                                   for e in tier["pq_adc"])
+                    f.write(f"\nPQ ADC rank recall of the ORIGINAL from the "
+                            f"re-ingested copy ({tier.get('pq_pairs', 0)} "
+                            f"subsampled pairs): {pq}.\n")
         if stream_path and os.path.exists(stream_path):
             runs = json.load(open(stream_path))
             f.write(
