@@ -144,6 +144,7 @@ object SparkEntry {
     "r9_signature_screen" -> (graft.streaming.Streams.r9SignatureScreen _),
     "r10_static_enrich" -> (graft.streaming.Streams.r10StaticEnrich _),
     "r11_model_score" -> (graft.streaming.Streams.r11ModelScore _),
+    "r12_merge_log" -> (graft.streaming.Streams.r12MergeLog _),
     "s9_clustered_scan" -> (graft.operators.Etl.s9ClusteredScan _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "dq1_quality_profile" -> (Quality.dq1QualityProfile _),
     "u1_latest_wins" -> (Quality.u1LatestWins _),
     "u2_scd2" -> (Quality.u2Scd2 _),
+    "u3_merge_upsert" -> (Quality.u3MergeUpsert _),
     "l10_pii_redact" -> (graft.llm.TextAnalysis.l10PiiRedact _),
   )
 
@@ -1206,6 +1208,19 @@ object SparkEntry {
          |  CAST(sum(mn) AS BIGINT) AS sum_micronats,
          |  CAST(sum(mn) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_micronats
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "r12_merge_log" ->
+      """WITH basekeys AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-20' AND event_type <> 'signup')
+        |SELECT e.user_id, e.event_type, e.event_id, e.value,
+        |  CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+        |  CASE WHEN e.event_id % 7 = 0 THEN 'delete'
+        |       WHEN b.user_id IS NOT NULL THEN 'update'
+        |       ELSE 'insert' END AS action
+        |FROM events e LEFT JOIN basekeys b
+        |  ON e.user_id = b.user_id AND e.event_type = b.event_type
+        |WHERE e.ts >= TIMESTAMP '2024-01-20' AND e.event_type <> 'error'
+        |ORDER BY e.user_id, e.event_type, ts_us, e.event_id""".stripMargin,
     "l18_leakage_split" ->
       """WITH b AS (
         |  SELECT doc_id, source,
@@ -1656,6 +1671,31 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
         |ORDER BY user_id, event_type, version""".stripMargin,
+    "u3_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, event_id, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-20' AND event_type <> 'signup'
+        |  QUALIFY ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+        |), chg AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |    CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-20' AND event_type <> 'error'
+        |  QUALIFY ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+        |  COALESCE(b.event_type, c.event_type) AS event_type,
+        |  CASE WHEN c.op = 'U' THEN c.event_id ELSE b.event_id END AS event_id,
+        |  CASE WHEN c.op = 'U' THEN c.value ELSE b.value END AS value,
+        |  CASE WHEN c.op IS NULL THEN 'carry'
+        |       WHEN b.event_id IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action
+        |FROM base b FULL OUTER JOIN chg c
+        |  ON b.user_id = c.user_id AND b.event_type = c.event_type
+        |WHERE c.op IS NULL OR c.op = 'U'
+        |ORDER BY user_id, event_type""".stripMargin,
     "r10_static_enrich" ->
       """SELECT e.event_id, e.user_id, e.event_type,
         |  COALESCE(d.c_name, 'Unknown') AS c_name, d.segment, d.nation

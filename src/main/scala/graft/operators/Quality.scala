@@ -80,4 +80,65 @@ object Quality {
         $"valid_from_us", $"valid_to_us", $"is_current")
       .orderBy($"user_id", $"event_type", $"version")
   }
+
+  /** General MERGE: apply a change batch to a snapshot. `changes` carries
+    * an `op` column: 'U' upserts (matched → update, unmatched → insert),
+    * 'D' deletes the matched snapshot row (an unmatched 'D' is a no-op).
+    * Both frames must be unique per `keys` (the caller compacts first —
+    * [[u1LatestWins]] is that compaction).
+    *
+    * Shape: ONE full-outer sort-merge join on the key — deletes make the
+    * snapshot side non-preservable, so Spark correctly refuses to
+    * broadcast either side; at 100 TB the exchange on the snapshot is
+    * removed by pre-bucketing it on the key (BucketingSpec's idiom, the
+    * merge-on-read layout every table format uses for exactly this op),
+    * leaving only the (small) change batch to shuffle per merge. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    base.as("b").join(changes.as("c"), keys, "full_outer")
+      .filter($"c.op".isNull || $"c.op" === "U")
+      .withColumn("action",
+        when($"c.op".isNull, lit("carry"))
+          .when($"b.event_id".isNull, lit("insert"))
+          .otherwise(lit("update")))
+  }
+
+  /** U3 [EXT]: MERGE / upsert-with-deletes — the third CDC primitive
+    * after latest-wins ([[u1LatestWins]]) and full history ([[u2Scd2]]):
+    * apply a compacted change batch (upserts + deletes) to a compacted
+    * snapshot and emit the next snapshot, each row tagged with what the
+    * merge did to it (carry / update / insert; deleted rows vanish).
+    *
+    * The fixture derives both sides from `events` around a fixed cut,
+    * shaped so every branch occurs at every sf: the snapshot predates
+    * signup tracking (base = latest-wins before 2024-01-20, minus
+    * `signup` rows → post-cut signups are genuine inserts), the change
+    * feed treats `error` counters as immutable (changes = latest-wins
+    * after the cut, minus `error` rows → error keys carry), and every
+    * 7th entity's change is a delete. The oracle states the same
+    * semantics as one FULL JOIN. The reference has no merge (its sink is
+    * append-only, storage/parquet.rs); this is the operator that turns
+    * its append stream into a maintained table. */
+  def u3MergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit("2024-01-20").cast("timestamp")
+    def compact(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts".desc, $"event_id".desc)
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id", $"value")
+    }
+    val ev = Tables.events(spark, sfDir)
+    val base = compact(ev.filter($"ts" < cut && $"event_type" =!= "signup"))
+    val changes = compact(ev.filter($"ts" >= cut && $"event_type" =!= "error"))
+      .withColumn("op",
+        when(pmod($"event_id", lit(7L)) === 0, lit("D")).otherwise(lit("U")))
+    mergeUpsert(base, changes, Seq("user_id", "event_type"))
+      .select($"user_id", $"event_type",
+        when($"c.op" === "U", $"c.event_id").otherwise($"b.event_id").as("event_id"),
+        when($"c.op" === "U", $"c.value").otherwise($"b.value").as("value"),
+        $"action")
+      .orderBy($"user_id", $"event_type")
+  }
 }

@@ -22,6 +22,11 @@ case class ValuedEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, va
 case class HighWater(event_id: Long, user_id: Long, value: Double)
 case class ScreenDoc(doc_id: Long, simhash: Long)
 case class ScreenFlag(doc_id: Long, simhash: Long, is_dup: Boolean)
+case class MergeChange(user_id: Long, event_type: String, event_id: Long,
+    value: Double, ts_us: Long, op: String)
+case class SnapshotRow(user_id: Long, event_type: String, event_id: Long, value: Double)
+case class MergeApplied(user_id: Long, event_type: String, event_id: Long,
+    value: Double, ts_us: Long, action: String)
 
 /** R9 streaming form: the l2g signature screen as CONTINUOUS INGEST —
   * one `ValueState[Long]` per 16-bit SimHash signature holds the first
@@ -89,6 +94,67 @@ class HighWaterProcessor
     }
     cur.foreach(maxSeen.update)
     out.iterator
+  }
+}
+
+/** R12 streaming form: CDC MERGE apply as continuous ingest — the
+  * streaming twin of [[graft.operators.Quality.u3MergeUpsert]]. The
+  * snapshot loads ONCE as transformWithState INITIAL STATE (one
+  * `SnapshotRow` per entity key, the state-v2 feature r8/r9 don't
+  * exercise); each arriving change then upserts or tombstones its key's
+  * state and emits an audit row tagging what the apply did. Three
+  * per-key values: the current row, whether the BASE snapshot had the
+  * key (so update-vs-insert is judged against the snapshot, exactly as
+  * batch MERGE tags it, even after an in-stream delete), and the applied
+  * (ts_us, event_id) high-water mark — a change older than an already
+  * applied one is SKIPPED, so late cross-batch arrivals cannot resurrect
+  * a tombstone or roll a row back (emitted action 'stale'). State size =
+  * live keys, independent of stream length; deletes leave only the
+  * 17-byte mark+flag residue, and a production deployment puts a TTL on
+  * that tombstone (TTLConfig seam, deliberately not set here so parity
+  * with the batch oracle is exact). */
+class MergeApplyProcessor extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+    (Long, String), MergeChange, MergeApplied, SnapshotRow] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+  @transient private var cur: ValueState[SnapshotRow] = _
+  @transient private var baseHad: ValueState[Boolean] = _
+  @transient private var mark: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cur = getHandle.getValueState[SnapshotRow](
+      "cur", org.apache.spark.sql.Encoders.product[SnapshotRow], TTLConfig.NONE)
+    baseHad = getHandle.getValueState[Boolean](
+      "baseHad", org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+    mark = getHandle.getValueState[(Long, Long)](
+      "mark", org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+  }
+
+  override def handleInitialState(key: (Long, String), row: SnapshotRow,
+      timers: org.apache.spark.sql.streaming.TimerValues): Unit = {
+    cur.update(row)
+    baseHad.update(true)
+  }
+
+  override def handleInputRows(key: (Long, String), rows: Iterator[MergeChange],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[MergeApplied] = {
+    val sorted = rows.toSeq.sortBy(c => (c.ts_us, c.event_id))
+    sorted.map { c =>
+      val stale = mark.exists() && {
+        val (mts, mid) = mark.get()
+        c.ts_us < mts || (c.ts_us == mts && c.event_id <= mid)
+      }
+      val action =
+        if (stale) "stale"
+        else {
+          mark.update((c.ts_us, c.event_id))
+          if (c.op == "D") { cur.clear(); "delete" }
+          else {
+            cur.update(SnapshotRow(c.user_id, c.event_type, c.event_id, c.value))
+            if (baseHad.exists() && baseHad.get()) "update" else "insert"
+          }
+        }
+      MergeApplied(c.user_id, c.event_type, c.event_id, c.value, c.ts_us, action)
+    }.iterator
   }
 }
 
@@ -383,4 +449,76 @@ object Streams {
     import spark.implicits._
     signatureScreenBatch(Tables.documents(spark, sfDir)).orderBy($"doc_id")
   }
+
+  /** R12 change feed: every post-cut event under u3's fixture shaping
+    * (error counters immutable, every 7th entity's change a delete),
+    * UNCOMPACTED — the stream applies each change; compaction is what the
+    * state machine does. */
+  def mergeChanges(spark: SparkSession, sfDir: String):
+      org.apache.spark.sql.Dataset[MergeChange] = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .filter($"ts" >= lit("2024-01-20").cast("timestamp") && $"event_type" =!= "error")
+      .select($"user_id", $"event_type", $"event_id", $"value",
+        unix_micros($"ts").as("ts_us"),
+        when(pmod($"event_id", lit(7L)) === 0, lit("D")).otherwise(lit("U")).as("op"))
+      .as[MergeChange]
+  }
+
+  /** R12 initial snapshot: u3's base side (latest-wins before the cut,
+    * predating signup tracking), typed for initial-state loading. */
+  def mergeSnapshot(spark: SparkSession, sfDir: String):
+      org.apache.spark.sql.Dataset[SnapshotRow] = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, sfDir)
+      .filter($"ts" < lit("2024-01-20").cast("timestamp") && $"event_type" =!= "signup")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"value")
+      .as[SnapshotRow]
+  }
+
+  /** R12 [EXT] batch form: the CDC apply AUDIT LOG — one row per change
+    * in (ts, event_id) order with the action the merge state machine
+    * takes: 'delete' for tombstones, else 'update'/'insert' judged
+    * against BASE-snapshot membership (not current state — an upsert
+    * after an in-stream delete of a base key is still an update of the
+    * snapshot, which is how batch MERGE would tag it). In-order replay
+    * has no stale rows, so the log is exactly a key-membership left join
+    * away from the raw feed: key-only 16-byte build rows through one
+    * hash join, no window, no state — at 100 TB the join co-locates free
+    * when the snapshot is bucketed by key. [[MergeApplyProcessor]] must
+    * emit this identical log for in-order arrival (StreamingSpec), and
+    * folding the log into the snapshot must land on u3's merge result —
+    * the log IS the merge, row-at-a-time. */
+  def mergeLogBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val baseKeys = Tables.events(spark, sfDir)
+      .filter($"ts" < lit("2024-01-20").cast("timestamp") && $"event_type" =!= "signup")
+      .select($"user_id", $"event_type").distinct()
+      .withColumn("in_base", lit(true))
+    mergeChanges(spark, sfDir).toDF()
+      .join(baseKeys, Seq("user_id", "event_type"), "left_outer")
+      .select($"user_id", $"event_type", $"event_id", $"value", $"ts_us",
+        when($"op" === "D", lit("delete"))
+          .when($"in_base".isNotNull, lit("update"))
+          .otherwise(lit("insert")).as("action"))
+      .orderBy($"user_id", $"event_type", $"ts_us", $"event_id")
+  }
+
+  /** R12 streaming entry: changes keyed by entity, snapshot loaded as
+    * initial state. */
+  def mergeApplyStream(changes: org.apache.spark.sql.Dataset[MergeChange],
+      snapshot: org.apache.spark.sql.Dataset[SnapshotRow]):
+      org.apache.spark.sql.Dataset[MergeApplied] = {
+    import changes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    changes.groupByKey(c => (c.user_id, c.event_type))
+      .transformWithState(new MergeApplyProcessor, TimeMode.None(), OutputMode.Append(),
+        snapshot.groupByKey(s => (s.user_id, s.event_type)))
+  }
+
+  def r12MergeLog(spark: SparkSession, sfDir: String): DataFrame =
+    mergeLogBatch(spark, sfDir)
 }

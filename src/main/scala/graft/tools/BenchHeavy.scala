@@ -268,7 +268,11 @@ object BenchHeavy {
     "l25_heavy_hitters",
     // PQ search prices the whole path: integer Lloyd training (2 iters),
     // encode, and the ADC rollup — all three corpus-sized passes
-    "l3m_pq_topk")
+    "l3m_pq_topk",
+    // MERGE apply prices the CDC triple's third leg: two compaction
+    // windows feeding one full-outer sort-merge join on the entity key;
+    // the audit log prices R12's window-free key-membership join form
+    "u3_merge_upsert", "r12_merge_log")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio

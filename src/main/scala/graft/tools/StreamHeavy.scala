@@ -105,7 +105,23 @@ object StreamHeavy {
       run("r11_model_score", fileStream("documents", docsSchema), df =>
         graft.llm.TextAnalysis.scoreWithModel(df,
           graft.llm.TextAnalysis.unigramModel(
-            spark.read.parquet(s"$dir/documents.parquet")))))
+            spark.read.parquet(s"$dir/documents.parquet")))),
+      // r12: keyed CDC MERGE apply — the snapshot (pre-cut latest-wins)
+      // loads ONCE as transformWithState INITIAL STATE; the post-cut
+      // change feed streams in. State cardinality = LIVE ENTITY KEYS
+      // (plateaus at the key count while change rows keep flowing), the
+      // bounded-state claim that makes continuous CDC apply viable
+      run("r12_merge_apply",
+        fileStream("events", eventsSchema)
+          .filter($"ts" >= lit("2024-01-20").cast("timestamp")
+            && $"event_type" =!= "error")
+          .select($"user_id", $"event_type", $"event_id", $"value",
+            unix_micros($"ts").as("ts_us"),
+            when(pmod($"event_id", lit(7L)) === 0, lit("D"))
+              .otherwise(lit("U")).as("op")),
+        df => graft.streaming.Streams.mergeApplyStream(
+          df.as[graft.streaming.MergeChange],
+          graft.streaming.Streams.mergeSnapshot(spark, dir))))
 
     val json = lines.mkString("[", ",\n", "]")
     graft.BenchUtil.writeArtifact(out, json)

@@ -462,6 +462,38 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_sum") || p.contains("partial_min"), s"no map-side combine:\n$p")
   }
 
+  test("u3: the compaction exchanges double as the MERGE join exchanges") {
+    val df = q("u3_merge_upsert")
+    val p = plan(df)
+    // deletes make neither side preservable: a full-outer SORT-MERGE join
+    // is the correct shape (a broadcast full-outer does not exist)
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"MERGE is not a full-outer sort-merge join:\n$p")
+    val fmt = fmtPlan(df)
+    val ex = exchangeBlocks(fmt)
+    val hash = ex.filter(b => blockLine(b, "Arguments").contains("hashpartitioning"))
+    val range = ex.filter(b => blockLine(b, "Arguments").contains("rangepartitioning"))
+    // each side's latest-wins window already hash-partitions on the entity
+    // key, so EnsureRequirements adds NOTHING for the join: MERGE costs
+    // exactly the two compaction exchanges (+ the presentation sort)
+    assert(hash.size == 2, s"expected only the 2 compaction exchanges, got ${hash.size}:\n$fmt")
+    hash.foreach(b => assert(
+      blockLine(b, "Arguments").contains("user_id") &&
+        blockLine(b, "Arguments").contains("event_type"),
+      s"compaction exchange not keyed by the entity key:\n$b"))
+    assert(range.size <= 1, s"more than the presentation sort:\n$fmt")
+  }
+
+  test("r12: audit log is window-free and the events scan drops the payload column") {
+    val df = q("r12_merge_log")
+    val p = plan(df)
+    // the log is a key-membership LEFT JOIN away from the raw feed — no
+    // window, no state, nothing a 100 TB replay would buffer per key
+    assert(!p.contains("Window"), s"window operator in the apply log plan:\n$p")
+    // column pruning reaches the scan: `props` (the wide payload) is never read
+    assert(!fmtPlan(df).contains("props"), s"props survived pruning:\n${fmtPlan(df)}")
+  }
+
   test("no operator plan contains a cartesian product") {
     val sinkQueries = Set("s5_s6_partitioned_sink", "s7_json_sink", "s2_json_array_scan",
       "s9_clustered_scan", "l13c_export_sink")

@@ -151,6 +151,55 @@ class QualitySpec extends SparkSpecBase {
     h.unpersist()
   }
 
+  test("U3 merge: independent union-window derivation agrees; all four branches occur") {
+    import spark.implicits._
+    val m = Quality.u3MergeUpsert(spark, sfDir).cache()
+    // output unique per key
+    assert(m.groupBy($"user_id", $"event_type").count().filter($"count" > 1).count() === 0)
+    // independent restatement of MERGE: union the (tagged) compacted
+    // sides, let a change row beat its base row by window rank instead of
+    // by join side, then drop keys whose winner is a delete — a different
+    // plan shape (window over union vs full-outer join) that must reach
+    // the identical table
+    val cut = lit("2024-01-20").cast("timestamp")
+    val ev = Tables.events(spark, sfDir)
+    val kw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type").orderBy($"ts".desc, $"event_id".desc)
+    def compact(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", row_number().over(kw)).filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id", $"value")
+    val base = compact(ev.filter($"ts" < cut && $"event_type" =!= "signup"))
+      .withColumn("src", lit(0))
+    val chg = compact(ev.filter($"ts" >= cut && $"event_type" =!= "error"))
+      .withColumn("src", lit(1))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type").orderBy($"src".desc)
+    val expected = base.unionByName(chg)
+      .withColumn("pick", row_number().over(pw)).filter($"pick" === 1)
+      .filter(!($"src" === 1 && pmod($"event_id", lit(7L)) === 0))
+      .select($"user_id", $"event_type", $"event_id", $"value")
+    val got = m.select($"user_id", $"event_type", $"event_id", $"value")
+    assert(got.exceptAll(expected).count() === 0 && expected.exceptAll(got).count() === 0)
+    // the shaped fixture exercises every branch at every sf: error keys
+    // carry (immutable in the feed), signup keys insert (absent from the
+    // snapshot), the rest update, ~1/7 delete
+    val acts = m.groupBy($"action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(acts.getOrElse("carry", 0L) > 0 && acts.getOrElse("update", 0L) > 0
+      && acts.getOrElse("insert", 0L) > 0, s"degenerate fixture: $acts")
+    assert(m.filter($"event_type" === "error" && $"action" =!= "carry").count() === 0)
+    assert(m.filter($"event_type" === "signup" && $"action" =!= "insert").count() === 0)
+    val deletes = chg.filter(pmod($"event_id", lit(7L)) === 0).count()
+    assert(deletes > 0, "no deletes exercised")
+    // every D key removes exactly one key from the key union (a chg-only
+    // D inserts nothing and deletes nothing that existed — net zero via
+    // its own union contribution), so |result| = |base ∪ chg keys| − |D|
+    val keyUnion = base.count() + chg.count() -
+      base.join(chg, Seq("user_id", "event_type"), "left_semi").count()
+    assert(m.count() === keyUnion - deletes, "size identity violated")
+    m.unpersist()
+  }
+
   test("L2g incremental screen: flags are internally consistent and non-degenerate") {
     import spark.implicits._
     val out = graft.llm.Dedup.l2gIncrementalSimhash(spark, "/root/testdata/sf0.01")

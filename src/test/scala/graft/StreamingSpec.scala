@@ -332,6 +332,93 @@ class StreamingSpec extends SparkSpecBase {
     assert(phys.contains("BroadcastNestedLoopJoin"), s"model not broadcast:\n$phys")
   }
 
+  test("R12 merge apply: snapshot as initial state, stream log == batch log, fold == u3") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // in-order feed: globally sorted by (ts_us, event_id), split
+      // mid-stream so every key's state must survive the batch boundary
+      val changes = Streams.mergeChanges(spark, sfDir).collect()
+        .sortBy(c => (c.ts_us, c.event_id)).toSeq
+      assert(changes.size > 20, "fixture must carry a real change feed")
+      val mem = MemoryStream[graft.streaming.MergeChange]
+      val name = "sink_r12_" + System.nanoTime()
+      val q = Streams.mergeApplyStream(mem.toDS(), Streams.mergeSnapshot(spark, sfDir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      mem.addData(changes.take(changes.size / 2)); q.processAllAvailable()
+      mem.addData(changes.drop(changes.size / 2)); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(name)
+      // 1. in-order arrival → zero stale rows, and the emitted audit log
+      //    is exactly the batch log (same rows, same action tags)
+      val batchLog = Streams.mergeLogBatch(spark, sfDir)
+      assert(streamed.filter($"action" === "stale").count() === 0)
+      assert(streamed.except(batchLog).count() === 0
+        && batchLog.except(streamed).count() === 0)
+      // 2. folding the log over the snapshot = u3's merge result: per key
+      //    take the LAST applied action; delete → gone, else the change
+      //    row; untouched snapshot keys carry
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", $"event_type").orderBy($"ts_us".desc, $"event_id".desc)
+      val lastPerKey = streamed.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      val folded = lastPerKey.filter($"action" =!= "delete")
+        .select($"user_id", $"event_type", $"event_id", $"value", $"action")
+        .unionByName(
+          Streams.mergeSnapshot(spark, sfDir).toDF()
+            .join(streamed.select($"user_id", $"event_type").distinct(),
+              Seq("user_id", "event_type"), "left_anti")
+            .withColumn("action", lit("carry")))
+      val u3 = graft.operators.Quality.u3MergeUpsert(spark, sfDir)
+      assert(folded.except(u3).count() === 0 && u3.except(folded).count() === 0)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("R12 out-of-order arrival: an older cross-batch change is stale, state unharmed") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import graft.streaming.{MergeChange, SnapshotRow}
+      val snap = Seq(SnapshotRow(1L, "a", 100L, 1.0)).toDS()
+      val mem = MemoryStream[MergeChange]
+      val name = "sink_r12_ooo_" + System.nanoTime()
+      val q = Streams.mergeApplyStream(mem.toDS(), snap)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      // batch 1: a delete at t=2000 tombstones the base row
+      mem.addData(Seq(MergeChange(1L, "a", 200L, 2.0, 2000L, "D")))
+      q.processAllAvailable()
+      // batch 2: an UPSERT that happened EARLIER (t=1000) arrives late —
+      // it must not resurrect the tombstoned key
+      mem.addData(Seq(MergeChange(1L, "a", 150L, 9.9, 1000L, "U")))
+      q.processAllAvailable()
+      // batch 3: a genuinely newer upsert re-creates the key as an update
+      // (base membership, not current emptiness, decides the tag)
+      mem.addData(Seq(MergeChange(1L, "a", 300L, 3.0, 3000L, "U")))
+      q.processAllAvailable()
+      q.stop()
+      val acts = spark.table(name).orderBy($"ts_us")
+        .select($"ts_us", $"action").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(acts.toSeq === Seq((1000L, "stale"), (2000L, "delete"), (3000L, "update")))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("R1 micro-batch ingest: foreachBatch sees every row exactly once") {
     val sparkS = spark
     import sparkS.implicits._
