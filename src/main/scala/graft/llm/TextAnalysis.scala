@@ -534,17 +534,22 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** L4e: document fingerprint — polynomial rolling hash over the char
-    * stream (mod 1e9+7), plus a strong md5. The rolling form is the
-    * building block for winnowing-style fingerprints. */
+  /** L4e: document fingerprint — polynomial rolling hash over the code
+    * points (mod 1e9+7), plus a strong md5. The rolling form is the
+    * building block for winnowing-style fingerprints. Computed by the
+    * native one-pass [[graft.plans.RollingFp]]: the composed
+    * `aggregate(transform(sequence(...), i -> ascii(substr(text,i,1))))`
+    * form is O(n²) per document (each `substr` seeks from byte 0) and was
+    * the slowest query of the round-10 bench at 3.35s; the native fold is
+    * O(n) inside whole-stage codegen and matches the DuckDB
+    * `unicode(text[i])` oracle on all input, not just ASCII. */
   def l4eFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.plans.RollingFp.register(spark)
     Tables.documents(spark, sfDir)
       .select(
         $"doc_id",
-        expr(
-          "aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))), " +
-            "0L, (acc, x) -> (acc * 31 + x) % 1000000007)").as("rolling_fp"),
+        expr("rolling_fp(text)").as("rolling_fp"),
         md5($"text").as("md5_fp"))
       .orderBy($"doc_id")
   }

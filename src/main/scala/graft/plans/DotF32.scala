@@ -114,5 +114,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(MinHashSigs.injection)
     ext.injectFunction(RademacherSigs.injection)
     ext.injectFunction(DotI64.injection)
+    ext.injectFunction(RollingFp.injection)
   }
 }
