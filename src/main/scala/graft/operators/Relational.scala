@@ -59,14 +59,18 @@ object Relational {
   }
 
   /** P2: JSON field extraction with default (ref: details.name else
-    * "Unknown" — vendor.rs:61-64). */
+    * "Unknown" — vendor.rs:61-64). `json_tuple` parses the document ONCE
+    * for both fields; the per-field `get_json_object` form re-parses the
+    * JSON per extraction — 2× the parse cost here, k× for a k-field
+    * extract, which is the dominant cost of a wide-payload scan at 100 TB. */
   def p2JsonFieldExtract(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, sfDir)
+      .select($"event_id", json_tuple($"props", "k", "missing").as(Seq("k0", "m0")))
       .select(
         $"event_id",
-        coalesce(get_json_object($"props", "$.k"), lit("Unknown")).as("k_str"),
-        coalesce(get_json_object($"props", "$.missing"), lit("Unknown")).as("missing_str"))
+        coalesce($"k0", lit("Unknown")).as("k_str"),
+        coalesce($"m0", lit("Unknown")).as("missing_str"))
       .orderBy($"event_id")
   }
 
