@@ -134,6 +134,7 @@ object SparkEntry {
     "l25_heavy_hitters" -> (graft.llm.TextAnalysis.l25HeavyHitters _),
     "l3l_pq_train" -> (graft.llm.Similarity.l3lPqTrain _),
     "l3m_pq_topk" -> (graft.llm.Similarity.l3mPqTopk _),
+    "l3n_ivfpq_topk" -> (graft.llm.Similarity.l3nIvfPqTopk _),
     "l21_bpe_learn" -> (graft.llm.TextAnalysis.l21BpeLearn _),
     "l22_bpe_tokenize" -> (graft.llm.TextAnalysis.l22BpeTokenize _),
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
@@ -1272,6 +1273,39 @@ object SparkEntry {
            |JOIN (SELECT m, d, qv FROM dims WHERE vec_id = $qid) qr
            |  ON qr.m = c.m AND qr.d = c.d
            |GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)
+    },
+    // IVF-PQ composite: the l3c coarse-quantizer probe (exact-decimal
+    // centroid means, top-IVFPQ_PROBE lists by cosine) restricting the
+    // l3m ADC scan to the probed lists' codes — the WITH chain continues
+    // pqOracle's, so training is replayed identically
+    "l3n_ivfpq_topk" -> {
+      val qid = graft.llm.Similarity.PQ_QUERY_ID
+      val nProbe = graft.llm.Similarity.IVFPQ_PROBE
+      pqOracle(fin =>
+        s""", comps AS (
+           |  SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+           |  FROM (SELECT label, unnest(embedding) AS v,
+           |               generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings)
+           |  GROUP BY label, pos),
+           |centroids AS (
+           |  SELECT label, array_agg(c ORDER BY pos) AS centroid FROM comps GROUP BY label),
+           |qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $qid),
+           |probes AS (
+           |  SELECT label FROM (
+           |    SELECT label, ${duckCosine("centroid", "q_emb")} AS csim
+           |    FROM centroids, qe
+           |    ORDER BY csim DESC, label LIMIT $nProbe)),
+           |member AS (
+           |  SELECT e.vec_id, e.label FROM embeddings e
+           |  JOIN probes p ON e.label = p.label WHERE e.vec_id <> $qid)
+           |SELECT cd.vec_id, mb.label AS probe_label,
+           |  CAST(sum((qr.qv - c.cent) * (qr.qv - c.cent)) AS BIGINT) AS adc_dist
+           |FROM s_$fin cd
+           |JOIN member mb ON mb.vec_id = cd.vec_id
+           |JOIN $fin c ON c.m = cd.m AND c.c = cd.c
+           |JOIN (SELECT m, d, qv FROM dims WHERE vec_id = $qid) qr
+           |  ON qr.m = c.m AND qr.d = c.d
+           |GROUP BY 1, 2 ORDER BY adc_dist, cd.vec_id LIMIT 10""".stripMargin)
     },
     // the BPE merge loop unrolled: each rank's CTE trio is one iteration
     // (pair counts off the re-segmented vocab -> 1-row argmax -> replace);

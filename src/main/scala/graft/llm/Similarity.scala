@@ -585,4 +585,68 @@ object Similarity {
       .orderBy($"adc_dist".asc, $"vec_id".asc)
       .limit(10)
   }
+
+  /** IVF lists probed by the composite index (FAISS IVFPQ default is
+    * nprobe=1; 2 matches l3f so the IVF-only and IVF-PQ answers are
+    * comparable over the same probed subset). */
+  val IVFPQ_PROBE = 2
+
+  /** L3n [EXT]: IVF-PQ composite — the production billion-scale ANN stack
+    * (FAISS `IVFPQ`; Jégou et al. 2011 §V "IVFADC"): a coarse quantizer
+    * routes the query to `IVFPQ_PROBE` inverted lists, and ONLY those
+    * lists' PQ codes are scored by asymmetric distance. The two knobs
+    * compose multiplicatively at 100 TB: IVF scans nProbe/k of the corpus
+    * (the l3c/l3f partition prune) and PQ reads M code bytes per vector
+    * instead of the raw embedding (the l3m shrink), so a 1000-executor
+    * scan touches ~nProbe/k · M/(4·dim) of the raw bytes. Plan shape: the
+    * probe step is query planning — centroid scores collapse to
+    * `IVFPQ_PROBE` label ids on the driver (the FAISS coarse-quantizer
+    * lookup; same sanctioned scalar collect as l21's argmax) and the code
+    * table, which carries the list label exactly so a real index can store
+    * codes list-partitioned, is pruned by an `isin` filter — no join, no
+    * shuffle beyond the per-vector ADC rollup. Training and ADC arithmetic
+    * are the exact BIGINT forms of l3l/l3m, so the whole composite is
+    * oracle-able; the IVF probe reuses l3c's exact-decimal centroid mean.
+    * The query vector is excluded from its own result (the l3c
+    * convention). */
+  def l3nIvfPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    withNative(spark)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    // coarse quantizer: per-list centroid (exact decimal mean -> double)
+    val comps = emb
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"v".cast("decimal(20,10)")).cast("double") / count(lit(1))).as("c"))
+    val centroids = comps
+      .groupBy($"label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
+    val q = emb.filter($"vec_id" === PQ_QUERY_ID)
+      .select($"embedding".as("q_emb"))
+      .withColumn("norm_q", sqrt(expr(dot("q_emb", "q_emb"))))
+    val probeLabels = centroids.crossJoin(broadcast(q))
+      .withColumn("cdot", expr(dotD("centroid", "q_emb")))
+      .withColumn("cnorm", sqrt(expr(dotD("centroid", "centroid"))))
+      .withColumn("csim", $"cdot" / ($"cnorm" * $"norm_q"))
+      .orderBy($"csim".desc, $"label")
+      .limit(IVFPQ_PROBE)
+      .select($"label")
+      .collect().map(_.getInt(0)).toSeq
+    // index artifacts: codebook + list-labeled codes (build stage)
+    val cent = pqTrain(spark, sfDir)
+    val dims = pqDims(spark, sfDir)
+    val codes = pqAssign(dims, cent)
+      .join(emb.select($"vec_id", $"label"), Seq("vec_id"))
+    val qry = dims.filter($"vec_id" === PQ_QUERY_ID)
+      .select($"m", $"d", $"qv".as("q_qv"))
+    // serve: prune to the probed lists, ADC-score only their codes
+    codes.filter($"label".isin(probeLabels: _*) && $"vec_id" =!= PQ_QUERY_ID)
+      .join(broadcast(cent.toDF("m", "c", "d", "cent")), Seq("m", "c"))
+      .join(broadcast(qry), Seq("m", "d"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum(($"q_qv" - $"cent") * ($"q_qv" - $"cent")).as("adc_dist"))
+      .select($"vec_id", $"label".as("probe_label"), $"adc_dist")
+      .orderBy($"adc_dist".asc, $"vec_id".asc)
+      .limit(10)
+  }
 }

@@ -267,8 +267,10 @@ object BenchHeavy {
     // DuckDB's one-shot full-vocabulary aggregate
     "l25_heavy_hitters",
     // PQ search prices the whole path: integer Lloyd training (2 iters),
-    // encode, and the ADC rollup — all three corpus-sized passes
-    "l3m_pq_topk",
+    // encode, and the ADC rollup — all three corpus-sized passes; the
+    // IVF-PQ composite adds the coarse-quantizer probe and prices the
+    // probed-list prune (the ADC rollup shrinks to nProbe/k of the corpus)
+    "l3m_pq_topk", "l3n_ivfpq_topk",
     // MERGE apply prices the CDC triple's third leg: two compaction
     // windows feeding one full-outer sort-merge join on the entity key;
     // the audit log prices R12's window-free key-membership join form

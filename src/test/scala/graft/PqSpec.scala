@@ -71,6 +71,31 @@ class PqSpec extends SparkSpecBase {
     assert(r.map(_._2) === r.map(_._2).sorted)
   }
 
+  test("l3n: IVF-PQ equals the full ADC ranking restricted to the probed lists") {
+    import spark.implicits._
+    val got = S.l3nIvfPqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got.size === 10)
+    // exactly IVFPQ_PROBE distinct lists can appear in the result
+    val lists = got.map(_._2).distinct
+    assert(lists.size <= S.IVFPQ_PROBE && lists.nonEmpty)
+    // the composite is the l3m ADC arithmetic restricted to member
+    // vectors: every returned (vec_id, adc_dist) must agree with a full
+    // ADC pass filtered to the probed lists and re-ranked
+    val members = Tables.embeddings(spark, sfDir)
+      .filter($"label".isin(lists: _*) && $"vec_id" =!= S.PQ_QUERY_ID)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => members.contains(r._1)))
+    val fullAdc = S.l3mPqTopk(spark, sfDir) // top-10 of the UNRESTRICTED scan
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // where the unrestricted top-10 and the probed set overlap, the
+    // distances must be identical (same codes, same codebook, same query)
+    got.foreach { case (id, _, dist) =>
+      fullAdc.get(id).foreach(d => assert(d === dist, s"ADC mismatch for vec $id"))
+    }
+    assert(got.map(_._3) === got.map(_._3).sorted)
+  }
+
   test("pq codebook and top-k are partitioning-invariant") {
     def table(): Seq[String] =
       S.l3lPqTrain(spark, sfDir).collect().map(_.toString).toSeq
