@@ -130,6 +130,7 @@ object SparkEntry {
     "l19_split_screen" -> (graft.llm.Dedup.l19SplitScreen _),
     "l23_containment_score" -> (graft.llm.Dedup.l23ContainmentScore _),
     "l24_segment_dedup" -> (graft.llm.Dedup.l24SegmentDedup _),
+    "l26_winnow_screen" -> (graft.llm.Dedup.l26WinnowScreen _),
     "l20_bpe_pair_count" -> (graft.llm.TextAnalysis.l20BpePairCount _),
     "l25_heavy_hitters" -> (graft.llm.TextAnalysis.l25HeavyHitters _),
     "l3l_pq_train" -> (graft.llm.Similarity.l3lPqTrain _),
@@ -868,6 +869,37 @@ object SparkEntry {
          |  COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY i), '')
          |    AS cleaned_text
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // winnowing: POSITION-ORDERED k-gram hashes (no list_distinct before
+    // the windows), min of every w-wide hash window, distinct selected
+    // values, df-capped fingerprint self-join — replays WinnowHashes +
+    // the pairing exactly; the hex fold is the md5p48 convention
+    "l26_winnow_screen" -> {
+      val k = graft.llm.Dedup.SHINGLE_K
+      val w = graft.llm.Dedup.WINNOW_W
+      val maxDf = graft.llm.Dedup.WINNOW_MAXDF
+      val minShared = graft.llm.Dedup.WINNOW_MIN_SHARED
+      s"""WITH sh AS (
+         |  SELECT doc_id, [array_to_string(words[i:i+${k - 1}], ' ')
+         |    for i in range(1, len(words) - ${k - 2})] AS shingles
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+         |  WHERE len(words) >= ${k + w - 1}),
+         |hashed AS (
+         |  SELECT doc_id, [list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [CAST(instr('0123456789abcdef', m[j]) - 1 AS BIGINT) for j in range(1, 13)]),
+         |    (acc, x) -> acc * 16 + x) for m in ms] AS hs
+         |  FROM (SELECT doc_id, [md5(s) for s in shingles] AS ms FROM sh)),
+         |fps AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [list_min(hs[i:i+${w - 1}]) for i in range(1, len(hs) - ${w - 2})])) AS fp
+         |  FROM hashed),
+         |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $maxDf),
+         |capped AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $minShared
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
     "l2e_connected_components" -> {
       s"""${duckSigs(16).replaceFirst("WITH ", "WITH RECURSIVE ")},

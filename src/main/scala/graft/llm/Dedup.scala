@@ -28,7 +28,7 @@ object Dedup {
   private def wordsCol: Column = split(col("text"), " ")
 
   /** Distinct word 5-gram shingles (k=5 per SURVEY §7.4). */
-  private[llm] val SHINGLE_K = 5
+  private[graft] val SHINGLE_K = 5
   private def shinglesExpr: Column = expr(
     s"array_distinct(transform(sequence(1, size(words) - ${SHINGLE_K - 1}), " +
       s"i -> array_join(slice(words, i, $SHINGLE_K), ' ')))")
@@ -803,6 +803,62 @@ object Dedup {
           s"array_join(transform(kept_is, i -> array_join(slice(ws, i * $W + 1, $W), ' ')), ' ')"),
           lit("")).as("cleaned_text"))
       .orderBy($"doc_id")
+  }
+
+  /** Winnowing window width: fingerprint density ~2/(w+1), guarantee
+    * threshold t = w + SHINGLE_K - 1 words (a shared run of >= t words
+    * always yields a shared fingerprint — Schleimer et al. '03, Thm. 2). */
+  private[graft] val WINNOW_W = 8
+  /** Fingerprints in more than this many docs are boilerplate (license
+    * headers, templates) and are dropped before pairing — the df cap that
+    * bounds every fingerprint's bucket at any corpus size. */
+  private[graft] val WINNOW_MAXDF = 16
+  /** Minimum shared fingerprints for a pair to surface. */
+  private[graft] val WINNOW_MIN_SHARED = 2
+
+  /** L26 [EXT]: winnowing fingerprint screen (Schleimer, Wilkerson &
+    * Aiken, SIGMOD'03 — the MOSS scheme): each document keeps only the
+    * MINIMUM span hash of every w-wide window of consecutive word-k-gram
+    * hashes (native one-pass [[graft.plans.WinnowHashes]]), and documents
+    * sharing >= WINNOW_MIN_SHARED surviving fingerprints are reported as
+    * overlap candidates. Versus the l14 span screen this is the
+    * DETECTION-oriented sibling: l14 ships every span hash to score
+    * per-doc duplication ratios; winnowing ships ~2/(w+1) of them with a
+    * positional guarantee (any shared run of >= w+k-1 words still
+    * collides), so the corpus exchange shrinks ~4.5x at the same k while
+    * cross-doc plagiarism/mirror detection stays sound.
+    *
+    * Scale: the exchange carries (doc_id, 8-byte fingerprint) at winnowed
+    * density; the df cap (HAVING count <= WINNOW_MAXDF) bounds every
+    * pairing bucket the way l2b's banding does, so pair volume is capped
+    * at df²/2 per fingerprint and never all-pairs. One exchange keyed on
+    * the fingerprint feeds both the cap and the self-join. */
+  def l26WinnowScreen(spark: SparkSession, sfDir: String): DataFrame =
+    winnowScreenBy(Tables.documents(spark, sfDir), WINNOW_MAXDF, WINNOW_MIN_SHARED)
+
+  /** The screen body with the df cap exposed: a replicated benchmark
+    * fixture (MakeHeavy's 50x copy) inflates every fingerprint's document
+    * frequency by the copy factor, so the heavy tier runs this with the
+    * cap scaled accordingly (`l26_sized` in BenchHeavy) — the semantic
+    * constant stays WINNOW_MAXDF for real corpora. */
+  private[graft] def winnowScreenBy(docs: DataFrame, maxDf: Long,
+      minShared: Long): DataFrame = {
+    val spark = docs.sparkSession
+    graft.plans.WinnowHashes.register(spark)
+    import spark.implicits._
+    val fps = docs
+      .select($"doc_id",
+        explode(expr(s"winnow_hashes(text, $SHINGLE_K, $WINNOW_W)")).as("fp"))
+    val capped = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"fp")))
+      .filter($"df" <= maxDf)
+      .select($"doc_id", $"fp")
+    val a = capped.as("a"); val b = capped.hint("merge").as("b")
+    a.join(b, $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+      .orderBy($"doc_a", $"doc_b")
   }
 
   private def ngramJaccardBy(spark: SparkSession, sfDir: String, algo: String): DataFrame = {

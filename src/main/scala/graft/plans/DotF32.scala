@@ -115,5 +115,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(RademacherSigs.injection)
     ext.injectFunction(DotI64.injection)
     ext.injectFunction(RollingFp.injection)
+    ext.injectFunction(WinnowHashes.injection)
   }
 }

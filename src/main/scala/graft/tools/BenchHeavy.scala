@@ -383,6 +383,28 @@ object BenchHeavy {
       }
     }
 
+    // winnowing at tier scale: MakeHeavy replicates every document
+    // `copies` times, inflating each fingerprint's document frequency by
+    // exactly that factor, so the suite's semantic df cap (WINNOW_MAXDF)
+    // would drop EVERY fingerprint and measure an empty join. Scale the
+    // cap by the measured replication (corpus rows / distinct texts) —
+    // the cap a deployment would pick for a corpus with this duplication
+    // level. No oracle row: a parameterization of l26's oracle-checked
+    // semantics (the l3h_sized convention).
+    val winnowSized: Seq[(String, () => DataFrame)] = {
+      lazy val docs = graft.Tables.documents(spark, dir)
+      lazy val rep = {
+        val r = docs.agg(
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.countDistinct(
+            org.apache.spark.sql.functions.col("text"))).head
+        math.max(1L, r.getLong(0) / math.max(1L, r.getLong(1)))
+      }
+      Seq("l26_sized" -> (() =>
+        graft.llm.Dedup.winnowScreenBy(docs,
+          graft.llm.Dedup.WINNOW_MAXDF * rep, graft.llm.Dedup.WINNOW_MIN_SHARED)))
+    }
+
     // ANN index BUILD cost, timed (overwrite rebuild): what a deployment
     // pays ONCE per corpus refresh — the serve rows price the recurring
     // per-query side of the split
@@ -408,7 +430,7 @@ object BenchHeavy {
     val queries = graft.SparkEntry.queries ++ graft.SparkEntry.ladderQueries
     val runnable: Seq[(String, () => DataFrame)] =
       (HEAVY_QUERIES.map(n => n -> (() => queries(n)(spark, dir))) ++
-        bucketed ++ annSized ++ annBuild)
+        bucketed ++ annSized ++ annBuild ++ winnowSized)
         .filter { case (n, _) => only.isEmpty || only(n) }
 
     // track genuine executor stage time per query: deep plans (q2/q3's

@@ -31,6 +31,7 @@ class CodegenSpec extends SparkSpecBase {
     graft.plans.SimHashSig.register(spark)
     graft.plans.DotI64.register(spark)
     graft.plans.RollingFp.register(spark)
+    graft.plans.WinnowHashes.register(spark)
     val docs = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n"))
       .toDF("doc_id", "text")
     val vecs = Seq((1L, Array(0.1f, -0.2f, 0.3f, 0.4f)),
@@ -38,6 +39,7 @@ class CodegenSpec extends SparkSpecBase {
     withNoFallback {
       assert(docs.select(expr("md5_prefix48(text)")).collect().length === 2)
       assert(docs.select(expr("rolling_fp(text)")).collect().length === 2)
+      assert(docs.select(expr("winnow_hashes(text, 2, 3)")).collect().length === 2)
       assert(docs.select(expr("shingle_hashes(text, 5, 'xxh64')")).collect().length === 2)
       assert(docs.select(expr("shingle_hashes(text, 5, 'md5p48')")).collect().length === 2)
       assert(docs.select(expr("minhash_sigs(text, 5, 4)")).collect().length === 2)
