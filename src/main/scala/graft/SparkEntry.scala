@@ -147,6 +147,7 @@ object SparkEntry {
     "r10_static_enrich" -> (graft.streaming.Streams.r10StaticEnrich _),
     "r11_model_score" -> (graft.streaming.Streams.r11ModelScore _),
     "r12_merge_log" -> (graft.streaming.Streams.r12MergeLog _),
+    "r13_stream_left_join" -> (graft.streaming.Streams.r13StreamLeftJoin _),
     "s9_clustered_scan" -> (graft.operators.Etl.s9ClusteredScan _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
@@ -624,6 +625,19 @@ object SparkEntry {
         |SELECT purchase_id, signup_id,
         |  EPOCH_US(p_ts) - EPOCH_US(s_ts) AS lead_us
         |FROM p JOIN s ON p_user = s_user
+        |  AND EPOCH_US(s_ts) <= EPOCH_US(p_ts)
+        |  AND EPOCH_US(s_ts) >= EPOCH_US(p_ts) - 3600000000
+        |ORDER BY purchase_id, signup_id""".stripMargin,
+    // the left-outer form: unmatched purchases survive null-padded — the
+    // rows streaming emits when the watermark passes their join window
+    "r13_stream_left_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS signup_id, user_id AS s_user, ts AS s_ts
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT purchase_id, signup_id,
+        |  EPOCH_US(p_ts) - EPOCH_US(s_ts) AS lead_us
+        |FROM p LEFT JOIN s ON p_user = s_user
         |  AND EPOCH_US(s_ts) <= EPOCH_US(p_ts)
         |  AND EPOCH_US(s_ts) >= EPOCH_US(p_ts) - 3600000000
         |ORDER BY purchase_id, signup_id""".stripMargin,

@@ -297,6 +297,33 @@ object Streams {
 
   // (the same body is the batch form: withWatermark is a no-op in batch)
 
+  /** R13 [EXT]: stream-stream LEFT OUTER interval join — R7's attribution
+    * join where purchases with NO qualifying signup still emit, null-
+    * padded. The semantics only exist because of the watermark: an inner
+    * stream-stream join can emit matches eagerly, but "no match" is
+    * undecidable on an unbounded stream until the watermark passes the
+    * purchase's whole candidate window — Structured Streaming buffers the
+    * left row in the join state store and emits the null-padded form at
+    * exactly that point, so the stream CONVERGES to the batch left join
+    * (StreamingSpec drives it there with a watermark-advancing sentinel).
+    * At 100 TB the state bound is the same as R7's: both sides' state
+    * expire at their watermark, so store size tracks the join window, not
+    * the stream. Same body batch & stream (withWatermark no-ops in
+    * batch); the oracle is the plain SQL LEFT JOIN. */
+  def purchaseSignupLeftJoin(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val spark = purchases.sparkSession
+    import spark.implicits._
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+    val s = signups.withWatermark("ts", "2 hours")
+      .select($"event_id".as("signup_id"), $"user_id".as("s_user"), $"ts".as("s_ts"))
+    p.join(s,
+      expr("p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR"),
+      "left_outer")
+      .select($"purchase_id", $"signup_id",
+        (unix_micros($"p_ts") - unix_micros($"s_ts")).as("lead_us"))
+  }
+
   // ------------------------------------------------ oracle-facing wrappers
 
   def r2TumblingCount(spark: SparkSession, sfDir: String): DataFrame = {
@@ -359,6 +386,15 @@ object Streams {
     import spark.implicits._
     val events = Tables.events(spark, sfDir)
     purchaseSignupJoin(
+      events.filter($"event_type" === "purchase"),
+      events.filter($"event_type" === "signup"))
+      .orderBy($"purchase_id", $"signup_id")
+  }
+
+  def r13StreamLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    purchaseSignupLeftJoin(
       events.filter($"event_type" === "purchase"),
       events.filter($"event_type" === "signup"))
       .orderBy($"purchase_id", $"signup_id")

@@ -229,6 +229,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.count() > 0)
   }
 
+  test("R13 stream-stream LEFT OUTER join converges to the batch left join") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = fixture.filter(_.event_type == "click")
+      .map(e => e.copy(event_type = "purchase"))
+    val signups = fixture.filter(_.event_type == "view")
+      .map(e => e.copy(event_type = "signup"))
+    // watermark-advancing sentinels, one per stream, far past every join
+    // window: without them the null-padded rows for the latest purchases
+    // stay buffered in the join state (outer results emit only once the
+    // watermark passes the candidate window — the semantics under test)
+    val flushP = Evt(9001, ts(24 * 60), 999, "purchase")
+    val flushS = Evt(9002, ts(24 * 60), 998, "signup")
+    val memP = MemoryStream[Evt]; val memS = MemoryStream[Evt]
+    val joined = graft.streaming.Streams.purchaseSignupLeftJoin(memP.toDF(), memS.toDF())
+    val q = joined.writeStream.format("memory").queryName("r13_join")
+      .outputMode("append").start()
+    memS.addData(signups); memP.addData(purchases)
+    q.processAllAvailable()
+    memS.addData(flushS); memP.addData(flushP)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("r13_join")
+      .filter($"purchase_id" < 9000)
+      .select($"purchase_id", $"signup_id", $"lead_us")
+    val batch = graft.streaming.Streams.purchaseSignupLeftJoin(
+      batchDf(purchases), batchDf(signups))
+    assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0)
+    // the outer semantics actually fired: at least one null-padded row
+    assert(streamed.filter($"signup_id".isNull).count() > 0)
+    assert(batch.count() > streamed.filter($"signup_id".isNull).count())
+  }
+
   test("R6 checkpoint restart: keyed state survives a query restart, no reprocessing") {
     // The failure-recovery contract a 100 TB deployment actually relies
     // on: a NEW query instance over the same checkpoint must (a) not
