@@ -113,6 +113,7 @@ object SparkEntry {
     // benched by BenchHeavy; analysis in BENCHNOTES_HEAVY).
     "l2f_decontam" -> (graft.llm.Dedup.l2fDecontamMd5 _),
     "l2f_gen" -> (graft.llm.Dedup.l2fDecontamGen _),
+    "l27_bloom_decontam" -> (graft.llm.Dedup.l27BloomDecontam _),
     "l14_span_screen" -> (graft.llm.Dedup.l14SpanScreen _),
     "l5_multimodal_columns" -> (graft.llm.Multimodal.l5MultimodalColumns _),
     "l5b_frame_sample" -> (graft.llm.Multimodal.l5bFrameSample _),
@@ -1432,6 +1433,11 @@ object SparkEntry {
     // oracle is the exact expected output and equality doubles as the
     // per-run zero-collision check (ladder rungs: see ladderQueries)
     "l2f_gen" -> l2fOracle,
+    // l27 = l2f_gen with a Bloom prefilter whose false positives die in
+    // the exact-confirm join — results are identical BY CONSTRUCTION at
+    // any fpp, so the exact screen's SQL is the oracle (the sketch buys
+    // plan shape, not semantics)
+    "l27_bloom_decontam" -> l2fOracle,
     // l14: the naive single-window replay of the span screen — per-span
     // document frequency over the same md5p48 shingle CTEs the l2 family
     // anchors on; equality doubles as the per-run collision check

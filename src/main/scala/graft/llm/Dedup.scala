@@ -485,6 +485,57 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Bloom sizing for [[l27BloomDecontam]]: ~8 bits per expected benchmark
+    * span (fpp ≈ 2%). In production these are sized from the train-side
+    * distinct count (items = |train spans|, bits ≈ 10×items for 1%); the
+    * sketch stays bits/8 bytes — 8 KB here, a few GB for a trillion-span
+    * benchmark suite — regardless of corpus size, which is the whole
+    * point: the exact train-span SET may be too large to broadcast, the
+    * Bloom never is. */
+  private[graft] val BLOOM_ITEMS = 8192L
+  private[graft] val BLOOM_BITS = 65536L
+
+  /** L27 [EXT]: Bloom-prefiltered decontamination — the two-phase
+    * membership screen for when the benchmark span set is too large to
+    * broadcast exactly: build Spark's own Bloom sketch over the benchmark
+    * spans ([[graft.plans.BloomFunctions]] exposes
+    * `aggregate.BloomFilterAggregate` / `BloomFilterMightContain`, the
+    * InjectRuntimeFilter machinery, as explicit functions), broadcast the
+    * fixed-size sketch, and drop every corpus span the probe rejects
+    * BEFORE the exact-confirm join's exchange. False positives survive the
+    * prefilter but die in the exact join, so the result is exactly
+    * [[l2fDecontamGen]]'s (same oracle) at any fpp — the Bloom buys plan
+    * shape, not different semantics. At 100 TB the corpus-side exchange
+    * shrinks from every span to (matches + fpp·non-matches): with ~1% fpp
+    * and sparse contamination that is a ~50-100x shuffle cut, and the
+    * exact side joins shuffle-to-shuffle (merge hint — the regime where
+    * the train set does NOT fit in a broadcast; BloomDecontamSpec measures
+    * the pruned exchange on the fixture). */
+  def l27BloomDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.ShingleHashes.register(spark)
+    graft.plans.BloomFunctions.register(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    def exploded(d: DataFrame): DataFrame = d.select($"doc_id",
+      explode(expr(s"shingle_hashes(text, $SHINGLE_K, 'xxh64')")).as("sh"))
+    val bench = exploded(docs.filter($"doc_id" < 50)).select($"sh").distinct()
+    // the sketch is bits/8 bytes whatever the corpus size — collected once
+    // and embedded as a plan constant (BloomFilterMightContain requires a
+    // constant/scalar-subquery sketch; the PQ-codebook idiom: fixed-size
+    // learned state rides the plan, corpus-sized state never does)
+    val sketch: Array[Byte] = bench
+      .agg(expr(s"graft_bloom_agg(sh, ${BLOOM_ITEMS}L, ${BLOOM_BITS}L)").as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val corpus = exploded(docs.filter($"doc_id" >= 50))
+    corpus
+      .filter(call_function("graft_might_contain", lit(sketch), $"sh"))
+      .select($"doc_id", $"sh")
+      .join(bench.hint("merge"), "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
   /** L2f on the native one-pass expression with md5p48 keys — the suite's
     * oracle ANCHOR: it hashes the identical md5 prefixes the DuckDB oracle
     * computes, and both sides deduplicate on that same 48-bit key, so

@@ -274,7 +274,10 @@ object BenchHeavy {
     // MERGE apply prices the CDC triple's third leg: two compaction
     // windows feeding one full-outer sort-merge join on the entity key;
     // the audit log prices R12's window-free key-membership join form
-    "u3_merge_upsert", "r12_merge_log")
+    "u3_merge_upsert", "r12_merge_log",
+    // Bloom-prefiltered decontam vs l2f_gen (both here): the sketch's
+    // prune vs the broadcast-exact form, priced at the same tier
+    "l27_bloom_decontam")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio
