@@ -98,6 +98,7 @@ object SparkEntry {
     "l3i_serve" -> (graft.llm.AnnIndex.l3iServe _),
     "l3j_serve" -> (graft.llm.AnnIndex.l3jServe _),
     "l3f_serve" -> (graft.llm.AnnIndex.l3fServe _),
+    "l3n_serve" -> (graft.llm.AnnIndex.l3nServe _),
     "l4_text_stats" -> (graft.llm.TextAnalysis.l4TextStats _),
     "l4b_lang_id" -> (graft.llm.TextAnalysis.l4bLangId _),
     "l4c_quality_score" -> (graft.llm.TextAnalysis.l4cQualityScore _),
@@ -1821,5 +1822,6 @@ object SparkEntry {
   private lazy val serveOracles: Map[String, String] = Map(
     "l3i_serve" -> baseOracleSql("l3i_sq8_topk"),
     "l3j_serve" -> baseOracleSql("l3j_rerank_topk"),
-    "l3f_serve" -> baseOracleSql("l3f_ivf_multiprobe"))
+    "l3f_serve" -> baseOracleSql("l3f_ivf_multiprobe"),
+    "l3n_serve" -> baseOracleSql("l3n_ivfpq_topk"))
 }

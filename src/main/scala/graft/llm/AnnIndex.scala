@@ -263,6 +263,102 @@ object AnnIndex {
   def l3fServe(spark: SparkSession, sfDir: String): DataFrame =
     ivfServe(spark, sfDir, nProbe = 2)
 
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** One-time IVF-PQ build: the PQ codebook ([[Similarity.pqTrain]]'s
+    * deterministic integer Lloyd — M·K·SUB rows, corpus-size-independent)
+    * plus every vector's M subspace codes laid out as list-sharded
+    * inverted lists exactly like `ivf_corpus` — so a probe reads nProbe
+    * shards of CODE rows (M small ints per vector) and never a float.
+    * This is the at-rest form of the l3n composite: FAISS's IVFADC index
+    * as parquet directories. Returns the index directory. */
+  def buildIvfPq(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val dir = indexDir(spark, sfDir)
+    val fp = sourceFingerprint(sfDir)
+    val cent = Similarity.pqTrain(spark, sfDir)
+    Tables.sink(s"$dir/pq_codebook") {
+      cent.toDF("m", "c", "d", "cent").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/pq_codebook")
+    }
+    stamp(s"$dir/pq_codebook", fp)
+    Tables.sink(s"$dir/pq_codes") {
+      Similarity.pqAssign(Similarity.pqDims(spark, sfDir), cent)
+        .join(Tables.embeddings(spark, sfDir).select($"vec_id", $"label"), Seq("vec_id"))
+        .withColumn("pshard", pmod($"label", lit(LIST_SHARDS)))
+        .repartition($"pshard")
+        .write.mode("overwrite").partitionBy("pshard").parquet(s"$dir/pq_codes")
+    }
+    stamp(s"$dir/pq_codes", fp)
+    dir
+  }
+
+  def ensureIvfPq(spark: SparkSession, sfDir: String): String = {
+    val dir = indexDir(spark, sfDir)
+    val fp = sourceFingerprint(sfDir)
+    if (!fresh(s"$dir/pq_codebook", fp) || !fresh(s"$dir/pq_codes", fp))
+      buildIvfPq(spark, sfDir)
+    else dir
+  }
+
+  /** l3n (IVF-PQ composite) served from index artifacts only: the probe
+    * ranks the persisted centroid components (bit-equal probe choice, the
+    * l3fServe argument), the query vector is a row-group-pruned point
+    * lookup against the by-id copy, and the corpus side reads ONLY the
+    * probed shards of `pq_codes` via dynamic partition pruning. The
+    * query's side of the asymmetric distance collapses to the classic ADC
+    * LOOKUP TABLE — per (m, c), the exact BIGINT distance of the query
+    * subvector to that centroid (M·K = 64 rows, broadcast) — so scoring a
+    * vector is M table hits + a sum, the FAISS serve kernel as a
+    * broadcast join + partial agg. Integer addition is order-independent,
+    * so regrouping (d-sums inside the table, m-sums in the rollup) is
+    * bit-equal to the base l3n's flat sum and the serve row is
+    * oracle-checked against l3n's own SQL. */
+  def l3nServe(spark: SparkSession, sfDir: String): DataFrame = {
+    withNative(spark)
+    import spark.implicits._
+    val dir = ensureIvfPq(spark, sfDir)
+    val comps = Tables.readMemo(spark, s"${ensureIvf(spark, sfDir)}/ivf_centroids")
+    val centroids = comps
+      .groupBy($"label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
+    val q = Tables.readMemo(spark, ensureVecById(spark, sfDir))
+      .filter($"vec_id" === Similarity.PQ_QUERY_ID)
+      .select($"embedding".as("q_emb"))
+      .withColumn("norm_q", sqrt(expr(dot("q_emb", "q_emb"))))
+    val nearest = centroids.crossJoin(broadcast(q))
+      .withColumn("cdot", expr(dotD("centroid", "q_emb")))
+      .withColumn("cnorm", sqrt(expr(dotD("centroid", "centroid"))))
+      .withColumn("csim", $"cdot" / ($"cnorm" * $"norm_q"))
+      .orderBy($"csim".desc, $"label")
+      .limit(Similarity.IVFPQ_PROBE)
+      .select($"label".as("probe_label"), $"q_emb")
+      .withColumn("probe_shard", pmod($"probe_label", lit(LIST_SHARDS)))
+    // the ADC lookup table: quantize the query's dims with the exact
+    // pqDims arithmetic, then per-(m, c) exact BIGINT partial distances
+    val qd = Tables.readMemo(spark, ensureVecById(spark, sfDir))
+      .filter($"vec_id" === Similarity.PQ_QUERY_ID)
+      .select(posexplode($"embedding").as(Seq("pos", "x")))
+      .select(
+        expr(s"CAST(pos div ${Similarity.PQ_SUB} AS INT)").as("m"),
+        expr(s"CAST(pos % ${Similarity.PQ_SUB} AS INT)").as("d"),
+        expr(s"CAST(CAST(x AS DOUBLE) * ${Similarity.PQ_SCALE} AS BIGINT)").as("q_qv"))
+    val adc = Tables.readMemo(spark, s"$dir/pq_codebook")
+      .join(qd, Seq("m", "d"))
+      .groupBy($"m", $"c")
+      .agg(sum(($"q_qv" - $"cent") * ($"q_qv" - $"cent")).as("pdist"))
+    val codes = Tables.readMemo(spark, s"$dir/pq_codes")
+    codes.join(broadcast(nearest),
+        codes("pshard") === col("probe_shard") && codes("label") === col("probe_label"))
+      .filter($"vec_id" =!= Similarity.PQ_QUERY_ID)
+      .join(broadcast(adc), Seq("m", "c"))
+      .groupBy($"vec_id", $"probe_label")
+      .agg(sum($"pdist").as("adc_dist"))
+      .select($"vec_id", $"probe_label", $"adc_dist")
+      .orderBy($"adc_dist".asc, $"vec_id".asc)
+      .limit(10)
+  }
+
   def ivfServe(spark: SparkSession, sfDir: String, nProbe: Int): DataFrame = {
     require(nProbe >= 1, s"nProbe out of range: $nProbe")
     withNative(spark)

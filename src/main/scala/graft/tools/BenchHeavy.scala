@@ -233,7 +233,7 @@ object BenchHeavy {
     "l2c_simhash", "l2g_incremental_simhash", "r9_signature_screen",
     // index build/serve split: serve paths read the persisted ANN index
     // (llm.AnnIndex); the ann_build_* rows below price the build step
-    "l3i_serve", "l3j_serve", "l3f_serve",
+    "l3i_serve", "l3j_serve", "l3f_serve", "l3n_serve",
     // round 7: the two-phase exact percentile vector priced against a9's
     // buffering built-in at the same tier (its sf1-sf50 inversion sweep is
     // CROSSOVER.md), and the five-stage corpus-export flagship

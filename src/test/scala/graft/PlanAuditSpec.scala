@@ -304,6 +304,23 @@ class PlanAuditSpec extends SparkSpecBase {
       s"non-point-lookup vectors_by_id scan:\n${vecScans.mkString("\n")}")
   }
 
+  test("l3n_serve: ADC over the probed pq_codes shards only; floats only as point lookups") {
+    val p = plan(q("l3n_serve"))
+    // corpus side = the list-sharded code store, dynamically pruned to the
+    // probed shards; the codebook artifact feeds the broadcast ADC table
+    assert(p.contains("pq_codes"), p)
+    assert(p.contains("pq_codebook"), p)
+    assert(p.contains("ivf_centroids"), p)
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    // the raw embeddings table is never touched, and every float read is
+    // the row-group-pruned query point lookup against the by-id copy
+    assert(!p.contains("embeddings.parquet"), p)
+    val vecScans = p.linesIterator.filter(_.contains("vectors_by_id")).toSeq
+    assert(vecScans.nonEmpty && vecScans.forall(_.contains("EqualTo(vec_id,0)")),
+      s"non-point-lookup vectors_by_id scan:\n${vecScans.mkString("\n")}")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("l16: rank filter compiles to a partial WindowGroupLimit before the exchange") {
     // the 100 TB claim: the per-domain cap ships O(domains x N) rows, not
     // the corpus — InferWindowGroupLimit must turn the row_number <= N
