@@ -151,6 +151,7 @@ object SparkEntry {
     "r12_merge_log" -> (graft.streaming.Streams.r12MergeLog _),
     "r13_stream_left_join" -> (graft.streaming.Streams.r13StreamLeftJoin _),
     "s9_clustered_scan" -> (graft.operators.Etl.s9ClusteredScan _),
+    "s10_compaction" -> (graft.operators.Etl.s10Compaction _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
     "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
@@ -617,6 +618,11 @@ object SparkEntry {
         |WHERE CAST(o_orderdate AS DATE) >= DATE '2000-03-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '2000-04-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle reads the SOURCE table: fragment + compact + read-back
+    // must be the identity on the data — only the file layout changes
+    "s10_compaction" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "r7_stream_join" ->
       // micros-space comparisons (EPOCH_US) on both sides: Spark compares
       // micros TimestampType, DuckDB would otherwise compare raw nanos

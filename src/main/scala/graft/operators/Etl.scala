@@ -101,6 +101,52 @@ object Etl {
       .orderBy($"city_id", $"day")
   }
 
+  /** Compact a Hive-partitioned parquet table: read the fragmented layout,
+    * co-locate each partition directory's rows in one task (repartition on
+    * the partition columns — the s5/s6 small-files rule applied as a
+    * REWRITE), and overwrite the destination. This is the OPTIMIZE pass
+    * every streaming/micro-batch sink needs at 100 TB: appends write
+    * files-per-trigger × dirs, reads then pay open/seek per tiny file and
+    * the NameNode/object-store pays the listing; compaction restores
+    * file count ≈ dir count at scan speed (one shuffle on the partition
+    * key, no row-level work). */
+  def compactPartitioned(spark: SparkSession, src: String, dst: String,
+      partCols: Seq[String]): Unit = {
+    val df = Tables.readMemo(spark, src)
+    Tables.sink(dst) {
+      df.repartition(partCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(partCols: _*)
+        .parquet(dst)
+    }
+  }
+
+  /** S10 [EXT]: small-files compaction, end to end — fragment the events
+    * table the way a files-per-trigger micro-batch sink would (32 writer
+    * tasks × each partition dir), compact with [[compactPartitioned]],
+    * and return the per-partition counts READ BACK from the compacted
+    * table, so the oracle (a plain GROUP BY on the source) proves the
+    * rewrite lost and duplicated nothing. CompactionSpec asserts the
+    * file-count collapse itself (≈32 files/dir → 1) — the part SQL can't
+    * see. */
+  def s10Compaction(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val frag = s"${scratch(spark)}/s10_fragmented"
+    val compacted = s"${scratch(spark)}/s10_compacted"
+    Tables.sink(frag) {
+      Tables.events(spark, sfDir)
+        .repartition(32) // the appender anti-pattern: every task hits every dir
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("event_type")
+        .parquet(frag)
+    }
+    compactPartitioned(spark, frag, compacted, Seq("event_type"))
+    Tables.readMemo(spark, compacted)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
   /** Clustered parquet layout: range-partition on `clusterCol` (one task
     * per contiguous value range) then sort within partitions before the
     * write. Every output file then covers a disjoint slice of the cluster
