@@ -128,6 +128,7 @@ object SparkEntry {
     "l13c_export_sink" -> (graft.llm.Assembly.l13cExportSink _),
     "l15_chunk" -> (graft.llm.Assembly.l15Chunk _),
     "l17_unigram_logprob" -> (graft.llm.TextAnalysis.l17UnigramLogprob _),
+    "l17b_bigram_logprob" -> (graft.llm.TextAnalysis.l17bBigramLogprob _),
     "l18_leakage_split" -> (graft.llm.Assembly.l18LeakageSplit _),
     "l19_split_screen" -> (graft.llm.Dedup.l19SplitScreen _),
     "l23_containment_score" -> (graft.llm.Dedup.l23ContainmentScore _),
@@ -1241,6 +1242,49 @@ object SparkEntry {
          |  CAST(sum(mn) AS BIGINT) AS sum_micronats,
          |  CAST(sum(mn) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_micronats
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the bigram-backoff scorer: positions via zipped unnest, the previous
+    // token via a (doc_id, i-1) self-join, bigram conditionals capped at
+    // BIGRAM_TOP_K with a total order, stupid-backoff constant spliced
+    // from the Scala side so both engines add the SAME integer
+    "l17b_bigram_logprob" -> {
+      val kb = graft.llm.TextAnalysis.BIGRAM_TOP_K
+      val bk = graft.llm.TextAnalysis.BACKOFF_MN
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |         generate_subscripts(string_split(text, ' '), 1) AS i
+         |  FROM documents),
+         |cnts AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts),
+         |vmn AS (SELECT w, CAST(round(ln(CAST(cnt AS DOUBLE) / tot.total)
+         |                             * 1000000) AS BIGINT) AS mn
+         |        FROM (SELECT w, cnt FROM cnts
+         |              ORDER BY cnt DESC, w LIMIT ${graft.llm.TextAnalysis.VOCAB_TOP_K})
+         |        CROSS JOIN tot),
+         |oov AS (SELECT CAST(round(ln(0.5 / total) * 1000000) AS BIGINT) AS oov_mn
+         |        FROM tot),
+         |bcnt AS (
+         |  SELECT p.w AS prev, t.w, count(*) AS cnt2
+         |  FROM tok t JOIN tok p ON p.doc_id = t.doc_id AND p.i = t.i - 1
+         |  GROUP BY 1, 2),
+         |bmn AS (
+         |  SELECT b.prev, b.w,
+         |    CAST(round(ln(CAST(b.cnt2 AS DOUBLE) / c.cnt) * 1000000) AS BIGINT) AS mn2
+         |  FROM bcnt b JOIN cnts c ON c.w = b.prev
+         |  ORDER BY b.cnt2 DESC, b.prev, b.w LIMIT $kb),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |    CASE WHEN t.i = 1 THEN coalesce(v.mn, o.oov_mn)
+         |         ELSE coalesce(bm.mn2, coalesce(v.mn, o.oov_mn) + ($bk)) END AS mn
+         |  FROM tok t
+         |  LEFT JOIN tok p ON p.doc_id = t.doc_id AND p.i = t.i - 1
+         |  LEFT JOIN vmn v ON v.w = t.w
+         |  LEFT JOIN bmn bm ON bm.prev = p.w AND bm.w = t.w
+         |  CROSS JOIN oov o)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(mn) AS BIGINT) AS sum_micronats,
+         |  CAST(sum(mn) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_micronats
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "r11_model_score" ->
       s"""WITH m AS (SELECT max(doc_id) * 4 // 5 AS cutoff FROM documents),
          |hist AS (SELECT d.* FROM documents d, m WHERE d.doc_id < m.cutoff),

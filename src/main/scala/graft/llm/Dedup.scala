@@ -887,11 +887,11 @@ object Dedup {
   def l26WinnowScreen(spark: SparkSession, sfDir: String): DataFrame =
     winnowScreenBy(Tables.documents(spark, sfDir), WINNOW_MAXDF, WINNOW_MIN_SHARED)
 
-  /** The screen body with the df cap exposed: a replicated benchmark
-    * fixture (MakeHeavy's 50x copy) inflates every fingerprint's document
-    * frequency by the copy factor, so the heavy tier runs this with the
-    * cap scaled accordingly (`l26_sized` in BenchHeavy) — the semantic
-    * constant stays WINNOW_MAXDF for real corpora. */
+  /** The screen body with the df cap exposed — the knob a deployment
+    * tunes to its corpus's duplication level (MakeHeavy's replicas are
+    * text-DISTINCT — word-suffixed per replica — so the heavy tiers run
+    * the suite cap unchanged; a corpus of verbatim mirrors would raise
+    * it). */
   private[graft] def winnowScreenBy(docs: DataFrame, maxDf: Long,
       minShared: Long): DataFrame = {
     val spark = docs.sparkSession

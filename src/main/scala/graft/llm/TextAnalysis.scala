@@ -233,6 +233,94 @@ object TextAnalysis {
     scoreWithModel(docs, unigramModel(docs)).orderBy($"doc_id")
   }
 
+  /** Bigrams kept in the backoff model (the vocab-cap idiom one order up:
+    * a production run sizes this to the broadcast budget — the model is
+    * O(top-K) whatever the corpus). */
+  val BIGRAM_TOP_K = 64
+
+  /** Stupid-backoff penalty (Brants et al. 2007, "Large language models
+    * in machine translation": score = α · unigram when the bigram is
+    * unseen, α = 0.4) in integer micronats — computed ONCE here and
+    * spliced into both engines' arithmetic so no second rounding exists. */
+  val BACKOFF_MN: Long = math.round(math.log(0.4) * 1e6)
+
+  /** Separator inside a bigram map key; never occurs in the corpus (the
+    * BPE_SEP argument), so a key can't be faked by word content. */
+  private val BIGRAM_SEP = "\u0001"
+
+  /** Fitted bigram-backoff model as a 1-row broadcastable frame:
+    * the l17 unigram columns (vmn, oov_mn) plus `bmn`, the top-K bigram
+    * conditionals P(w|prev) = cnt(prev,w)/cnt(prev) in integer micronats.
+    * Two corpus scans (unigram counts, adjacent-pair counts — the pair
+    * fan-out collapses map-side to the observed bigram vocabulary before
+    * its only exchange); the kept model is top-K rows → one tiny map. */
+  def bigramModel(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val pairs = docs
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(words)), " +
+          "i -> struct(element_at(words, i - 1) AS prev, element_at(words, i) AS w))")).as("p"))
+      .groupBy($"p.prev".as("prev"), $"p.w".as("w"))
+      .agg(count(lit(1)).as("cnt2"))
+    val mn = (p: org.apache.spark.sql.Column) =>
+      round(log(p) * lit(1000000d)).cast("long")
+    val bigMn = pairs
+      .join(counts.select($"w".as("prev"), $"cnt".as("cnt1")), Seq("prev"))
+      .orderBy($"cnt2".desc, $"prev".asc, $"w".asc).limit(BIGRAM_TOP_K)
+      .select(concat($"prev", lit(BIGRAM_SEP), $"w").as("k"),
+        mn($"cnt2".cast("double") / $"cnt1".cast("double")).as("mn2"))
+      .agg(map_from_arrays(collect_list($"k"), collect_list($"mn2")).as("bmn"))
+    unigramModel(docs).crossJoin(bigMn)
+  }
+
+  /** L17b [EXT]: bigram-backoff log-probability scoring — the l17 quality
+    * scorer one Markov order up, the shape of every n-gram-LM corpus
+    * filter (CCNet/KenLM-style perplexity gates): token 1 scores by the
+    * unigram table; token i>1 by the bigram conditional if (w[i-1], w[i])
+    * is in the model, else by unigram + the fixed stupid-backoff penalty.
+    * Everything stays exact integer micronats (each table entry rounds
+    * once at fit time; scoring is lookups + integer sums), so the whole
+    * chain — fit, backoff, fold — is hash-exact against the SQL replay.
+    * Scale: both model passes collapse map-side to vocabulary-sized
+    * exchanges; scoring is the l17 shuffle-free broadcast fold (the same
+    * body would score an unbounded stream, the r11 argument). */
+  def l17bBigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    // zero-lambda positional scoring (the l2f_pos shape): posexplode the
+    // token positions and compute each token's micronats in the flat
+    // post-Generate projection — element_at/concat/try_element_at all run
+    // inside whole-stage codegen and Generate pipelines `words` by
+    // reference, where the aggregate()-lambda form evaluates interpreted
+    // with a per-token string concat inside the fold (measured 3.0s vs
+    // 1.0s at sf0.1 for identical semantics). Costs one (doc_id) exchange
+    // that the fold avoids, collapsed map-side to one row per doc.
+    docs.crossJoin(broadcast(bigramModel(docs)))
+      .withColumn("words", split($"text", " "))
+      .select($"doc_id", $"words", $"vmn", $"oov_mn", $"bmn",
+        posexplode($"words").as(Seq("i", "w")))
+      .select($"doc_id",
+        when($"i" === 0, expr("coalesce(try_element_at(vmn, w), oov_mn)"))
+          .otherwise(expr(
+            // posexplode's i is 0-based, element_at 1-based: words[i] IS
+            // the previous token
+            s"""coalesce(
+               |  try_element_at(bmn, concat(element_at(words, i), char(1), w)),
+               |  coalesce(try_element_at(vmn, w), oov_mn) + ${BACKOFF_MN}L)""".stripMargin))
+          .as("mn"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"mn").as("sum_micronats"))
+      .withColumn("avg_micronats",
+        $"sum_micronats".cast("double") / $"n_tokens".cast("double"))
+      .orderBy($"doc_id")
+  }
+
   /** Merge candidates kept by [[l20BpePairCount]]. */
   val BPE_TOP_PAIRS = 50
 

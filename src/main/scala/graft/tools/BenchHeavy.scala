@@ -247,7 +247,7 @@ object BenchHeavy {
     // l17 prices the build/apply two-pass shape (vocab-sized exchange +
     // shuffle-free broadcast scoring pass) against DuckDB's unnest+join
     // formulation, which must materialize the per-token frame
-    "l17_unigram_logprob", "l18_leakage_split",
+    "l17_unigram_logprob", "l17b_bigram_logprob", "l18_leakage_split",
     // the contamination screen prices l2b's LSH pass + two thin joins;
     // BPE pair counting prices the char-level fan-out/collapse claim
     "l19_split_screen", "l20_bpe_pair_count",
@@ -276,8 +276,11 @@ object BenchHeavy {
     // the audit log prices R12's window-free key-membership join form
     "u3_merge_upsert", "r12_merge_log",
     // Bloom-prefiltered decontam vs l2f_gen (both here): the sketch's
-    // prune vs the broadcast-exact form, priced at the same tier
-    "l27_bloom_decontam")
+    // prune vs the broadcast-exact form, priced at the same tier; the
+    // winnowing screen prices the fingerprint diet vs l14's every-span
+    // exchange; the bigram scorer prices the two vocab-collapsing model
+    // passes + broadcast scoring at tier scale
+    "l27_bloom_decontam", "l26_winnow_screen", "l17b_bigram_logprob")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio
@@ -314,14 +317,19 @@ object BenchHeavy {
     // the v2 export flagship and the 8-byte-key segment dedup: the two
     // round-10 shuffle-diet reworks, tracked at the top tier so their
     // "text never rides the exchange" claims have a 250x scale point
-    "l13b_corpus_export_v2", "l24_segment_dedup")
+    "l13b_corpus_export_v2", "l24_segment_dedup",
+    // round 10 (cont.): the graded containment screen at 250x (span
+    // fan-out + distinct-train agg + hash membership join), and the
+    // winnowing screen — the fingerprint diet's top-tier point next to
+    // l14's every-span trend
+    "l23_containment_score", "l26_winnow_screen")
 
   /** ANN queries for the sf25 tier: run each in an isolated JVM (see
     * SF25_QUERIES note on cross-query heap contamination). */
   val SF25_ANN: Seq[String] =
     Seq("l3e_sized", "l3g_sized", "l3h_sized", "l3f_ivf_multiprobe",
       "l3i_sq8_topk", "l3j_rerank_topk",
-      "l3i_serve", "l3j_serve", "l3f_serve",
+      "l3i_serve", "l3j_serve", "l3f_serve", "l3n_serve",
       "ann_build_sq8", "ann_build_ivf", "ann_build_vecs")
 
   val SWEEPS = 3
@@ -386,27 +394,12 @@ object BenchHeavy {
       }
     }
 
-    // winnowing at tier scale: MakeHeavy replicates every document
-    // `copies` times, inflating each fingerprint's document frequency by
-    // exactly that factor, so the suite's semantic df cap (WINNOW_MAXDF)
-    // would drop EVERY fingerprint and measure an empty join. Scale the
-    // cap by the measured replication (corpus rows / distinct texts) —
-    // the cap a deployment would pick for a corpus with this duplication
-    // level. No oracle row: a parameterization of l26's oracle-checked
-    // semantics (the l3h_sized convention).
-    val winnowSized: Seq[(String, () => DataFrame)] = {
-      lazy val docs = graft.Tables.documents(spark, dir)
-      lazy val rep = {
-        val r = docs.agg(
-          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
-          org.apache.spark.sql.functions.countDistinct(
-            org.apache.spark.sql.functions.col("text"))).head
-        math.max(1L, r.getLong(0) / math.max(1L, r.getLong(1)))
-      }
-      Seq("l26_sized" -> (() =>
-        graft.llm.Dedup.winnowScreenBy(docs,
-          graft.llm.Dedup.WINNOW_MAXDF * rep, graft.llm.Dedup.WINNOW_MIN_SHARED)))
-    }
+    // (A round-10 `l26_sized` variant briefly scaled the winnow df cap by
+    // corpus-rows/distinct-texts on the theory that MakeHeavy replication
+    // inflates fingerprint document frequency — it does NOT: replicas are
+    // text-distinct (word-suffixed, documents block above), the measured
+    // ratio is ~1, and the variant was the plain query. l26_winnow_screen
+    // itself is in HEAVY_QUERIES/SF25_QUERIES, with its oracle column.)
 
     // ANN index BUILD cost, timed (overwrite rebuild): what a deployment
     // pays ONCE per corpus refresh — the serve rows price the recurring
@@ -433,7 +426,7 @@ object BenchHeavy {
     val queries = graft.SparkEntry.queries ++ graft.SparkEntry.ladderQueries
     val runnable: Seq[(String, () => DataFrame)] =
       (HEAVY_QUERIES.map(n => n -> (() => queries(n)(spark, dir))) ++
-        bucketed ++ annSized ++ annBuild ++ winnowSized)
+        bucketed ++ annSized ++ annBuild)
         .filter { case (n, _) => only.isEmpty || only(n) }
 
     // track genuine executor stage time per query: deep plans (q2/q3's

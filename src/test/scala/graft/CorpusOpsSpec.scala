@@ -122,6 +122,42 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(row.getAs[Long]("n_tokens") === words.length)
   }
 
+  test("l17b: bigram backoff recomputes from first principles; both paths fire") {
+    import spark.implicits._
+    val T = graft.llm.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    // plain-Scala model fit with the operator's exact rules
+    val uni = docs.values.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val total = uni.values.sum.toDouble
+    val vocab = uni.toSeq.sortBy { case (w, c) => (-c, w) }.take(T.VOCAB_TOP_K).toMap
+    def mnUni(w: String): Long =
+      math.round(math.log(vocab.get(w).map(_.toDouble).getOrElse(0.5) / total) * 1e6)
+    val bcnt = docs.values.flatMap(ws => ws.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1)))).groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val bmn = bcnt.toSeq
+      .sortBy { case ((prev, w), c) => (-c, prev, w) }.take(T.BIGRAM_TOP_K)
+      .map { case ((prev, w), c) =>
+        (prev, w) -> math.round(math.log(c.toDouble / uni(prev)) * 1e6) }
+      .toMap
+    def score(ws: Seq[String]): Long =
+      mnUni(ws.head) + ws.sliding(2).filter(_.size == 2).map { p =>
+        bmn.getOrElse((p(0), p(1)), mnUni(p(1)) + T.BACKOFF_MN)
+      }.sum
+    val got = T.l17bBigramLogprob(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    docs.foreach { case (id, ws) =>
+      assert(got(id) === ((ws.size.toLong, score(ws))), s"doc $id mismatch")
+    }
+    // both scoring paths fire on the fixture: some adjacent pair is in the
+    // model, some pair falls back — otherwise half the operator is dead
+    val pairsInCorpus = docs.values.flatMap(_.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1)))).toSet
+    assert(pairsInCorpus.exists(bmn.contains), "no bigram hit on the fixture")
+    assert(pairsInCorpus.exists(p => !bmn.contains(p)), "no backoff on the fixture")
+  }
+
   test("l18: no source straddles splits; buckets are md5-derived and boundaries hold") {
     import spark.implicits._
     val r = graft.llm.Assembly.l18LeakageSplit(spark, sfDir).cache()
