@@ -19,7 +19,7 @@ object Etl {
 
   /** Scratch dir for sink demos — configurable via `spark.graft.scratchDir`
     * (an object-store URI on a cluster); defaults to the build tree. */
-  private def scratch(spark: SparkSession): String =
+  private[graft] def scratch(spark: SparkSession): String =
     spark.conf.get("spark.graft.scratchDir", "/root/repo/target/graft-tmp")
 
   /** Vendor-shaped frame derived from the star schema: one row per order,
@@ -101,50 +101,146 @@ object Etl {
       .orderBy($"city_id", $"day")
   }
 
-  /** Compact a Hive-partitioned parquet table: read the fragmented layout,
-    * co-locate each partition directory's rows in one task (repartition on
-    * the partition columns — the s5/s6 small-files rule applied as a
-    * REWRITE), and overwrite the destination. This is the OPTIMIZE pass
-    * every streaming/micro-batch sink needs at 100 TB: appends write
-    * files-per-trigger × dirs, reads then pay open/seek per tiny file and
-    * the NameNode/object-store pays the listing; compaction restores
-    * file count ≈ dir count at scan speed (one shuffle on the partition
-    * key, no row-level work). */
-  def compactPartitioned(spark: SparkSession, src: String, dst: String,
-      partCols: Seq[String]): Unit = {
-    val df = Tables.readMemo(spark, src)
-    Tables.sink(dst) {
-      df.repartition(partCols.map(col): _*)
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy(partCols: _*)
-        .parquet(dst)
+  /** One leaf partition directory's layout stats, from a driver-side FS
+    * listing. `rel` is the Hive-style relative path ("a=1/b=2"); listing is
+    * METADATA-scale work (one entry per partition dir / file), the same
+    * listing every scan's file index pays — never row-scale. */
+  private[graft] final case class DirStat(rel: String, files: Int, bytes: Long)
+
+  /** List the leaf partition dirs of a Hive-partitioned table with parquet
+    * file counts and byte totals (hidden `_`/`.` entries skipped). */
+  private[graft] def partDirStats(spark: SparkSession, table: String,
+      nPartCols: Int): Seq[DirStat] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => leaves(s.getPath, depth - 1))
+    leaves(root, nPartCols).map { d =>
+      val parts = fs.listStatus(d).toSeq.filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      DirStat(d.toUri.getPath.stripPrefix(new Path(table).toUri.getPath).stripPrefix("/"),
+        parts.size, parts.map(_.getLen).sum)
     }
   }
 
-  /** S10 [EXT]: small-files compaction, end to end — fragment the events
-    * table the way a files-per-trigger micro-batch sink would (32 writer
-    * tasks × each partition dir), compact with [[compactPartitioned]],
-    * and return the per-partition counts READ BACK from the compacted
-    * table, so the oracle (a plain GROUP BY on the source) proves the
-    * rewrite lost and duplicated nothing. CompactionSpec asserts the
-    * file-count collapse itself (≈32 files/dir → 1) — the part SQL can't
-    * see. */
+  /** The rows-to-move plan for a selective compaction: ONLY the hot dirs'
+    * rows (partition-pruned scan — no cold-dir row ever moves), binned so
+    * each hot dir lands in ~`ceil(bytes / targetFileBytes)` tasks. Split
+    * out so PlanAuditSpec can pin the pruning without running the swap. */
+  private[graft] def compactionInput(spark: SparkSession, table: String,
+      partCols: Seq[String], hot: Seq[DirStat], targetFileBytes: Long): DataFrame = {
+    import spark.implicits._
+    val df = Tables.readMemo(spark, table)
+    // Hive-style key ("a=1/b=2") rebuilt from the typed partition columns —
+    // matches DirStat.rel for the simple int/string partition values these
+    // tables use (no URL-escaping concern)
+    val dirKey = concat_ws("/",
+      partCols.map(c => concat_ws("=", lit(c), col(c).cast("string"))): _*)
+    val bins = hot.map(d => d.rel ->
+      math.max(1L, (d.bytes + targetFileBytes - 1) / targetFileBytes))
+    val binsDf = bins.toDF("__dir", "__bins")
+    val dataCols = df.columns.filterNot(partCols.contains).map(col).toSeq
+    df
+      // isin on the partition key values -> PartitionFilters at the scan:
+      // cold dirs are pruned from the file index, not filtered row-by-row
+      .filter(dirKey.isin(bins.map(_._1): _*))
+      .join(broadcast(binsDf), dirKey === $"__dir")
+      // deterministic size-binning: each (dir, bin) pair is one shuffle
+      // key, so a hot dir fans out over ~bins tasks instead of the ONE
+      // task per dir that repartition(partCols) would allow — at 100 TB a
+      // 500 GB hot dir compacts with 4000 writers, not 1
+      .repartition((partCols.map(col) :+
+        pmod(xxhash64(dataCols: _*), $"__bins")): _*)
+      .drop("__dir", "__bins")
+  }
+
+  /** Selective in-place OPTIMIZE of a Hive-partitioned parquet table: list
+    * per-dir file stats (driver-side, metadata-scale), compact ONLY the
+    * dirs whose file count exceeds `maxFilesPerDir`, and leave every
+    * already-compact dir byte-for-byte untouched. Hot dirs are rewritten
+    * through a partition-pruned scan, size-binned to `targetFileBytes`
+    * output files, staged to a sibling tmp table, then swapped in with one
+    * FS rename per dir. This is the 100 TB posture the naive
+    * read-all/repartition/overwrite rewrite lacks: a micro-batch sink
+    * fragments a few RECENT dirs per day, so an OPTIMIZE pass must touch
+    * those dirs' bytes and no others, and must fan a big dir out over many
+    * writer tasks rather than one-task-per-dir. On an object store the
+    * per-dir rename becomes a copy — production would swap via a
+    * transactional table format's manifest; the scan/bin/stage shape is
+    * the portable part. Returns the relative paths of the compacted dirs.
+    */
+  def compactSelective(spark: SparkSession, table: String, partCols: Seq[String],
+      maxFilesPerDir: Int = 8, targetFileBytes: Long = 128L << 20): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val hot = partDirStats(spark, table, partCols.size).filter(_.files > maxFilesPerDir)
+    if (hot.isEmpty) return Seq.empty
+    val tmp = table.stripSuffix("/") + ".compact_tmp"
+    Tables.sink(table) {
+      Tables.sink(tmp) {
+        compactionInput(spark, table, partCols, hot, targetFileBytes)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(partCols: _*)
+          .parquet(tmp)
+      }
+      val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      hot.foreach { d =>
+        val dst = new Path(table, d.rel)
+        fs.delete(dst, true)
+        require(fs.rename(new Path(tmp, d.rel), dst), s"swap failed for ${d.rel}")
+      }
+      fs.delete(new Path(tmp), true)
+    }
+    hot.map(_.rel)
+  }
+
+  /** S10 [EXT]: small-files compaction, end to end — fragment HALF the
+    * event-type dirs the way a files-per-trigger micro-batch sink would
+    * (32 writer tasks × each hot dir), leave the other half compact (the
+    * historical dirs an OPTIMIZE must not touch), compact in place with
+    * [[compactSelective]], and return the per-partition counts READ BACK
+    * from the table, so the oracle (a plain GROUP BY on the source) proves
+    * the rewrite lost and duplicated nothing. CompactionSpec asserts what
+    * SQL can't see: hot dirs collapse ~32 files -> ~1, cold dirs stay
+    * byte-identical (same names/sizes/mtimes). */
   def s10Compaction(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val frag = s"${scratch(spark)}/s10_fragmented"
-    val compacted = s"${scratch(spark)}/s10_compacted"
-    Tables.sink(frag) {
-      Tables.events(spark, sfDir)
-        .repartition(32) // the appender anti-pattern: every task hits every dir
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("event_type")
-        .parquet(frag)
-    }
-    compactPartitioned(spark, frag, compacted, Seq("event_type"))
-    Tables.readMemo(spark, compacted)
+    val table = s"${scratch(spark)}/s10_table"
+    s10Fragment(spark, sfDir, table)
+    compactSelective(spark, table, Seq("event_type"), maxFilesPerDir = 8)
+    Tables.readMemo(spark, table)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"))
       .orderBy($"event_type")
+  }
+
+  /** s10's fixture builder (shared with CompactionSpec so the spec's
+    * pre-pass snapshot and the operator build the SAME layout): half the
+    * event-type dirs fragmented 32-ways, half already compact. Returns the
+    * hot dirs' relative paths. */
+  private[graft] def s10Fragment(spark: SparkSession, sfDir: String,
+      table: String): Seq[String] = {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    // bounded-domain driver collect (event_type is an enum-sized column):
+    // deterministic hot/cold split of the partition dirs for the fixture
+    val types = events.select($"event_type").distinct()
+      .orderBy($"event_type").as[String].collect().toSeq
+    val hotTypes = types.take((types.size + 1) / 2)
+    Tables.sink(table) {
+      events.filter($"event_type".isin(hotTypes: _*))
+        .repartition(32) // the appender anti-pattern: every task hits every hot dir
+        .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(table)
+      events.filter(!$"event_type".isin(hotTypes: _*))
+        .repartition(1) // the historical dirs: already one file each
+        .write.mode(SaveMode.Append).partitionBy("event_type").parquet(table)
+    }
+    hotTypes.map(t => s"event_type=$t")
   }
 
   /** Clustered parquet layout: range-partition on `clusterCol` (one task

@@ -278,9 +278,8 @@ object BenchHeavy {
     // Bloom-prefiltered decontam vs l2f_gen (both here): the sketch's
     // prune vs the broadcast-exact form, priced at the same tier; the
     // winnowing screen prices the fingerprint diet vs l14's every-span
-    // exchange; the bigram scorer prices the two vocab-collapsing model
-    // passes + broadcast scoring at tier scale
-    "l27_bloom_decontam", "l26_winnow_screen", "l17b_bigram_logprob")
+    // exchange (the bigram scorer l17b is priced above, next to l17)
+    "l27_bloom_decontam", "l26_winnow_screen")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio

@@ -43,6 +43,12 @@ class DocCountsSpec extends org.scalatest.funsuite.AnyFunSuite {
       === SparkEntry.queries.size)
   }
 
+  test("HEAVY_QUERIES has no duplicates (a dup double-times a query and skews .size)") {
+    val q = graft.tools.BenchHeavy.HEAVY_QUERIES
+    val dups = q.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    assert(dups.isEmpty, s"duplicated heavy queries: ${dups.mkString(", ")}")
+  }
+
   test("README heavy-tier count matches BenchHeavy.HEAVY_QUERIES") {
     assert(captured(read("README.md"), """(\d+) heaviest queries""", "README")
       === graft.tools.BenchHeavy.HEAVY_QUERIES.size)
