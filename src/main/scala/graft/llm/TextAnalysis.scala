@@ -191,38 +191,67 @@ object TextAnalysis {
     * Reused as the static side of the r11 streaming scorer. */
   def unigramModel(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
-    val counts = docs
-      .select(explode(split($"text", " ")).as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum($"cnt").as("total"))
-    val mn = (p: org.apache.spark.sql.Column) =>
-      round(log(p) * lit(1000000d)).cast("long")
-    val vocabMn = counts
-      .orderBy($"cnt".desc, $"w".asc).limit(VOCAB_TOP_K)
-      .crossJoin(broadcast(total))
-      .select($"w", mn($"cnt".cast("double") / $"total").as("mn"))
-      .agg(map_from_arrays(collect_list($"w"), collect_list($"mn")).as("vmn"))
-    val oov = total.select(mn(lit(0.5d) / $"total").as("oov_mn"))
-    vocabMn.crossJoin(oov)
+    graft.plans.WordCountAgg.register(spark)
+    vocabulary(docs).select(vmnExpr.as("vmn"), oovExpr.as("oov_mn"))
   }
+
+  /** The corpus vocabulary as ONE map row `m: MAP<word,count>` — the fit
+    * input every model derivation shares. One corpus pass through the
+    * native [[graft.plans.WordCountAgg]] kernel (tokenize bytes in place,
+    * per-partition open hash map, vocabulary-sized partials): the
+    * explode+groupBy form it replaces materialized one ROW per token,
+    * and — worse — every DataFrame branch that referenced the counts
+    * (top-K, total, OOV floor) was its own scan+agg subtree, so the
+    * round-11 probe measured THREE corpus scans per model build with no
+    * exchange reuse. With the whole vocabulary in one row, the
+    * derivations below are per-ROW expressions on that row — interpreted
+    * lambdas are fine at vocab size — and the corpus is scanned once. */
+  private def vocabulary(docs: DataFrame): DataFrame =
+    docs.agg(expr("word_count_agg(text)").as("m"))
+
+  /** Top-[[VOCAB_TOP_K]] vocab → integer-micronat map, from the `m` row.
+    * Arithmetic is bit-identical to the previous frame-level build: each
+    * entry quantizes once via round(ln(cnt/total)·1e6), ties in the cut
+    * break by (cnt desc, word asc) — a total order, so any engine and any
+    * entry order produce the same vocab. */
+  private def vmnExpr: org.apache.spark.sql.Column = expr(
+    s"""map_from_entries(transform(
+       |  slice(array_sort(map_entries(m), (a, b) -> CASE
+       |          WHEN a.value > b.value THEN -1 WHEN a.value < b.value THEN 1
+       |          WHEN a.key  < b.key  THEN -1 WHEN a.key  > b.key  THEN 1
+       |          ELSE 0 END),
+       |        1, $VOCAB_TOP_K),
+       |  e -> struct(e.key,
+       |    CAST(round(ln(CAST(e.value AS DOUBLE) / CAST($totalSql AS DOUBLE)) * 1000000D) AS BIGINT))))
+       |""".stripMargin)
+
+  private def oovExpr: org.apache.spark.sql.Column = expr(
+    s"CAST(round(ln(0.5D / CAST($totalSql AS DOUBLE)) * 1000000D) AS BIGINT)")
+
+  /** Corpus token total from the vocabulary row (Σ counts). */
+  private val totalSql = "aggregate(map_values(m), 0L, (acc, v) -> acc + v)"
 
   /** Score any `(doc_id, text, ...)` frame against a fitted model — one
     * shuffle-free pass (broadcast singleton + per-row integer fold), so
-    * the same body scores a batch corpus and an unbounded stream. */
+    * the same body scores a batch corpus and an unbounded stream.
+    * Tokenize + count + fold all happen in the native
+    * [[graft.plans.ModelScore]] kernel (one compiled pass over the text
+    * bytes per row); the `split` + interpreted `aggregate()` lambda it
+    * replaces was the last higher-order fold on a corpus-scaling path —
+    * measured at 7.3×/3.8× DuckDB compute at sf5/sf25, the per-token
+    * interpretation tax the l2f ladder quantified plus the per-row words
+    * array the fold immediately threw away. */
   def scoreWithModel(docs: DataFrame, model: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    graft.plans.ModelScore.register(spark)
     docs
       .crossJoin(broadcast(model))
-      .withColumn("words", split($"text", " "))
+      .select($"doc_id", expr("model_score(text, vmn, oov_mn)").as("sc"))
       .select(
         $"doc_id",
-        size($"words").cast("long").as("n_tokens"),
-        expr(
-          """aggregate(words, 0L, (acc, w) ->
-            |  acc + coalesce(try_element_at(vmn, w), oov_mn))""".stripMargin)
-          .as("sum_micronats"))
+        $"sc.n_tokens".as("n_tokens"),
+        $"sc.sum_micronats".as("sum_micronats"))
       .withColumn("avg_micronats",
         $"sum_micronats".cast("double") / $"n_tokens".cast("double"))
   }
@@ -251,16 +280,19 @@ object TextAnalysis {
   /** Fitted bigram-backoff model as a 1-row broadcastable frame:
     * the l17 unigram columns (vmn, oov_mn) plus `bmn`, the top-K bigram
     * conditionals P(w|prev) = cnt(prev,w)/cnt(prev) in integer micronats.
-    * Two corpus scans (unigram counts, adjacent-pair counts — the pair
-    * fan-out collapses map-side to the observed bigram vocabulary before
-    * its only exchange); the kept model is top-K rows → one tiny map. */
+    * Two corpus scans total: the shared [[vocabulary]] map row and the
+    * adjacent-pair counts (the pair fan-out collapses map-side to the
+    * observed bigram vocabulary before its only exchange). The pair
+    * top-K cut — ordered by (cnt2 desc, prev, w), which never needs the
+    * denominator — happens BEFORE the vocabulary row joins in, so the
+    * unigram counts are consumed exactly once: the conditional's
+    * denominator is a map probe `m[prev]` over the top-K rows collapsed
+    * to one array, every per-entry expression running on a single row. */
   def bigramModel(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val counts = docs
-      .select(explode(split($"text", " ")).as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("cnt"))
-    val pairs = docs
+    graft.plans.WordCountAgg.register(spark)
+    val top2 = docs
       .withColumn("words", split($"text", " "))
       .filter(size($"words") >= 2)
       .select(explode(expr(
@@ -268,15 +300,16 @@ object TextAnalysis {
           "i -> struct(element_at(words, i - 1) AS prev, element_at(words, i) AS w))")).as("p"))
       .groupBy($"p.prev".as("prev"), $"p.w".as("w"))
       .agg(count(lit(1)).as("cnt2"))
-    val mn = (p: org.apache.spark.sql.Column) =>
-      round(log(p) * lit(1000000d)).cast("long")
-    val bigMn = pairs
-      .join(counts.select($"w".as("prev"), $"cnt".as("cnt1")), Seq("prev"))
       .orderBy($"cnt2".desc, $"prev".asc, $"w".asc).limit(BIGRAM_TOP_K)
-      .select(concat($"prev", lit(BIGRAM_SEP), $"w").as("k"),
-        mn($"cnt2".cast("double") / $"cnt1".cast("double")).as("mn2"))
-      .agg(map_from_arrays(collect_list($"k"), collect_list($"mn2")).as("bmn"))
-    unigramModel(docs).crossJoin(bigMn)
+      .agg(collect_list(struct($"prev", $"w", $"cnt2")).as("top2"))
+    vocabulary(docs)
+      .crossJoin(broadcast(top2))
+      .select(vmnExpr.as("vmn"), oovExpr.as("oov_mn"), expr(
+        // char(1) IS BIGRAM_SEP — the same spelling the l17b scorer probes with
+        s"""map_from_entries(transform(top2, e ->
+           |  struct(concat(e.prev, char(1), e.w),
+           |    CAST(round(ln(CAST(e.cnt2 AS DOUBLE) / CAST(element_at(m, e.prev) AS DOUBLE))
+           |         * 1000000D) AS BIGINT))))""".stripMargin).as("bmn"))
   }
 
   /** L17b [EXT]: bigram-backoff log-probability scoring — the l17 quality

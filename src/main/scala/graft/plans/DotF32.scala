@@ -116,6 +116,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(DotI64.injection)
     ext.injectFunction(RollingFp.injection)
     ext.injectFunction(WinnowHashes.injection)
+    ext.injectFunction(ModelScore.injection)
     ext.injectFunction(BloomFunctions.aggInjection)
     ext.injectFunction(BloomFunctions.probeInjection)
   }
