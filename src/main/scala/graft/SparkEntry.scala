@@ -157,6 +157,8 @@ object SparkEntry {
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
     "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
     "q3_revenue_by_nation" -> (Analytics.q3RevenueByNation _),
+    "q2_bucketed" -> (graft.operators.Bucketed.q2Bucketed _),
+    "q3_bucketed" -> (graft.operators.Bucketed.q3Bucketed _),
     "a7_salted_agg" -> (Analytics.a7SaltedAgg _),
     "a5c_cube" -> (Analytics.a5cCube _),
     "a8_pivot" -> (Analytics.a8Pivot _),
@@ -465,6 +467,19 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = baseOracleSql ++ serveOracles
+
+  /** Tolerance-banded cross-engine checks for sketch queries whose exact
+    * bits are engine-specific — a6b's HLL cannot hash-match DuckDB's, so
+    * it stays OUT of [[oracleSql]] (the driver's compare remains
+    * rows-only) and tools/compare.py instead asserts
+    * `|spark − duck_approx| ≤ eps · duck_exact` from this map:
+    * (duckApproxSql, duckExactSql, eps). eps = 5·rsd, the same envelope
+    * SemanticsSpec pins Spark-side. */
+  def toleranceOracles: Map[String, (String, String, Double)] = Map(
+    "a6b_approx_distinct" -> ((
+      "SELECT approx_count_distinct(o_custkey) AS n_approx FROM orders",
+      "SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders",
+      0.05)))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1873,5 +1888,11 @@ object SparkEntry {
     "l3i_serve" -> baseOracleSql("l3i_sq8_topk"),
     "l3j_serve" -> baseOracleSql("l3j_rerank_topk"),
     "l3f_serve" -> baseOracleSql("l3f_ivf_multiprobe"),
-    "l3n_serve" -> baseOracleSql("l3n_ivfpq_topk"))
+    "l3n_serve" -> baseOracleSql("l3n_ivfpq_topk"),
+    // the bucketed star layout is a LAYOUT, not a semantics change: the
+    // maintained co-located fact tables must reproduce the plain-table
+    // results bit-for-bit (operators.Bucketed; zero-exchange plan pinned
+    // in PlanAuditSpec)
+    "q2_bucketed" -> baseOracleSql("q2_shipping_priority"),
+    "q3_bucketed" -> baseOracleSql("q3_revenue_by_nation"))
 }

@@ -649,4 +649,180 @@ object Similarity {
       .orderBy($"adc_dist".asc, $"vec_id".asc)
       .limit(10)
   }
+
+  // ---------------------------------------------------------------------
+  // Production-width PQ (8-bit codes): K=256 per subspace, the width the
+  // l3l notes call out ("production raises K to 256"). The demonstration
+  // path above keeps K=16 so the unrolled DuckDB oracle stays tractable
+  // and the OOV/empty-cluster paths are exercised; this path changes the
+  // two things that break at production width:
+  //  - ASSIGNMENT: pqAssign's broadcast join emits one row per
+  //    (subvector, candidate) — ×256 fan-out ≈ half a billion rows per
+  //    500k vectors. plans.PqEncode does the argmin as one compiled loop
+  //    per vector instead (the FAISS encode shape); at equal K the codes
+  //    are bit-identical (PqSizedSpec).
+  //  - TRAINING DATA: Lloyd fits on a deterministic hash-sample of the
+  //    corpus (FAISS trains on ~O(100·K) points), so training cost is
+  //    bounded by the sample while ENCODE touches every vector once.
+  // Same integer arithmetic end to end (micro-fixed-point, trunc means,
+  // ties to the lowest id): the path is deterministic on any cluster,
+  // benched as l3m_sized/l3n_sized, recall-measured in AnnRecall's
+  // pq256_adc table.
+  // ---------------------------------------------------------------------
+
+  /** Production centroids per subspace — 8-bit codes. */
+  val PQ_K_PROD = 256
+  /** Target Lloyd training-sample size (vectors). */
+  val PQ_TRAIN_VECS = 8192L
+
+  /** Micro-fixed-point quantized vector (the pqDims convention, kept as
+    * one array instead of exploded rows). */
+  private def qvec = expr(
+    s"transform(embedding, x -> CAST(CAST(x AS DOUBLE) * $PQ_SCALE AS BIGINT))")
+
+  /** 1-row codebook frame: cb[m][c][d], from the driver-side table. */
+  private def codebookDf(spark: SparkSession, cent: Seq[(Int, Int, Int, Long)]) = {
+    import spark.implicits._
+    val m = cent.map(_._1).max + 1
+    val k = cent.map(_._2).max + 1
+    val sub = cent.map(_._3).max + 1
+    val byKey = cent.map { case (mi, c, d, v) => (mi, c, d) -> v }.toMap
+    val nested: Seq[Seq[Seq[Long]]] = (0 until m).map(mi =>
+      (0 until k).map(c => (0 until sub).map(d => byKey((mi, c, d)))))
+    Seq(Tuple1(nested)).toDF("cb")
+  }
+
+  /** Lloyd at width `k` on a deterministic hash-sample: init = the first
+    * k sample vectors' subvectors, assignment via the compiled encode,
+    * update = trunc(sum/count) per dim, empty clusters keep their
+    * previous centroid (all the pqTrain conventions). The codebook is
+    * O(M·K·SUB) driver state — 16k longs at production width. */
+  private[graft] def pqTrainSized(spark: SparkSession, sfDir: String,
+      k: Int = PQ_K_PROD, sampleVecs: Long = PQ_TRAIN_VECS): Seq[(Int, Int, Int, Long)] = {
+    graft.plans.PqEncode.register(spark)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val mod = math.max(1L, n / sampleVecs)
+    val sample = emb.filter(pmod(xxhash64($"vec_id"), lit(mod)) === 0)
+      .select($"vec_id", qvec.as("qv")).persist()
+    try {
+      val sampleDims = sample
+        .select($"vec_id", posexplode($"qv").as(Seq("pos", "q")))
+        .select($"vec_id",
+          expr(s"CAST(pos div $PQ_SUB AS INT)").as("m"),
+          expr(s"CAST(pos % $PQ_SUB AS INT)").as("d"),
+          $"q".as("dimv"))
+      var cent: Seq[(Int, Int, Int, Long)] = sample
+        .orderBy($"vec_id").limit(k)
+        .select($"vec_id", posexplode($"qv").as(Seq("pos", "q")))
+        .withColumn("rk", dense_rank().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"vec_id")))
+        .select(expr(s"CAST(pos div $PQ_SUB AS INT)").as("m"),
+          ($"rk" - 1).cast("int").as("c"),
+          expr(s"CAST(pos % $PQ_SUB AS INT)").as("d"), $"q")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+      for (_ <- 1 to PQ_ITERS) {
+        val codes = sample.crossJoin(broadcast(codebookDf(spark, cent)))
+          .select($"vec_id", posexplode(expr("pq_encode(qv, cb)")).as(Seq("m", "c")))
+          .select($"vec_id", $"m".cast("int").as("m"), $"c")
+        val updated = codes.join(sampleDims, Seq("vec_id", "m"))
+          .groupBy($"m", $"c", $"d")
+          .agg(expr("CAST(CAST(CAST(sum(dimv) AS BIGINT) AS DOUBLE) / count(*) AS BIGINT)")
+            .as("cent"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+        cent = cent.map { case (m, c, d, old) =>
+          (m, c, d, updated.getOrElse((m, c, d), old))
+        }
+      }
+      cent
+    } finally { sample.unpersist(false); () }
+  }
+
+  /** Encode every vector in ONE compiled pass: (vec_id, label, codes). */
+  private[graft] def pqEncodeAll(spark: SparkSession, sfDir: String,
+      cent: Seq[(Int, Int, Int, Long)]): DataFrame = {
+    graft.plans.PqEncode.register(spark)
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir)
+      .crossJoin(broadcast(codebookDf(spark, cent)))
+      .select($"vec_id", $"label", qvec.as("qv"), $"cb")
+      .select($"vec_id", $"label", expr("pq_encode(qv, cb)").as("codes"))
+  }
+
+  /** Driver-side ADC lookup table for one query: lut[m][c] = exact BIGINT
+    * squared distance from the query's m-th subvector to centroid c. */
+  private def adcLut(q: Seq[Long], cent: Seq[(Int, Int, Int, Long)]): Seq[Seq[Long]] = {
+    val m = cent.map(_._1).max + 1
+    val k = cent.map(_._2).max + 1
+    val sub = cent.map(_._3).max + 1
+    val byKey = cent.map { case (mi, c, d, v) => (mi, c, d) -> v }.toMap
+    (0 until m).map(mi => (0 until k).map { c =>
+      (0 until sub).map { d =>
+        val diff = q(mi * sub + d) - byKey((mi, c, d)); diff * diff
+      }.sum
+    })
+  }
+
+  /** ADC score as a codegen'd projection: Σ_m lut[m][codes[m]] — M array
+    * probes per row, no join, no lambda. */
+  private def adcScore(m: Int) = (0 until m)
+    .map(i => expr(s"element_at(element_at(lut, ${i + 1}), element_at(codes, ${i + 1}) + 1)"))
+    .reduce(_ + _)
+
+  /** L3m at production width (8-bit codes): sampled Lloyd fit, compiled
+    * encode over the full corpus, LUT-probe ADC rollup — one corpus pass
+    * after training, zero per-vector joins. Parameterization of l3m's
+    * oracle-checked semantics (the l3e_sized precedent): no oracle, the
+    * recall deltas live in AnnRecall's pq256 table. */
+  def l3mSizedTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cent = pqTrainSized(spark, sfDir)
+    val m = cent.map(_._1).max + 1
+    val q = Tables.embeddings(spark, sfDir).filter($"vec_id" === PQ_QUERY_ID)
+      .select(qvec.as("qv")).collect()(0).getSeq[Long](0)
+    pqEncodeAll(spark, sfDir, cent)
+      .withColumn("lut", typedLit(adcLut(q, cent)))
+      .select($"vec_id", adcScore(m).as("adc_dist"))
+      .orderBy($"adc_dist".asc, $"vec_id".asc)
+      .limit(10)
+  }
+
+  /** L3n at production width: the l3n composite with the sized codebook —
+    * coarse-quantizer probe prunes to IVFPQ_PROBE lists, compiled encode,
+    * LUT ADC over only the probed lists' codes. */
+  def l3nSizedTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    withNative(spark)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val comps = emb
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"v".cast("decimal(20,10)")).cast("double") / count(lit(1))).as("c"))
+    val centroids = comps
+      .groupBy($"label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
+    val qrow = emb.filter($"vec_id" === PQ_QUERY_ID)
+      .select($"embedding".as("q_emb"))
+      .withColumn("norm_q", sqrt(expr(dot("q_emb", "q_emb"))))
+    val probeLabels = centroids.crossJoin(broadcast(qrow))
+      .withColumn("cdot", expr(dotD("centroid", "q_emb")))
+      .withColumn("cnorm", sqrt(expr(dotD("centroid", "centroid"))))
+      .withColumn("csim", $"cdot" / ($"cnorm" * $"norm_q"))
+      .orderBy($"csim".desc, $"label")
+      .limit(IVFPQ_PROBE)
+      .select($"label")
+      .collect().map(_.getInt(0)).toSeq
+    val cent = pqTrainSized(spark, sfDir)
+    val m = cent.map(_._1).max + 1
+    val q = emb.filter($"vec_id" === PQ_QUERY_ID)
+      .select(qvec.as("qv")).collect()(0).getSeq[Long](0)
+    pqEncodeAll(spark, sfDir, cent)
+      .filter($"label".isin(probeLabels: _*) && $"vec_id" =!= PQ_QUERY_ID)
+      .withColumn("lut", typedLit(adcLut(q, cent)))
+      .select($"vec_id", $"label".as("probe_label"), adcScore(m).as("adc_dist"))
+      .orderBy($"adc_dist".asc, $"vec_id".asc)
+      .limit(10)
+  }
 }

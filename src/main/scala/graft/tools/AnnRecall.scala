@@ -164,6 +164,28 @@ object AnnRecall {
     val pq = Seq(10, 50, 100, 500).map(s =>
       s -> pqRanks.count(_ <= s).toDouble / judged.length)
 
+    // production-width PQ (K=256, 8-bit codes — Similarity.PQ_K_PROD):
+    // sampled Lloyd fit + compiled encode, same rank-based recall
+    val cent256 = graft.llm.Similarity.pqTrainSized(spark, dir)
+    val codes256 = graft.llm.Similarity.pqEncodeAll(spark, dir, cent256)
+      .select($"vec_id", posexplode($"codes").as(Seq("m", "c")))
+      .select($"vec_id", $"m".cast("int").as("m"), $"c")
+    val lut256 = qDims
+      .join(broadcast(cent256.toDF("m", "c", "d", "cent")), Seq("m", "d"))
+      .groupBy($"q_id", $"m", $"c")
+      .agg(sum(($"qv" - $"cent") * ($"qv" - $"cent")).as("subdist"))
+    val adcRank256 = codes256.join(broadcast(lut256), Seq("m", "c"))
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"subdist").as("adc"))
+      .filter($"q_id" =!= $"vec_id")
+      .withColumn("prk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"adc".asc, $"vec_id")))
+      .select($"q_id", $"vec_id", $"prk")
+    val pq256Ranks = adcRank256.join(truth, Seq("q_id", "vec_id"))
+      .select($"prk").as[Int].collect()
+    val pq256 = Seq(10, 50, 100, 500).map(s =>
+      s -> pq256Ranks.count(_ <= s).toDouble / judged.length)
+
     def tbl(rows: Seq[(Int, Double)]): String =
       rows.map { case (b, r) => s"""{"k":$b,"recall":${f"$r%.4f"}}""" }
         .mkString("[", ",", "]")
@@ -171,7 +193,8 @@ object AnnRecall {
       s"""{"dir":"$dir","n":$n,"dim":$dim,"queries":${judged.map(_.getLong(0)).distinct.length},
          |"truth_pairs":${judged.length},"topk":$K,"sized_bits":$sizedBits,
          |"seeded_8bit":${tbl(r8)},"seeded_sized":${tbl(rs)},
-         |"axis_8bit":${tbl(ax)},"ivf":${tbl(ivf)},"pq_adc":${tbl(pq)}}""".stripMargin.replace("\n", "")
+         |"axis_8bit":${tbl(ax)},"ivf":${tbl(ivf)},"pq_adc":${tbl(pq)},
+         |"pq256_adc":${tbl(pq256)}}""".stripMargin.replace("\n", "")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     println(s"ANN_RECALL=$out n=$n sizedBits=$sizedBits pairs=${judged.length}")
     spark.stop()

@@ -389,7 +389,13 @@ object BenchHeavy {
           // what the sizing rule saves vs l3h's 8-bit quadratic buckets
           "l3h_sized" -> (() =>
             graft.llm.Similarity.neardupKeepList(emb,
-              graft.llm.Similarity.signLshPairs(emb, sized, 4, 0.3))))
+              graft.llm.Similarity.signLshPairs(emb, sized, 4, 0.3))),
+          // PQ at production width (K=256, 8-bit codes): sampled Lloyd fit
+          // + the compiled pq_encode argmin (the ×256 assignment join the
+          // demo path would pay is the reason these are separate thunks);
+          // recall deltas vs the K=16 cells live in AnnRecall's pq256 row
+          "l3m_sized" -> (() => graft.llm.Similarity.l3mSizedTopk(spark, dir)),
+          "l3n_sized" -> (() => graft.llm.Similarity.l3nSizedTopk(spark, dir)))
       }
     }
 

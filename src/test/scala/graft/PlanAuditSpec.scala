@@ -353,19 +353,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_sum"), p)
   }
 
-  test("l17: corpus crosses only the vocab-build exchange; scoring pass is shuffle-free") {
+  test("l17: model fits in one corpus pass; scoring pass is shuffle-free") {
     val p = plan(q("l17_unigram_logprob"))
-    // model build: hash exchanges exist only for the word-count agg (8-byte
-    // word keys after map-side partial_count); the scoring scan must NOT
-    // shuffle the corpus — no explode + groupBy(doc_id) round trip
-    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(hashEx.nonEmpty && hashEx.forall(_.contains("hashpartitioning(w#")),
-      s"unexpected hash exchange keys:\n$p")
-    assert(!p.contains("hashpartitioning(doc_id"), s"scoring shuffled the corpus:\n$p")
-    assert(p.contains("partial_count"), s"no map-side combine on the vocab build:\n$p")
-    // top-K vocab via TakeOrdered (no global sort of the counts)
-    assert(p.contains("TakeOrdered"), p)
-    // the (vocab, total) singleton rides a broadcast, not an exchange
+    // round-11 shape: the fit is ONE word_count_agg pass — partial
+    // vocabulary maps combine map-side, so the only exchange in the whole
+    // query ships ~one vocab-sized buffer per partition to a single
+    // combiner; no token row, no word key, and no doc_id ever shuffles
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected hash exchange (fit should be the map-agg combine only):\n$p")
+    assert(p.contains("partial_word_count_agg"),
+      s"no map-side combine on the vocab build:\n$p")
+    // exactly two corpus scans: fit + scoring (the old frame-level build
+    // paid three for the same model)
+    assert("FileScan parquet".r.findAllIn(p).size === 2, p)
+    // per-row scoring through the native kernel, model on a broadcast
+    assert(p.contains("model_score("), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
@@ -509,6 +511,32 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"window operator in the apply log plan:\n$p")
     // column pruning reaches the scan: `props` (the wide payload) is never read
     assert(!fmtPlan(df).contains("props"), s"props survived pruning:\n${fmtPlan(df)}")
+  }
+
+  test("q2/q3 bucketed: no fact row ever crosses a shuffle") {
+    for (name <- Seq("q2_bucketed", "q3_bucketed")) {
+      val df = q(name)
+      val p = plan(df)
+      // the bucketed layout must feed the sort-merge join directly
+      // (dimensions broadcast, buckets co-locate the fact keys)
+      assert(p.contains("SortMergeJoin"), s"$name lost the merge join:\n$p")
+      assert(p.contains("Bucketed: true"), s"$name not reading bucketed scans:\n$p")
+      val hashExchanges =
+        "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+      name match {
+        case "q2_bucketed" =>
+          // agg key == bucket key: the whole query runs with ZERO hash
+          // exchanges — join and aggregation both inherit the layout
+          assert(hashExchanges.isEmpty,
+            s"$name shuffles despite the bucketed layout:\n$p")
+        case _ =>
+          // q3 aggregates by NATION, not the bucket key, so exactly one
+          // post-join exchange is legitimate — and it carries only
+          // |nations| x partial-agg rows, never the fact table
+          assert(hashExchanges.size === 1 && hashExchanges.head.contains("n_name"),
+            s"$name: expected only the nation-keyed post-agg exchange:\n$p")
+      }
+    }
   }
 
   test("no operator plan contains a cartesian product") {

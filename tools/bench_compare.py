@@ -256,6 +256,14 @@ def main():
                         "transferable result; production raises K to 256 "
                         "per subspace (8-bit codes) for finer cells at the "
                         "same plan shape.\n")
+            if "pq256_adc" in r:
+                pq256 = ", ".join(f"{e['recall']:.3f}@R={e['k']}"
+                                  for e in r["pq256_adc"])
+                f.write("\nProduction width MEASURED (l3m_sized/l3n_sized: "
+                        "K=256 per subspace, 8-bit codes, sampled Lloyd fit "
+                        "+ compiled pq_encode): ADC rank recall "
+                        f"{pq256} on the same truth pairs — the finer-cells "
+                        "claim above, priced at the same plan shape.\n")
         planted_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
                              if a.startswith("--planted=")), None)
         if planted_path and os.path.exists(planted_path):
