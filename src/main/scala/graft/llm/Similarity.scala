@@ -244,9 +244,19 @@ object Similarity {
           $"a.vec_id" < $"b.vec_id")
       .groupBy($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+    // embedding fetch for the pair stream: BROADCAST both sides — the
+    // vector table is N×dim floats (130 MB at sf25) while the pair stream
+    // is collision-bound ORDERS larger (163M rows there), so shuffling
+    // the pairs twice to meet the vectors ships pair×payload bytes
+    // (~42 GB at sf25 once emb_a rides the second exchange) where the
+    // broadcast ships the vectors once per executor. At a corpus where
+    // the vector table outgrows broadcast (1B × 3 KB), drop the hint and
+    // these become the two hash joins — the pair stream still only
+    // shuffles its 16-byte keys; the hint just makes the fits-in-memory
+    // tier pay zero pair-stream exchanges
     val embA = embFrame.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
     val embB = embFrame.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
-    cand.join(embA, "vec_a").join(embB, "vec_b")
+    cand.join(broadcast(embA), "vec_a").join(broadcast(embB), "vec_b")
       .withColumn("dot", expr(dot("emb_a", "emb_b")))
       .withColumn("norm_a", sqrt(expr(dot("emb_a", "emb_a"))))
       .withColumn("norm_b", sqrt(expr(dot("emb_b", "emb_b"))))

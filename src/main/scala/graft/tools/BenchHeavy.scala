@@ -321,7 +321,11 @@ object BenchHeavy {
     // fan-out + distinct-train agg + hash membership join), and the
     // winnowing screen — the fingerprint diet's top-tier point next to
     // l14's every-span trend
-    "l23_containment_score", "l26_winnow_screen")
+    "l23_containment_score", "l26_winnow_screen",
+    // round 11: the bigram scorer and the MERGE third leg — the two
+    // remaining heavyweights with no top-tier scale point (CROSSOVER's
+    // beyond-the-star-joins sweep); l24 is already above
+    "l17b_bigram_logprob", "u3_merge_upsert")
 
   /** ANN queries for the sf25 tier: run each in an isolated JVM (see
     * SF25_QUERIES note on cross-query heap contamination). */

@@ -87,7 +87,9 @@ def main():
                 "stage-compute seconds (wall minus the fixed driver/AQE floor). "
                 "Regenerate: `python3 tools/crossover.py <oracleJson> "
                 "sf1=<dir> ...` after `graft.tools.MakeStar` + `BenchStar` "
-                "per tier.\n\n")
+                "per tier."
+                + (" " + analysis["_header_note"] if "_header_note" in analysis else "")
+                + "\n\n")
         for q in QUERIES:
             f.write(f"## {q}\n\n")
             f.write("| tier | lineitem rows | spark wall s | spark stage s | "
