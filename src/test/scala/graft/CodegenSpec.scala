@@ -32,6 +32,8 @@ class CodegenSpec extends SparkSpecBase {
     graft.plans.DotI64.register(spark)
     graft.plans.RollingFp.register(spark)
     graft.plans.WinnowHashes.register(spark)
+    graft.plans.ModelScore.register(spark)
+    graft.plans.PqEncode.register(spark)
     val docs = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n"))
       .toDF("doc_id", "text")
     val vecs = Seq((1L, Array(0.1f, -0.2f, 0.3f, 0.4f)),
@@ -51,6 +53,13 @@ class CodegenSpec extends SparkSpecBase {
       assert(vecs.select(expr("rademacher_sigs(embedding, 7L, 8, 4)")).collect().length === 2)
       assert(vecs.as("a").crossJoin(vecs.as("b"))
         .select(expr("dot_f32(a.embedding, b.embedding)")).collect().length === 4)
+      assert(docs.select(expr(
+        "model_score(text, map('a', -5L, 'h', -7L), -100L)")).collect().length === 2)
+      assert(vecs.select(expr(
+        "pq_encode(transform(embedding, x -> CAST(x * 1000000 AS BIGINT)), " +
+          "array(array(array(0L, 0L), array(100000L, -200000L)), " +
+          "      array(array(300000L, 400000L), array(-700000L, 800000L))))"))
+        .collect().length === 2)
     }
   }
 }
