@@ -130,6 +130,7 @@ object SparkEntry {
     "l17_unigram_logprob" -> (graft.llm.TextAnalysis.l17UnigramLogprob _),
     "l17b_bigram_logprob" -> (graft.llm.TextAnalysis.l17bBigramLogprob _),
     "l18_leakage_split" -> (graft.llm.Assembly.l18LeakageSplit _),
+    "l28_dsir_sample" -> (graft.llm.Assembly.l28DsirSample _),
     "l19_split_screen" -> (graft.llm.Dedup.l19SplitScreen _),
     "l23_containment_score" -> (graft.llm.Dedup.l23ContainmentScore _),
     "l24_segment_dedup" -> (graft.llm.Dedup.l24SegmentDedup _),
@@ -396,9 +397,26 @@ object SparkEntry {
     * update = trunc(double(sum)/count) (sums ≪ 2^53, so the double
     * division is bit-identical in both engines), and an empty cluster
     * keeps its previous centroid via the LEFT JOIN coalesce. */
-  private def pqOracle(finalSelect: String => String): String = {
-    val sub = graft.llm.Similarity.PQ_SUB
-    val k = graft.llm.Similarity.PQ_K
+  private def pqOracle(finalSelect: String => String): String =
+    lloydOracle(graft.llm.Similarity.PQ_SUB, graft.llm.Similarity.PQ_K,
+      graft.llm.Similarity.PQ_ITERS)(finalSelect)
+
+  /** The l29 clustering family replays the SAME unrolled Lloyd at full
+    * embedding width (one 64-dim "subspace", K=KM_K). */
+  private def kmOracle(finalSelect: String => String): String =
+    lloydOracle(graft.llm.Clustering.KM_DIM, graft.llm.Clustering.KM_K,
+      graft.llm.Clustering.KM_ITERS)(finalSelect)
+
+  /** The final-codebook assignment with its distance, as a subquery over
+    * lloydOracle's `a_<fin>` CTE — shared by the l29/l29b/l30 selects. */
+  private def kmSel(fin: String): String =
+    s"""(SELECT vec_id, c AS cluster, dist FROM (
+       |    SELECT a.*, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, c) AS rn FROM a_$fin a)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def lloydOracle(sub: Int, k: Int, iters: Int)(
+      finalSelect: String => String): String = {
     val sc = graft.llm.Similarity.PQ_SCALE
     def assign(cn: String) =
       s"""a_$cn AS (
@@ -421,8 +439,8 @@ object SparkEntry {
          |  SELECT c0.m, c0.c, c0.d, COALESCE(u.cent, p.cent) AS cent
          |  FROM c0 JOIN $cn p ON c0.m = p.m AND c0.c = p.c AND c0.d = p.d
          |  LEFT JOIN u_$nn u ON c0.m = u.m AND c0.c = u.c AND c0.d = u.d)""".stripMargin
-    val fin = s"c${graft.llm.Similarity.PQ_ITERS}"
-    val iters = (1 to graft.llm.Similarity.PQ_ITERS).flatMap { i =>
+    val fin = s"c$iters"
+    val chain = (1 to iters).flatMap { i =>
       Seq(assign(s"c${i - 1}"), update(s"c${i - 1}", s"c$i"))
       // one more assignment over the FINAL codebook = the shipped codes
     } :+ assign(fin)
@@ -433,7 +451,7 @@ object SparkEntry {
          |  FROM embeddings)""".stripMargin,
       s"dims AS (SELECT vec_id, pos // $sub AS m, pos % $sub AS d, qv FROM q)",
       s"c0 AS (SELECT m, vec_id AS c, d, qv AS cent FROM dims WHERE vec_id < $k)")
-      ++ iters).mkString("WITH ", ",\n", "\n") + finalSelect(fin)
+      ++ chain).mkString("WITH ", ",\n", "\n") + finalSelect(fin)
   }
 
   private def bpeOracleCtes(k: Int, lastW: Int, carryW: Boolean): Seq[String] = {
@@ -1335,6 +1353,40 @@ object SparkEntry {
         |  ON e.user_id = b.user_id AND e.event_type = b.event_type
         |WHERE e.ts >= TIMESTAMP '2024-01-20' AND e.event_type <> 'error'
         |ORDER BY e.user_id, e.event_type, ts_us, e.event_id""".stripMargin,
+    "l28_dsir_sample" ->
+      """WITH raw_tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tgt_tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE lang = 'en'),
+        |vocab AS (
+        |  SELECT w, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(instr('0123456789abcdef', substr(md5(w), j, 1)) - 1 AS BIGINT)
+        |       for j in range(1, 3)]), (acc, x) -> acc * 16 + x) % 64 AS b
+        |  FROM (SELECT DISTINCT w FROM raw_tok)),
+        |rawb AS (SELECT v.b, count(*) AS c FROM raw_tok t JOIN vocab v USING (w) GROUP BY v.b),
+        |tgtb AS (SELECT v.b, count(*) AS c FROM tgt_tok t JOIN vocab v USING (w) GROUP BY v.b),
+        |mn AS (
+        |  SELECT gs.b,
+        |    CAST(round(ln(CAST(COALESCE(t.c, 0) + 1 AS DOUBLE)
+        |        / CAST((SELECT count(*) FROM tgt_tok) + 64 AS DOUBLE)) * 1000000) AS BIGINT)
+        |    - CAST(round(ln(CAST(COALESCE(r.c, 0) + 1 AS DOUBLE)
+        |        / CAST((SELECT count(*) FROM raw_tok) + 64 AS DOUBLE)) * 1000000) AS BIGINT) AS dmn
+        |  FROM (SELECT unnest(range(0, 64)) AS b) gs
+        |  LEFT JOIN tgtb t ON t.b = gs.b
+        |  LEFT JOIN rawb r ON r.b = gs.b),
+        |score AS (
+        |  SELECT t.doc_id, SUM(m.dmn) AS weight_mn
+        |  FROM raw_tok t JOIN vocab v USING (w) JOIN mn m ON m.b = v.b
+        |  GROUP BY t.doc_id),
+        |sel AS (
+        |  SELECT d.doc_id, d.lang, s.weight_mn,
+        |    CAST(round(-ln(-ln((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(instr('0123456789abcdef', substr(md5('g#' || CAST(d.doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+        |         for j in range(1, 6)]), (acc, x) -> acc * 16 + x) + 0.5) / 1048576))
+        |      * 1000000) AS BIGINT) AS gumbel_mn
+        |  FROM documents d JOIN score s ON s.doc_id = d.doc_id)
+        |SELECT doc_id, lang, weight_mn, gumbel_mn, weight_mn + gumbel_mn AS key_mn
+        |FROM sel ORDER BY key_mn DESC, doc_id LIMIT 100""".stripMargin,
     "l18_leakage_split" ->
       """WITH b AS (
         |  SELECT doc_id, source,

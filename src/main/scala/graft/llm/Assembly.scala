@@ -447,4 +447,89 @@ object Assembly {
         size(split($"text", " ")).cast("long").as("n_tokens"))
       .orderBy($"doc_id")
   }
+
+  /** Hashed feature buckets for [[l28DsirSample]] — small so bucket
+    * collisions (the method's regularization) actually occur on the
+    * fixture vocabulary; production uses 10k-100k. */
+  val DSIR_BUCKETS = 64
+
+  /** Docs kept by the importance resampling. */
+  val DSIR_KEEP = 100
+
+  /** L28 [EXT]: data selection by importance resampling (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling" —
+    * DSIR): score every raw document by how much more likely its tokens
+    * are under the TARGET distribution (here the English stratum) than
+    * under the raw corpus, both estimated over hashed n-gram feature
+    * buckets, then sample ∝ weight via the Gumbel-top-k trick.
+    *
+    * Exactness discipline (the l17 idiom): per-bucket log-probabilities
+    * quantize ONCE at fit time to integer micronats — add-one smoothing
+    * over [[DSIR_BUCKETS]] buckets, bucket = md5-prefix hash of the token
+    * (the engine-portable l6/l18 hash; xxhash64 has no DuckDB replay) —
+    * so a document's log-weight is an integer SUM of per-token deltas,
+    * associative under any partitioning. The Gumbel key adds a
+    * per-document noise term derived from md5(doc_id) (20 uniform bits →
+    * −ln(−ln(u)), quantized to micronats); CorpusOpsSpec margin-checks
+    * every quantization input on the fixture.
+    *
+    * Plan shape at 100 TB: THREE corpus passes, nothing else — the raw
+    * and target vocabulary maps each collapse in one
+    * [[graft.plans.WordCountAgg]] pass (the target pass's stratum filter
+    * is pushed to the scan), every per-bucket/per-word derivation then
+    * runs as expressions on those two SINGLE ROWS (interpreted lambdas
+    * at vocab×buckets size, off the corpus path), and scoring is the
+    * shuffle-free broadcast [[graft.plans.ModelScore]] pass with the
+    * word→Δmicronats table riding the broadcast. The final cut is a
+    * TakeOrdered of (key desc, doc_id). */
+  def l28DsirSample(spark: SparkSession, sfDir: String): DataFrame =
+    l28From(Tables.documents(spark, sfDir), DSIR_KEEP)
+
+  /** l28 over any `(doc_id, lang, text)` frame — CorpusOpsSpec drives a
+    * synthetic corpus with a REAL target signal through it (the fixture's
+    * languages share one word distribution, so en-enrichment is only
+    * assertable where signal exists by construction). */
+  private[graft] def l28From(docs: DataFrame, keep: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.plans.WordCountAgg.register(spark)
+    graft.plans.ModelScore.register(spark)
+    val B = DSIR_BUCKETS
+    val rawMap = docs.agg(expr("word_count_agg(text)").as("mr"))
+    val tgtMap = docs.filter($"lang" === "en")
+      .agg(expr("word_count_agg(text)").as("mt"))
+    def bucketSql(key: String) =
+      s"pmod(CAST(conv(substr(md5($key), 1, 2), 16, 10) AS BIGINT), $B)"
+    // per-bucket smoothed log-prob array for a vocabulary map column:
+    // mn[b] = round(ln((cnt_b + 1) / (total + B)) * 1e6), computed on the
+    // ONE fitted row (vocab × B interpreted work, never corpus work)
+    def mnArrSql(m: String) =
+      s"""transform(sequence(0, ${B - 1}), b ->
+         |  CAST(round(ln(CAST(aggregate(map_entries($m), 0L,
+         |         (acc, e) -> acc + IF(${bucketSql("e.key")} = b, e.value, 0L)) + 1 AS DOUBLE)
+         |       / CAST(aggregate(map_values($m), 0L, (acc, v) -> acc + v) + $B AS DOUBLE))
+         |     * 1000000D) AS BIGINT))""".stripMargin
+    val model = rawMap.crossJoin(tgtMap)
+      .select($"mr", expr(mnArrSql("mt")).as("mnt"), expr(mnArrSql("mr")).as("mnr"))
+      .select(expr(
+        s"""map_from_entries(transform(map_entries(mr), e ->
+           |  struct(e.key,
+           |    element_at(mnt, CAST(${bucketSql("e.key")} AS INT) + 1)
+           |    - element_at(mnr, CAST(${bucketSql("e.key")} AS INT) + 1))))""".stripMargin)
+        .as("dmn"))
+    // Gumbel key: u from 20 md5 bits of the doc id (engine-portable),
+    // g = -ln(-ln(u)) quantized to micronats
+    val gumbelMn = expr(
+      """CAST(round(-ln(-ln((CAST(conv(substr(md5(concat('g#', CAST(doc_id AS STRING))), 1, 5), 16, 10) AS BIGINT) + 0.5D) / 1048576D)) * 1000000D) AS BIGINT)""")
+    docs.crossJoin(broadcast(model))
+      .select($"doc_id", $"lang",
+        expr("model_score(text, dmn, 0L)").as("sc"),
+        gumbelMn.as("gumbel_mn"))
+      .select($"doc_id", $"lang",
+        $"sc.sum_micronats".as("weight_mn"),
+        $"gumbel_mn",
+        ($"sc.sum_micronats" + $"gumbel_mn").as("key_mn"))
+      .orderBy($"key_mn".desc, $"doc_id".asc)
+      .limit(keep)
+  }
 }

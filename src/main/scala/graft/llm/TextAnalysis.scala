@@ -14,9 +14,14 @@ import graft.Tables
 object TextAnalysis {
 
   private val STOPWORDS = Seq("the", "a", "and", "of", "to", "in", "is", "it")
-  private val stopArray = STOPWORDS.map(s => s"'$s'").mkString("array(", ", ", ")")
 
-  /** L4: text stats — chars, words, distinct words, avg word length. */
+  /** L4: text stats — chars, words, distinct words, avg word length.
+    * The word-length sum needs no per-token fold at all: under
+    * split-on-single-space, Σ len(w) = len(text) − (n_words − 1) EXACTLY
+    * (each separator is one char; consecutive/leading/trailing separators
+    * contribute empty words, preserving the identity) — so the round-11
+    * form is pure codegen'd arithmetic where the old
+    * `aggregate(words, ...)` lambda evaluated interpreted per token. */
   def l4TextStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
@@ -26,24 +31,33 @@ object TextAnalysis {
         length($"text").cast("long").as("n_chars"),
         size($"words").cast("long").as("n_words"),
         size(array_distinct($"words")).cast("long").as("n_distinct_words"),
-        (expr("aggregate(words, 0L, (acc, w) -> acc + length(w))").cast("double")
+        ((length($"text") - size($"words") + 1).cast("double")
           / size($"words")).as("avg_word_len"))
       .orderBy($"doc_id")
   }
 
   /** L4b: language-ID — n-gram/stopword heuristic: score = stopword hits /
     * words; predict 'en' above threshold else fall back to a length
-    * heuristic. (A real model slots in behind the same column contract.) */
+    * heuristic. (A real model slots in behind the same column contract.)
+    * Stopword counting IS model scoring with a {stopword → 1, OOV → 0}
+    * table, so since round 11 it runs through the native
+    * [[graft.plans.ModelScore]] kernel — one compiled pass per doc that
+    * also yields the token count — instead of the interpreted
+    * `filter(words, w -> array_contains(...))` lambda (8 contains probes
+    * per token, each an eval-tree walk). Counts are exact integers:
+    * bit-identical to the filter form and to the oracle's list
+    * comprehension. */
   def l4bLangId(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.plans.ModelScore.register(spark)
+    val stopMap = STOPWORDS.flatMap(s => Seq(s"'$s'", "1L")).mkString("map(", ", ", ")")
     Tables.documents(spark, sfDir)
-      .withColumn("words", split($"text", " "))
-      .withColumn("stop_hits",
-        expr(s"size(filter(words, w -> array_contains($stopArray, w)))").cast("long"))
+      .withColumn("sc", expr(s"model_score(text, $stopMap, 0L)"))
       .select(
-        $"doc_id", $"lang".as("labeled_lang"), $"stop_hits",
-        ($"stop_hits".cast("double") / size($"words")).as("stop_ratio"),
-        when($"stop_hits".cast("double") / size($"words") >= 0.05, lit("en"))
+        $"doc_id", $"lang".as("labeled_lang"),
+        $"sc.sum_micronats".as("stop_hits"),
+        ($"sc.sum_micronats".cast("double") / $"sc.n_tokens").as("stop_ratio"),
+        when($"sc.sum_micronats".cast("double") / $"sc.n_tokens" >= 0.05, lit("en"))
           .otherwise(lit("unknown")).as("predicted_lang"))
       .orderBy($"doc_id")
   }

@@ -527,6 +527,68 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(cands.size <= cap)
   }
 
+  test("l28: DSIR weights recompute from first principles; quantization margins hold") {
+    import spark.implicits._
+    val A = graft.llm.Assembly
+    val B = A.DSIR_BUCKETS
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def bucket(w: String): Int = (java.lang.Long.parseLong(md5hex(w).take(2), 16) % B).toInt
+    val rawTok = docs.flatMap(_._3.split(" ", -1))
+    val tgtTok = docs.filter(_._2 == "en").flatMap(_._3.split(" ", -1))
+    def cnt(toks: Seq[String]) = toks.groupBy(bucket).map { case (b, g) => b -> g.size.toLong }
+    val (rc, tc) = (cnt(rawTok.toSeq), cnt(tgtTok.toSeq))
+    def mn(c: Long, tot: Long): Long =
+      math.round(math.log((c + 1).toDouble / (tot + B).toDouble) * 1e6)
+    // margin check: every quantized value (both models, all B buckets,
+    // incl. empty-bucket smoothing) and every doc's gumbel sit >1e-6 from
+    // a .5 rounding boundary — the l17 engine-stability argument
+    def margin(x: Double): Unit = {
+      val frac = x - math.floor(x)
+      assert(math.abs(frac - 0.5) > 1e-6, s"quantization within 1e-6 of .5: $x")
+    }
+    (0 until B).foreach { b =>
+      margin(math.log((rc.getOrElse(b, 0L) + 1).toDouble / (rawTok.size + B)) * 1e6)
+      margin(math.log((tc.getOrElse(b, 0L) + 1).toDouble / (tgtTok.size + B)) * 1e6)
+    }
+    val delta = (0 until B).map(b =>
+      b -> (mn(tc.getOrElse(b, 0L), tgtTok.size) - mn(rc.getOrElse(b, 0L), rawTok.size))).toMap
+    def gumbel(docId: Long): Long = {
+      val h = java.lang.Long.parseLong(md5hex(s"g#$docId").take(5), 16)
+      val u = (h + 0.5) / 1048576d
+      val g = -math.log(-math.log(u))
+      margin(g * 1e6)
+      math.round(g * 1e6)
+    }
+    val expected = docs.map { case (id, lang, text) =>
+      val w = text.split(" ", -1).map(t => delta(bucket(t))).sum
+      (id, lang, w, gumbel(id), w + gumbel(id))
+    }.sortBy { case (id, _, _, _, k) => (-k, id) }.take(A.DSIR_KEEP).toSeq
+    val got = A.l28DsirSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    // the fixture's languages share ONE word distribution, so there is no
+    // en signal to find there (weights ~ hash noise, measured); assert the
+    // selection mechanism on a corpus with signal BY CONSTRUCTION: en docs
+    // speak a disjoint sub-vocabulary, so DSIR must strongly enrich en
+    val synth = (0L until 400L).map { i =>
+      val en = i % 4 == 0 // 25% base rate
+      val words = if (en) Seq("alpha", "beta", "gamma", "delta")
+                  else Seq("uno", "dos", "tres", "quattro")
+      (i, if (en) "en" else "xx",
+        (0 until 20).map(j => words((i + j).toInt % 4)).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val kept = graft.llm.Assembly.l28From(synth, 100).collect()
+    val keptEn = kept.count(_.getString(1) == "en").toDouble / kept.length
+    assert(keptEn > 0.8, s"DSIR failed to enrich the target stratum: $keptEn")
+  }
+
   test("l19: screen recounts from raw pairs x splits; only eval docs reported") {
     import spark.implicits._
     val r = graft.llm.Dedup.l19SplitScreen(spark, sfDir).cache()
