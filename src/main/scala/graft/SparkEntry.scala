@@ -140,6 +140,11 @@ object SparkEntry {
     "l3l_pq_train" -> (graft.llm.Similarity.l3lPqTrain _),
     "l3m_pq_topk" -> (graft.llm.Similarity.l3mPqTopk _),
     "l3n_ivfpq_topk" -> (graft.llm.Similarity.l3nIvfPqTopk _),
+    "l29_kmeans_cluster" -> (graft.llm.Clustering.l29KmeansCluster _),
+    "l29b_cluster_profile" -> (graft.llm.Clustering.l29bClusterProfile _),
+    "l30_cluster_prune" -> (graft.llm.Clustering.l30ClusterPrune _),
+    "l30b_balanced_sample" -> (graft.llm.Clustering.l30bBalancedSample _),
+    "l31_semdedup" -> (graft.llm.Clustering.l31SemDedup _),
     "l21_bpe_learn" -> (graft.llm.TextAnalysis.l21BpeLearn _),
     "l22_bpe_tokenize" -> (graft.llm.TextAnalysis.l22BpeTokenize _),
     "a10_exact_stats" -> (Analytics.a10ExactStats _),
@@ -1426,6 +1431,63 @@ object SparkEntry {
     // l21 idiom) — integer fixed-point makes k-means engine-deterministic
     "l3l_pq_train" ->
       pqOracle(fin => s"SELECT m, c, d, cent FROM $fin ORDER BY m, c, d"),
+    // the clustering family replays the SAME unrolled Lloyd at full
+    // embedding width: assignment + exact distance per vector (l29),
+    // the per-cluster curation profile (l29b), and the D4-style
+    // most-prototypical prune with rank provenance (l30)
+    "l29_kmeans_cluster" ->
+      kmOracle(fin =>
+        s"SELECT vec_id, cluster, dist FROM ${kmSel(fin)} s ORDER BY vec_id"),
+    "l29b_cluster_profile" ->
+      kmOracle(fin =>
+        s"""SELECT s.cluster, count(*) AS n_docs,
+           |  count(DISTINCT d.lang) AS n_langs,
+           |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(sum(s.dist) AS BIGINT) AS sum_dist
+           |FROM ${kmSel(fin)} s JOIN documents d ON d.doc_id = s.vec_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "l30_cluster_prune" ->
+      kmOracle(fin =>
+        s"""SELECT vec_id, cluster, dist, rk FROM (
+           |  SELECT s.*,
+           |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS rk,
+           |    COUNT(*) OVER (PARTITION BY cluster) AS cnt
+           |  FROM ${kmSel(fin)} s)
+           |WHERE CAST(rk AS BIGINT) > CAST(CEIL(${graft.llm.Clustering.KM_PRUNE_FRAC} * cnt) AS BIGINT)
+           |ORDER BY vec_id""".stripMargin),
+    // uniform per-cluster draw: 20-bit md5 hex-fold key (the l28 idiom),
+    // rank within cluster, plain cap
+    "l30b_balanced_sample" ->
+      kmOracle(fin =>
+        s"""SELECT vec_id, cluster, smp_rk FROM (
+           |  SELECT s.vec_id, s.cluster,
+           |    ROW_NUMBER() OVER (PARTITION BY s.cluster ORDER BY
+           |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |        [CAST(instr('0123456789abcdef',
+           |           substr(md5('s#' || CAST(s.vec_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+           |         for j in range(1, 6)]), (acc, x) -> acc * 16 + x), s.vec_id) AS smp_rk
+           |  FROM ${kmSel(fin)} s)
+           |WHERE smp_rk <= ${graft.llm.Clustering.KM_SAMPLE_PER_CLUSTER}
+           |ORDER BY vec_id""".stripMargin),
+    // SemDeDup confirm: exact integer dots (< 2^53, so their DOUBLE
+    // images match Spark's dot_i64 casts exactly) and the ONE canonical
+    // threshold expression tau*sqrt(qq_x)*sqrt(qq_y) on both engines
+    "l31_semdedup" ->
+      kmOracle(fin =>
+        s""", qvl AS (
+           |  SELECT vec_id, list(CAST(qv AS DOUBLE) ORDER BY pos) AS qvd FROM q GROUP BY vec_id),
+           |sq AS (
+           |  SELECT s.vec_id, s.cluster, s.dist, v.qvd,
+           |    list_dot_product(v.qvd, v.qvd) AS qq
+           |  FROM ${kmSel(fin)} s JOIN qvl v USING (vec_id)),
+           |dropped AS (
+           |  SELECT DISTINCT x.vec_id FROM sq x JOIN sq y ON x.cluster = y.cluster
+           |    AND (y.dist > x.dist OR (y.dist = x.dist AND y.vec_id < x.vec_id))
+           |  WHERE list_dot_product(x.qvd, y.qvd) >=
+           |    ${graft.llm.Clustering.SEMDEDUP_TAU} * sqrt(x.qq) * sqrt(y.qq))
+           |SELECT s.vec_id, s.cluster, s.dist, d.vec_id IS NULL AS keep
+           |FROM sq s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+           |ORDER BY s.vec_id""".stripMargin),
     // ADC search: codes from the final assignment, query subvectors vs
     // the named centroids, exact BIGINT distance sums
     "l3m_pq_topk" -> {

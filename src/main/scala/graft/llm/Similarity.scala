@@ -687,11 +687,11 @@ object Similarity {
 
   /** Micro-fixed-point quantized vector (the pqDims convention, kept as
     * one array instead of exploded rows). */
-  private def qvec = expr(
+  private[llm] def qvec = expr(
     s"transform(embedding, x -> CAST(CAST(x AS DOUBLE) * $PQ_SCALE AS BIGINT))")
 
   /** 1-row codebook frame: cb[m][c][d], from the driver-side table. */
-  private def codebookDf(spark: SparkSession, cent: Seq[(Int, Int, Int, Long)]) = {
+  private[llm] def codebookDf(spark: SparkSession, cent: Seq[(Int, Int, Int, Long)]) = {
     import spark.implicits._
     val m = cent.map(_._1).max + 1
     val k = cent.map(_._2).max + 1
