@@ -157,6 +157,7 @@ object SparkEntry {
     "r11_model_score" -> (graft.streaming.Streams.r11ModelScore _),
     "r12_merge_log" -> (graft.streaming.Streams.r12MergeLog _),
     "r13_stream_left_join" -> (graft.streaming.Streams.r13StreamLeftJoin _),
+    "r14_stream_cluster_assign" -> (graft.streaming.Streams.r14StreamClusterAssign _),
     "s9_clustered_scan" -> (graft.operators.Etl.s9ClusteredScan _),
     "s10_compaction" -> (graft.operators.Etl.s10Compaction _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
@@ -420,7 +421,7 @@ object SparkEntry {
        |      ORDER BY dist, c) AS rn FROM a_$fin a)
        |  WHERE rn = 1)""".stripMargin
 
-  private def lloydOracle(sub: Int, k: Int, iters: Int)(
+  private def lloydOracle(sub: Int, k: Int, iters: Int, trainWhere: String = "")(
       finalSelect: String => String): String = {
     val sc = graft.llm.Similarity.PQ_SCALE
     def assign(cn: String) =
@@ -454,7 +455,8 @@ object SparkEntry {
          |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
          |    CAST(TRUNC(CAST(unnest(embedding) AS DOUBLE) * $sc) AS BIGINT) AS qv
          |  FROM embeddings)""".stripMargin,
-      s"dims AS (SELECT vec_id, pos // $sub AS m, pos % $sub AS d, qv FROM q)",
+      s"dims AS (SELECT vec_id, pos // $sub AS m, pos % $sub AS d, qv FROM q" +
+        (if (trainWhere.isEmpty) ")" else s" WHERE $trainWhere)"),
       s"c0 AS (SELECT m, vec_id AS c, d, qv AS cent FROM dims WHERE vec_id < $k)")
       ++ chain).mkString("WITH ", ",\n", "\n") + finalSelect(fin)
   }
@@ -1469,6 +1471,26 @@ object SparkEntry {
            |  FROM ${kmSel(fin)} s)
            |WHERE smp_rk <= ${graft.llm.Clustering.KM_SAMPLE_PER_CLUSTER}
            |ORDER BY vec_id""".stripMargin),
+    // R14 batch form: Lloyd trained ONLY on the historical stratum
+    // (dims filtered), today's vectors assigned against the final
+    // codebook by a fresh assignment CTE over the unfiltered q
+    "r14_stream_cluster_assign" -> {
+      val cutSql = "(SELECT max(vec_id) * 4 // 5 FROM embeddings)"
+      lloydOracle(graft.llm.Clustering.KM_DIM, graft.llm.Clustering.KM_K,
+        graft.llm.Clustering.KM_ITERS, s"vec_id < $cutSql")(fin =>
+        s""", a_today AS (
+           |  SELECT v.vec_id, c.c,
+           |    CAST(sum((v.qv - c.cent) * (v.qv - c.cent)) AS BIGINT) AS dist
+           |  FROM (SELECT vec_id, pos // ${graft.llm.Clustering.KM_DIM} AS m,
+           |               pos % ${graft.llm.Clustering.KM_DIM} AS d, qv
+           |        FROM q WHERE vec_id >= $cutSql) v
+           |  JOIN $fin c ON v.m = c.m AND v.d = c.d
+           |  GROUP BY 1, 2)
+           |SELECT vec_id, c AS cluster, dist FROM (
+           |  SELECT a.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |    ORDER BY dist, c) AS rn FROM a_today a)
+           |WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+    },
     // SemDeDup confirm: exact integer dots (< 2^53, so their DOUBLE
     // images match Spark's dot_i64 casts exactly) and the ONE canonical
     // threshold expression tau*sqrt(qq_x)*sqrt(qq_y) on both engines

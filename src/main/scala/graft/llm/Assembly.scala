@@ -476,12 +476,14 @@ object Assembly {
     * Plan shape at 100 TB: THREE corpus passes, nothing else — the raw
     * and target vocabulary maps each collapse in one
     * [[graft.plans.WordCountAgg]] pass (the target pass's stratum filter
-    * is pushed to the scan), every per-bucket/per-word derivation then
-    * runs as expressions on those two SINGLE ROWS (interpreted lambdas
-    * at vocab×buckets size, off the corpus path), and scoring is the
-    * shuffle-free broadcast [[graft.plans.ModelScore]] pass with the
-    * word→Δmicronats table riding the broadcast. The final cut is a
-    * TakeOrdered of (key desc, doc_id). */
+    * is pushed to the scan), every per-bucket derivation then runs as
+    * expressions on those two SINGLE ROWS (interpreted lambdas at
+    * vocab×buckets size, off the corpus path), and scoring is the
+    * shuffle-free broadcast [[graft.plans.BucketScore]] pass with the
+    * B-element Δmicronats array riding the broadcast (per-token probe =
+    * one md5 + one array index; the word→delta MAP formulation this
+    * replaced cost a vocabulary-sized linear scan per token — 245 s at
+    * sf5). The final cut is a TakeOrdered of (key desc, doc_id). */
   def l28DsirSample(spark: SparkSession, sfDir: String): DataFrame =
     l28From(Tables.documents(spark, sfDir), DSIR_KEEP)
 
@@ -493,7 +495,7 @@ object Assembly {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.plans.WordCountAgg.register(spark)
-    graft.plans.ModelScore.register(spark)
+    graft.plans.BucketScore.register(spark)
     val B = DSIR_BUCKETS
     val rawMap = docs.agg(expr("word_count_agg(text)").as("mr"))
     val tgtMap = docs.filter($"lang" === "en")
@@ -511,19 +513,21 @@ object Assembly {
          |     * 1000000D) AS BIGINT))""".stripMargin
     val model = rawMap.crossJoin(tgtMap)
       .select($"mr", expr(mnArrSql("mt")).as("mnt"), expr(mnArrSql("mr")).as("mnr"))
-      .select(expr(
-        s"""map_from_entries(transform(map_entries(mr), e ->
-           |  struct(e.key,
-           |    element_at(mnt, CAST(${bucketSql("e.key")} AS INT) + 1)
-           |    - element_at(mnr, CAST(${bucketSql("e.key")} AS INT) + 1))))""".stripMargin)
-        .as("dmn"))
+      // per-BUCKET deltas, not a per-word map: every corpus word's delta
+      // IS mnt[b(w)] - mnr[b(w)], so the word dimension is redundant and
+      // the model collapses to B longs — which is also what makes the
+      // scoring probe O(1): the vocabulary-sized word map fed to the
+      // model_score kernel cost a linear MapData scan PER TOKEN
+      // (measured 245 s at sf5's 46k-word vocabulary; plans.BucketScore
+      // Scaladoc has the numbers)
+      .select(expr("zip_with(mnt, mnr, (t, r) -> t - r)").as("deltas"))
     // Gumbel key: u from 20 md5 bits of the doc id (engine-portable),
     // g = -ln(-ln(u)) quantized to micronats
     val gumbelMn = expr(
       """CAST(round(-ln(-ln((CAST(conv(substr(md5(concat('g#', CAST(doc_id AS STRING))), 1, 5), 16, 10) AS BIGINT) + 0.5D) / 1048576D)) * 1000000D) AS BIGINT)""")
     docs.crossJoin(broadcast(model))
       .select($"doc_id", $"lang",
-        expr("model_score(text, dmn, 0L)").as("sc"),
+        expr("bucket_score(text, deltas)").as("sc"),
         gumbelMn.as("gumbel_mn"))
       .select($"doc_id", $"lang",
         $"sc.sum_micronats".as("weight_mn"),

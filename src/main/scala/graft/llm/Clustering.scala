@@ -64,11 +64,17 @@ object Clustering {
     * iteration: one compiled-argmin projection pass + one posexplode
     * partial-agg rollup (the ONLY exchange, K·dim-bounded after map-side
     * combine) — no per-vector join anywhere. */
-  private[graft] def kmTrain(spark: SparkSession, sfDir: String): Seq[(Int, Int, Int, Long)] = {
+  private[graft] def kmTrain(spark: SparkSession, sfDir: String): Seq[(Int, Int, Int, Long)] =
+    kmTrainFrom(Tables.embeddings(spark, sfDir))
+
+  /** [[kmTrain]] over any `(vec_id, embedding)` frame — the training
+    * corpus is the parameter (streaming.Streams fits on the historical
+    * stratum and assigns the live stream against the frozen codebook). */
+  private[graft] def kmTrainFrom(emb: DataFrame): Seq[(Int, Int, Int, Long)] = {
+    val spark = emb.sparkSession
     graft.plans.PqEncode.register(spark)
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", qvec.as("qv")).persist()
+    val vecs = emb.select($"vec_id", qvec.as("qv")).persist()
     try {
       var cent: Seq[(Int, Int, Int, Long)] = vecs.filter($"vec_id" < KM_K)
         .select($"vec_id", posexplode($"qv").as(Seq("d", "q")))
@@ -227,9 +233,14 @@ object Clustering {
     * never corpus-quadratic) feeding a LEFT SEMI existence probe, then
     * one vec_id-keyed flag join — the vectors ride only the pair join,
     * never a corpus-wide exchange beyond their cluster. */
-  def l31SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val a = assignFull(Tables.embeddings(spark, sfDir), kmTrain(spark, sfDir))
+  def l31SemDedup(spark: SparkSession, sfDir: String): DataFrame =
+    semDedupFrom(assignFull(Tables.embeddings(spark, sfDir), kmTrain(spark, sfDir)))
+
+  /** The SemDeDup drop rule over any [[assignFull]]-shaped frame —
+    * the pair generator (which clustering fed it) is the parameter,
+    * mirroring [[Similarity.neardupKeepList]]'s factoring. */
+  private[graft] def semDedupFrom(a: DataFrame): DataFrame = {
+    import a.sparkSession.implicits._
     val x = a.select($"vec_id", $"cluster", $"dist", $"qv", $"qq")
     val y = a.select($"vec_id".as("y_id"), $"cluster".as("y_cluster"),
       $"dist".as("y_dist"), $"qv".as("y_qv"), $"qq".as("y_qq"))
@@ -244,5 +255,64 @@ object Clustering {
       .join(dropped, Seq("vec_id"), "left_outer")
       .select($"vec_id", $"cluster", $"dist", $"isdrop".isNull.as("keep"))
       .orderBy($"vec_id")
+  }
+
+  /** Target cluster population for [[l31Sized]]: K = N/this — the
+    * SemDeDup paper's tractability knob (50k clusters for LAION): pair
+    * volume per cluster stays ~this², independent of corpus size. */
+  val KM_TARGET_CLUSTER = 512L
+
+  /** Lloyd at width `k` on a deterministic hash-sample — the
+    * [[Similarity.pqTrainSized]] conventions at M=1 full width: init =
+    * the first k sample vectors, assignment via the compiled encode,
+    * trunc(sum/count) update, empty clusters keep their previous
+    * centroid. The codebook is O(K·dim) driver state (~0.5 MB at
+    * K=1024); per iteration one compiled-argmin pass + one posexplode
+    * rollup over the SAMPLE only. */
+  private[graft] def kmTrainSized(spark: SparkSession, sfDir: String, k: Int,
+      sampleVecs: Long = Similarity.PQ_TRAIN_VECS): Seq[(Int, Int, Int, Long)] = {
+    graft.plans.PqEncode.register(spark)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val mod = math.max(1L, n / sampleVecs)
+    val sample = emb.filter(pmod(xxhash64($"vec_id"), lit(mod)) === 0)
+      .select($"vec_id", qvec.as("qv")).persist()
+    try {
+      var cent: Seq[(Int, Int, Int, Long)] = sample.orderBy($"vec_id").limit(k)
+        .select($"vec_id", posexplode($"qv").as(Seq("d", "q")))
+        .withColumn("rk", dense_rank().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"vec_id")))
+        .select(($"rk" - 1).cast("int").as("c"), $"d", $"q")
+        .collect().map(r => (0, r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+      for (_ <- 1 to KM_ITERS) {
+        val updated = sample.crossJoin(broadcast(codebookDf(spark, cent)))
+          .select(expr("element_at(pq_encode(qv, cb), 1)").as("c"),
+            posexplode($"qv").as(Seq("d", "q")))
+          .groupBy($"c", $"d")
+          .agg(expr("CAST(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*) AS BIGINT)")
+            .as("cent"))
+          .collect()
+          .map(r => (0, r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        cent = cent.map { case (m, c, d, old) =>
+          (m, c, d, updated.getOrElse((m, c, d), old))
+        }
+      }
+      cent
+    } finally { sample.unpersist(false); () }
+  }
+
+  /** L31 at the production cluster count (BenchHeavy's `l31_sized`):
+    * K = max(8, N/[[KM_TARGET_CLUSTER]]) clusters from a sampled Lloyd
+    * fit, then the same drop rule. The knob is THE SemDeDup scale lever:
+    * within-cluster pair volume is Σ n_c² ≈ N·[[KM_TARGET_CLUSTER]],
+    * LINEAR in the corpus at fixed target population — vs the
+    * demonstration K=8's corpus-quadratic N²/8. Parameterization of
+    * l31's oracle-checked semantics (the l3e_sized precedent). */
+  def l31Sized(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val k = math.max(KM_K, (n / KM_TARGET_CLUSTER).toInt)
+    semDedupFrom(assignFull(emb, kmTrainSized(spark, sfDir, k)))
   }
 }

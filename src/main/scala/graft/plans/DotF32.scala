@@ -117,6 +117,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(RollingFp.injection)
     ext.injectFunction(WinnowHashes.injection)
     ext.injectFunction(ModelScore.injection)
+    ext.injectFunction(BucketScore.injection)
     ext.injectFunction(PqEncode.injection)
     ext.injectFunction(WordCountAgg.injection)
     ext.injectFunction(BloomFunctions.aggInjection)

@@ -456,6 +456,28 @@ object Streams {
     modelScoreBatch(Tables.documents(spark, sfDir)).orderBy($"doc_id")
   }
 
+  /** R14 batch body: the l29 codebook fitted to the HISTORICAL stratum
+    * (vec_id < max·4/5 — the r11 cutoff convention), today's vectors
+    * assigned against that frozen codebook. Same body defines the
+    * streaming semantics: the codebook is driver state fitted once, so
+    * the stream side is a stateless projection pass (compiled argmin +
+    * the exact-distance expansion) with the codebook riding a broadcast
+    * — no shuffle, no watermark, no state, exactly [[modelScoreBatch]]'s
+    * scale contract applied to embeddings. */
+  def clusterAssignBatch(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cut = emb.agg(expr("max(vec_id) * 4 div 5")).head().getLong(0)
+    graft.llm.Clustering.assignWithDist(
+      emb.filter($"vec_id" >= cut),
+      graft.llm.Clustering.kmTrainFrom(emb.filter($"vec_id" < cut)))
+  }
+
+  def r14StreamClusterAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    clusterAssignBatch(Tables.embeddings(spark, sfDir)).orderBy($"vec_id")
+  }
+
   /** R9 batch form: the l2g signature screen without the corpus split —
     * every doc flags whether an earlier doc (lower id) shares its SimHash
     * signature. Shuffle key = the 16-bit signature, so per-group window

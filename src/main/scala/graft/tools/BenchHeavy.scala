@@ -279,7 +279,14 @@ object BenchHeavy {
     // prune vs the broadcast-exact form, priced at the same tier; the
     // winnowing screen prices the fingerprint diet vs l14's every-span
     // exchange (the bigram scorer l17b is priced above, next to l17)
-    "l27_bloom_decontam", "l26_winnow_screen")
+    "l27_bloom_decontam", "l26_winnow_screen",
+    // round 11: DSIR prices the three-pass fit/fit/score shape (two
+    // one-row vocabulary collapses + the broadcast scoring kernel)
+    // against DuckDB's per-token unnest+join formulation; k-means prices
+    // the Lloyd fixpoint (compiled argmin + posexplode rollup per
+    // iteration) against the same math pipelined as one CTE chain; the
+    // balanced sample adds the cluster-keyed window draw on top
+    "l28_dsir_sample", "l29_kmeans_cluster", "l30b_balanced_sample")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio
@@ -399,7 +406,12 @@ object BenchHeavy {
           // demo path would pay is the reason these are separate thunks);
           // recall deltas vs the K=16 cells live in AnnRecall's pq256 row
           "l3m_sized" -> (() => graft.llm.Similarity.l3mSizedTopk(spark, dir)),
-          "l3n_sized" -> (() => graft.llm.Similarity.l3nSizedTopk(spark, dir)))
+          "l3n_sized" -> (() => graft.llm.Similarity.l3nSizedTopk(spark, dir)),
+          // SemDeDup at the production cluster count (K = N/512 from a
+          // sampled Lloyd fit): within-cluster pair volume becomes
+          // N·target — LINEAR in the corpus — vs the oracle-width K=8's
+          // corpus-quadratic N²/8, which is intractable at this N
+          "l31_sized" -> (() => graft.llm.Clustering.l31Sized(spark, dir)))
       }
     }
 

@@ -176,6 +176,16 @@ class ClusteringSpec extends SparkSpecBase {
     assert(got.exists(_._4) && got.exists(!_._4))
   }
 
+  test("l31_sized: the sampled-Lloyd serve path reproduces l31 exactly at fixture scale") {
+    // at N=500 the hash-sample modulus is 1 (full corpus) and
+    // K = max(8, N/512) = 8 with init = vec_id < 8 — so the sized path
+    // must train the IDENTICAL codebook and emit the identical keep set
+    // (the PqSizedSpec bit-identity argument at equal K)
+    val base = C.l31SemDedup(spark, sfDir).collect().map(_.toSeq).toSeq
+    val sized = C.l31Sized(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(sized === base)
+  }
+
   test("l29 plan: assignment + distance is exchange-free (projections only)") {
     val cent = graft.llm.Clustering.kmTrain(spark, sfDir)
     val p = C.assignWithDist(Tables.embeddings(spark, sfDir), cent)

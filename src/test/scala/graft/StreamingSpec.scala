@@ -366,6 +366,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(phys.contains("BroadcastNestedLoopJoin"), s"model not broadcast:\n$phys")
   }
 
+  test("R14 streaming cluster assignment: stream == batch, frozen broadcast codebook, stateless append") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch body's split: codebook fitted to the historical stratum,
+    // then "today's" vectors streamed against the FROZEN broadcast
+    // codebook — r11's incremental-scoring contract on embeddings
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val cut = emb.agg(expr("max(vec_id) * 4 div 5")).head().getLong(0)
+    val today = emb.filter($"vec_id" >= cut)
+      .as[(Long, Array[Float])].collect().toSeq
+    assert(today.size >= 2, "fixture must leave a non-trivial today batch")
+    val cent = graft.llm.Clustering.kmTrainFrom(emb.filter($"vec_id" < cut))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val name = "sink_r14_" + System.nanoTime()
+    val q = graft.llm.Clustering
+      .assignWithDist(mem.toDF().toDF("vec_id", "embedding"), cent)
+      .writeStream.format("memory").queryName(name)
+      // append with NO watermark: assignment is a stateless projection
+      .outputMode("append").start()
+    mem.addData(today.take(today.size / 2)); q.processAllAvailable()
+    mem.addData(today.drop(today.size / 2)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+    val batch = Streams.clusterAssignBatch(emb)
+    assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0)
+    assert(batch.count() === today.size.toLong)
+    // scale contract: the codebook rides a broadcast, never an exchange
+    val phys = batch.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastNestedLoopJoin"), s"codebook not broadcast:\n$phys")
+  }
+
   test("R12 merge apply: snapshot as initial state, stream log == batch log, fold == u3") {
     val sparkS = spark
     import sparkS.implicits._
