@@ -135,6 +135,8 @@ object SparkEntry {
     "l23_containment_score" -> (graft.llm.Dedup.l23ContainmentScore _),
     "l24_segment_dedup" -> (graft.llm.Dedup.l24SegmentDedup _),
     "l26_winnow_screen" -> (graft.llm.Dedup.l26WinnowScreen _),
+    "l32_dup_run_trim" -> (graft.llm.Dedup.l32DupRunTrim _),
+    "l33_budget_mix" -> (graft.llm.Assembly.l33BudgetMix _),
     "l20_bpe_pair_count" -> (graft.llm.TextAnalysis.l20BpePairCount _),
     "l25_heavy_hitters" -> (graft.llm.TextAnalysis.l25HeavyHitters _),
     "l3l_pq_train" -> (graft.llm.Similarity.l3lPqTrain _),
@@ -964,6 +966,57 @@ object SparkEntry {
          |GROUP BY 1, 2 HAVING count(*) >= $minShared
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    // duplicated-run trim: positional md5p48 anchors (NOT distinct —
+    // in-doc repeats count toward df), gaps-and-islands over flagged
+    // positions (merge when intervals overlap or touch), trim >= the
+    // shared DUP_RUN_TRIM_MIN; the window/running-sum replay is exact
+    "l32_dup_run_trim" -> {
+      val k = graft.llm.Dedup.SHINGLE_K
+      val trimMin = graft.llm.Dedup.DUP_RUN_TRIM_MIN
+      s"""WITH dw AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |pos AS (
+         |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, i,
+         |    md5(array_to_string(words[i:i+${k - 1}], ' ')) AS m
+         |  FROM dw, unnest(range(1, len(words) - ${k - 2})) AS t(i)
+         |  WHERE len(words) >= $k),
+         |hp AS (
+         |  SELECT doc_id, n_words, i,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(instr('0123456789abcdef', m[j]) - 1 AS BIGINT) for j in range(1, 13)]),
+         |      (acc, x) -> acc * 16 + x) AS sh
+         |  FROM pos),
+         |fl AS (
+         |  SELECT doc_id, n_words, i FROM
+         |    (SELECT doc_id, n_words, i, count(*) OVER (PARTITION BY sh) AS df FROM hp)
+         |  WHERE df >= 2),
+         |isl AS (
+         |  SELECT doc_id, n_words, i,
+         |    CASE WHEN pm IS NULL OR i > pm + $k THEN 1 ELSE 0 END AS nr
+         |  FROM (SELECT doc_id, n_words, i, max(i) OVER (PARTITION BY doc_id
+         |          ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |        FROM fl)),
+         |runs AS (
+         |  SELECT doc_id, n_words, run_id, max(i) - min(i) + $k AS run_len
+         |  FROM (SELECT doc_id, n_words, i,
+         |          SUM(nr) OVER (PARTITION BY doc_id ORDER BY i) AS run_id FROM isl)
+         |  GROUP BY 1, 2, 3),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+         |    CAST(max(run_len) AS BIGINT) AS max_run_len,
+         |    CAST(sum(run_len) AS BIGINT) AS dup_words,
+         |    CAST(sum(CASE WHEN run_len >= $trimMin THEN run_len ELSE 0 END) AS BIGINT)
+         |      AS trimmed
+         |  FROM runs GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+         |  COALESCE(a.n_runs, 0) AS n_runs,
+         |  COALESCE(a.max_run_len, 0) AS max_run_len,
+         |  COALESCE(a.dup_words, 0) AS dup_words,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) - COALESCE(a.trimmed, 0)
+         |    AS kept_words
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     "l2e_connected_components" -> {
       s"""${duckSigs(16).replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$duckBands,
@@ -1727,6 +1780,43 @@ object SparkEntry {
         |    [CAST(instr('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
         |     for j in range(1, 3)]), (acc, x) -> acc * 16 + x) AS DOUBLE) < r.rate * 256
         |ORDER BY d.doc_id""".stripMargin,
+    // budget mix: the one quantized input is s_s = floor(sqrt(t_s*2^20))
+    // (IEEE sqrt, bit-identical both engines); epochs and the fractional
+    // threshold are exact integer divisions — HUGEINT here mirrors the
+    // Spark side's DECIMAL rescale; the 20-bit key is the seeded 5-char
+    // md5 hex fold
+    "l33_budget_mix" -> {
+      val be = graft.llm.Assembly.BUDGET_EPOCHS
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t_s FROM d GROUP BY 1),
+         |s AS (SELECT lang, t_s,
+         |        CAST(FLOOR(SQRT(CAST(t_s AS DOUBLE) * 1048576)) AS BIGINT) AS s_s
+         |      FROM c),
+         |t AS (SELECT CAST(sum(t_s) AS BIGINT) AS t, CAST(sum(s_s) AS BIGINT) AS w FROM s),
+         |r AS (SELECT lang, t_s,
+         |        CAST($be * t AS HUGEINT) * s_s AS bss,
+         |        CAST(t_s AS HUGEINT) * w AS tw
+         |      FROM s, t),
+         |r2 AS (SELECT lang, bss // tw AS e_s, bss - (bss // tw) * tw AS rem, tw FROM r),
+         |r3 AS (SELECT lang, CAST(e_s AS BIGINT) AS e_s,
+         |         CASE WHEN rem > 0 THEN CAST((rem * 1048576 - 1) // tw AS BIGINT)
+         |              ELSE -1 END AS thr_s
+         |       FROM r2),
+         |m AS (SELECT d.doc_id, d.lang, d.n_tokens,
+         |        r3.e_s + CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            [CAST(instr('0123456789abcdef',
+         |               substr(md5('m#' || CAST(d.doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+         |             for j in range(1, 6)]), (acc, x) -> acc * 16 + x) <= r3.thr_s
+         |          THEN 1 ELSE 0 END AS copies
+         |      FROM d JOIN r3 USING (lang))
+         |SELECT doc_id, lang, n_tokens, CAST(e AS BIGINT) AS epoch
+         |FROM m, unnest(range(0, copies)) AS u(e)
+         |WHERE copies > 0
+         |ORDER BY doc_id, epoch""".stripMargin
+    },
     // 48-bit md5-prefix shuffle key (the l2f fold, scalar form); shard and
     // within-shard rank are both pure functions of (seed, doc_id)
     "l12_shuffle_shard" ->

@@ -128,6 +128,83 @@ object Assembly {
       .orderBy($"shard", $"pos")
   }
 
+  /** Token budget for [[l33BudgetMix]] as a multiple of the corpus token
+    * mass — pretraining budgets usually EXCEED the deduped corpus, so the
+    * mixer must emit repeat epochs, not only sampling rates. */
+  val BUDGET_EPOCHS = 2L
+
+  /** L33 [EXT]: token-budget mixture with per-stratum epoch factors — the
+    * published-mixture posture ("N epochs of source X") that down-sample-
+    * only mixers (l11) cannot express: given a global token budget
+    * B = [[BUDGET_EPOCHS]] x corpus tokens and sqrt-temperature target
+    * shares w_s ~ sqrt(T_s), each stratum's repeat factor r_s = B*w_s/T_s
+    * splits into integer epochs e_s = floor(r_s) (every doc emitted e_s
+    * times) plus a fractional epoch (docs whose 20-bit md5 key clears the
+    * stratum threshold appear once more). Output is the loader manifest
+    * (doc_id, lang, n_tokens, epoch) — a pure function of the data, so
+    * re-runs and engine swaps emit the identical multi-epoch corpus.
+    *
+    * Exactness — every decision is integer arithmetic: the ONE quantized
+    * input is s_s = floor(sqrt(T_s * 2^20)) (both engines' IEEE sqrt is
+    * correctly rounded, so the double and its floor agree bit-for-bit
+    * while T_s * 2^20 < 2^53 — the documented width knob); from there
+    * e_s = (B*s_s) div (T_s*W) and the fractional threshold
+    * thr_s = (rem*2^20 - 1) div (T_s*W) are exact integer divisions —
+    * the 2^20 rescale runs in DECIMAL on the K-row rates frame because
+    * rem*2^20 overflows a BIGINT at heavy-tier token counts, and the
+    * per-doc test collapses back to one BIGINT compare (bucket <= thr_s).
+    *
+    * Scale: per-stratum token counts are a tiny map-side-combined
+    * aggregate; the rates frame (a handful of rows) broadcasts onto ONE
+    * corpus scan; the epoch fan-out is a bounded `sequence` explode
+    * (<= ceil(max r_s) rows per doc). Zero corpus exchanges before the
+    * trailing fixture-comparability sort — a deployment writes the
+    * manifest straight to the l12 shuffle instead. */
+  def l33BudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+    val rates = budgetRates(
+      docs.groupBy($"lang").agg(sum($"n_tokens").as("t_s")), BUDGET_EPOCHS)
+    docs
+      .join(broadcast(rates), "lang")
+      .withColumn("bucket", expr(
+        "CAST(conv(substr(md5(concat('m#', CAST(doc_id AS STRING))), 1, 5), 16, 10) AS BIGINT)"))
+      .withColumn("copies",
+        $"e_s" + when($"bucket" <= $"thr_s", 1L).otherwise(0L))
+      .filter($"copies" > 0)
+      .select($"doc_id", $"lang", $"n_tokens",
+        explode(expr("sequence(CAST(0 AS BIGINT), copies - 1)")).as("epoch"))
+      .orderBy($"doc_id", $"epoch")
+  }
+
+  /** The rates plane of [[l33BudgetMix]], factored for direct testing at
+    * synthetic heavy-tier token counts (where rem*2^20 exceeds a BIGINT
+    * and the DECIMAL path must carry the division): from per-stratum
+    * token counts (stratum, t_s) to (stratum, e_s, thr_s). */
+  private[graft] def budgetRates(counts: DataFrame, budgetEpochs: Long): DataFrame = {
+    import counts.sparkSession.implicits._
+    // corpus totals as a global window over the K-row counts frame (one
+    // SinglePartition hop on K rows) — a separate .agg would re-derive the
+    // counts subtree and scan the corpus twice
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("s_s",
+        floor(sqrt($"t_s".cast("double") * lit(1048576d))).cast("long"))
+      .withColumn("t", sum($"t_s").over(wAll))
+      .withColumn("w", sum($"s_s").over(wAll))
+      .withColumn("bss", lit(budgetEpochs) * $"t" * $"s_s")
+      .withColumn("tw", $"t_s" * $"w")
+      .withColumn("e_s", expr("bss div tw"))
+      .withColumn("rem", $"bss" - $"e_s" * $"tw")
+      .withColumn("thr_s", when($"rem" > 0, expr(
+        "(CAST(rem AS DECIMAL(20,0)) * CAST(1048576 AS DECIMAL(7,0)) - 1) div CAST(tw AS DECIMAL(20,0))"))
+        .otherwise(lit(-1L)))
+      .select(counts.columns.head, "t_s", "e_s", "thr_s")
+  }
+
   /** Quality floor for [[l13CorpusExport]]'s fixed-threshold gate (the
     * adaptive per-stratum form is L4g; a flagship pipeline uses the cheap
     * production rule so every stage stays one codegen'd scan). */

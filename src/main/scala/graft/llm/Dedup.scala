@@ -912,6 +912,90 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** A duplicated run at least this many words long is trimmed (the
+    * variable-length analog of Lee et al. 2022's 50-BPE-token cut, scaled
+    * to the fixture's word vocabulary); shorter runs are counted but kept
+    * (idiom-length repeats are not boilerplate). */
+  private[graft] val DUP_RUN_TRIM_MIN = 15
+
+  /** L32 [EXT]: duplicated-run detection and trim accounting — the
+    * VARIABLE-LENGTH exact-substring dedup posture of Lee et al. 2022
+    * (suffix-array "exact substring" dedup): where l14 counts fixed-width
+    * duplicated spans and l24 dedups ALIGNED 5-word blocks, this finds the
+    * maximal contiguous word regions covered by corpus-duplicated 5-grams
+    * — an unaligned 40-word boilerplate paragraph surfaces as ONE run of
+    * ~40 words, not 36 independent span hits — and makes the per-doc trim
+    * decision: runs >= [[DUP_RUN_TRIM_MIN]] words are cut, shorter ones
+    * kept. The suffix array is replaced by the dedup family's positional
+    * 5-gram anchors: a shared run of L >= 5 words yields L-4 consecutive
+    * duplicated anchor positions, which gaps-and-islands reassembly turns
+    * back into the [start, end] word interval (anchors overlapping or
+    * word-adjacent merge into one region).
+    *
+    * Output: one row per document — (doc_id, n_words, n_runs,
+    * max_run_len, dup_words, kept_words) with kept_words = n_words minus
+    * the words inside trimmed runs; a pipeline re-slices the kept text
+    * the way l24's reassembly join does.
+    *
+    * Scale — three exchanges, none carrying text:
+    *  1. anchor duplication is ONE corpus-wide window keyed by the 48-bit
+    *     span hash (l14's posture) over (doc_id, n_words, i, sh) rows —
+    *     the 5-gram string is built and hashed in the codegen'd
+    *     post-explode projection (the l2f_pos shape) and dies before the
+    *     exchange;
+    *  2. only FLAGGED positions (df >= 2) regroup by doc_id for the
+    *     islands pass — sparse duplication ships a sparse stream; the
+    *     run grouping and both per-doc rollups reuse that partitioning
+    *     (doc_id is a subset of every later grouping key — no exchange);
+    *  3. zero-run docs are restored by one join against the 2-column
+    *     (doc_id, n_words) corpus projection.
+    * Islands are windows with single-integer state (running max anchor
+    * position), so per-partition memory is O(1) per doc regardless of
+    * run length. Hashing is the md5p48 hex fold, so the DuckDB oracle
+    * replays anchors, islands, and the trim arithmetic exactly. */
+  def l32DupRunTrim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val K = SHINGLE_K
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", wordsCol.as("words"))
+      .select($"doc_id", size($"words").cast("long").as("n_words"), $"words")
+    val pos = docs
+      .filter(size($"words") >= K)
+      .select($"doc_id", $"n_words",
+        explode(expr(s"sequence(1, size(words) - ${K - 1})")).as("i"), $"words")
+      .select($"doc_id", $"n_words", $"i".cast("long").as("i"),
+        expr(s"cast(conv(substr(md5(array_join(slice(words, i, $K), ' ')), 1, 12), 16, 10) as bigint)")
+          .as("sh"))
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"i")
+    val runs = pos
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
+      .filter($"df" >= 2)
+      .select($"doc_id", $"n_words", $"i")
+      // islands: a new run starts when this anchor's interval [i, i+K-1]
+      // neither overlaps nor touches the running interval end (pm + K - 1)
+      .withColumn("pm",
+        max($"i").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nr", when($"pm".isNull || $"i" > $"pm" + K, 1L).otherwise(0L))
+      .withColumn("run_id", sum($"nr").over(byDoc))
+      .groupBy($"doc_id", $"n_words", $"run_id")
+      .agg((max($"i") - min($"i") + K).as("run_len"))
+    val perDoc = runs
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_runs"),
+        max($"run_len").as("max_run_len"),
+        sum($"run_len").as("dup_words"),
+        sum(when($"run_len" >= DUP_RUN_TRIM_MIN, $"run_len").otherwise(0L))
+          .as("trimmed"))
+    docs.select($"doc_id", $"n_words")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_words",
+        coalesce($"n_runs", lit(0L)).as("n_runs"),
+        coalesce($"max_run_len", lit(0L)).as("max_run_len"),
+        coalesce($"dup_words", lit(0L)).as("dup_words"),
+        ($"n_words" - coalesce($"trimmed", lit(0L))).as("kept_words"))
+      .orderBy($"doc_id")
+  }
+
   private def ngramJaccardBy(spark: SparkSession, sfDir: String, algo: String): DataFrame = {
     import spark.implicits._
     val sh = explodedShingleHashesNative(Tables.documents(spark, sfDir), algo)

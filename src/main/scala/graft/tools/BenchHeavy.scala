@@ -286,7 +286,13 @@ object BenchHeavy {
     // the Lloyd fixpoint (compiled argmin + posexplode rollup per
     // iteration) against the same math pipelined as one CTE chain; the
     // balanced sample adds the cluster-keyed window draw on top
-    "l28_dsir_sample", "l29_kmeans_cluster", "l30b_balanced_sample")
+    "l28_dsir_sample", "l29_kmeans_cluster", "l30b_balanced_sample",
+    // round 11 (cont.): the duplicated-run trimmer prices a SECOND
+    // corpus-keyed span exchange (positional anchors, no distinct) plus
+    // the flagged-only islands regroup against DuckDB's double window;
+    // the budget mixer prices the tiny-rates broadcast + bounded epoch
+    // fan-out (its corpus stream never shuffles)
+    "l32_dup_run_trim", "l33_budget_mix")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio
@@ -332,7 +338,12 @@ object BenchHeavy {
     // round 11: the bigram scorer and the MERGE third leg — the two
     // remaining heavyweights with no top-tier scale point (CROSSOVER's
     // beyond-the-star-joins sweep); l24 is already above
-    "l17b_bigram_logprob", "u3_merge_upsert")
+    "l17b_bigram_logprob", "u3_merge_upsert",
+    // round 11 (cont.): the duplicated-run trimmer — its positional
+    // anchor exchange is the biggest span shuffle in the family (no
+    // per-doc distinct), so the sf5->sf25 trend prices the worst-case
+    // span diet where DuckDB pays the same double window
+    "l32_dup_run_trim")
 
   /** ANN queries for the sf25 tier: run each in an isolated JVM (see
     * SF25_QUERIES note on cross-query heap contamination). */

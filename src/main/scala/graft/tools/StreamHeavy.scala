@@ -78,6 +78,7 @@ object StreamHeavy {
 
     val eventsSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val embSchema = spark.read.parquet(s"$dir/embeddings.parquet").schema
     def fileStream(table: String, schema: org.apache.spark.sql.types.StructType) =
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", filesPerTrigger)
@@ -121,7 +122,30 @@ object StreamHeavy {
               .otherwise(lit("U")).as("op")),
         df => graft.streaming.Streams.mergeApplyStream(
           df.as[graft.streaming.MergeChange],
-          graft.streaming.Streams.mergeSnapshot(spark, dir))))
+          graft.streaming.Streams.mergeSnapshot(spark, dir))),
+      // r13: stream-stream LEFT OUTER interval join — the one topology
+      // whose state is the JOIN WINDOW itself: both sides buffer until
+      // their watermark clears the purchase's candidate interval (the
+      // null-padded emit is only decidable then), so state_rows tracks
+      // in-window rows, not stream length — the bounded-by-window claim
+      // priced under continuous ingest
+      run("r13_left_join",
+        fileStream("events", eventsSchema).filter($"event_type" === "purchase"),
+        df => graft.streaming.Streams.purchaseSignupLeftJoin(df,
+          fileStream("events", eventsSchema).filter($"event_type" === "signup"))),
+      // r14: stateless cluster assignment — the l29 codebook is fitted
+      // ONCE from the at-rest historical stratum (driver state, rides a
+      // broadcast), then every trigger is a pure projection pass
+      // (compiled argmin + exact-distance expansion): no shuffle, no
+      // watermark, state_rows stays 0 while rows/s prices the kernel
+      run("r14_cluster_assign", fileStream("embeddings", embSchema), {
+        val embBatch = spark.read.parquet(s"$dir/embeddings.parquet")
+        val cut = embBatch.agg(expr("max(vec_id) * 4 div 5")).head().getLong(0)
+        val codebook = graft.llm.Clustering.kmTrainFrom(
+          embBatch.filter($"vec_id" < cut))
+        df => graft.llm.Clustering.assignWithDist(
+          df.filter($"vec_id" >= cut), codebook)
+      }))
 
     val json = lines.mkString("[", ",\n", "]")
     graft.BenchUtil.writeArtifact(out, json)

@@ -389,6 +389,47 @@ class CorpusOpsSpec extends SparkSpecBase {
     untouched.foreach { case (id, _, _, cleaned) => assert(cleaned === byId(id)) }
   }
 
+  test("l32: duplicated-run trim recomputes from plain Scala; both branches fire") {
+    import spark.implicits._
+    val K = graft.llm.Dedup.SHINGLE_K
+    val TRIM = graft.llm.Dedup.DUP_RUN_TRIM_MIN
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    // corpus 5-gram occurrence counts over ALL positions (in-doc repeats
+    // count toward duplication — "appears more than once in the dataset")
+    val counts = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val anchored = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val spans = (0 to ws.length - K).map(i => ws.slice(i, i + K).mkString(" "))
+      spans.foreach(s => counts(s) += 1)
+      (id, ws.length.toLong, spans)
+    }
+    val expected = anchored.map { case (id, n, spans) =>
+      val flagged = spans.zipWithIndex.collect { case (s, i) if counts(s) >= 2 => i + 1 }
+      // interval merge, overlap-or-adjacent: anchor i joins the open run
+      // when its interval [i, i+K-1] touches the run's (last anchor + K - 1)
+      val runs = collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      flagged.foreach { i =>
+        if (runs.nonEmpty && i <= runs.last._2 + K)
+          runs(runs.length - 1) = (runs.last._1, i)
+        else runs += ((i, i))
+      }
+      val lens = runs.map { case (s, e) => (e - s + K).toLong }.toSeq
+      (id, n, lens.size.toLong, if (lens.isEmpty) 0L else lens.max,
+        lens.sum, n - lens.filter(_ >= TRIM).sum)
+    }.toSeq
+    val got = graft.llm.Dedup.l32DupRunTrim(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    // the decision actually branches on the fixture: a long run trims, a
+    // short run is counted but kept, and some run merged multiple anchors
+    assert(expected.exists { case (_, n, _, _, _, kept) => kept < n })
+    assert(expected.exists { case (_, _, r, m, _, _) => r > 0 && m < TRIM })
+    assert(expected.exists(_._4 > K))
+  }
+
   test("l13b: manifest recomputes from plain Scala; every graded screen fires") {
     import spark.implicits._
     val A = graft.llm.Assembly
@@ -587,6 +628,63 @@ class CorpusOpsSpec extends SparkSpecBase {
     val kept = graft.llm.Assembly.l28From(synth, 100).collect()
     val keptEn = kept.count(_.getString(1) == "en").toDouble / kept.length
     assert(keptEn > 0.8, s"DSIR failed to enrich the target stratum: $keptEn")
+  }
+
+  test("l33: budget mix recomputes from BigInt first principles; epochs vary") {
+    import spark.implicits._
+    val A = graft.llm.Assembly
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong)).sortBy(_._1)
+    val tS = docs.groupBy(_._2).map { case (l, g) => l -> g.map(_._3).sum }
+    val sS = tS.map { case (l, t) =>
+      l -> math.floor(math.sqrt(t.toDouble * 1048576d)).toLong }
+    val (bT, w) = (BigInt(A.BUDGET_EPOCHS) * tS.values.sum, BigInt(sS.values.sum))
+    // exact rational epoch/threshold plane in BigInt — the reference the
+    // engine's BIGINT + DECIMAL split must reproduce
+    val rates = tS.keys.map { l =>
+      val (bss, tw) = (bT * sS(l), BigInt(tS(l)) * w)
+      val e = bss / tw; val rem = bss - e * tw
+      val thr = if (rem > 0) (rem * 1048576 - 1) / tw else BigInt(-1)
+      l -> (e.toLong, thr.toLong)
+    }.toMap
+    val expected = docs.flatMap { case (id, lang, n) =>
+      val bucket = java.lang.Long.parseLong(md5hex(s"m#$id").take(5), 16)
+      val (e, thr) = rates(lang)
+      val copies = e + (if (bucket <= thr) 1L else 0L)
+      (0L until copies).map(ep => (id, lang, n, ep))
+    }.toSeq
+    val got = A.l33BudgetMix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // the mixer genuinely reweights: strata end at different epoch counts,
+    // and the fractional draw both keeps and drops docs somewhere
+    assert(rates.values.map(_._1).toSet.size > 1, s"degenerate epochs: $rates")
+    val copiesByDoc = expected.groupBy(_._1).view.mapValues(_.size).toMap
+    docs.groupBy(_._2).foreach { case (l, g) =>
+      val cs = g.map(d => copiesByDoc.getOrElse(d._1, 0)).toSet
+      assert(cs.size === 2, s"fractional draw never branched for $l: $cs")
+    }
+    // the DECIMAL leg of the threshold division must hold where rem*2^20
+    // overflows a BIGINT (heavy-tier token counts) — synthetic strata with
+    // ~50M-token mass, checked against the same BigInt reference
+    val synth = Seq(("big", 50000001L), ("mid", 9999991L), ("small", 777779L))
+    val gotRates = A.budgetRates(synth.toDF("lang", "t_s"), A.BUDGET_EPOCHS)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val sS2 = synth.map { case (l, t) =>
+      l -> math.floor(math.sqrt(t.toDouble * 1048576d)).toLong }.toMap
+    val (bT2, w2) = (BigInt(A.BUDGET_EPOCHS) * synth.map(_._2).sum, BigInt(sS2.values.sum))
+    synth.foreach { case (l, t) =>
+      val (bss, tw) = (bT2 * sS2(l), BigInt(t) * w2)
+      val e = bss / tw; val rem = bss - e * tw
+      val thr = if (rem > 0) (rem * 1048576 - 1) / tw else BigInt(-1)
+      assert(rem * 1048576 > BigInt(Long.MaxValue) || l == "small",
+        s"synthetic stratum $l does not exercise the wide path")
+      assert(gotRates(l) === ((e.toLong, thr.toLong)), s"rates drift for $l")
+    }
   }
 
   test("l19: screen recounts from raw pairs x splits; only eval docs reported") {

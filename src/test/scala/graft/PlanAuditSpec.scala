@@ -414,6 +414,42 @@ class PlanAuditSpec extends SparkSpecBase {
       s"no map-side combine before the doc agg exchange:\n$p")
   }
 
+  test("l32: anchor and island exchanges never carry text or word arrays") {
+    val fmt = fmtPlan(q("l32_dup_run_trim"))
+    val hashEx = exchangeBlocks(fmt).filter(b =>
+      blockLine(b, "Arguments").contains("hashpartitioning"))
+    // exactly two hash exchanges in the run pipeline: the sh-keyed df
+    // window and the doc-keyed islands regroup (the run grouping and both
+    // rollups must reuse the doc_id partitioning); a third may appear only
+    // if the zero-run restore join declines to broadcast
+    val shEx = hashEx.filter(b => blockLine(b, "Arguments").contains("hashpartitioning(sh#"))
+    val docEx = hashEx.filter(b => blockLine(b, "Arguments").contains("hashpartitioning(doc_id#"))
+    assert(shEx.size == 1, s"expected one sh-keyed exchange:\n$fmt")
+    assert(docEx.size == 1, s"expected one doc-keyed islands exchange:\n$fmt")
+    // neither the anchor stream nor the flagged stream carries strings:
+    // the 5-gram dies in the scan-side projection (l2f_pos shape); the
+    // word-boundary match keeps n_words# (a long) from tripping words#
+    for (b <- hashEx; bad <- Seq("text#", "\\bwords#"))
+      assert(!bad.r.findFirstIn(blockLine(b, "Input")).isDefined,
+        s"text rides an l32 exchange:\n$b")
+    // flagged stream is positions only — df must not survive the filter
+    assert(!blockLine(docEx.head, "Input").contains("df#"),
+      s"df column rides the islands exchange:\n${docEx.head}")
+  }
+
+  test("l33: rates broadcast; the per-doc epoch stream never hash-shuffles") {
+    val fmt = fmtPlan(q("l33_budget_mix"))
+    assert(fmt.contains("BroadcastHashJoin"), s"rates not broadcast:\n$fmt")
+    // every hash exchange belongs to the tiny map-side-combined rates
+    // aggregate (keyed by lang); the corpus stream goes scan -> broadcast
+    // join -> explode -> sort with no exchange of its own
+    val hashEx = exchangeBlocks(fmt).filter(b =>
+      blockLine(b, "Arguments").contains("hashpartitioning"))
+    assert(hashEx.nonEmpty && hashEx.forall(b =>
+      blockLine(b, "Arguments").contains("hashpartitioning(lang#")),
+      s"per-doc stream shuffles:\n$fmt")
+  }
+
   test("l24: dedup exchanges carry 8-byte keys; segment text never rides one") {
     val df = q("l24_segment_dedup")
     val fmt = fmtPlan(df)
