@@ -136,6 +136,7 @@ object SparkEntry {
     "l24_segment_dedup" -> (graft.llm.Dedup.l24SegmentDedup _),
     "l26_winnow_screen" -> (graft.llm.Dedup.l26WinnowScreen _),
     "l32_dup_run_trim" -> (graft.llm.Dedup.l32DupRunTrim _),
+    "l32b_dup_run_excise" -> (graft.llm.Dedup.l32bDupRunExcise _),
     "l33_budget_mix" -> (graft.llm.Assembly.l33BudgetMix _),
     "l20_bpe_pair_count" -> (graft.llm.TextAnalysis.l20BpePairCount _),
     "l25_heavy_hitters" -> (graft.llm.TextAnalysis.l25HeavyHitters _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "r12_merge_log" -> (graft.streaming.Streams.r12MergeLog _),
     "r13_stream_left_join" -> (graft.streaming.Streams.r13StreamLeftJoin _),
     "r14_stream_cluster_assign" -> (graft.streaming.Streams.r14StreamClusterAssign _),
+    "u4_snapshot_diff" -> (graft.operators.Quality.u4SnapshotDiff _),
     "s9_clustered_scan" -> (graft.operators.Etl.s9ClusteredScan _),
     "s10_compaction" -> (graft.operators.Etl.s10Compaction _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
@@ -233,6 +235,43 @@ object SparkEntry {
     s"""WITH sh AS ($duckShingles),
        |$duckBaseHashes,
        |sigs AS (SELECT doc_id, ${(0 until n).map(duckMinhash).mkString(",\n  ")} FROM hashed)""".stripMargin
+
+  /** DuckDB: the shared l32/l32b run pipeline — positional md5p48 5-gram
+    * anchors (in-doc repeats count), corpus df window, gaps-and-islands
+    * interval merge (same run while intervals overlap or touch) — ending
+    * in `runs(doc_id, n_words, run_id, s, e, run_len)` over `dw`. */
+  private val l32RunCtes: String = {
+    val k = graft.llm.Dedup.SHINGLE_K
+    s"""dw AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |pos AS (
+       |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, i,
+       |    md5(array_to_string(words[i:i+${k - 1}], ' ')) AS m
+       |  FROM dw, unnest(range(1, len(words) - ${k - 2})) AS t(i)
+       |  WHERE len(words) >= $k),
+       |hp AS (
+       |  SELECT doc_id, n_words, i,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [CAST(instr('0123456789abcdef', m[j]) - 1 AS BIGINT) for j in range(1, 13)]),
+       |      (acc, x) -> acc * 16 + x) AS sh
+       |  FROM pos),
+       |fl AS (
+       |  SELECT doc_id, n_words, i FROM
+       |    (SELECT doc_id, n_words, i, count(*) OVER (PARTITION BY sh) AS df FROM hp)
+       |  WHERE df >= 2),
+       |isl AS (
+       |  SELECT doc_id, n_words, i,
+       |    CASE WHEN pm IS NULL OR i > pm + $k THEN 1 ELSE 0 END AS nr
+       |  FROM (SELECT doc_id, n_words, i, max(i) OVER (PARTITION BY doc_id
+       |          ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |        FROM fl)),
+       |runs AS (
+       |  SELECT doc_id, n_words, run_id, min(i) AS s, max(i) + ${k - 1} AS e,
+       |    max(i) - min(i) + $k AS run_len
+       |  FROM (SELECT doc_id, n_words, i,
+       |          SUM(nr) OVER (PARTITION BY doc_id ORDER BY i) AS run_id FROM isl)
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
 
   /** DuckDB: the 4-band key CTE over `sigs` (matches Dedup's banding). */
   private val duckBands: String = {
@@ -971,36 +1010,8 @@ object SparkEntry {
     // positions (merge when intervals overlap or touch), trim >= the
     // shared DUP_RUN_TRIM_MIN; the window/running-sum replay is exact
     "l32_dup_run_trim" -> {
-      val k = graft.llm.Dedup.SHINGLE_K
       val trimMin = graft.llm.Dedup.DUP_RUN_TRIM_MIN
-      s"""WITH dw AS (
-         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-         |pos AS (
-         |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, i,
-         |    md5(array_to_string(words[i:i+${k - 1}], ' ')) AS m
-         |  FROM dw, unnest(range(1, len(words) - ${k - 2})) AS t(i)
-         |  WHERE len(words) >= $k),
-         |hp AS (
-         |  SELECT doc_id, n_words, i,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      [CAST(instr('0123456789abcdef', m[j]) - 1 AS BIGINT) for j in range(1, 13)]),
-         |      (acc, x) -> acc * 16 + x) AS sh
-         |  FROM pos),
-         |fl AS (
-         |  SELECT doc_id, n_words, i FROM
-         |    (SELECT doc_id, n_words, i, count(*) OVER (PARTITION BY sh) AS df FROM hp)
-         |  WHERE df >= 2),
-         |isl AS (
-         |  SELECT doc_id, n_words, i,
-         |    CASE WHEN pm IS NULL OR i > pm + $k THEN 1 ELSE 0 END AS nr
-         |  FROM (SELECT doc_id, n_words, i, max(i) OVER (PARTITION BY doc_id
-         |          ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-         |        FROM fl)),
-         |runs AS (
-         |  SELECT doc_id, n_words, run_id, max(i) - min(i) + $k AS run_len
-         |  FROM (SELECT doc_id, n_words, i,
-         |          SUM(nr) OVER (PARTITION BY doc_id ORDER BY i) AS run_id FROM isl)
-         |  GROUP BY 1, 2, 3),
+      s"""WITH $l32RunCtes,
          |agg AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
          |    CAST(max(run_len) AS BIGINT) AS max_run_len,
@@ -1015,6 +1026,31 @@ object SparkEntry {
          |  CAST(len(string_split(d.text, ' ')) AS BIGINT) - COALESCE(a.trimmed, 0)
          |    AS kept_words
          |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // the excision sibling: same run CTEs, trimmed intervals anti-joined
+    // against the position-exploded words, surviving words re-joined in
+    // order (all-trimmed docs collapse to '', untouched docs round-trip)
+    "l32b_dup_run_excise" -> {
+      val trimMin = graft.llm.Dedup.DUP_RUN_TRIM_MIN
+      s"""WITH $l32RunCtes,
+         |tr AS (SELECT doc_id, s, e, run_len FROM runs WHERE run_len >= $trimMin),
+         |trimsum AS (SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS trimmed
+         |            FROM tr GROUP BY 1),
+         |posw AS (SELECT doc_id, i, words[i] AS w
+         |         FROM dw, unnest(range(1, len(words) + 1)) AS t(i)),
+         |keptw AS (SELECT p.doc_id, p.i, p.w FROM posw p
+         |          WHERE NOT EXISTS (SELECT 1 FROM tr r
+         |            WHERE r.doc_id = p.doc_id AND p.i BETWEEN r.s AND r.e)),
+         |cln AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS cleaned_text
+         |        FROM keptw GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) - COALESCE(t.trimmed, 0)
+         |    AS kept_words,
+         |  COALESCE(c.cleaned_text, '') AS cleaned_text
+         |FROM documents d
+         |LEFT JOIN trimsum t USING (doc_id)
+         |LEFT JOIN cln c USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
     "l2e_connected_components" -> {
@@ -2074,6 +2110,27 @@ object SparkEntry {
         |  ON b.user_id = c.user_id AND b.event_type = c.event_type
         |WHERE c.op IS NULL OR c.op = 'U'
         |ORDER BY user_id, event_type""".stripMargin,
+    // snapshot diff: the oracle compares TEXT (the engine compares
+    // xxhash64 images) — hash-exact equality doubles as the collision
+    // check, the l1 stance; same deterministic two-version derivation
+    "u4_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text AS t FROM documents WHERE doc_id % 17 <> 3),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 2 THEN text || ' [rev2]' ELSE text END AS t
+        |  FROM documents WHERE doc_id % 19 <> 5)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.t IS NULL THEN 'added'
+        |       WHEN v2.t IS NULL THEN 'removed'
+        |       WHEN v1.t <> v2.t THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE CASE WHEN v1.t IS NULL THEN 'added'
+        |           WHEN v2.t IS NULL THEN 'removed'
+        |           WHEN v1.t <> v2.t THEN 'changed'
+        |           ELSE 'unchanged' END <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
     "r10_static_enrich" ->
       """SELECT e.event_id, e.user_id, e.event_type,
         |  COALESCE(d.c_name, 'Unknown') AS c_name, d.segment, d.nation

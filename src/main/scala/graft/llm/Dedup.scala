@@ -953,13 +953,15 @@ object Dedup {
     * position), so per-partition memory is O(1) per doc regardless of
     * run length. Hashing is the md5p48 hex fold, so the DuckDB oracle
     * replays anchors, islands, and the trim arithmetic exactly. */
-  def l32DupRunTrim(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared run pipeline of [[l32DupRunTrim]] / [[l32bDupRunExcise]]:
+    * maximal duplicated-word intervals per doc — (doc_id, n_words, run_id,
+    * s, e, run_len) with s/e the covered WORD interval. */
+  private def dupRunFrame(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val K = SHINGLE_K
-    val docs = Tables.documents(spark, sfDir)
+    val pos = Tables.documents(spark, sfDir)
       .select($"doc_id", wordsCol.as("words"))
       .select($"doc_id", size($"words").cast("long").as("n_words"), $"words")
-    val pos = docs
       .filter(size($"words") >= K)
       .select($"doc_id", $"n_words",
         explode(expr(s"sequence(1, size(words) - ${K - 1})")).as("i"), $"words")
@@ -967,7 +969,7 @@ object Dedup {
         expr(s"cast(conv(substr(md5(array_join(slice(words, i, $K), ' ')), 1, 12), 16, 10) as bigint)")
           .as("sh"))
     val byDoc = Window.partitionBy($"doc_id").orderBy($"i")
-    val runs = pos
+    pos
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
       .filter($"df" >= 2)
       .select($"doc_id", $"n_words", $"i")
@@ -978,8 +980,15 @@ object Dedup {
       .withColumn("nr", when($"pm".isNull || $"i" > $"pm" + K, 1L).otherwise(0L))
       .withColumn("run_id", sum($"nr").over(byDoc))
       .groupBy($"doc_id", $"n_words", $"run_id")
-      .agg((max($"i") - min($"i") + K).as("run_len"))
-    val perDoc = runs
+      .agg(min($"i").as("s"), (max($"i") + (K - 1)).as("e"),
+        (max($"i") - min($"i") + K).as("run_len"))
+  }
+
+  def l32DupRunTrim(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(wordsCol).cast("long").as("n_words"))
+    val perDoc = dupRunFrame(spark, sfDir)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_runs"),
         max($"run_len").as("max_run_len"),
@@ -993,6 +1002,43 @@ object Dedup {
         coalesce($"max_run_len", lit(0L)).as("max_run_len"),
         coalesce($"dup_words", lit(0L)).as("dup_words"),
         ($"n_words" - coalesce($"trimmed", lit(0L))).as("kept_words"))
+      .orderBy($"doc_id")
+  }
+
+  /** L32b [EXT]: duplicated-run EXCISION — the output-producing side of
+    * [[l32DupRunTrim]]: emit each document's cleaned text with every
+    * trimmed run (>= [[DUP_RUN_TRIM_MIN]] words) cut out, words outside
+    * trimmed runs kept in order. l32 makes the decision; this ships the
+    * cleaned corpus (the l24-reassembly contract applied to variable-
+    * length runs).
+    *
+    * Scale: the run pipeline is l32's (text-free exchanges); the ONLY
+    * text movement is the output join — trimmed intervals collect to a
+    * per-doc array (runs never overlap after the interval merge, so the
+    * array is small and sorted), and each document re-slices its own word
+    * array locally (the l24 resolve idiom: survivors are byte-equal, so
+    * no text rides the decision plane). Docs with nothing to trim pass
+    * through byte-identical. */
+  def l32bDupRunExcise(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val trimmed = dupRunFrame(spark, sfDir)
+      .filter($"run_len" >= DUP_RUN_TRIM_MIN)
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"s", $"e"))).as("ivs"),
+        sum($"run_len").as("trimmed"))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", wordsCol.as("words"))
+      .join(trimmed, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        size($"words").cast("long").as("n_words"),
+        (size($"words").cast("long") - coalesce($"trimmed", lit(0L)))
+          .as("kept_words"),
+        when($"ivs".isNull, concat_ws(" ", $"words"))
+          .otherwise(expr(
+            "array_join(filter(transform(sequence(1, size(words)), i -> " +
+              "IF(exists(ivs, iv -> i >= iv.s AND i <= iv.e), NULL, element_at(words, CAST(i AS INT)))), " +
+              "x -> x IS NOT NULL), ' ')"))
+          .as("cleaned_text"))
       .orderBy($"doc_id")
   }
 

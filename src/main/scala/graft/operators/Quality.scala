@@ -141,4 +141,47 @@ object Quality {
         $"action")
       .orderBy($"user_id", $"event_type")
   }
+
+  /** U4 [EXT]: corpus snapshot diff — the CDC family's fourth leg and the
+    * data-versioning audit every recurring-crawl pipeline runs: which
+    * documents were ADDED, REMOVED, or CHANGED between two corpus
+    * versions? Emits the diff manifest (changes only — unchanged docs are
+    * the overwhelming bulk at scale and are exactly what the diff drops).
+    *
+    * The fixture ships one snapshot, so the two versions derive
+    * deterministically (the l2g/u3 synthetic-feed convention): v1 lacks
+    * ids ≡ 3 (mod 17) — v2's additions; v2 lacks ids ≡ 5 (mod 19) —
+    * removals; ids ≡ 2 (mod 13) carry edited text in v2 — changes.
+    *
+    * Scale: each version reduces map-side to (doc_id, xxhash64(text)) —
+    * 16-byte rows through the full-outer join's exchanges, text never
+    * rides (the l1_xxh diet applied to version comparison); at 100 TB the
+    * two sides are different crawl snapshots and the diff costs two
+    * manifest-width shuffles regardless of document size. The oracle
+    * compares the TEXT itself, so the hash-exact driver compare doubles
+    * as the collision check (the l1 stance). */
+  def u4SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def version(changed: Boolean): DataFrame = {
+      val docs = Tables.documents(spark, sfDir)
+      if (!changed)
+        docs.filter(pmod($"doc_id", lit(17L)) =!= 3)
+          .select($"doc_id", xxhash64($"text").as("h"))
+      else
+        docs.filter(pmod($"doc_id", lit(19L)) =!= 5)
+          .select($"doc_id", xxhash64(
+            when(pmod($"doc_id", lit(13L)) === 2, concat($"text", lit(" [rev2]")))
+              .otherwise($"text")).as("h"))
+    }
+    version(changed = false).toDF("doc_id", "h1")
+      .join(version(changed = true).toDF("doc_id", "h2"),
+        Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"h1".isNull, lit("added"))
+          .when($"h2".isNull, lit("removed"))
+          .when($"h1" =!= $"h2", lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter($"status" =!= "unchanged")
+      .orderBy($"doc_id")
+  }
 }

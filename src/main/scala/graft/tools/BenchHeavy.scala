@@ -290,9 +290,11 @@ object BenchHeavy {
     // round 11 (cont.): the duplicated-run trimmer prices a SECOND
     // corpus-keyed span exchange (positional anchors, no distinct) plus
     // the flagged-only islands regroup against DuckDB's double window;
-    // the budget mixer prices the tiny-rates broadcast + bounded epoch
-    // fan-out (its corpus stream never shuffles)
-    "l32_dup_run_trim", "l33_budget_mix")
+    // the excision sibling adds the text-output join (the one text
+    // movement) and DuckDB's position anti-join; the budget mixer prices
+    // the tiny-rates broadcast + bounded epoch fan-out (its corpus
+    // stream never shuffles)
+    "l32_dup_run_trim", "l32b_dup_run_excise", "l33_budget_mix")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio

@@ -428,6 +428,33 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(expected.exists { case (_, n, _, _, _, kept) => kept < n })
     assert(expected.exists { case (_, _, r, m, _, _) => r > 0 && m < TRIM })
     assert(expected.exists(_._4 > K))
+    // l32b excision: the same runs replayed as text surgery — words inside
+    // trimmed runs cut, everything else byte-identical and in order
+    val expectedClean = anchored.map { case (id, n, spans) =>
+      val flagged = spans.zipWithIndex.collect { case (s, i) if counts(s) >= 2 => i + 1 }
+      val runs = collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      flagged.foreach { i =>
+        if (runs.nonEmpty && i <= runs.last._2 + K)
+          runs(runs.length - 1) = (runs.last._1, i)
+        else runs += ((i, i))
+      }
+      val cut = runs.map { case (s, e) => (s, e + K - 1) }
+        .filter { case (s, e) => e - s + 1 >= TRIM }
+      val ws = docs.find(_._1 == id).get._2.split(" ", -1)
+      val keptWs = ws.zipWithIndex.collect {
+        case (w, i0) if !cut.exists { case (s, e) => i0 + 1 >= s && i0 + 1 <= e } => w
+      }
+      (id, n, n - cut.map { case (s, e) => (e - s + 1).toLong }.sum,
+        keptWs.mkString(" "))
+    }.toSeq
+    val gotClean = graft.llm.Dedup.l32bDupRunExcise(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(gotClean === expectedClean)
+    // an untouched doc round-trips byte-identically; a trimmed one shrinks
+    val textById = docs.toMap
+    assert(expectedClean.exists { case (id, n, kept, c) =>
+      kept == n && c == textById(id) })
+    assert(expectedClean.exists { case (_, n, kept, _) => kept < n })
   }
 
   test("l13b: manifest recomputes from plain Scala; every graded screen fires") {

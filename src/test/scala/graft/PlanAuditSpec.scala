@@ -450,6 +450,16 @@ class PlanAuditSpec extends SparkSpecBase {
       s"per-doc stream shuffles:\n$fmt")
   }
 
+  test("u4: version exchanges carry (id, hash) only; text dies in the scan projection") {
+    val fmt = fmtPlan(q("u4_snapshot_diff"))
+    val hashEx = exchangeBlocks(fmt).filter(b =>
+      blockLine(b, "Arguments").contains("hashpartitioning"))
+    assert(hashEx.nonEmpty, s"no join exchanges:\n$fmt")
+    for (b <- hashEx)
+      assert(!blockLine(b, "Input").contains("text#"),
+        s"document text rides a diff exchange:\n$b")
+  }
+
   test("l24: dedup exchanges carry 8-byte keys; segment text never rides one") {
     val df = q("l24_segment_dedup")
     val fmt = fmtPlan(df)

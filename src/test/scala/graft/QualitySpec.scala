@@ -216,4 +216,28 @@ class QualitySpec extends SparkSpecBase {
       sum(when($"keep", 1L).otherwise(0L))).head()
     assert(agg.getLong(0) > 0 && agg.getLong(1) > 0 && agg.getLong(2) > 0)
   }
+
+  test("U4 snapshot diff: statuses recompute from the id rules; all three occur") {
+    import spark.implicits._
+    val got = Quality.u4SnapshotDiff(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    // first principles: replay the deterministic two-version derivation
+    // on the raw ids — membership and the edit rule decide everything,
+    // and unchanged docs must be absent from the manifest
+    val ids = Tables.documents(spark, sfDir)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    val expected = ids.flatMap { id =>
+      val inV1 = id % 17 != 3
+      val inV2 = id % 19 != 5
+      val edited = id % 13 == 2
+      (inV1, inV2) match {
+        case (false, true) => Some(id -> "added")
+        case (true, false) => Some(id -> "removed")
+        case (true, true) if edited => Some(id -> "changed")
+        case _ => None
+      }
+    }.toSeq
+    assert(got === expected)
+    assert(Set("added", "removed", "changed").subsetOf(got.map(_._2).toSet))
+  }
 }
