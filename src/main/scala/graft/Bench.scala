@@ -41,7 +41,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries // bind once: SparkEntry.queries is a def
-    val names = queries.keys.toSeq
+    // optional trailing args: sweep only these queries (the incremental
+    // path — merge the subset line into the full artifact with
+    // tools/merge_bench.py, the BenchHeavy recipe)
+    val names =
+      if (args.isEmpty) queries.keys.toSeq
+      else {
+        val unknown = args.toSet -- queries.keySet
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        args.toSeq
+      }
     // warmup sweep: JIT + codegen compile, file-listing caches; untimed
     names.foreach { n =>
       try BenchUtil.force(queries(n)(spark, sfDir)) catch { case _: Throwable => () }
@@ -79,8 +88,12 @@ object Bench {
     // to fit the capture window: total first, then per-query medians
     // filled slowest-first (3 decimals) until the budget is reached — the
     // omitted entries are the sub-0.1s job-floor queries.
-    BenchUtil.writeArtifact("target/bench.json", fullLine)
-    BenchUtil.writeArtifact("BENCHFULL.json", fullLine)
+    // a subset run stages to its own artifact — BENCHFULL.json stays the
+    // full-suite line (merge subsets in with tools/merge_bench.py)
+    BenchUtil.writeArtifact(
+      if (args.isEmpty) "target/bench.json" else "target/bench.subset.json",
+      fullLine)
+    if (args.isEmpty) BenchUtil.writeArtifact("BENCHFULL.json", fullLine)
     println(BenchUtil.compactLine(total, results, failed, sfDir,
       sweepMeta.map(_._1), budget = 1850))
     spark.stop()

@@ -46,6 +46,7 @@ object SparkEntry {
     "j5_anti_join" -> (Joins.j5AntiJoin _),
     "asof_join" -> (Joins.asofJoin _),
     "j6_range_join" -> (Joins.j6RangeJoin _),
+    "j7_skew_join" -> (Joins.j7SkewJoin _),
     "w1_topk_per_group" -> (Windows.w1TopkPerGroup _),
     "w2_batch_numbering" -> (Windows.w2BatchNumbering _),
     "w3_extraction_lag" -> (Windows.w3ExtractionLag _),
@@ -162,8 +163,10 @@ object SparkEntry {
     "r13_stream_left_join" -> (graft.streaming.Streams.r13StreamLeftJoin _),
     "r14_stream_cluster_assign" -> (graft.streaming.Streams.r14StreamClusterAssign _),
     "u4_snapshot_diff" -> (graft.operators.Quality.u4SnapshotDiff _),
+    "r15_stream_table_commit" -> (graft.operators.TableLog.r15StreamTableCommit _),
     "s9_clustered_scan" -> (graft.operators.Etl.s9ClusteredScan _),
     "s10_compaction" -> (graft.operators.Etl.s10Compaction _),
+    "s11_time_travel" -> (graft.operators.TableLog.s11TimeTravel _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
     "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
@@ -179,6 +182,7 @@ object SparkEntry {
     "w5_rank_family" -> (Windows.w5RankFamily _),
     "f15_levenshtein" -> (graft.functions.Scalars.f15Levenshtein _),
     "dq1_quality_profile" -> (Quality.dq1QualityProfile _),
+    "dq2_profile_drift" -> (Quality.dq2ProfileDrift _),
     "u1_latest_wins" -> (Quality.u1LatestWins _),
     "u2_scd2" -> (Quality.u2Scd2 _),
     "u3_merge_upsert" -> (Quality.u3MergeUpsert _),
@@ -684,6 +688,14 @@ object SparkEntry {
         |  ON a.user_id = b.user_id AND b.ts > a.ts
         | AND EPOCH_US(b.ts) - EPOCH_US(a.ts) <= 60000000
         |ORDER BY event_a, event_b""".stripMargin,
+    // salt- and threshold-invariant by construction: the oracle is the
+    // PLAIN left join — the salted plan must change only the reducer
+    // histogram, never the row set
+    "j7_skew_join" ->
+      """SELECT e.event_id, e.user_id,
+        |  COALESCE(c.c_name, 'Unknown') AS name, c.c_mktsegment AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
     "asof_join" ->
       """SELECT p.event_id, p.user_id, EPOCH_US(p.ts) AS ts_us, s.signup_ts_us AS last_signup_us
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
@@ -705,6 +717,27 @@ object SparkEntry {
     "s10_compaction" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle replays the three commits' ROW rules on the source: a
+    // manifest replay bug (missed remove, stray pickup, torn version
+    // isolation) diverges from this derivation
+    "s11_time_travel" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events)
+        |SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum FROM e WHERE event_id % 4 <> 3
+        |UNION ALL
+        |SELECT 2, COUNT(*), CAST(SUM(event_id) AS BIGINT) FROM e
+        |UNION ALL
+        |SELECT 3, COUNT(*), CAST(SUM(event_id) AS BIGINT) FROM e
+        |WHERE event_type <> 'click' OR value >= 100.0
+        |ORDER BY version""".stripMargin,
+    // cumulative replay of the four micro-batch commits: if the
+    // re-delivered batch 1 lands twice (or a batch tears), version v's
+    // count/id_sum diverge from the mod-4 prefix rule
+    "r15_stream_table_commit" ->
+      """SELECT CAST(t.v AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(e.event_id) AS BIGINT) AS id_sum
+        |FROM range(1, 5) t(v) JOIN events e ON e.event_id % 4 < t.v
+        |GROUP BY t.v ORDER BY version""".stripMargin,
     "r7_stream_join" ->
       // micros-space comparisons (EPOCH_US) on both sides: Spark compares
       // micros TimestampType, DuckDB would otherwise compare raw nanos
@@ -2070,6 +2103,57 @@ object SparkEntry {
         |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us,
         |  CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us
         |FROM events""".stripMargin,
+    // both engines derive every metric from exact integers or raw column
+    // values (no averaging), so the long-form doubles and the 10% drift
+    // decision replay bit-identically
+    "dq2_profile_drift" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 1 ELSE 2 END AS side,
+        |    CAST(COUNT(*) - COUNT(user_id) AS DOUBLE) AS uid_nulls,
+        |    CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS uid_distinct,
+        |    CAST(MIN(user_id) AS DOUBLE) AS uid_min,
+        |    CAST(MAX(user_id) AS DOUBLE) AS uid_max,
+        |    CAST(COUNT(*) - COUNT(value) AS DOUBLE) AS val_nulls,
+        |    CAST(COUNT(DISTINCT value) AS DOUBLE) AS val_distinct,
+        |    MIN(value) AS val_min, MAX(value) AS val_max,
+        |    CAST(COUNT(*) - COUNT(event_type) AS DOUBLE) AS et_nulls,
+        |    CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS et_distinct
+        |  FROM events GROUP BY 1),
+        |long AS (
+        |  SELECT 'user_id' AS "column", 'nulls' AS metric,
+        |    (SELECT uid_nulls FROM p WHERE side = 1) AS v1,
+        |    (SELECT uid_nulls FROM p WHERE side = 2) AS v2
+        |  UNION ALL SELECT 'user_id', 'distinct',
+        |    (SELECT uid_distinct FROM p WHERE side = 1),
+        |    (SELECT uid_distinct FROM p WHERE side = 2)
+        |  UNION ALL SELECT 'user_id', 'min',
+        |    (SELECT uid_min FROM p WHERE side = 1),
+        |    (SELECT uid_min FROM p WHERE side = 2)
+        |  UNION ALL SELECT 'user_id', 'max',
+        |    (SELECT uid_max FROM p WHERE side = 1),
+        |    (SELECT uid_max FROM p WHERE side = 2)
+        |  UNION ALL SELECT 'value', 'nulls',
+        |    (SELECT val_nulls FROM p WHERE side = 1),
+        |    (SELECT val_nulls FROM p WHERE side = 2)
+        |  UNION ALL SELECT 'value', 'distinct',
+        |    (SELECT val_distinct FROM p WHERE side = 1),
+        |    (SELECT val_distinct FROM p WHERE side = 2)
+        |  UNION ALL SELECT 'value', 'min',
+        |    (SELECT val_min FROM p WHERE side = 1),
+        |    (SELECT val_min FROM p WHERE side = 2)
+        |  UNION ALL SELECT 'value', 'max',
+        |    (SELECT val_max FROM p WHERE side = 1),
+        |    (SELECT val_max FROM p WHERE side = 2)
+        |  UNION ALL SELECT 'event_type', 'nulls',
+        |    (SELECT et_nulls FROM p WHERE side = 1),
+        |    (SELECT et_nulls FROM p WHERE side = 2)
+        |  UNION ALL SELECT 'event_type', 'distinct',
+        |    (SELECT et_distinct FROM p WHERE side = 1),
+        |    (SELECT et_distinct FROM p WHERE side = 2))
+        |SELECT "column", metric, v1, v2,
+        |  CASE WHEN v1 = 0.0 THEN v2 <> 0.0
+        |       ELSE ABS(v2 - v1) * 10.0 > ABS(v1) END AS drifted
+        |FROM long ORDER BY "column", metric""".stripMargin,
     "u1_latest_wins" ->
       """SELECT user_id, event_type, event_id, value FROM events
         |QUALIFY ROW_NUMBER() OVER (

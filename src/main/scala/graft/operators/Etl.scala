@@ -172,8 +172,9 @@ object Etl {
     * those dirs' bytes and no others, and must fan a big dir out over many
     * writer tasks rather than one-task-per-dir. On an object store the
     * per-dir rename becomes a copy — production would swap via a
-    * transactional table format's manifest; the scan/bin/stage shape is
-    * the portable part. Returns the relative paths of the compacted dirs.
+    * transactional table format's manifest (exactly the add+remove commit
+    * [[TableLog]] supplies, S11); the scan/bin/stage shape is the
+    * portable part. Returns the relative paths of the compacted dirs.
     */
   def compactSelective(spark: SparkSession, table: String, partCols: Seq[String],
       maxFilesPerDir: Int = 8, targetFileBytes: Long = 128L << 20): Seq[String] = {

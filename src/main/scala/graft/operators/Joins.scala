@@ -120,6 +120,66 @@ object Joins {
       .orderBy($"event_a", $"event_b")
   }
 
+  /** Salt width for [[j7SkewJoin]] — production sizes this to the skew
+    * ratio (hot-key rows / healthy partition size); 8 keeps the toy
+    * fixture's replication visible without drowning it. */
+  private[graft] val SKEW_SALT = 8
+
+  /** J7 [EXT]: skew-salted shuffle join — the structural answer to the
+    * hot-KEY join problem. AQE's OptimizeSkewedJoin (SkewJoinSpec) splits
+    * a hot shuffle PARTITION at runtime, but it only fires on the
+    * sort-merge path of supported join types and repairs one materialized
+    * skew after the fact; the salted form removes the skew from the key
+    * space itself, so it composes with bucketing, survives plan shapes
+    * the AQE rewrite can't touch, and bounds EVERY reducer by
+    * construction. Shape: (1) a key histogram over the fact — map-side
+    * combined, so the exchange carries at most |distinct keys| rows per
+    * map partition, never the fact; (2) hot keys = load ≥ 9/8 of the
+    * mean (k_n·n_keys·8 ≥ total·9 — exact BIGINT compare, no doubles),
+    * a set at most 8/9·|keys| big, broadcast to both sides; (3) fact
+    * rows on hot keys draw salt = pmod(xxhash64(event_id), SALT), cold
+    * rows ride salt 0; dim rows on hot keys replicate to ALL SALT salts
+    * (sequence explode), cold dim rows ride once — so the replication
+    * cost is SALT·|hot keys|, not SALT·|dim|; (4) ONE equi-join on
+    * (key, salt), shuffle-hash-hinted to model the dimension too large
+    * to broadcast (the only regime where salting matters). Each fact row
+    * carries exactly one salt, so misses emit exactly once and the
+    * result is salt- and threshold-invariant: the oracle is the PLAIN
+    * left join. Only the reducer histogram changes — the hot key's rows
+    * spread over SALT reducers instead of one straggler. */
+  def j7SkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fact = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type")
+    val dim = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+    val hist = fact.groupBy($"user_id").agg(count(lit(1)).as("k_n"))
+    val hot = hist
+      .crossJoin(broadcast(
+        hist.agg(sum($"k_n").as("total"), count(lit(1)).as("n_keys"))))
+      .filter($"k_n" * $"n_keys" * 8 >= $"total" * 9)
+      .select($"user_id".as("hot_key"))
+    val saltedFact = fact
+      .join(broadcast(hot), $"user_id" === $"hot_key", "left_outer")
+      .withColumn("salt",
+        when($"hot_key".isNull, lit(0))
+          .otherwise(pmod(xxhash64($"event_id"), lit(SKEW_SALT)).cast("int")))
+      .drop("hot_key")
+    val repDim = dim
+      .join(broadcast(hot), $"c_custkey" === $"hot_key", "left_outer")
+      .withColumn("d_salt", explode(
+        when($"hot_key".isNull, array(lit(0)))
+          .otherwise(expr(s"sequence(0, ${SKEW_SALT - 1})"))))
+      .drop("hot_key")
+    saltedFact
+      .join(repDim.hint("shuffle_hash"),
+        $"user_id" === $"c_custkey" && $"salt" === $"d_salt", "left_outer")
+      .select($"event_id", $"user_id",
+        coalesce($"c_name", lit("Unknown")).as("name"),
+        $"c_mktsegment".as("segment"))
+      .orderBy($"event_id")
+  }
+
   /** As-of join [EXT]: for each purchase event, the nearest earlier-or-equal
     * signup by the same user. Implemented distributed: union both sides,
     * one shuffle by user, running `last(signup_ts, ignoreNulls)` in event

@@ -32,6 +32,60 @@ object Quality {
         max(unix_micros($"ts")).as("max_ts_us"))
   }
 
+  /** DQ2 [EXT]: cross-snapshot profile drift — the data-contract audit a
+    * recurring-ingest pipeline runs between yesterday's table and
+    * today's: per column, compare null count, exact distinct count, and
+    * numeric min/max across the two snapshots and flag drifts beyond 10%
+    * (v1 = events before the r12 cutoff, v2 = after — the deterministic
+    * two-version convention u4 uses for content diff; this is its
+    * statistical sibling). Output is long-form (column, metric, v1, v2,
+    * drifted), the shape a contract checker alerts on.
+    *
+    * Scale: ONE scan — both sides profile in a single groupBy(side) pass
+    * (side is a row-local flag), with the three per-column exact
+    * distincts planned as Spark's standard multi-distinct Expand (one
+    * exchange carrying (side, column-value) pairs; swap in the a6b HLL
+    * sketch when approximate cardinality suffices). The two 1-row
+    * profiles cross as plan literals; drift math never touches the
+    * table again. */
+  def dq2ProfileDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit("2024-01-20").cast("timestamp")
+    val prof = Tables.events(spark, sfDir)
+      .withColumn("side", when($"ts" < cut, 1).otherwise(2))
+      .groupBy($"side")
+      .agg(
+        (count(lit(1)) - count($"user_id")).cast("double").as("uid_nulls"),
+        countDistinct($"user_id").cast("double").as("uid_distinct"),
+        min($"user_id").cast("double").as("uid_min"),
+        max($"user_id").cast("double").as("uid_max"),
+        (count(lit(1)) - count($"value")).cast("double").as("val_nulls"),
+        countDistinct($"value").cast("double").as("val_distinct"),
+        min($"value").as("val_min"),
+        max($"value").as("val_max"),
+        (count(lit(1)) - count($"event_type")).cast("double").as("et_nulls"),
+        countDistinct($"event_type").cast("double").as("et_distinct"))
+    val cols = Seq("uid" -> "user_id", "val" -> "value", "et" -> "event_type")
+    val metrics = Seq("nulls", "distinct", "min", "max")
+    val rows = for {
+      (pfx, colName) <- cols
+      m <- metrics
+      if pfx != "et" || m == "nulls" || m == "distinct" // no string min/max
+    } yield struct(lit(colName).as("column"), lit(m).as("metric"),
+      col(s"v1_${pfx}_$m").as("v1"), col(s"v2_${pfx}_$m").as("v2"))
+    def sideRow(s: Int, p: String): DataFrame = {
+      val base = prof.filter($"side" === s).drop("side")
+      base.select(base.columns.map(c => col(c).as(s"${p}_$c")).toSeq: _*)
+    }
+    sideRow(1, "v1").crossJoin(broadcast(sideRow(2, "v2")))
+      .select(explode(array(rows: _*)).as("r"))
+      .select($"r.column", $"r.metric", $"r.v1", $"r.v2",
+        when($"r.v1" === 0.0, $"r.v2" =!= 0.0)
+          .otherwise(abs($"r.v2" - $"r.v1") * 10.0 > abs($"r.v1"))
+          .as("drifted"))
+      .orderBy($"column", $"metric")
+  }
+
   /** U1 [EXT]: latest-wins compaction — the CDC/upsert primitive: keep
     * each key's most recent row (snapshot ⊎ updates → next snapshot).
     * One hash shuffle on the compaction key, then a per-key window whose

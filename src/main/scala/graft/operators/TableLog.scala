@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** S11 [EXT]: a minimal transactional table log — the manifest layer the
+  * other sink operators point at. S10's selective compaction swaps dirs
+  * with FS renames and its own Scaladoc concedes "production would swap
+  * via a transactional table format's manifest"; U1–U4 compute CDC
+  * snapshots but publish them as bare overwrites. This operator supplies
+  * the missing contract: every table mutation is an APPEND-ONLY commit
+  * (`_log/vN.log`, one add/remove file action per line) and a reader
+  * resolves any historical snapshot purely from the log — never from a
+  * directory listing.
+  *
+  * Why this is the 100 TB posture:
+  *  - a commit is one manifest rename, so writers stage data files at any
+  *    pace and readers NEVER see a torn write (a crashed writer's files
+  *    are unreachable until its manifest lands — [[currentVersion]]
+  *    ignores staging tmps);
+  *  - removal is LOGICAL: old versions stay readable (time travel, audit,
+  *    reproducible training-data lineage) until a GC pass drops files
+  *    unreferenced by any retained version;
+  *  - a snapshot read scans exactly the manifest's file list — no
+  *    eventually-consistent listing, no stray-file pickup, and the
+  *    listing cost is metadata-scale (log lines), not data-scale.
+  * On HDFS the manifest rename is atomic; on S3 production formats use a
+  * conditional PUT / log-store for the same one-winner contract — the
+  * log replay and snapshot-read shape here is the portable part.
+  */
+object TableLog {
+
+  /** One logged file action; `path` is table-relative (portable across
+    * mounts — the log never embeds an absolute URI). */
+  private[graft] final case class Action(op: String, path: String)
+
+  private def fsOf(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Newest committed version (0 = empty table). Staging tmps (dot-files)
+    * and foreign names are ignored: a crashed writer leaves no trace a
+    * reader can observe. */
+  private[graft] def currentVersion(spark: SparkSession, table: String): Int = {
+    val f = fsOf(spark, table)
+    val dir = new Path(table, "_log")
+    if (!f.exists(dir)) 0
+    else f.listStatus(dir).toSeq
+      .flatMap(s => "^v(\\d+)\\.log$".r.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toInt))
+      .foldLeft(0)(math.max)
+  }
+
+  /** Append commit v(current+1). The write stages to a dot-tmp and
+    * publishes with ONE rename — the table's single atomic step. Returns
+    * the committed version. */
+  private[graft] def commit(spark: SparkSession, table: String,
+      actions: Seq[Action]): Int = {
+    val f = fsOf(spark, table)
+    val next = currentVersion(spark, table) + 1
+    val tmp = new Path(table, s"_log/.v$next.tmp")
+    val out = f.create(tmp, true)
+    try actions.foreach(a => out.write(s"${a.op}\t${a.path}\n".getBytes("UTF-8")))
+    finally out.close()
+    require(f.rename(tmp, new Path(table, s"_log/v$next.log")),
+      s"commit v$next lost the publish race")
+    next
+  }
+
+  private def manifestLines(f: FileSystem, table: String, v: Int): Seq[String] = {
+    val in = f.open(new Path(table, s"_log/v$v.log"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** Live table-relative files as of `version`: replay adds/removes of
+    * manifests 1..version (txn markers skipped). Metadata-scale driver
+    * work — one short text line per file action, the same order of cost
+    * as the file index any scan builds. */
+  private[graft] def liveFiles(spark: SparkSession, table: String,
+      version: Int): Seq[String] = {
+    val f = fsOf(spark, table)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    (1 to version).foreach { v =>
+      manifestLines(f, table, v).foreach { line =>
+        line.split("\t", 2) match {
+          case Array("add", path) => live += path
+          case Array("remove", path) => live -= path
+          case _ => () // txn marker
+        }
+      }
+    }
+    live.toSeq
+  }
+
+  /** Has `(streamId, batchId)` already committed? The exactly-once test a
+    * restarted micro-batch writer runs before (and [[commitIfAbsent]]
+    * re-runs at publish time) — the `txn` action of the production log
+    * formats. */
+  private[graft] def alreadyCommitted(spark: SparkSession, table: String,
+      streamId: String, batchId: Long): Boolean = {
+    val f = fsOf(spark, table)
+    (1 to currentVersion(spark, table)).exists(v =>
+      manifestLines(f, table, v).contains(s"txn\t$streamId\t$batchId"))
+  }
+
+  /** Commit `actions` tagged with a `(streamId, batchId)` txn marker —
+    * a NO-OP if that marker already committed (the re-delivered micro-
+    * batch after a writer restart: its re-staged files stay orphaned and
+    * unreferenced until [[vacuum]], the table never sees them twice).
+    * Returns the committed version, or -1 for the skipped re-delivery. */
+  private[graft] def commitIfAbsent(spark: SparkSession, table: String,
+      streamId: String, batchId: Long, actions: Seq[Action]): Int =
+    if (alreadyCommitted(spark, table, streamId, batchId)) -1
+    else commit(spark, table,
+      actions :+ Action("txn", s"$streamId\t$batchId"))
+
+  /** Physical GC: delete every file under `data/` that no RETAINED
+    * version (>= `retainFrom`) references — retired files past their
+    * retention horizon AND orphans a crashed or re-delivered writer
+    * staged but never committed. Reads as of versions < `retainFrom`
+    * stop working, by contract; every retained read is untouched
+    * (TimeTravelSpec proves both). Listing is metadata-scale; deletion
+    * count is bounded by the files the retained manifests do NOT name. */
+  private[graft] def vacuum(spark: SparkSession, table: String,
+      retainFrom: Int): Seq[String] = {
+    val f = fsOf(spark, table)
+    val referenced = (retainFrom to currentVersion(spark, table))
+      .flatMap(v => liveFiles(spark, table, v)).toSet
+    val root = new Path(table, "data")
+    def walk(p: Path): Seq[Path] = f.listStatus(p).toSeq.flatMap { s =>
+      if (s.isDirectory) walk(s.getPath)
+      else Seq(s.getPath)
+    }
+    val rootUri = new Path(table).toUri.getPath
+    val dead = walk(root).map { p =>
+      p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+    }.filterNot(referenced)
+    dead.foreach(r => f.delete(new Path(s"$table/$r"), false))
+    dead
+  }
+
+  /** Snapshot read AS OF `version`: scans exactly the manifest's live
+    * files. A parquet file dropped next to a live one (a stray writer, an
+    * uncommitted stage) is invisible — TimeTravelSpec proves it. */
+  def readAsOf(spark: SparkSession, table: String, version: Int): DataFrame = {
+    val files = liveFiles(spark, table, version).map(r => s"$table/$r")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Stage `df` as a fresh file set under `table/rel/` and return the add
+    * actions — no reader sees them until the enclosing [[commit]]. */
+  private[graft] def stage(spark: SparkSession, table: String, df: DataFrame,
+      rel: String): Seq[Action] = {
+    val dir = s"$table/$rel"
+    df.write.mode(SaveMode.Overwrite).parquet(dir)
+    fsOf(spark, table).listStatus(new Path(dir)).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(s => Action("add", s"$rel/${s.getPath.getName}"))
+  }
+
+  /** The s11 fixture: three commits over the events slice, one file set
+    * per event_type per commit so the v3 rewrite can retire a partition's
+    * files wholesale (the file-level MERGE every table format performs).
+    *  - v1: initial snapshot — events with event_id % 4 != 3;
+    *  - v2: append — the % 4 == 3 remainder;
+    *  - v3: rewrite of the `click` partition — every live click file
+    *    removed, one rewritten set added holding only clicks with
+    *    value >= 100 (a MERGE-delete expressed as add+remove, the swap
+    *    s10 performs with renames made transactional).
+    * Returns the click files the rewrite retired (still on disk — older
+    * versions must keep reading them). */
+  private[graft] def buildFixture(spark: SparkSession, sfDir: String,
+      table: String): Seq[String] = {
+    import spark.implicits._
+    val f = fsOf(spark, table)
+    f.delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    // bounded-domain driver collect (the s10Fragment convention): the
+    // type enum names the per-commit file sets
+    val types = ev.select($"event_type").distinct()
+      .orderBy($"event_type").as[String].collect().toSeq
+    def typed(df: DataFrame, v: Int): Seq[Action] =
+      types.flatMap(t => stage(spark, table,
+        df.filter($"event_type" === t), s"data/v$v/$t"))
+    commit(spark, table, typed(ev.filter($"event_id" % 4 =!= 3), 1))
+    commit(spark, table, typed(ev.filter($"event_id" % 4 === 3), 2))
+    val retired = liveFiles(spark, table, 2).filter(_.contains("/click/"))
+    val rewrite = stage(spark, table,
+      ev.filter($"event_type" === "click" && $"value" >= 100.0), "data/v3/click")
+    commit(spark, table, retired.map(Action("remove", _)) ++ rewrite)
+    retired
+  }
+
+  /** Every version's snapshot rolled to (version, n_rows, id_sum) — the
+    * whole-history audit both declared queries end in. */
+  private def versionsFrame(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    (1 to currentVersion(spark, table))
+      .map { v =>
+        readAsOf(spark, table, v)
+          .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"))
+          .select(lit(v.toLong).as("version"), $"n_rows", $"id_sum")
+      }
+      .reduce(_ unionByName _)
+      .orderBy($"version")
+  }
+
+  /** S11 [EXT]: time-travel read over the commit log — build the
+    * three-commit fixture, then read the table AS OF every version in its
+    * history and roll each snapshot up to (version, n_rows, id_sum). The
+    * oracle recomputes each version's row set from the deterministic
+    * commit rules on the source table, so a manifest replay bug (a missed
+    * remove, a stray file, torn isolation between versions) shows up as a
+    * row/hash mismatch. */
+  def s11TimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = s"${Etl.scratch(spark)}/s11_table"
+    buildFixture(spark, sfDir, table)
+    versionsFrame(spark, table)
+  }
+
+  /** The exactly-once micro-batch sink: stage the batch under an
+    * attempt-unique dir, then publish behind the `(streamId, batchId)`
+    * txn marker. The pre-check skips a KNOWN re-delivery without
+    * re-staging; the gate inside [[commitIfAbsent]] is the guarantee —
+    * a writer that re-stages anyway leaves orphans (vacuum's job) but
+    * never commits twice. This is the `foreachBatch` body a Structured
+    * Streaming ingest runs against the table log (TimeTravelSpec drives
+    * it from a real MemoryStream). */
+  private[graft] def commitBatch(table: String, streamId: String)(
+      df: DataFrame, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    if (!alreadyCommitted(spark, table, streamId, batchId)) {
+      val rel = s"data/$streamId/b$batchId-${java.util.UUID.randomUUID}"
+      commitIfAbsent(spark, table, streamId, batchId,
+        stage(spark, table, df, rel))
+    }
+  }
+
+  /** R15 [EXT]: streaming ingest INTO the table log — the lakehouse
+    * landing pattern: each micro-batch publishes as ONE atomic commit
+    * with a `(streamId, batchId)` txn marker, so readers always see
+    * whole batches (no torn micro-batch) and a re-delivered batch after
+    * a writer restart commits exactly once. Declared batch form replays
+    * the event feed as four deterministic micro-batches (event_id mod 4
+    * — the l2g/u3 synthetic-feed convention), RE-DELIVERS batch 1 with a
+    * freshly staged file set (which must no-op at the commit gate), and
+    * returns every version's (n_rows, id_sum) — the oracle's cumulative
+    * replay fails if the duplicate lands or a batch tears. */
+  def r15StreamTableCommit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/r15_table"
+    fsOf(spark, table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    (0 until 4).foreach { b =>
+      commitBatch(table, "r15")(ev.filter($"event_id" % 4 === b), b.toLong)
+      if (b == 1) {
+        // the re-delivered batch, worst case: the restarted writer does
+        // NOT know (no pre-check), fully re-stages the batch, and must be
+        // stopped at the commit gate — its files stay orphaned (vacuum's
+        // job), the table never sees them
+        val again = stage(spark, table,
+          ev.filter($"event_id" % 4 === 1), "data/r15/b1-redelivery")
+        require(commitIfAbsent(spark, table, "r15", 1L, again) == -1,
+          "re-delivered batch must not commit twice")
+      }
+    }
+    versionsFrame(spark, table)
+  }
+}

@@ -294,7 +294,12 @@ object BenchHeavy {
     // movement) and DuckDB's position anti-join; the budget mixer prices
     // the tiny-rates broadcast + bounded epoch fan-out (its corpus
     // stream never shuffles)
-    "l32_dup_run_trim", "l32b_dup_run_excise", "l33_budget_mix")
+    "l32_dup_run_trim", "l32b_dup_run_excise", "l33_budget_mix",
+    // round 11 (cont.): the skew-salted join prices the histogram
+    // pre-pass + the (key, salt) composite exchange against DuckDB's
+    // plain hash join — the structural overhead a skew-free engine
+    // never pays, measured so the salt's insurance premium is known
+    "j7_skew_join")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio

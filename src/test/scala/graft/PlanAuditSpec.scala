@@ -450,6 +450,22 @@ class PlanAuditSpec extends SparkSpecBase {
       s"per-doc stream shuffles:\n$fmt")
   }
 
+  test("j7: the skew join shuffles on (key, salt) and never broadcasts the dim") {
+    val fmt = fmtPlan(q("j7_skew_join"))
+    assert(fmt.contains("ShuffledHashJoin"),
+      s"the modeled big-dim join must be a shuffle join:\n$fmt")
+    val ex = exchangeBlocks(fmt).map(b => blockLine(b, "Arguments"))
+    // both sides of the big join partition on the SALTED composite key —
+    // the hot key's rows spread over SKEW_SALT reducers by construction
+    assert(ex.exists(a => a.contains("user_id#") && a.contains("salt#")),
+      s"fact exchange not salted:\n$fmt")
+    assert(ex.exists(a => a.contains("c_custkey#") && a.contains("d_salt#")),
+      s"dim exchange not salted:\n$fmt")
+    // the hot-set membership joins are broadcasts: the histogram's result
+    // rides to both sides, never the other way around
+    assert(fmt.contains("BroadcastHashJoin"), s"hot set not broadcast:\n$fmt")
+  }
+
   test("u4: version exchanges carry (id, hash) only; text dies in the scan projection") {
     val fmt = fmtPlan(q("u4_snapshot_diff"))
     val hashEx = exchangeBlocks(fmt).filter(b =>

@@ -217,6 +217,34 @@ class QualitySpec extends SparkSpecBase {
     assert(agg.getLong(0) > 0 && agg.getLong(1) > 0 && agg.getLong(2) > 0)
   }
 
+  test("DQ2 profile drift: every metric and drift flag recomputes from first principles") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sfDir)
+      .select($"ts", $"user_id", $"value", $"event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    val cut = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    def side(s: Int) = rows.filter(r => (r._1.before(cut)) == (s == 1))
+    def m(s: Int): Map[(String, String), Double] = {
+      val v = side(s)
+      Map(
+        ("user_id", "nulls") -> 0.0, ("user_id", "distinct") -> v.map(_._2).distinct.size.toDouble,
+        ("user_id", "min") -> v.map(_._2).min.toDouble, ("user_id", "max") -> v.map(_._2).max.toDouble,
+        ("value", "nulls") -> 0.0, ("value", "distinct") -> v.map(_._3).distinct.size.toDouble,
+        ("value", "min") -> v.map(_._3).min, ("value", "max") -> v.map(_._3).max,
+        ("event_type", "nulls") -> 0.0, ("event_type", "distinct") -> v.map(_._4).distinct.size.toDouble)
+    }
+    val (m1, m2) = (m(1), m(2))
+    val expected = m1.keys.toSeq.sortBy(identity).map { k =>
+      val (v1, v2) = (m1(k), m2(k))
+      val drifted = if (v1 == 0.0) v2 != 0.0 else math.abs(v2 - v1) * 10.0 > math.abs(v1)
+      (k._1, k._2, v1, v2, drifted)
+    }
+    val got = Quality.dq2ProfileDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got === expected)
+    assert(side(1).nonEmpty && side(2).nonEmpty, "both snapshots must be non-empty")
+  }
+
   test("U4 snapshot diff: statuses recompute from the id rules; all three occur") {
     import spark.implicits._
     val got = Quality.u4SnapshotDiff(spark, sfDir).collect()

@@ -7,6 +7,31 @@ import org.apache.spark.sql.functions._
   * OptimizeSkewedJoin path a production hot key would. */
 class SkewJoinSpec extends SparkSpecBase {
 
+  test("j7: salted join equals the plain join; both salt branches fire") {
+    import spark.implicits._
+    val got = graft.operators.Joins.j7SkewJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val e = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id")
+    val c = graft.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+    val plain = e.join(c, $"user_id" === $"c_custkey", "left_outer")
+      .select($"event_id", $"user_id",
+        coalesce($"c_name", lit("Unknown")).as("name"), $"c_mktsegment")
+      .orderBy($"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got === plain)
+    // the hot/cold split is real on this fixture: the exact integer
+    // threshold (load >= 9/8 mean) flags at least one key, and a fact
+    // row only draws salt > 0 on the hot path
+    val hist = e.groupBy($"user_id").agg(count(lit(1)).as("k_n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = hist.map(_._2).sum
+    val hot = hist.filter { case (_, n) => n * hist.length * 8 >= total * 9 }
+    assert(hot.nonEmpty && hot.length < hist.length,
+      s"fixture must have hot AND cold keys: ${hot.length}/${hist.length}")
+  }
+
   test("AQE splits a skewed join partition (OptimizeSkewedJoin fires)") {
     import spark.implicits._
     val confs = Map(

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Etl, TableLog}
+
+/** s11's claims SQL can't see: old versions stay physically readable after
+  * a rewrite retires their files, a snapshot scans EXACTLY the manifest's
+  * file list (stray siblings invisible), and a crashed writer's staging
+  * tmp never surfaces as a version. */
+class TimeTravelSpec extends SparkSpecBase {
+
+  private def table = s"${Etl.scratch(spark)}/s11_table"
+
+  private def fs = new Path(table)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("s11: rewrite retires files logically; every version keeps reading") {
+    import spark.implicits._
+    val retired = TableLog.buildFixture(spark, sfDir, table)
+    assert(retired.nonEmpty && retired.forall(_.contains("/click/")))
+    // time travel's precondition: the retired files are still on disk
+    retired.foreach(r => assert(fs.exists(new Path(s"$table/$r")),
+      s"rewrite must not delete $r — v1/v2 still reference it"))
+    // the v3 scan reads none of them; the v2 scan still reads them
+    val files3 = TableLog.readAsOf(spark, table, 3).inputFiles.toSeq
+    val files2 = TableLog.readAsOf(spark, table, 2).inputFiles.toSeq
+    retired.foreach { r =>
+      assert(!files3.exists(_.endsWith(r)), s"v3 scan still reads retired $r")
+      assert(files2.exists(_.endsWith(r)), s"v2 scan no longer reads $r")
+    }
+    assert(files3.exists(_.contains("/data/v3/click/")))
+    // version row sets replay from the commit rules on the source
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def ids(v: Int): Set[Long] = v match {
+      case 1 => ev.collect { case (id, _, _) if id % 4 != 3 => id }.toSet
+      case 2 => ev.map(_._1).toSet
+      case 3 => ev.collect {
+        case (id, t, x) if t != "click" || x >= 100.0 => id }.toSet
+    }
+    (1 to 3).foreach { v =>
+      val got = TableLog.readAsOf(spark, table, v)
+        .select($"event_id").collect().map(_.getLong(0)).toSet
+      assert(got === ids(v), s"version $v row set drifted")
+    }
+  }
+
+  test("s11: vacuum drops only files no retained version references") {
+    TableLog.buildFixture(spark, sfDir, table)
+    val retired = TableLog.liveFiles(spark, table, 2).filter(_.contains("/click/"))
+    val keep3 = TableLog.readAsOf(spark, table, 3).count()
+    val dead = TableLog.vacuum(spark, table, retainFrom = 3)
+    // the GC horizon: every retired click file is physically gone,
+    // the retained snapshot reads bit-for-bit the same
+    retired.foreach { r =>
+      assert(dead.contains(r), s"vacuum missed retired $r")
+      assert(!fs.exists(new Path(s"$table/$r")))
+    }
+    assert(TableLog.readAsOf(spark, table, 3).count() === keep3)
+    TableLog.liveFiles(spark, table, 3).foreach(r =>
+      assert(fs.exists(new Path(s"$table/$r")), s"vacuum ate live $r"))
+  }
+
+  test("r15: a real stream commits per micro-batch; re-delivery orphans get vacuumed") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = s"${Etl.scratch(spark)}/r15_stream_table"
+    fs.delete(new Path(t), true)
+    val evts = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .as[Evt].collect().toSeq
+    val mem = MemoryStream[Evt]
+    val q = mem.toDS().toDF().writeStream
+      .foreachBatch(TableLog.commitBatch(t, "spec-stream") _)
+      .outputMode("append").start()
+    try {
+      mem.addData(evts.take(40)); q.processAllAvailable()
+      mem.addData(evts.drop(40)); q.processAllAvailable()
+    } finally q.stop()
+    // one commit per micro-batch, whole-batch visibility at each version
+    assert(TableLog.currentVersion(spark, t) === 2)
+    assert(TableLog.readAsOf(spark, t, 1).count() === 40L)
+    assert(TableLog.readAsOf(spark, t, 2).count() === evts.size.toLong)
+    // the worst-case re-delivery: fully re-staged, stopped at the gate
+    val orphans = TableLog.stage(spark, t,
+      spark.createDataset(evts.take(40)).toDF(), "data/spec-stream/b0-redo")
+    assert(TableLog.commitIfAbsent(spark, t, "spec-stream", 0L, orphans) === -1)
+    assert(TableLog.readAsOf(spark, t, 2).count() === evts.size.toLong)
+    // vacuum clears the orphans without touching any retained version
+    val dead = TableLog.vacuum(spark, t, retainFrom = 1)
+    orphans.foreach(a => assert(dead.contains(a.path) &&
+      !fs.exists(new Path(s"$t/${a.path}"))))
+    assert(TableLog.readAsOf(spark, t, 1).count() === 40L)
+    assert(TableLog.readAsOf(spark, t, 2).count() === evts.size.toLong)
+  }
+
+  test("s11: stray files and crashed-writer tmps are invisible to readers") {
+    import spark.implicits._
+    TableLog.buildFixture(spark, sfDir, table)
+    val before = (1 to 3).map(v =>
+      TableLog.readAsOf(spark, table, v).count())
+    // a stray parquet file NEXT TO live ones (the listing trap): copy a
+    // live v1 click file to a sibling name in the same directory
+    val live1 = TableLog.liveFiles(spark, table, 1).find(_.contains("/click/")).get
+    val src = new Path(s"$table/$live1")
+    val stray = new Path(src.getParent, "part-stray.c000.snappy.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, stray, false,
+      spark.sparkContext.hadoopConfiguration)
+    // a crashed writer's staging manifest: must not become a version
+    fs.create(new Path(table, "_log/.v9.tmp"), true).close()
+    assert(TableLog.currentVersion(spark, table) === 3)
+    val after = (1 to 3).map(v => TableLog.readAsOf(spark, table, v).count())
+    assert(after === before,
+      "a snapshot read picked up files outside its manifest")
+  }
+}
