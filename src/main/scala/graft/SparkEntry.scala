@@ -167,6 +167,7 @@ object SparkEntry {
     "s9_clustered_scan" -> (graft.operators.Etl.s9ClusteredScan _),
     "s10_compaction" -> (graft.operators.Etl.s10Compaction _),
     "s11_time_travel" -> (graft.operators.TableLog.s11TimeTravel _),
+    "s12_schema_evolution" -> (graft.operators.TableLog.s12SchemaEvolution _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
     "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
@@ -729,6 +730,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, COUNT(*), CAST(SUM(event_id) AS BIGINT) FROM e
         |WHERE event_type <> 'click' OR value >= 100.0
+        |ORDER BY version""".stripMargin,
+    // v1-v3 must see ZERO tagged rows (the column postdates their logged
+    // schema); v4 keeps v3's row set with exactly the error rows tagged —
+    // a reader trusting file footers instead of the log diverges at v1-v3
+    "s12_schema_evolution" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events)
+        |SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_tagged FROM e WHERE event_id % 4 <> 3
+        |UNION ALL SELECT 2, COUNT(*), 0 FROM e
+        |UNION ALL SELECT 3, COUNT(*), 0 FROM e
+        |WHERE event_type <> 'click' OR value >= 100.0
+        |UNION ALL SELECT 4, COUNT(*),
+        |  (SELECT COUNT(*) FROM e WHERE event_type = 'error')
+        |FROM e WHERE event_type <> 'click' OR value >= 100.0
         |ORDER BY version""".stripMargin,
     // cumulative replay of the four micro-batch commits: if the
     // re-delivered batch 1 lands twice (or a batch tears), version v's

@@ -141,12 +141,36 @@ object TableLog {
     dead
   }
 
+  /** The table schema AS OF `version`: the newest `schema` action at or
+    * before it (None for a log that predates schema tracking). Schema
+    * lives in the LOG, not the files — the reader never trusts footer
+    * inference, and an old file simply lacks the columns later commits
+    * added (the parquet reader fills them with null). */
+  private[graft] def schemaAsOf(spark: SparkSession, table: String,
+      version: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val f = fsOf(spark, table)
+    (version to 1 by -1).iterator
+      .flatMap(v => manifestLines(f, table, v).reverseIterator.collect {
+        case line if line.startsWith("schema\t") =>
+          org.apache.spark.sql.types.DataType.fromJson(line.stripPrefix("schema\t"))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+      })
+      .nextOption()
+  }
+
   /** Snapshot read AS OF `version`: scans exactly the manifest's live
-    * files. A parquet file dropped next to a live one (a stray writer, an
-    * uncommitted stage) is invisible — TimeTravelSpec proves it. */
+    * files under the LOGGED schema as of that version — a column added by
+    * a later commit is invisible to earlier versions, and files staged
+    * before the column existed read as null under a later version's
+    * schema (S12). A parquet file dropped next to a live one (a stray
+    * writer, an uncommitted stage) is invisible — TimeTravelSpec proves
+    * both. */
   def readAsOf(spark: SparkSession, table: String, version: Int): DataFrame = {
     val files = liveFiles(spark, table, version).map(r => s"$table/$r")
-    spark.read.parquet(files: _*)
+    schemaAsOf(spark, table, version) match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 
   /** Stage `df` as a fresh file set under `table/rel/` and return the add
@@ -188,7 +212,9 @@ object TableLog {
     def typed(df: DataFrame, v: Int): Seq[Action] =
       types.flatMap(t => stage(spark, table,
         df.filter($"event_type" === t), s"data/v$v/$t"))
-    commit(spark, table, typed(ev.filter($"event_id" % 4 =!= 3), 1))
+    // the initial commit records the schema: readers never trust footers
+    commit(spark, table,
+      Action("schema", ev.schema.json) +: typed(ev.filter($"event_id" % 4 =!= 3), 1))
     commit(spark, table, typed(ev.filter($"event_id" % 4 === 3), 2))
     val retired = liveFiles(spark, table, 2).filter(_.contains("/click/"))
     val rewrite = stage(spark, table,
@@ -222,6 +248,56 @@ object TableLog {
     val table = s"${Etl.scratch(spark)}/s11_table"
     buildFixture(spark, sfDir, table)
     versionsFrame(spark, table)
+  }
+
+  /** S12 [EXT]: schema evolution on the log — the fourth commit the s11
+    * fixture grows: a BACKFILL rewrite of the `error` partition that adds
+    * a `source_tag` column. The new schema publishes as a `schema` action
+    * in the same atomic commit as the file swap, so the column and the
+    * data carrying it appear together: reads as of v1–v3 still present
+    * the ORIGINAL schema (the added column is invisible retroactively),
+    * and under the v4 schema every pre-v4 file null-fills the column —
+    * no file is ever rewritten for schema's sake, the 100 TB point of
+    * log-tracked schemas. Returns the v4 version number. */
+  private[graft] def evolveFixture(spark: SparkSession, sfDir: String,
+      table: String): Int = {
+    import spark.implicits._
+    val retired = liveFiles(spark, table, currentVersion(spark, table))
+      .filter(_.contains("/error/"))
+    val tagged = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .filter($"event_type" === "error")
+      .withColumn("source_tag",
+        concat($"event_type", lit("-"), pmod($"user_id", lit(3L)).cast("string")))
+    val adds = stage(spark, table, tagged, "data/v4/error")
+    commit(spark, table,
+      Action("schema", tagged.schema.json) +:
+        (retired.map(Action("remove", _)) ++ adds))
+  }
+
+  /** S12 [EXT]: declared query — build the s11 history, evolve it with
+    * the column-adding backfill commit, then audit every version:
+    * (version, n_rows, n_tagged). Versions 1–3 must report ZERO tagged
+    * rows (the column does not exist yet under their logged schema) and
+    * identical row counts to s11's pre-evolution reads; v4 keeps v3's row
+    * set (the backfill is the identity on rows) with exactly the error
+    * rows tagged. The oracle replays all four from the commit rules. */
+  def s12SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s12_table"
+    buildFixture(spark, sfDir, table)
+    evolveFixture(spark, sfDir, table)
+    (1 to currentVersion(spark, table))
+      .map { v =>
+        val df = readAsOf(spark, table, v)
+        val tagged =
+          if (df.columns.contains("source_tag")) count($"source_tag")
+          else lit(0L)
+        df.agg(count(lit(1)).as("n_rows"), tagged.cast("long").as("n_tagged"))
+          .select(lit(v.toLong).as("version"), $"n_rows", $"n_tagged")
+      }
+      .reduce(_ unionByName _)
+      .orderBy($"version")
   }
 
   /** The exactly-once micro-batch sink: stage the batch under an

@@ -350,7 +350,15 @@ object BenchHeavy {
     // anchor exchange is the biggest span shuffle in the family (no
     // per-doc distinct), so the sf5->sf25 trend prices the worst-case
     // span diet where DuckDB pays the same double window
-    "l32_dup_run_trim")
+    "l32_dup_run_trim",
+    // round 11 (cont.): top-tier points for the newest curation ops —
+    // DSIR's two fit passes + broadcast scoring (cost should track the
+    // scan), the budget mixer's unshuffled epoch fan-out (output-bound),
+    // the cluster-balanced draw's window exchange, and the skew-salted
+    // join (the histogram + salt premium vs DuckDB's plain hash join,
+    // trended where the join itself finally dominates the fixed stages)
+    "l28_dsir_sample", "l33_budget_mix", "l30b_balanced_sample",
+    "j7_skew_join")
 
   /** ANN queries for the sf25 tier: run each in an isolated JVM (see
     * SF25_QUERIES note on cross-query heap contamination). */

@@ -98,6 +98,36 @@ class TimeTravelSpec extends SparkSpecBase {
     assert(TableLog.readAsOf(spark, t, 2).count() === evts.size.toLong)
   }
 
+  test("s12: the logged schema gates the column in both directions") {
+    import spark.implicits._
+    val t = s"${Etl.scratch(spark)}/s12_spec_table"
+    TableLog.buildFixture(spark, sfDir, t)
+    val pre = (1 to 3).map(v => TableLog.readAsOf(spark, t, v).count())
+    TableLog.evolveFixture(spark, sfDir, t)
+    // retroactive invisibility: v1-v3 present the ORIGINAL schema even
+    // though the log now knows the column
+    (1 to 3).foreach { v =>
+      val df = TableLog.readAsOf(spark, t, v)
+      assert(!df.columns.contains("source_tag"), s"v$v leaked the new column")
+      assert(df.count() === pre(v - 1))
+    }
+    // under the v4 schema: pre-v4 files null-fill, the backfilled error
+    // partition carries real tags, and no non-error row is tagged
+    val v4 = TableLog.readAsOf(spark, t, 4)
+    assert(v4.columns.contains("source_tag"))
+    val byType = v4.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), count($"source_tag").as("tagged"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byType("error")._1 === byType("error")._2, "error rows must all tag")
+    (byType - "error").foreach { case (tpe, (_, tagged)) =>
+      assert(tagged === 0L, s"$tpe rows tagged under null-fill") }
+    // the tag itself replays from the rule
+    val bad = v4.filter($"event_type" === "error" &&
+      $"source_tag" =!= concat($"event_type", lit("-"),
+        pmod($"user_id", lit(3L)).cast("string"))).count()
+    assert(bad === 0L)
+  }
+
   test("s11: stray files and crashed-writer tmps are invisible to readers") {
     import spark.implicits._
     TableLog.buildFixture(spark, sfDir, table)
