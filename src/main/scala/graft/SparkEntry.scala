@@ -85,6 +85,7 @@ object SparkEntry {
     "l2d_xxh" -> (graft.llm.Dedup.l2dNgramJaccardXx _),
     "l3_similarity_search" -> (graft.llm.Similarity.l3BruteForceTopk _),
     "l3b_lsh_neardup" -> (graft.llm.Similarity.l3bLshNearDup _),
+    "l34_contrastive_pairs" -> (graft.llm.Similarity.l34ContrastivePairs _),
     "l3h_neardup_prune" -> (graft.llm.Similarity.l3hNearDupPrune _),
     "l3c_ivf_topk" -> (graft.llm.Similarity.l3cIvfTopk _),
     "l3e_banded_lsh" -> (graft.llm.Similarity.l3eBandedLsh _),
@@ -1160,6 +1161,39 @@ object SparkEntry {
          |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    // l3b's pair CTE as the positive set; negatives replay the md5p48
+    // "anchor:draw" fold mod the id space with the same normalized-key
+    // NOT EXISTS exclusion the anti-join performs
+    "l34_contrastive_pairs" -> {
+      val sig = (1 to 8)
+        .map(i => s"(CASE WHEN embedding[$i] > 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sigs AS (SELECT vec_id, embedding, CAST($sig AS BIGINT) AS bucket FROM embeddings),
+         |pos AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3),
+         |draws AS (
+         |  SELECT anchor,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(instr('0123456789abcdef',
+         |         substr(md5(CAST(anchor AS VARCHAR) || ':' || CAST(r AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+         |       for j in range(1, 13)]),
+         |      (acc, x) -> acc * 16 + x)
+         |      % (SELECT MAX(vec_id) + 1 FROM embeddings) AS partner
+         |  FROM (SELECT DISTINCT vec_a AS anchor FROM pos), range(1, 5) t(r)),
+         |negs AS (
+         |  SELECT DISTINCT anchor, partner FROM draws d
+         |  WHERE partner <> anchor AND NOT EXISTS (
+         |    SELECT 1 FROM pos p
+         |    WHERE p.vec_a = LEAST(d.anchor, d.partner)
+         |      AND p.vec_b = GREATEST(d.anchor, d.partner)))
+         |SELECT anchor, partner, label FROM (
+         |  SELECT vec_a AS anchor, vec_b AS partner, CAST(1 AS BIGINT) AS label FROM pos
+         |  UNION ALL
+         |  SELECT anchor, partner, CAST(0 AS BIGINT) AS label FROM negs)
+         |ORDER BY anchor, partner, label""".stripMargin
     },
     // same sigs/pair machinery as l3b + the l2e recursive-reachability
     // pattern, over embeddings

@@ -100,6 +100,47 @@ object Similarity {
       .filter($"cosine" >= simCut)
   }
 
+  /** L34 [EXT]: contrastive pair mining — the training-pair emitter for
+    * embedding-model fine-tuning (SimCSE/E5-style): POSITIVES are the
+    * LSH-detected near-dup pairs (l3b's sign-bucket self-join at the
+    * same width and cosine cut — the mined "hard positives"), and each
+    * anchor that has a positive draws K=4 deterministic pseudo-random
+    * NEGATIVES (md5p48 of "anchor:draw" mod the id space — the l28
+    * Gumbel-key idiom), excluding itself and any LSH-detected near-dup
+    * in either orientation (so a negative is never a known positive).
+    * Output is (anchor, partner, label) — 1 for mined positives, 0 for
+    * drawn negatives.
+    *
+    * Scale: positives are bucket-bound (signLshPairs — never n²; the
+    * one exchange that carries vectors is its reused bucket self-join,
+    * where the cosine dies in-join); everything downstream is id-only —
+    * the negative stream is |anchors|·K rows of two 8-byte ids whose
+    * exclusion check is ONE anti-join on the normalized pair key, and
+    * the emitted pairs carry no vectors (training fetches them by id at
+    * batch-assembly time, the l3j rerank idiom). */
+  def l34ContrastivePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val K = 4
+    val emb = Tables.embeddings(spark, sfDir)
+    val pos = signLshPairs(emb, DEFAULT_SIGN_BITS, 0.3)
+      .select($"vec_a", $"vec_b")
+    val negs = pos.select($"vec_a".as("anchor")).distinct()
+      .crossJoin(broadcast(emb.agg(max($"vec_id").as("max_id"))))
+      .select($"anchor", explode(expr(s"sequence(1, $K)")).as("r"), $"max_id")
+      .withColumn("partner", expr(
+        "cast(conv(substr(md5(concat(cast(anchor as string), ':', cast(r as string))), 1, 12), 16, 10) as bigint)"
+      ) % ($"max_id" + 1))
+      .filter($"partner" =!= $"anchor")
+      .join(pos,
+        least($"anchor", $"partner") === $"vec_a" &&
+          greatest($"anchor", $"partner") === $"vec_b", "left_anti")
+      .select($"anchor", $"partner", lit(0L).as("label"))
+      .distinct() // two draws may land on the same partner
+    pos.select($"vec_a".as("anchor"), $"vec_b".as("partner"), lit(1L).as("label"))
+      .unionByName(negs)
+      .orderBy($"anchor", $"partner", $"label")
+  }
+
   /** L3h [EXT]: embedding near-dup pruning (the SemDeDup shape, Abbas et
     * al. 2023): LSH candidate pairs above the cosine cut -> connected
     * components -> keep one representative (the min vec_id) per component.

@@ -129,6 +129,7 @@ object TableLog {
     val referenced = (retainFrom to currentVersion(spark, table))
       .flatMap(v => liveFiles(spark, table, v)).toSet
     val root = new Path(table, "data")
+    if (!f.exists(root)) return Seq.empty
     def walk(p: Path): Seq[Path] = f.listStatus(p).toSeq.flatMap { s =>
       if (s.isDirectory) walk(s.getPath)
       else Seq(s.getPath)

@@ -299,7 +299,10 @@ object BenchHeavy {
     // pre-pass + the (key, salt) composite exchange against DuckDB's
     // plain hash join — the structural overhead a skew-free engine
     // never pays, measured so the salt's insurance premium is known
-    "j7_skew_join")
+    "j7_skew_join",
+    // the corpus snapshot diff prices the (id, xxhash64) exchange diet
+    // through a full-outer join against DuckDB comparing text directly
+    "u4_snapshot_diff")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio
@@ -358,7 +361,10 @@ object BenchHeavy {
     // join (the histogram + salt premium vs DuckDB's plain hash join,
     // trended where the join itself finally dominates the fixed stages)
     "l28_dsir_sample", "l33_budget_mix", "l30b_balanced_sample",
-    "j7_skew_join")
+    "j7_skew_join",
+    // the snapshot diff at 250x: its (id, hash) exchange diet makes the
+    // wall tier-invariant — the fixed stage floor IS the cost
+    "u4_snapshot_diff")
 
   /** ANN queries for the sf25 tier: run each in an isolated JVM (see
     * SF25_QUERIES note on cross-query heap contamination). */

@@ -145,4 +145,33 @@ class LshParamsSpec extends SparkSpecBase {
     assert(p4 > p8 && p8 > p12, s"expected monotone decrease: $p4, $p8, $p12")
     assert(p8 < 400L * 399 / 2 / 10, s"8-bit buckets barely below all-pairs: $p8")
   }
+
+  test("l34: pair-mining invariants — labels disjoint from positives, anchors covered, ids in range") {
+    import spark.implicits._
+    val got = Similarity.l34ContrastivePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pos = got.filter(_._3 == 1L).map(p => (p._1, p._2)).toSet
+    val neg = got.filter(_._3 == 0L).map(p => (p._1, p._2)).toSet
+    assert(pos.nonEmpty && neg.nonEmpty, "both labels must occur")
+    // the positive set IS l3b's pair set
+    val l3b = Similarity.l3bLshNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pos === l3b)
+    // a drawn negative never collides with a known positive in either
+    // orientation, never pairs an anchor with itself
+    val posNorm = pos.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    neg.foreach { case (a, p) =>
+      assert(a != p)
+      assert(!posNorm.contains((math.min(a, p), math.max(a, p))),
+        s"negative ($a,$p) is a known near-dup")
+    }
+    // every anchor with a positive drew negatives (K=4 draws survive the
+    // rare self/known-positive rejections often enough on this fixture)
+    val anchors = pos.map(_._1)
+    assert(anchors.subsetOf(neg.map(_._1)), "an anchor lost all its draws")
+    // partners land inside the dense id space
+    val maxId = Tables.embeddings(spark, sfDir)
+      .agg(max($"vec_id")).head().getLong(0)
+    neg.foreach { case (_, p) => assert(p >= 0 && p <= maxId) }
+  }
 }

@@ -128,6 +128,58 @@ class TimeTravelSpec extends SparkSpecBase {
     assert(bad === 0L)
   }
 
+  test("table log: random commit sequences replay against an independent model") {
+    // model-based check: fold each committed manifest over a plain
+    // ordered replay (independent of LinkedHashSet), assert every
+    // version's live set, the txn gate, and that vacuum keeps EXACTLY
+    // the union of retained versions' files
+    val fnames = (0 until 10).map(i => s"data/f$i.parquet")
+    for (iter <- 0 until 8) {
+      val t = s"${Etl.scratch(spark)}/log_prop_$iter"
+      fs.delete(new Path(t), true)
+      val rnd = new scala.util.Random(1234 + iter)
+      var live = Set.empty[String]
+      var txns = Set.empty[Long]
+      var versions = Vector.empty[Set[String]]
+      def touch(a: TableLog.Action): Unit =
+        if (a.op == "add") fs.create(new Path(s"$t/${a.path}"), true).close()
+      // seed commit so data/ exists, then 3-7 random commits
+      val seed = Seq(TableLog.Action("add", fnames(0)), TableLog.Action("add", fnames(1)))
+      TableLog.commit(spark, t, seed); seed.foreach(touch)
+      live = Set(fnames(0), fnames(1)); versions :+= live
+      (0 until 3 + rnd.nextInt(5)).foreach { _ =>
+        val acts = (0 to rnd.nextInt(2)).map { _ =>
+          val f = fnames(rnd.nextInt(fnames.size))
+          TableLog.Action(if (rnd.nextBoolean()) "add" else "remove", f)
+        }
+        acts.foreach(touch) // writers stage before the gate decides
+        if (rnd.nextInt(3) == 0) {
+          val bid = rnd.nextInt(3).toLong
+          val v = TableLog.commitIfAbsent(spark, t, "prop", bid, acts)
+          if (txns.contains(bid)) assert(v === -1, s"txn $bid committed twice")
+          else {
+            assert(v === versions.size + 1); txns += bid
+            acts.foreach(a => live = if (a.op == "add") live + a.path else live - a.path)
+            versions :+= live
+          }
+        } else {
+          TableLog.commit(spark, t, acts)
+          acts.foreach(a => live = if (a.op == "add") live + a.path else live - a.path)
+          versions :+= live
+        }
+      }
+      assert(TableLog.currentVersion(spark, t) === versions.size)
+      versions.zipWithIndex.foreach { case (exp, i) =>
+        assert(TableLog.liveFiles(spark, t, i + 1).toSet === exp, s"v${i + 1} drifted")
+      }
+      val retainFrom = 1 + rnd.nextInt(versions.size)
+      val keep = (retainFrom to versions.size).flatMap(v => versions(v - 1)).toSet
+      TableLog.vacuum(spark, t, retainFrom)
+      val remaining = fnames.filter(f0 => fs.exists(new Path(s"$t/$f0"))).toSet
+      assert(remaining === keep, s"vacuum kept $remaining, model says $keep")
+    }
+  }
+
   test("s11: stray files and crashed-writer tmps are invisible to readers") {
     import spark.implicits._
     TableLog.buildFixture(spark, sfDir, table)
