@@ -169,6 +169,7 @@ object SparkEntry {
     "s10_compaction" -> (graft.operators.Etl.s10Compaction _),
     "s11_time_travel" -> (graft.operators.TableLog.s11TimeTravel _),
     "s12_schema_evolution" -> (graft.operators.TableLog.s12SchemaEvolution _),
+    "mv1_incremental_agg" -> (graft.operators.TableLog.mv1IncrementalAgg _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
     "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
@@ -732,6 +733,14 @@ object SparkEntry {
         |SELECT 3, COUNT(*), CAST(SUM(event_id) AS BIGINT) FROM e
         |WHERE event_type <> 'click' OR value >= 100.0
         |ORDER BY version""".stripMargin,
+    // the view maintained through three incremental refreshes must equal
+    // the direct aggregate over the final snapshot — a delta bug (missed
+    // remove, double-counted add, dropped group) diverges
+    "mv1_incremental_agg" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE event_type <> 'click' OR value >= 100.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // v1-v3 must see ZERO tagged rows (the column postdates their logged
     // schema); v4 keeps v3's row set with exactly the error rows tagged —
     // a reader trusting file footers instead of the log diverges at v1-v3

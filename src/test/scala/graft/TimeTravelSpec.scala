@@ -128,6 +128,29 @@ class TimeTravelSpec extends SparkSpecBase {
     assert(bad === 0L)
   }
 
+  test("mv1: every refresh scans only its window's files and lands on the direct aggregate") {
+    import spark.implicits._
+    TableLog.buildFixture(spark, sfDir, table)
+    // the (2,3] window touched ONLY click files (retired + rewrite): the
+    // delta scan must never read an untouched partition's bytes
+    val scanned = TableLog.mvDelta(spark, table, 2, 3).inputFiles.toSeq
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/click/")),
+      s"delta refresh scanned outside its window: $scanned")
+    // cold start + two incremental refreshes, each checked against the
+    // direct aggregate over that version's snapshot
+    var state = TableLog.mvSlice(spark, table, Seq.empty, 1L)
+    (1 to 3).foreach { v =>
+      state = TableLog.mvMerge(state, TableLog.mvDelta(spark, table, v - 1, v))
+      val got = state.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val direct = TableLog.readAsOf(spark, table, v)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === direct, s"view drifted from snapshot at v$v")
+    }
+  }
+
   test("table log: random commit sequences replay against an independent model") {
     // model-based check: fold each committed manifest over a plain
     // ordered replay (independent of LinkedHashSet), assert every
