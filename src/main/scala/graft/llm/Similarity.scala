@@ -122,8 +122,13 @@ object Similarity {
     import spark.implicits._
     val K = 4
     val emb = Tables.embeddings(spark, sfDir)
+    // the mined pair set is consumed three times (positive output, anchor
+    // set, anti-join exclusion) — materialize it once or each consumer
+    // re-runs the bucket self-join (measured 7 scans vs 3, ExplainProbe;
+    // PlanAuditSpec pins the fixed count). |pos| is LSH-collision-bound.
     val pos = signLshPairs(emb, DEFAULT_SIGN_BITS, 0.3)
       .select($"vec_a", $"vec_b")
+      .localCheckpoint()
     val negs = pos.select($"vec_a".as("anchor")).distinct()
       .crossJoin(broadcast(emb.agg(max($"vec_id").as("max_id"))))
       .select($"anchor", explode(expr(s"sequence(1, $K)")).as("r"), $"max_id")

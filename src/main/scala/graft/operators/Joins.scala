@@ -153,7 +153,13 @@ object Joins {
       .select($"event_id", $"user_id", $"event_type")
     val dim = Tables.customer(spark, sfDir)
       .select($"c_custkey", $"c_name", $"c_mktsegment")
+    // ONE histogram materialization (16-byte rows, one per key): the hot
+    // set is consumed three times below (totals, fact side, dim side),
+    // and without the checkpoint each consumer would re-scan the fact —
+    // the probe measured 6 scans vs 2 (ExplainProbe; PlanAuditSpec pins
+    // the fixed plan). |hist| = |keys|, executor-local storage.
     val hist = fact.groupBy($"user_id").agg(count(lit(1)).as("k_n"))
+      .localCheckpoint()
     val hot = hist
       .crossJoin(broadcast(
         hist.agg(sum($"k_n").as("total"), count(lit(1)).as("n_keys"))))

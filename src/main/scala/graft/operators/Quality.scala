@@ -51,6 +51,9 @@ object Quality {
   def dq2ProfileDrift(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cut = lit("2024-01-20").cast("timestamp")
+    // the 2-row profile materializes ONCE (localCheckpoint) — both
+    // sideRow consumers below would otherwise re-run the whole scan+agg
+    // (measured: 2 scans vs 1; PlanAuditSpec pins the single scan)
     val prof = Tables.events(spark, sfDir)
       .withColumn("side", when($"ts" < cut, 1).otherwise(2))
       .groupBy($"side")
@@ -65,6 +68,7 @@ object Quality {
         max($"value").as("val_max"),
         (count(lit(1)) - count($"event_type")).cast("double").as("et_nulls"),
         countDistinct($"event_type").cast("double").as("et_distinct"))
+      .localCheckpoint()
     val cols = Seq("uid" -> "user_id", "val" -> "value", "et" -> "event_type")
     val metrics = Seq("nulls", "distinct", "min", "max")
     val rows = for {

@@ -464,6 +464,26 @@ class PlanAuditSpec extends SparkSpecBase {
     // the hot-set membership joins are broadcasts: the histogram's result
     // rides to both sides, never the other way around
     assert(fmt.contains("BroadcastHashJoin"), s"hot set not broadcast:\n$fmt")
+    // the checkpointed histogram keeps the plan at the minimal 2 scans
+    // (fact + dim) — before the fix the inlined hot-set subtree re-read
+    // the fact table four extra times
+    val scans = "Scan parquet".r.findAllIn(
+      q("j7_skew_join").queryExecution.executedPlan.toString).size
+    assert(scans === 2, s"expected 2 parquet scans, saw $scans")
+  }
+
+  test("l34: pair mining pays the bucket self-join once (3 scans, not 7)") {
+    val scans = "Scan parquet".r.findAllIn(
+      q("l34_contrastive_pairs").queryExecution.executedPlan.toString).size
+    assert(scans <= 3, s"pos subtree re-inlined: $scans scans")
+  }
+
+  test("dq2: the two-sided profile costs ONE table pass (checkpointed 2-row frame)") {
+    // the single scan runs eagerly at localCheckpoint time; the final
+    // plan only crosses the two checkpointed profile rows
+    val scans = "Scan parquet".r.findAllIn(
+      q("dq2_profile_drift").queryExecution.executedPlan.toString).size
+    assert(scans === 0, s"profile re-scanned the table $scans times")
   }
 
   test("u4: version exchanges carry (id, hash) only; text dies in the scan projection") {
