@@ -326,7 +326,8 @@ object Assembly {
     *  6. leakage-safe split — l18's exprs VERBATIM (the shipped
     *     assignment, not a re-derivation), zero-shuffle;
     *  7. language mix — l13's temperature-0.5 rates over the capped
-    *     survivors, broadcast;
+    *     survivors, as per-lang + global windows on the ONE manifest
+    *     stream (the cap bounds it at |sources| × cap rows);
     *  8. pack — l9's exclusive-running-total per (source, shard); split
     *     is a function of source, so the stratum is unchanged by 6.
     *
@@ -356,13 +357,22 @@ object Assembly {
       .withColumn("qratio", $"n_distinct".cast("double") / $"n_words")
       .filter($"qratio" >= EXPORT_MIN_QUALITY && $"n_words".between(5, 2000))
 
-    // 2: exact-dedup winners — a 16-byte hash rollup, never the rows
+    // 2: exact-dedup winners — a 16-byte hash rollup, never the rows.
+    // The id manifest is consumed TWICE (segment screen + assembly);
+    // materialize it once or each consumer re-derives the corpus scan —
+    // ExplainProbe measured the inlined form at 24 scans for the whole
+    // query vs ~6 after this and the two window reworks below.
     val winners = gated
       .groupBy(xxhash64($"text").as("h")).agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
+      .localCheckpoint()
 
     // 3: segment screen over the winners (l24 rule; l4f digest-after-
-    // explode idiom keeps xxhash64 in the codegen'd projection)
+    // explode idiom keeps xxhash64 in the codegen'd projection). ONE
+    // consumption: the first-occurrence flag is a min-over-bucket window
+    // (8-byte k exchange), so n_kept and n_segs fall out of a single
+    // per-doc rollup — the former two-groupBy+join form re-derived the
+    // whole segment subtree (scan, explode, winners join) a second time.
     val segKeys = gated
       .select($"doc_id", posexplode(expr(
         s"transform(sequence(0, cast(ceil(size(ws) / $W.0) as int) - 1)," +
@@ -370,10 +380,13 @@ object Assembly {
       .toDF("doc_id", "i", "seg")
       .select($"doc_id", $"i", xxhash64($"seg").as("k"))
       .join(winners, "doc_id")
+    val byBucket = Window.partitionBy($"k")
     val segOk = segKeys
-      .groupBy($"k").agg(min(struct($"doc_id", $"i")).as("f"))
-      .groupBy($"f.doc_id".as("doc_id")).agg(count(lit(1)).as("n_kept"))
-      .join(segKeys.groupBy($"doc_id").agg(count(lit(1)).as("n_segs")), "doc_id")
+      .withColumn("first",
+        (min(struct($"doc_id", $"i")).over(byBucket) === struct($"doc_id", $"i"))
+          .cast("long"))
+      .groupBy($"doc_id")
+      .agg(sum($"first").as("n_kept"), count(lit(1)).as("n_segs"))
       .filter($"n_kept".cast("double") / $"n_segs" >= EXPORT_SEG_KEEP_MIN)
       .select($"doc_id")
 
@@ -409,15 +422,22 @@ object Assembly {
     // 6: the l18 split assignment, verbatim exprs
     val withSplit = capped.withColumn("split", splitLabel(splitBucket))
 
-    // 7: language mix over the capped survivors
-    val counts = withSplit.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
-    val nMin = counts.agg(min($"n_lang").as("n_min"))
-    val rates = counts.crossJoin(broadcast(nMin))
-      .select($"lang",
-        sqrt($"n_min".cast("double") / $"n_lang".cast("double")).as("rate"))
+    // 7: language mix over the capped survivors — rates as windows over
+    // the ONE manifest stream (the former counts/crossJoin form consumed
+    // withSplit twice, re-deriving the entire upstream for a K-row rates
+    // frame). The global n_min window is a single-partition pass over a
+    // frame the domain cap bounds at |sources| × cap rows at ANY corpus
+    // size — the l33 tiny-frame global-window precedent.
+    val byLang = Window.partitionBy($"lang")
     val mixed = withSplit
-      .join(broadcast(rates), "lang")
+      .withColumn("n_lang", count(lit(1)).over(byLang))
+      .withColumn("n_min", min($"n_lang").over(
+        Window.partitionBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rate",
+        sqrt($"n_min".cast("double") / $"n_lang".cast("double")))
       .filter(bucket256.cast("double") < $"rate" * 256d)
+      .drop("n_lang", "n_min", "rate")
 
     // 8: pack (split = f(source), so the l9 stratum is unchanged)
     val wP = Window.partitionBy($"source", $"shard").orderBy($"doc_id")

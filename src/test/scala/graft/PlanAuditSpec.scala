@@ -535,10 +535,16 @@ class PlanAuditSpec extends SparkSpecBase {
     for (b <- hashEx; bad <- Seq("text", "ws#", "seg"))
       assert(!blockLine(b, "Input").contains(bad),
         s"corpus text rides a hash exchange:\n$b")
-    // bench span set + language rates broadcast; the domain cap keeps its
-    // partial WindowGroupLimit (O(sources x cap) rows to the shuffle)
+    // bench span set broadcast; the domain cap keeps its partial
+    // WindowGroupLimit (O(sources x cap) rows to the shuffle)
     assert(fmt.contains("BroadcastExchange"), fmt)
     assert(fmt.contains("WindowGroupLimit") && fmt.contains("Partial"), fmt)
+    // the round-11 rework: winners checkpointed, segment screen and
+    // language mix single-consumption — 4 corpus-table scans, not the
+    // 24 the inlined decision planes cost before (ExplainProbe)
+    val scans = "Scan parquet".r.findAllIn(
+      df.queryExecution.executedPlan.toString).size
+    assert(scans <= 4, s"a decision plane re-inlined its subtree: $scans scans")
   }
 
   test("l25: recount exchange is candidate-bounded; no key-space shuffle") {
