@@ -76,9 +76,14 @@ object Assembly {
   def l11SourceMix(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
+    // n_min as a window over the K-row counts frame: the agg + crossJoin
+    // original consumed counts twice, re-running the corpus count pass
+    // (round-11 sweep; same fix in l13's mix stage)
     val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
-    val nMin = counts.agg(min($"n_lang").as("n_min"))
-    val rates = counts.crossJoin(broadcast(nMin))
+    val rates = counts
+      .withColumn("n_min", min($"n_lang").over(
+        Window.partitionBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
       .select($"lang", $"n_lang",
         sqrt($"n_min".cast("double") / $"n_lang".cast("double")).as("rate"))
     docs
@@ -272,10 +277,17 @@ object Assembly {
     val clean = deduped
       .join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 4: language mix over survivors
+    // 4: language mix over survivors. UNLIKE l13b (whose manifest the
+    // domain cap bounds, so lang windows ride a tiny frame), clean is
+    // corpus-scale — the right shape is the broadcast-rates join. The
+    // round-11 fix is only in how rates derive: n_min as a window over
+    // the K-ROW counts frame instead of a counts.agg + crossJoin that
+    // re-derived the whole survivor chain a third time.
     val counts = clean.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
-    val nMin = counts.agg(min($"n_lang").as("n_min"))
-    val rates = counts.crossJoin(broadcast(nMin))
+    val rates = counts
+      .withColumn("n_min", min($"n_lang").over(
+        Window.partitionBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
       .select($"lang",
         sqrt($"n_min".cast("double") / $"n_lang".cast("double")).as("rate"))
     val mixed = clean
