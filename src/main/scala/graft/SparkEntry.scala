@@ -165,6 +165,7 @@ object SparkEntry {
     "r14_stream_cluster_assign" -> (graft.streaming.Streams.r14StreamClusterAssign _),
     "u4_snapshot_diff" -> (graft.operators.Quality.u4SnapshotDiff _),
     "r15_stream_table_commit" -> (graft.operators.TableLog.r15StreamTableCommit _),
+    "r16_stream_view_refresh" -> (graft.operators.TableLog.r16StreamViewRefresh _),
     "s9_clustered_scan" -> (graft.operators.Etl.s9ClusteredScan _),
     "s10_compaction" -> (graft.operators.Etl.s10Compaction _),
     "s11_time_travel" -> (graft.operators.TableLog.s11TimeTravel _),
@@ -755,6 +756,14 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM e WHERE event_type = 'error')
         |FROM e WHERE event_type <> 'click' OR value >= 100.0
         |ORDER BY version""".stripMargin,
+    // the per-type view after every commit: a refresh that missed a
+    // file, double-counted the rejected re-delivery, or tore a batch
+    // diverges from the cumulative mod-4 replay at that version
+    "r16_stream_view_refresh" ->
+      """SELECT CAST(t.v AS BIGINT) AS version, e.event_type,
+        |  COUNT(*) AS n_rows, CAST(SUM(e.event_id) AS BIGINT) AS id_sum
+        |FROM range(1, 5) t(v) JOIN events e ON e.event_id % 4 < t.v
+        |GROUP BY 1, 2 ORDER BY version, event_type""".stripMargin,
     // cumulative replay of the four micro-batch commits: if the
     // re-delivered batch 1 lands twice (or a batch tears), version v's
     // count/id_sum diverge from the mod-4 prefix rule

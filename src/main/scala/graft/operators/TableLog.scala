@@ -385,6 +385,41 @@ object TableLog {
       .orderBy($"version")
   }
 
+  /** R16 [EXT]: streaming view refresh — the composition the S11/R15/MV1
+    * trio exists for: a micro-batch stream lands as atomic txn-marked
+    * commits (R15) and a downstream aggregate view refreshes from each
+    * commit's DELTA (MV1) instead of rescanning the table — the live
+    * dashboard a 100 TB ingest feeds at per-batch cost. Declared batch
+    * form replays r15's four mod-4 micro-batches (including the
+    * worst-case re-delivery, whose delta is EMPTY because the commit
+    * gate rejected it) and emits the view AS OF every version — per-type
+    * (n_rows, id_sum) — so the oracle's cumulative replay fails if any
+    * refresh missed a file, double-counted the re-delivery, or tore a
+    * batch. Each folded state checkpoints (a |types|-row frame) so
+    * version v's state feeds both the output union and the v+1 fold
+    * without re-deriving the whole delta chain. */
+  def r16StreamViewRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/r16_table"
+    fsOf(spark, table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    var state = mvSlice(spark, table, Seq.empty, 1L)
+    val views = (0 until 4).map { b =>
+      commitBatch(table, "r16")(ev.filter($"event_id" % 4 === b), b.toLong)
+      if (b == 1) {
+        val again = stage(spark, table,
+          ev.filter($"event_id" % 4 === 1), "data/r16/b1-redelivery")
+        require(commitIfAbsent(spark, table, "r16", 1L, again) == -1,
+          "re-delivered batch must not commit twice")
+      }
+      val v = currentVersion(spark, table)
+      state = mvMerge(state, mvDelta(spark, table, v - 1, v)).localCheckpoint()
+      state.select(lit(v.toLong).as("version"), $"event_type", $"n_rows", $"id_sum")
+    }
+    views.reduce(_ unionByName _).orderBy($"version", $"event_type")
+  }
+
   /** The exactly-once micro-batch sink: stage the batch under an
     * attempt-unique dir, then publish behind the `(streamId, batchId)`
     * txn marker. The pre-check skips a KNOWN re-delivery without

@@ -151,6 +151,41 @@ class TimeTravelSpec extends SparkSpecBase {
     }
   }
 
+  test("r16: a live stream's view refreshes from each batch's delta only") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = s"${Etl.scratch(spark)}/r16_stream_table"
+    fs.delete(new Path(t), true)
+    val evts = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .as[Evt].collect().toSeq
+    var state = TableLog.mvSlice(spark, t, Seq.empty, 1L)
+    val mem = MemoryStream[Evt]
+    val q = mem.toDS().toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        TableLog.commitBatch(t, "view-stream")(df, bid)
+        val v = TableLog.currentVersion(spark, t)
+        val delta = TableLog.mvDelta(spark, t, v - 1, v)
+        // per-batch cost: the refresh reads this commit's files, nothing else
+        assert(delta.inputFiles.nonEmpty &&
+          delta.inputFiles.forall(_.contains(s"/b$bid-")),
+          s"batch $bid refresh read outside its delta")
+        state = TableLog.mvMerge(state, delta).localCheckpoint()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(evts.take(40)); q.processAllAvailable()
+      mem.addData(evts.drop(40)); q.processAllAvailable()
+    } finally q.stop()
+    val got = state.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = evts.groupBy(_.event_type).map { case (tpe, es) =>
+      (tpe, es.size.toLong, es.map(_.event_id).sum)
+    }.toSet
+    assert(got === direct, "streamed view drifted from the direct aggregate")
+  }
+
   test("table log: random commit sequences replay against an independent model") {
     // model-based check: fold each committed manifest over a plain
     // ordered replay (independent of LinkedHashSet), assert every
