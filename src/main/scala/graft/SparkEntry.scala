@@ -33,6 +33,7 @@ object SparkEntry {
     "a5b_rollup" -> (Relational.a5bRollup _),
     "a6_distinct_codes" -> (Relational.a6DistinctCodes _),
     "a6b_approx_distinct" -> (Relational.a6bApproxDistinct _),
+    "a14_sketch_union" -> (Relational.a14SketchUnion _),
     "o1_order_by_recency" -> (Relational.o1OrderByRecency _),
     "o2_limit" -> (Relational.o2Limit _),
     "o3_global_topk" -> (Relational.o3GlobalTopK _),
@@ -553,6 +554,12 @@ object SparkEntry {
     "a6b_approx_distinct" -> ((
       "SELECT approx_count_distinct(o_custkey) AS n_approx FROM orders",
       "SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders",
+      0.05)),
+    // the merged per-day sketch estimate vs DuckDB's one-shot approx,
+    // banded by the exact count — merge fidelity is the thing priced
+    "a14_sketch_union" -> ((
+      "SELECT approx_count_distinct(user_id) AS n_approx FROM events",
+      "SELECT COUNT(DISTINCT user_id) AS n_exact FROM events",
       0.05)))
 
   private lazy val baseOracleSql: Map[String, String] = Map(

@@ -189,6 +189,31 @@ object Relational {
       .agg(approx_count_distinct($"o_custkey", 0.01).as("n_approx"))
   }
 
+  /** A14 [EXT]: persisted mergeable sketches — the pre-aggregated-metrics
+    * pattern a 100 TB deployment runs instead of re-scanning history:
+    * each day's events collapse to ONE HyperLogLog sketch row
+    * (Datasketches HLL via Spark's own `hll_sketch_agg`, a few KB of
+    * binary regardless of day size), the sketch TABLE persists, and any
+    * later distinct-users question over any day range is a union of
+    * sketch rows (`hll_union_agg`) — never a rescan. Insertion is
+    * register-max, so the sketch is order- and partitioning-invariant,
+    * and union(sketch(A), sketch(B)) ≡ sketch(A ∪ B) at equal lgK
+    * (SemanticsSpec pins both). The driver gate is rows-only (sketch
+    * bits are engine-specific); compare.py tolerance-bands the estimate
+    * against DuckDB's approx AND the exact count (the a6b mechanism). */
+  def a14SketchUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = s"${Etl.scratch(spark)}/a14_sketches"
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id", 12).as("sketch"))
+    Tables.sink(out) {
+      daily.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    }
+    Tables.readMemo(spark, out)
+      .agg(hll_sketch_estimate(hll_union_agg($"sketch")).as("n_approx"))
+  }
+
   // ------------------------------------------------------- §2.6 sorts / limits
 
   /** O1: global order by recency (reviews created_at desc — api.rs:191). */

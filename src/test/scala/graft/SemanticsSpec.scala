@@ -47,6 +47,32 @@ class SemanticsSpec extends SparkSpecBase {
     assert(relErr < 0.05, s"approx=$approx exact=$exact relErr=$relErr")
   }
 
+  test("A14 sketch union: merged per-day sketches ≡ one-shot sketch; partitioning-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val merged = Relational.a14SketchUnion(spark, sfDir)
+      .collect()(0).getLong(0)
+    // union of per-day sketches equals the sketch of the union at equal
+    // lgK — the mergeability contract the persisted table relies on
+    val oneShot = Tables.events(spark, sfDir)
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", 12)).as("n"))
+      .collect()(0).getLong(0)
+    assert(merged === oneShot, s"merge lost fidelity: $merged vs $oneShot")
+    // register-max insertion is order-insensitive: any partitioning of
+    // the day stream unions to the same registers
+    val repart = Tables.events(spark, sfDir).repartition(7)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id", 12).as("sketch"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sketch")).as("n"))
+      .collect()(0).getLong(0)
+    assert(repart === merged)
+    // and the estimate sits in the error envelope of the exact count
+    val exact = Tables.events(spark, sfDir)
+      .agg(countDistinct($"user_id")).collect()(0).getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged=$merged exact=$exact")
+  }
+
   test("L3i quantized top-10 recovers the exact top-10 (SQ8 recall sanity)") {
     // int8 quantization perturbs each dot by at most ~d·|x|max²/127 — on the
     // fixture the exact and quantized top-10 coincide outright; assert ≥8
