@@ -119,14 +119,23 @@ object Similarity {
     * the emitted pairs carry no vectors (training fetches them by id at
     * batch-assembly time, the l3j rerank idiom). */
   def l34ContrastivePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    contrastivePairsFrom(emb, signLshPairs(emb, DEFAULT_SIGN_BITS, 0.3))
+  }
+
+  /** [[l34ContrastivePairs]]'s body over ANY mined positive-pair frame
+    * (`posRaw`: (vec_a, vec_b), vec_a < vec_b) — the heavy tier feeds it
+    * the banded sized-width pairs (`l34_sized`, the l3e_sized generator),
+    * the suite form the oracle-width sign buckets. */
+  private[graft] def contrastivePairsFrom(emb: DataFrame, posRaw: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
     val K = 4
-    val emb = Tables.embeddings(spark, sfDir)
     // the mined pair set is consumed three times (positive output, anchor
     // set, anti-join exclusion) — materialize it once or each consumer
     // re-runs the bucket self-join (measured 7 scans vs 3, ExplainProbe;
     // PlanAuditSpec pins the fixed count). |pos| is LSH-collision-bound.
-    val pos = signLshPairs(emb, DEFAULT_SIGN_BITS, 0.3)
+    val pos = posRaw
       .select($"vec_a", $"vec_b")
       .localCheckpoint()
     val negs = pos.select($"vec_a".as("anchor")).distinct()

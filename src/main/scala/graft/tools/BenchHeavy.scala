@@ -372,6 +372,7 @@ object BenchHeavy {
     Seq("l3e_sized", "l3g_sized", "l3h_sized", "l3f_ivf_multiprobe",
       "l3i_sq8_topk", "l3j_rerank_topk",
       "l3i_serve", "l3j_serve", "l3f_serve", "l3n_serve",
+      "l34_sized",
       "ann_build_sq8", "ann_build_ivf", "ann_build_vecs")
 
   val SWEEPS = 3
@@ -443,7 +444,15 @@ object BenchHeavy {
           // sampled Lloyd fit): within-cluster pair volume becomes
           // N·target — LINEAR in the corpus — vs the oracle-width K=8's
           // corpus-quadratic N²/8, which is intractable at this N
-          "l31_sized" -> (() => graft.llm.Clustering.l31Sized(spark, dir)))
+          "l31_sized" -> (() => graft.llm.Clustering.l31Sized(spark, dir)),
+          // contrastive pair mining at production width: the l3e_sized
+          // banded positives feed the same anchor/negative machinery —
+          // prices the checkpointed pair set + the id-only negative
+          // stream where the 8-bit suite form's buckets would go
+          // quadratic at this N
+          "l34_sized" -> (() =>
+            graft.llm.Similarity.contrastivePairsFrom(emb,
+              graft.llm.Similarity.signLshPairs(emb, sized, 4, 0.2))))
       }
     }
 

@@ -100,7 +100,7 @@ class DocCountsSpec extends org.scalatest.funsuite.AnyFunSuite {
   // bucketed q2/q3/w1, the sized-width ANN forms, and the index builds
   private val heavyLocal = Set("q2_bucketed", "q3_bucketed", "w1_bucketed",
     "l3e_sized", "l3g_sized", "l3h_sized", "l3m_sized", "l3n_sized",
-    "l31_sized", "ann_build_sq8", "ann_build_ivf", "ann_build_vecs")
+    "l31_sized", "l34_sized", "ann_build_sq8", "ann_build_ivf", "ann_build_vecs")
 
   test("BENCHNOTES_HEAVY covers the heavy tier plus bucketed and ANN-sized variants") {
     assert(captured(read("BENCHNOTES_HEAVY.md"), """over (\d+) queries""", "BENCHNOTES_HEAVY")
