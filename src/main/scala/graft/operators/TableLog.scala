@@ -391,8 +391,8 @@ object TableLog {
     * commit's DELTA (MV1) instead of rescanning the table — the live
     * dashboard a 100 TB ingest feeds at per-batch cost. Declared batch
     * form replays r15's four mod-4 micro-batches (including the
-    * worst-case re-delivery, whose delta is EMPTY because the commit
-    * gate rejected it) and emits the view AS OF every version — per-type
+    * worst-case re-delivery, which the commit gate rejects — no version
+    * appears, so nothing folds) and emits the view AS OF every version — per-type
     * (n_rows, id_sum) — so the oracle's cumulative replay fails if any
     * refresh missed a file, double-counted the re-delivery, or tore a
     * batch. Each folded state checkpoints (a |types|-row frame) so
