@@ -63,7 +63,13 @@ object TableLog {
     val out = f.create(tmp, true)
     try actions.foreach(a => out.write(s"${a.op}\t${a.path}\n".getBytes("UTF-8")))
     finally out.close()
-    require(f.rename(tmp, new Path(table, s"_log/v$next.log")),
+    // one-winner publish: on HDFS the rename is atomic and refuses an
+    // existing destination; POSIX rename CLOBBERS, so guard explicitly —
+    // a lost race must surface as an error, never as a silently
+    // overwritten manifest (production object stores use a conditional
+    // PUT / log store for the same contract)
+    val dst = new Path(table, s"_log/v$next.log")
+    require(!f.exists(dst) && f.rename(tmp, dst),
       s"commit v$next lost the publish race")
     next
   }

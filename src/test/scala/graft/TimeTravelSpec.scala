@@ -238,6 +238,27 @@ class TimeTravelSpec extends SparkSpecBase {
     }
   }
 
+  test("commit: a competing writer's published manifest is never clobbered") {
+    TableLog.buildFixture(spark, sfDir, table)
+    // a competing writer publishes v4 while we prepare our commit: the
+    // publish re-reads the log, so we land at v5 and v4 stays
+    // byte-identical — no version is ever overwritten (the exists-guard
+    // in commit() closes the remaining read-to-rename window, where a
+    // POSIX rename would otherwise clobber silently)
+    val out = fs.create(new Path(table, "_log/v4.log"), false)
+    out.write("add\tdata/winner/file.parquet\n".getBytes("UTF-8")); out.close()
+    val v = TableLog.commit(spark, table,
+      Seq(TableLog.Action("add", "data/loser/file.parquet")))
+    assert(v === 5)
+    val at4 = TableLog.liveFiles(spark, table, 4)
+    assert(at4.contains("data/winner/file.parquet") &&
+      !at4.contains("data/loser/file.parquet"),
+      "the later commit leaked into the winner's version")
+    val at5 = TableLog.liveFiles(spark, table, 5)
+    assert(at5.contains("data/winner/file.parquet") &&
+      at5.contains("data/loser/file.parquet"))
+  }
+
   test("s11: stray files and crashed-writer tmps are invisible to readers") {
     import spark.implicits._
     TableLog.buildFixture(spark, sfDir, table)
