@@ -1578,7 +1578,7 @@ object SparkEntry {
         |  LEFT JOIN tgtb t ON t.b = gs.b
         |  LEFT JOIN rawb r ON r.b = gs.b),
         |score AS (
-        |  SELECT t.doc_id, SUM(m.dmn) AS weight_mn
+        |  SELECT t.doc_id, CAST(SUM(m.dmn) AS BIGINT) AS weight_mn
         |  FROM raw_tok t JOIN vocab v USING (w) JOIN mn m ON m.b = v.b
         |  GROUP BY t.doc_id),
         |sel AS (
@@ -1588,7 +1588,8 @@ object SparkEntry {
         |         for j in range(1, 6)]), (acc, x) -> acc * 16 + x) + 0.5) / 1048576))
         |      * 1000000) AS BIGINT) AS gumbel_mn
         |  FROM documents d JOIN score s ON s.doc_id = d.doc_id)
-        |SELECT doc_id, lang, weight_mn, gumbel_mn, weight_mn + gumbel_mn AS key_mn
+        |SELECT doc_id, lang, weight_mn, gumbel_mn,
+        |  CAST(weight_mn + gumbel_mn AS BIGINT) AS key_mn
         |FROM sel ORDER BY key_mn DESC, doc_id LIMIT 100""".stripMargin,
     "l18_leakage_split" ->
       """WITH b AS (
