@@ -155,9 +155,10 @@ object Assembly {
     * while T_s * 2^20 < 2^53 — the documented width knob); from there
     * e_s = (B*s_s) div (T_s*W) and the fractional threshold
     * thr_s = (rem*2^20 - 1) div (T_s*W) are exact integer divisions —
-    * the 2^20 rescale runs in DECIMAL on the K-row rates frame because
-    * rem*2^20 overflows a BIGINT at heavy-tier token counts, and the
-    * per-doc test collapses back to one BIGINT compare (bucket <= thr_s).
+    * B*T*s_s, T_s*W, and the 2^20 rescale all run in DECIMAL(38,0) on the
+    * K-row rates frame (they overflow BIGINT at multi-trillion-token
+    * masses), and the per-doc test collapses back to one BIGINT compare
+    * (bucket <= thr_s).
     *
     * Scale: per-stratum token counts are a tiny map-side-combined
     * aggregate; the rates frame (a handful of rows) broadcasts onto ONE
@@ -200,12 +201,20 @@ object Assembly {
         floor(sqrt($"t_s".cast("double") * lit(1048576d))).cast("long"))
       .withColumn("t", sum($"t_s").over(wAll))
       .withColumn("w", sum($"s_s").over(wAll))
-      .withColumn("bss", lit(budgetEpochs) * $"t" * $"s_s")
-      .withColumn("tw", $"t_s" * $"w")
+      // bss and tw ride in DECIMAL(38,0) end-to-end (the oracle's HUGEINT):
+      // at the multi-trillion-token masses the 100 TB narrative targets
+      // (t ~ 1e13, s_s ~ 5e9) both products overflow BIGINT long before
+      // the threshold division — only e_s/thr_s collapse back to BIGINT
+      // (bounded by the epoch count resp. the 2^20 bucket space). The
+      // DECIMAL-38 headroom bound is rem * 2^20 < 10^38, i.e. per-stratum
+      // token mass below ~10^24 — far past any physical corpus.
+      .withColumn("bss", lit(budgetEpochs).cast("decimal(20,0)") *
+        $"t".cast("decimal(20,0)") * $"s_s".cast("decimal(20,0)"))
+      .withColumn("tw", $"t_s".cast("decimal(20,0)") * $"w".cast("decimal(20,0)"))
       .withColumn("e_s", expr("bss div tw"))
       .withColumn("rem", $"bss" - $"e_s" * $"tw")
       .withColumn("thr_s", when($"rem" > 0, expr(
-        "(CAST(rem AS DECIMAL(20,0)) * CAST(1048576 AS DECIMAL(7,0)) - 1) div CAST(tw AS DECIMAL(20,0))"))
+        "(rem * CAST(1048576 AS DECIMAL(7,0)) - 1) div tw"))
         .otherwise(lit(-1L)))
       .select(counts.columns.head, "t_s", "e_s", "thr_s")
   }

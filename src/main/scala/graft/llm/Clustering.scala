@@ -217,9 +217,9 @@ object Clustering {
     * exact cosine WITHIN each k-means cluster (l3h is the LSH-bucketed
     * sibling; here the cluster is the bucket, which is what makes the
     * all-pairs screen tractable — O(Σ n_c²) ≈ N²/K, bounded by
-    * production K = 10k–100k). A doc is dropped when a MORE prototypical
+    * production K = 10k–100k). A doc is dropped when a LESS prototypical
     * keep-candidate is semantically equal: ∃ y in the same cluster with
-    * cos(x,y) ≥ τ and y farther from the centroid (the paper keeps the
+    * cos(x,y) ≥ τ and y FARTHER from the centroid (the paper keeps the
     * LOWEST-centroid-similarity member of each duplicate group; ties to
     * the lowest vec_id).
     *

@@ -56,21 +56,52 @@ object TableLog {
     * publishes with ONE rename — the table's single atomic step. Returns
     * the committed version. */
   private[graft] def commit(spark: SparkSession, table: String,
-      actions: Seq[Action]): Int = {
+      actions: Seq[Action]): Int =
+    publish(spark, table, currentVersion(spark, table) + 1, actions)
+
+  /** Stage-and-publish manifest `v$next.log`. Split from [[commit]] so the
+    * lost-race case — two writers that both read the same current version
+    * and race to publish the SAME next manifest — is directly drivable in
+    * a spec; commit() is just publish(currentVersion + 1). */
+  private[graft] def publish(spark: SparkSession, table: String,
+      next: Int, actions: Seq[Action]): Int = {
     val f = fsOf(spark, table)
-    val next = currentVersion(spark, table) + 1
-    val tmp = new Path(table, s"_log/.v$next.tmp")
+    // attempt-unique staging name: two writers racing to the same version
+    // must never stomp each other's tmp (dot-prefix keeps it invisible to
+    // currentVersion; a crashed attempt leaves only an ignorable tmp)
+    val tmp = f.makeQualified(new Path(table,
+      s"_log/.v$next.${java.util.UUID.randomUUID}.tmp"))
     val out = f.create(tmp, true)
-    try actions.foreach(a => out.write(s"${a.op}\t${a.path}\n".getBytes("UTF-8")))
-    finally out.close()
-    // one-winner publish: on HDFS the rename is atomic and refuses an
-    // existing destination; POSIX rename CLOBBERS, so guard explicitly —
-    // a lost race must surface as an error, never as a silently
-    // overwritten manifest (production object stores use a conditional
-    // PUT / log store for the same contract)
-    val dst = new Path(table, s"_log/v$next.log")
-    require(!f.exists(dst) && f.rename(tmp, dst),
-      s"commit v$next lost the publish race")
+    try {
+      actions.foreach(a => out.write(s"${a.op}\t${a.path}\n".getBytes("UTF-8")))
+      out.hflush()
+    } finally out.close()
+    // one-winner publish via the no-clobber rename primitive:
+    // FileContext.rename(.., Options.Rename.NONE) is atomic-exclusive on
+    // HDFS (the namenode rejects an existing destination inside the one
+    // rename op — the HDFSLogStore discipline of the production log
+    // stores), so a lost race surfaces as FileAlreadyExistsException,
+    // never as a silently overwritten manifest. On a local POSIX FS the
+    // no-clobber check lives inside the FS layer's rename, which NARROWS
+    // the two-writer window rather than closing it (POSIX rename(2)
+    // clobbers; object stores need a conditional PUT / log store for the
+    // true one-winner contract) — the contract holds on the FS this log
+    // targets at scale, and locally no check-then-act spans our code.
+    val dst = f.makeQualified(new Path(table, s"_log/v$next.log"))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dst.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"commit v$next lost the publish race", e)
+      case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("already exists") =>
+        // RawLocalFs surfaces the no-clobber refusal as a plain
+        // IOException rather than the typed FileAlreadyExistsException
+        throw new IllegalStateException(
+          s"commit v$next lost the publish race", e)
+    }
     next
   }
 
@@ -128,22 +159,37 @@ object TableLog {
     * staged but never committed. Reads as of versions < `retainFrom`
     * stop working, by contract; every retained read is untouched
     * (TimeTravelSpec proves both). Listing is metadata-scale; deletion
-    * count is bounded by the files the retained manifests do NOT name. */
+    * count is bounded by the files the retained manifests do NOT name.
+    *
+    * `minAgeMs` is the in-flight-writer guard (the production-vacuum
+    * convention): a file younger than the threshold is skipped even when
+    * unreferenced, because "unreferenced" cannot distinguish an orphan
+    * from a file a SLOW writer has staged whose manifest has not landed
+    * yet — a vacuum racing such a commit would GC the staged files and
+    * leave the landed manifest pointing at nothing. Set the threshold
+    * above the longest plausible stage-to-commit latency (the same knob
+    * production table formats expose as `retentionDurationHours`); 0
+    * keeps the delete-now behavior for tables with no concurrent
+    * writers (the declared fixtures). */
   private[graft] def vacuum(spark: SparkSession, table: String,
-      retainFrom: Int): Seq[String] = {
+      retainFrom: Int, minAgeMs: Long = 0L): Seq[String] = {
     val f = fsOf(spark, table)
     val referenced = (retainFrom to currentVersion(spark, table))
       .flatMap(v => liveFiles(spark, table, v)).toSet
     val root = new Path(table, "data")
     if (!f.exists(root)) return Seq.empty
-    def walk(p: Path): Seq[Path] = f.listStatus(p).toSeq.flatMap { s =>
-      if (s.isDirectory) walk(s.getPath)
-      else Seq(s.getPath)
-    }
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else Seq(s)
+      }
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val rootUri = new Path(table).toUri.getPath
-    val dead = walk(root).map { p =>
-      p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-    }.filterNot(referenced)
+    val dead = walk(root)
+      .filter(_.getModificationTime <= cutoff)
+      .map { s =>
+        s.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      }.filterNot(referenced)
     dead.foreach(r => f.delete(new Path(s"$table/$r"), false))
     dead
   }

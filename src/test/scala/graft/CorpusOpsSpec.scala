@@ -712,6 +712,25 @@ class CorpusOpsSpec extends SparkSpecBase {
         s"synthetic stratum $l does not exercise the wide path")
       assert(gotRates(l) === ((e.toLong, thr.toLong)), s"rates drift for $l")
     }
+    // the multi-trillion-token tier the 100 TB narrative targets: here
+    // bss = B*T*s_s and tw = T_s*W THEMSELVES overflow BIGINT (~1e24), so
+    // the whole product chain must ride DECIMAL(38,0), not just the final
+    // rescale — same BigInt reference model
+    val huge = Seq(("web", 13000000000123L), ("code", 2100000000017L),
+      ("books", 400000000031L))
+    val gotHuge = A.budgetRates(huge.toDF("lang", "t_s"), A.BUDGET_EPOCHS)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val sS3 = huge.map { case (l, t) =>
+      l -> math.floor(math.sqrt(t.toDouble * 1048576d)).toLong }.toMap
+    val (bT3, w3) = (BigInt(A.BUDGET_EPOCHS) * huge.map(_._2).sum, BigInt(sS3.values.sum))
+    huge.foreach { case (l, t) =>
+      val (bss, tw) = (bT3 * sS3(l), BigInt(t) * w3)
+      assert(bss > BigInt(Long.MaxValue) && tw > BigInt(Long.MaxValue),
+        s"stratum $l does not overflow the BIGINT product path")
+      val e = bss / tw; val rem = bss - e * tw
+      val thr = if (rem > 0) (rem * 1048576 - 1) / tw else BigInt(-1)
+      assert(gotHuge(l) === ((e.toLong, thr.toLong)), s"trillion-tier rates drift for $l")
+    }
   }
 
   test("l19: screen recounts from raw pairs x splits; only eval docs reported") {

@@ -242,9 +242,9 @@ class TimeTravelSpec extends SparkSpecBase {
     TableLog.buildFixture(spark, sfDir, table)
     // a competing writer publishes v4 while we prepare our commit: the
     // publish re-reads the log, so we land at v5 and v4 stays
-    // byte-identical — no version is ever overwritten (the exists-guard
-    // in commit() closes the remaining read-to-rename window, where a
-    // POSIX rename would otherwise clobber silently)
+    // byte-identical — no version is ever overwritten (the no-clobber
+    // rename in publish() narrows the remaining read-to-rename window on
+    // a local FS and closes it on HDFS, where Rename.NONE is atomic)
     val out = fs.create(new Path(table, "_log/v4.log"), false)
     out.write("add\tdata/winner/file.parquet\n".getBytes("UTF-8")); out.close()
     val v = TableLog.commit(spark, table,
@@ -257,6 +257,86 @@ class TimeTravelSpec extends SparkSpecBase {
     val at5 = TableLog.liveFiles(spark, table, 5)
     assert(at5.contains("data/winner/file.parquet") &&
       at5.contains("data/loser/file.parquet"))
+  }
+
+  test("commit: two writers racing to the SAME version — exactly one wins, loser errors") {
+    // the true lost-race shape: both writers read currentVersion=3 and
+    // race to publish v4. The winner's manifest must survive byte-
+    // identical and the loser must get an ERROR (never a silent
+    // overwrite). publish() exists so this interleaving is drivable
+    // without thread timing: the competitor lands v4 first, then our
+    // publish targets the same version number.
+    TableLog.buildFixture(spark, sfDir, table)
+    TableLog.publish(spark, table, 4,
+      Seq(TableLog.Action("add", "data/winner/file.parquet")))
+    val e = intercept[Exception] {
+      TableLog.publish(spark, table, 4,
+        Seq(TableLog.Action("add", "data/loser/file.parquet")))
+    }
+    assert(e.getMessage.contains("lost the publish race"), s"wrong error: $e")
+    val at4 = TableLog.liveFiles(spark, table, 4)
+    assert(at4.contains("data/winner/file.parquet") &&
+      !at4.contains("data/loser/file.parquet"),
+      "the losing publish clobbered or leaked into the winner's manifest")
+    // the loser's staging tmp never becomes a version
+    assert(TableLog.currentVersion(spark, table) === 4)
+  }
+
+  test("vacuum: the min-age guard protects an in-flight writer's staged files") {
+    // "unreferenced" cannot distinguish an orphan from a file a slow
+    // writer staged whose manifest hasn't landed: with an age threshold
+    // the young staged files survive vacuum, the manifest can still land,
+    // and the committed version reads whole. With threshold 0 the same
+    // files are GC'd (the orphan-collection behavior r15 relies on).
+    import spark.implicits._
+    val t = s"${Etl.scratch(spark)}/vacuum_age_table"
+    fs.delete(new Path(t), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, t,
+      TableLog.stage(spark, t, ev.filter($"event_id" % 4 === 0), "data/v1/base"))
+    // the slow writer: staged, not yet committed
+    val staged = TableLog.stage(spark, t,
+      ev.filter($"event_id" % 4 === 1), "data/v2/slow")
+    // a vacuum with an in-flight window races past: staged files survive
+    val dead = TableLog.vacuum(spark, t, retainFrom = 1, minAgeMs = 3600000L)
+    assert(dead.isEmpty, s"age-guarded vacuum deleted $dead")
+    staged.foreach(a => assert(fs.exists(new Path(s"$t/${a.path}"))))
+    // the manifest lands AFTER the vacuum; the version reads whole
+    TableLog.commit(spark, t, staged)
+    assert(TableLog.readAsOf(spark, t, 2).count() ===
+      ev.filter($"event_id" % 4 <= 1).count())
+    // threshold 0 + a fresh orphan: delete-now behavior is unchanged
+    val orphan = TableLog.stage(spark, t,
+      ev.filter($"event_id" % 4 === 2), "data/orphan")
+    val dead0 = TableLog.vacuum(spark, t, retainFrom = 1, minAgeMs = 0L)
+    orphan.foreach(a => assert(dead0.contains(a.path) &&
+      !fs.exists(new Path(s"$t/${a.path}"))))
+  }
+
+  test("mv1: a vacuum that outruns an unrefreshed view fails loud, not wrong") {
+    // the documented retention coupling, driven to its defined failure:
+    // the (2,3] delta needs v3's REMOVED files (the retired click set) to
+    // subtract them from the view, but a vacuum retaining only v3 has
+    // already GC'd them — the refresh must ERROR (missing files), never
+    // silently return a partial delta that would corrupt the view state.
+    TableLog.buildFixture(spark, sfDir, table)
+    val retired = TableLog.liveFiles(spark, table, 2).filter(_.contains("/click/"))
+    TableLog.vacuum(spark, table, retainFrom = 3)
+    retired.foreach(r => assert(!fs.exists(new Path(s"$table/$r"))))
+    val e = intercept[Exception] {
+      TableLog.mvDelta(spark, table, 2, 3).collect()
+    }
+    val msg = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
+    assert(msg.contains("PATH_NOT_FOUND") || msg.contains("FileNotFound") ||
+      msg.contains("does not exist"), s"wrong failure mode: $e")
+    // and the coupling's happy side: a vacuum retaining v2 (the oldest
+    // unrefreshed view) keeps the same refresh working
+    val t2 = s"${Etl.scratch(spark)}/mv_retain_table"
+    fs.delete(new Path(t2), true)
+    TableLog.buildFixture(spark, sfDir, t2)
+    TableLog.vacuum(spark, t2, retainFrom = 2)
+    assert(TableLog.mvDelta(spark, t2, 2, 3).collect().nonEmpty)
   }
 
   test("s11: stray files and crashed-writer tmps are invisible to readers") {
