@@ -55,6 +55,54 @@ object Clustering {
 
   import Similarity.{qvec, codebookDf}
 
+  /** Fitted-codebook memo — the AnnIndex.ensure idiom at driver-state
+    * scale. The Lloyd fit is DERIVED, deterministic state (integer
+    * arithmetic on a fingerprinted source), so it is built once per
+    * (source, variant) and reused: an in-JVM memo for the session plus a
+    * fingerprint-stamped text artifact under the index dir so a later
+    * session skips the fit entirely. Before this memo every consumer
+    * (l29/l29b/l30/l30b/l31 and r14's frozen-codebook stream) re-derived
+    * the same 2-pass training per query — BENCHNOTES r11 priced that at
+    * 2.8–2.9× DuckDB on the profile/prune family, pure re-derivation
+    * waste (the l13b checkpoint lesson applied to driver-side state). A
+    * regenerated fixture invalidates by fingerprint, a crashed write is
+    * detected by the fp header line, and the stored codebook is the
+    * bit-exact fit (longs in text), so no consumer can drift. */
+  private val kmMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Int, Long)]]()
+
+  private[graft] def ensureCodebook(spark: SparkSession, sfDir: String,
+      variant: String)(fit: => Seq[(Int, Int, Int, Long)]): Seq[(Int, Int, Int, Long)] = {
+    val fp = AnnIndex.sourceFingerprint(sfDir)
+    kmMemo.computeIfAbsent(s"$sfDir|$variant|$fp", _ => {
+      val path = java.nio.file.Paths.get(
+        s"${AnnIndex.indexDir(spark, sfDir)}/km_codebook_$variant.tsv")
+      val onDisk =
+        if (java.nio.file.Files.isRegularFile(path)) {
+          import scala.jdk.CollectionConverters._
+          val lines = java.nio.file.Files.readAllLines(path).asScala.toSeq
+          if (lines.headOption.contains(s"# fp=$fp"))
+            Some(lines.tail.map { l =>
+              val Array(m, c, d, v) = l.split("\t")
+              (m.toInt, c.toInt, d.toInt, v.toLong)
+            })
+          else None
+        } else None
+      onDisk.getOrElse {
+        val cent = fit
+        java.nio.file.Files.createDirectories(path.getParent)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.write(path,
+          (s"# fp=$fp" +: cent.map { case (m, c, d, v) => s"$m\t$c\t$d\t$v" }).asJava)
+        cent
+      }
+    })
+  }
+
+  /** Test hook: drop the in-JVM memo (disk artifacts stay and re-validate
+    * by fingerprint). */
+  private[graft] def clearCodebookMemo(): Unit = kmMemo.clear()
+
   /** Full-width integer Lloyd over the corpus embeddings — the pqTrain
     * conventions verbatim (init = vectors `vec_id < K`, exact BIGINT
     * distances via the compiled `pq_encode` argmin at M=1, update =
@@ -63,9 +111,10 @@ object Clustering {
     * plumbing ([[Similarity.codebookDf]]) is reused as-is. Per
     * iteration: one compiled-argmin projection pass + one posexplode
     * partial-agg rollup (the ONLY exchange, K·dim-bounded after map-side
-    * combine) — no per-vector join anywhere. */
+    * combine) — no per-vector join anywhere. Memoized via
+    * [[ensureCodebook]]: the whole l29–l31 family shares one fit. */
   private[graft] def kmTrain(spark: SparkSession, sfDir: String): Seq[(Int, Int, Int, Long)] =
-    kmTrainFrom(Tables.embeddings(spark, sfDir))
+    ensureCodebook(spark, sfDir, "base")(kmTrainFrom(Tables.embeddings(spark, sfDir)))
 
   /** [[kmTrain]] over any `(vec_id, embedding)` frame — the training
     * corpus is the parameter (streaming.Streams fits on the historical
@@ -270,7 +319,12 @@ object Clustering {
     * K=1024); per iteration one compiled-argmin pass + one posexplode
     * rollup over the SAMPLE only. */
   private[graft] def kmTrainSized(spark: SparkSession, sfDir: String, k: Int,
-      sampleVecs: Long = Similarity.PQ_TRAIN_VECS): Seq[(Int, Int, Int, Long)] = {
+      sampleVecs: Long = Similarity.PQ_TRAIN_VECS): Seq[(Int, Int, Int, Long)] =
+    ensureCodebook(spark, sfDir, s"sized_k${k}_s$sampleVecs")(
+      kmTrainSizedUncached(spark, sfDir, k, sampleVecs))
+
+  private def kmTrainSizedUncached(spark: SparkSession, sfDir: String, k: Int,
+      sampleVecs: Long): Seq[(Int, Int, Int, Long)] = {
     graft.plans.PqEncode.register(spark)
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)

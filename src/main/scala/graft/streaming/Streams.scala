@@ -464,18 +464,25 @@ object Streams {
     * the exact-distance expansion) with the codebook riding a broadcast
     * — no shuffle, no watermark, no state, exactly [[modelScoreBatch]]'s
     * scale contract applied to embeddings. */
-  def clusterAssignBatch(emb: DataFrame): DataFrame = {
+  def clusterAssignBatch(emb: DataFrame,
+      memoSfDir: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cut = emb.agg(expr("max(vec_id) * 4 div 5")).head().getLong(0)
-    graft.llm.Clustering.assignWithDist(
-      emb.filter($"vec_id" >= cut),
-      graft.llm.Clustering.kmTrainFrom(emb.filter($"vec_id" < cut)))
+    def fit = graft.llm.Clustering.kmTrainFrom(emb.filter($"vec_id" < cut))
+    // the nightly re-fit is session state, not per-query work: when the
+    // frame is a fingerprintable source, the frozen codebook rides the
+    // l29 memo (variant "hist45" = the 4/5 historical stratum)
+    val codebook = memoSfDir match {
+      case Some(dir) => graft.llm.Clustering.ensureCodebook(spark, dir, "hist45")(fit)
+      case None => fit
+    }
+    graft.llm.Clustering.assignWithDist(emb.filter($"vec_id" >= cut), codebook)
   }
 
   def r14StreamClusterAssign(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    clusterAssignBatch(Tables.embeddings(spark, sfDir)).orderBy($"vec_id")
+    clusterAssignBatch(Tables.embeddings(spark, sfDir), Some(sfDir)).orderBy($"vec_id")
   }
 
   /** R9 batch form: the l2g signature screen without the corpus split —

@@ -194,4 +194,49 @@ class ClusteringSpec extends SparkSpecBase {
       s"assignment introduced a shuffle:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("codebook memo: the Lloyd fit is paid once; memo and disk replay it job-free") {
+    // pins the r11 BENCHNOTES fix: l29b/l30/l30b/l31/r14 each re-derived
+    // the same 2-pass training per query. Now the first consumer pays the
+    // fit; every later consumer — same JVM (memo) or a fresh session
+    // reading the stamped artifact — runs ZERO Spark jobs to get the
+    // bit-identical codebook. Job counts come from per-group status
+    // polling, with a drain job after each probe so the async listener
+    // bus (FIFO) cannot race a false pass.
+    val sc = spark.sparkContext
+    val tracker = sc.statusTracker
+    def drainAfter(group: String): Unit = {
+      sc.setJobGroup(s"$group-drain", "")
+      spark.range(1).count()
+      sc.clearJobGroup()
+      val deadline = System.currentTimeMillis() + 30000
+      while (tracker.getJobIdsForGroup(s"$group-drain").isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(tracker.getJobIdsForGroup(s"$group-drain").nonEmpty,
+        "listener bus never drained")
+    }
+    val art = java.nio.file.Paths.get(
+      s"${graft.llm.AnnIndex.indexDir(spark, sfDir)}/km_codebook_base.tsv")
+    C.clearCodebookMemo()
+    java.nio.file.Files.deleteIfExists(art)
+    // cold: the fit runs real jobs and stamps the artifact
+    sc.setJobGroup("km-cold", ""); val first = C.kmTrain(spark, sfDir); sc.clearJobGroup()
+    drainAfter("km-cold")
+    assert(tracker.getJobIdsForGroup("km-cold").nonEmpty, "cold fit ran no jobs?")
+    assert(java.nio.file.Files.isRegularFile(art), "fit did not stamp its artifact")
+    // warm, same JVM: memo hit, zero jobs
+    sc.setJobGroup("km-warm", ""); val second = C.kmTrain(spark, sfDir); sc.clearJobGroup()
+    drainAfter("km-warm")
+    assert(second === first)
+    assert(tracker.getJobIdsForGroup("km-warm").isEmpty,
+      "in-JVM memoized fit re-ran Spark jobs")
+    // cold JVM simulated: memo dropped, the stamped artifact replays the
+    // exact fit — still zero jobs
+    C.clearCodebookMemo()
+    sc.setJobGroup("km-disk", ""); val third = C.kmTrain(spark, sfDir); sc.clearJobGroup()
+    drainAfter("km-disk")
+    assert(third === first)
+    assert(tracker.getJobIdsForGroup("km-disk").isEmpty,
+      "disk-replayed fit re-ran Spark jobs")
+  }
 }
