@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
   * proving graft's write paths do not depend on the default commit
   * algorithm's job-commit rename semantics.
   *
-  * Real-S3-protocol round trip: ATTEMPTED 2026-08-13, not possible in
-  * this sandbox — no in-JVM S3 mock (adobe/s3mock, findify/s3mock) exists
-  * in the offline coursier cache (zero-egress resolution fails), and
-  * /opt/spark/jars ships no hadoop-aws/aws-sdk at all, so even a mock
-  * endpoint could not mount an s3a:// filesystem. The committer seam
-  * assertions below remain the sandbox-maximal verification; on a real
+  * Real-S3-protocol round trip: an s3a:// MOUNT stays impossible in this
+  * sandbox (re-verified 2026-08-15: /opt/spark/jars — 287 jars — ships no
+  * hadoop-aws/aws-sdk, the offline coursier cache holds no S3 artifacts,
+  * and no MinIO binary is installed), so the committer-seam assertions
+  * below are the sandbox-maximal verification of the s3a WRITE path. The
+  * PROTOCOL itself is now exercised end-to-end without s3a:
+  * sources/ObjectStore.scala speaks S3 REST multipart directly (the
+  * reference's own shape — minio.rs drives an S3 client, not a Hadoop
+  * FileSystem) and S3ProtocolPutSpec drives it against an in-process
+  * S3-protocol server, including the >=chunk multipart fence. On a real
   * deployment the first smoke test is a PUT + >=64M multipart through
   * these exact confs (minio.rs:139-242 behavior).
   */
