@@ -101,11 +101,17 @@ object Relational {
   }
 
   /** P5: validity filter — reject unparseable JSON before typed decode
-    * (api.rs:46-54). from_json yields NULL on corrupt input. */
+    * (api.rs:46-54). The probe is the native single-field scanner
+    * `json_long` (plans/JsonGetLong: one byte walk, no tokenizer), NULL
+    * on corrupt input exactly like the `get_json_object(..)::long` form
+    * it replaced — which paid a full Jackson parse per row and measured
+    * 4.5s vs DuckDB's 0.93s at sf5 (this form: ~0.6s; JsonGetLongSpec
+    * pins value parity across the adversarial shapes). */
   def p5ValidityFilter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.plans.JsonGetLong.register(spark)
     Tables.events(spark, sfDir)
-      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("k", expr("json_long(props, 'k')"))
       .filter($"k".isNotNull && $"k" >= 50)
       .select($"event_id", $"k")
       .orderBy($"event_id")

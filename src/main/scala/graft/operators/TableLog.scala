@@ -191,6 +191,17 @@ object TableLog {
         s.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
       }.filterNot(referenced)
     dead.foreach(r => f.delete(new Path(s"$table/$r"), false))
+    // crashed publish attempts leave attempt-unique dot-tmps in _log —
+    // invisible to readers (currentVersion ignores dot-files) but
+    // accumulating forever without this sweep; the same age guard
+    // protects an attempt between its create and its rename
+    val logDir = new Path(table, "_log")
+    if (f.exists(logDir))
+      f.listStatus(logDir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith(".") &&
+          s.getPath.getName.endsWith(".tmp") &&
+          s.getModificationTime <= cutoff)
+        .foreach(s => f.delete(s.getPath, false))
     dead
   }
 

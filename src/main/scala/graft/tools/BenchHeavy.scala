@@ -302,7 +302,16 @@ object BenchHeavy {
     "j7_skew_join",
     // the corpus snapshot diff prices the (id, xxhash64) exchange diet
     // through a full-outer join against DuckDB comparing text directly
-    "u4_snapshot_diff")
+    "u4_snapshot_diff",
+    // round 12: the clustering consumers under the codebook memo — each
+    // prices its own delta over the shared fit (profile join + rollup;
+    // cluster-keyed prune window; frozen-codebook stream assignment)
+    // where r11 priced the per-query training re-derivation instead
+    "l29b_cluster_profile", "l30_cluster_prune", "r14_stream_cluster_assign",
+    // round 12: the JSON-parse per-byte term (get_json_object vs DuckDB's
+    // json_extract) priced at a tier where it is compute, not job floor —
+    // the p5/f2 watch item from the r11 verdict
+    "p5_validity_filter", "f2_json_parse")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio

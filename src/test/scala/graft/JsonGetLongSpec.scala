@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** json_long's contract is VALUE PARITY with
+  * `TRY_CAST(get_json_object(json, '$.key') AS BIGINT)` — try_cast
+  * because under ANSI (Spark 4's default) a plain CAST would THROW on a
+  * non-integer image where both json_long and the p5 reject-semantics
+  * need NULL. Asserted by running both expressions over every case and
+  * over the fixture, not by re-deriving expected values twice. */
+class JsonGetLongSpec extends SparkSpecBase {
+
+  private def both(cases: Seq[String], key: String = "k"): Seq[(String, Any, Any)] = {
+    import spark.implicits._
+    graft.plans.JsonGetLong.register(spark)
+    cases.toDF("j")
+      .select($"j",
+        expr(s"json_long(j, '$key')").as("native"),
+        expr(s"try_cast(get_json_object(j, '$$.$key') AS BIGINT)").as("jackson"))
+      .collect()
+      .map(r => (r.getString(0), r.get(1), r.get(2)))
+      .toSeq
+  }
+
+  private def assertParity(cases: Seq[String], key: String = "k"): Unit =
+    both(cases, key).foreach { case (j, n, ref) =>
+      assert(n === ref, s"json_long diverged from get_json_object on: $j")
+    }
+
+  test("plain integers, whitespace, negatives, quoted digits") {
+    assertParity(Seq(
+      """{"k": 69}""", """{"k":0}""", """{ "k" : -42 }""",
+      """{"k": 9223372036854775807}""", """{"k": -9223372036854775808}""",
+      """{"k": "123"}""", """{"k": "-7"}""",
+      "{\n\t\"k\"\n:\n7\n}"))
+  }
+
+  test("absent keys, corrupt JSON, non-integer values are NULL on both sides") {
+    assertParity(Seq(
+      """{"x": 1}""", """{}""", """not json at all""", """{"k": }""",
+      """{"k"}""", """[1,2,3]""", """{"k": 1.5}""", """{"k": 2e3}""",
+      """{"k": true}""", """{"k": null}""", """{"k": "abc"}""",
+      """{"k": [1]}""", """{"k": {"n": 1}}""", """{"k": 12abc}""", ""))
+  }
+
+  test("key lookalikes inside payloads do not false-match") {
+    assertParity(Seq(
+      // the key appears inside a preceding STRING value
+      """{"a": "\"k\": 99", "k": 7}""",
+      """{"a": "{\"k\": 99}", "k": 7}""",
+      // the key appears in a NESTED object (not top-level)
+      """{"a": {"k": 99}, "k": 7}""",
+      """{"a": [{"k": 99}], "k": 7}""",
+      // nested-only occurrence: top-level k absent
+      """{"a": {"k": 99}}""",
+      // escapes in sibling keys
+      """{"a\"b": 1, "k": 7}"""))
+  }
+
+  test("duplicate keys: first occurrence wins, matching the Jackson stream") {
+    assertParity(Seq("""{"k": 1, "k": 2}"""))
+  }
+
+  test("overflow past the long domain is NULL") {
+    // one past Long.MaxValue / Long.MinValue and a 30-digit monster;
+    // get_json_object's string image fails the CAST the same way
+    assertParity(Seq(
+      """{"k": 9223372036854775808}""",
+      """{"k": -9223372036854775809}""",
+      """{"k": 999999999999999999999999999999}"""))
+  }
+
+  test("fixture parity end-to-end plus the p5 plan stays codegen'd and shuffle-free up to the sort") {
+    import spark.implicits._
+    graft.plans.JsonGetLong.register(spark)
+    val diverged = Tables.events(spark, sfDir)
+      .select(
+        expr("json_long(props, 'k')").as("native"),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("jackson"))
+      .filter(!($"native" <=> $"jackson"))
+      .count()
+    assert(diverged === 0L, "fixture rows diverged from get_json_object")
+    val p5 = graft.operators.Relational.p5ValidityFilter(spark, sfDir)
+    p5.collect() // finalize the adaptive plan on THIS queryExecution
+    val plan = p5.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    // "*(n)" = a WholeStageCodegen span; the scan->filter->project chain
+    // must sit inside one
+    assert(plan.contains("*(1) Project") || plan.contains("*(1) Filter"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+}

@@ -309,9 +309,16 @@ class TimeTravelSpec extends SparkSpecBase {
     // threshold 0 + a fresh orphan: delete-now behavior is unchanged
     val orphan = TableLog.stage(spark, t,
       ev.filter($"event_id" % 4 === 2), "data/orphan")
+    // a crashed publish attempt's staging tmp: invisible to readers, but
+    // vacuum sweeps it under the same age guard
+    val crashTmp = new Path(t, "_log/.v9.deadbeef.tmp")
+    fs.create(crashTmp, true).close()
+    TableLog.vacuum(spark, t, retainFrom = 1, minAgeMs = 3600000L)
+    assert(fs.exists(crashTmp), "age-guarded vacuum swept a young _log tmp")
     val dead0 = TableLog.vacuum(spark, t, retainFrom = 1, minAgeMs = 0L)
     orphan.foreach(a => assert(dead0.contains(a.path) &&
       !fs.exists(new Path(s"$t/${a.path}"))))
+    assert(!fs.exists(crashTmp), "vacuum left the crashed attempt's _log tmp")
   }
 
   test("mv1: a vacuum that outruns an unrefreshed view fails loud, not wrong") {
