@@ -212,6 +212,7 @@ object SparkEntry {
     "l2f_xxh" -> (graft.llm.Dedup.l2fDecontamXx _),
     "l2f_roll" -> (graft.llm.Dedup.l2fDecontamRoll _),
     "l2f_pos" -> (graft.llm.Dedup.l2fDecontamPos _),
+    "p5_jackson" -> (graft.operators.Relational.p5ValidityFilterJackson _),
   )
 
   /** Single source of truth for the listing page size (main.rs:120). */

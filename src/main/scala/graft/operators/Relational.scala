@@ -117,6 +117,19 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** The get_json_object form [[p5ValidityFilter]] retired — kept as the
+    * measured ladder rung (SparkEntry.ladderQueries, the l2f_interp_md5
+    * convention): identical semantics, full Jackson tokenizer per row,
+    * so BENCHNOTES_HEAVY's Jackson-vs-native gap stays reproducible. */
+  def p5ValidityFilterJackson(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
+      .filter($"k".isNotNull && $"k" >= 50)
+      .select($"event_id", $"k")
+      .orderBy($"event_id")
+  }
+
   // ----------------------------------------------------------- §2.4 aggregates
 
   /** A1: total row count (ref: per-city vendor count, json.rs:44). */

@@ -122,5 +122,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(WordCountAgg.injection)
     ext.injectFunction(BloomFunctions.aggInjection)
     ext.injectFunction(BloomFunctions.probeInjection)
+    ext.injectFunction(JsonGetLong.injection)
   }
 }

@@ -308,10 +308,12 @@ object BenchHeavy {
     // cluster-keyed prune window; frozen-codebook stream assignment)
     // where r11 priced the per-query training re-derivation instead
     "l29b_cluster_profile", "l30_cluster_prune", "r14_stream_cluster_assign",
-    // round 12: the JSON-parse per-byte term (get_json_object vs DuckDB's
-    // json_extract) priced at a tier where it is compute, not job floor —
-    // the p5/f2 watch item from the r11 verdict
-    "p5_validity_filter", "f2_json_parse")
+    // round 12: the JSON-parse per-byte term priced at a tier where it is
+    // compute, not job floor — the p5/f2 watch item from the r11 verdict.
+    // p5_jackson is the retired get_json_object rung (ladder convention):
+    // identical semantics, full tokenizer per row, kept so the
+    // Jackson-vs-from_json-vs-native gap stays measured on demand
+    "p5_validity_filter", "f2_json_parse", "p5_jackson")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio

@@ -17,6 +17,9 @@ object ExtensionsSmoke {
       "SELECT dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head().getDouble(0)
     println(s"EXTENSIONS_DOT=$d")
+    val j = spark.sql(
+      """SELECT json_long('{"k": 42}', 'k') AS j""").head().getLong(0)
+    println(s"EXTENSIONS_JSON=$j")
     spark.stop()
   }
 }
