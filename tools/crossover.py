@@ -30,7 +30,18 @@ SOLO_QUERIES = ["a13_exact_percentiles"]
 RUNS = 3
 
 
+# persistent DuckDB-timing cache (--duck-cache=path.json): keyed by
+# (sf_dir, md5(sql)) so an edited oracle or moved tier self-invalidates;
+# lets a notes-only regen skip the ~2-min a13 sf50 re-measure
+_DUCK_CACHE_PATH = None
+_DUCK_CACHE = {}
+
+
 def duck_time(sf_dir, sql):
+    import hashlib
+    key = f"{sf_dir}|{hashlib.md5(sql.encode()).hexdigest()}"
+    if key in _DUCK_CACHE:
+        return _DUCK_CACHE[key]
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -44,13 +55,22 @@ def duck_time(sf_dir, sql):
         con.sql(sql).fetchall()
         times.append(time.time() - t0)
     con.close()
-    return statistics.median(times)
+    med = statistics.median(times)
+    _DUCK_CACHE[key] = med
+    if _DUCK_CACHE_PATH:
+        json.dump(_DUCK_CACHE, open(_DUCK_CACHE_PATH, "w"))
+    return med
 
 
 def main():
+    global _DUCK_CACHE_PATH, _DUCK_CACHE
     out_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
                      if a.startswith("--out=")), "CROSSOVER.md")
-    args = [a for a in sys.argv[1:] if not a.startswith("--out=")]
+    _DUCK_CACHE_PATH = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                             if a.startswith("--duck-cache=")), None)
+    if _DUCK_CACHE_PATH and os.path.exists(_DUCK_CACHE_PATH):
+        _DUCK_CACHE = json.load(open(_DUCK_CACHE_PATH))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     oracle = json.load(open(args[0]))
     tiers = [a.split("=", 1) for a in args[1:]]
 
