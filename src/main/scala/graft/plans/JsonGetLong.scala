@@ -10,10 +10,11 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native Catalyst expression: `json_long(json, 'key')` — the integer
   * value of a top-level JSON object member as a LONG, equal to
   * `TRY_CAST(get_json_object(json, '$.key') AS BIGINT)` (first
-  * occurrence on duplicate keys, NULL on absent key / corrupt JSON /
-  * non-integer value — the p5 reject-unparseable semantics; try_cast
-  * because ANSI CAST throws on the non-integer images this returns NULL
-  * for).
+  * NON-NULL-valued occurrence on duplicate keys — a `"k": null` member
+  * does not settle the lookup, matching Jackson's write-nothing path
+  * evaluation; NULL on absent key / corrupt JSON / non-integer value —
+  * the p5 reject-unparseable semantics; try_cast because ANSI CAST
+  * throws on the non-integer images this returns NULL for).
   *
   * Why native: `get_json_object` runs a full Jackson tokenizer per row —
   * object mapper state, token events, a string materialization, then a
@@ -107,7 +108,15 @@ object JsonGetLong {
         }
         eq
       }
-      if (matches) return parseLongValue(b, i, n)
+      // a matched member whose value is the JSON null literal does NOT
+      // settle the lookup: Jackson's path evaluation writes nothing for
+      // it and a later duplicate still matches (found by the randomized
+      // parity property — {"k": null, "k": 7} is 7 under
+      // get_json_object). Any other matched value decides, integer or
+      // not.
+      val isNullLit = i + 3 < n && b(i) == 'n' && b(i + 1) == 'u' &&
+        b(i + 2) == 'l' && b(i + 3) == 'l'
+      if (matches && !isNullLit) return parseLongValue(b, i, n)
       i = skipValue(b, i, n)
       if (i < 0) return null
     }

@@ -313,7 +313,11 @@ object BenchHeavy {
     // p5_jackson is the retired get_json_object rung (ladder convention):
     // identical semantics, full tokenizer per row, kept so the
     // Jackson-vs-from_json-vs-native gap stays measured on demand
-    "p5_validity_filter", "f2_json_parse", "p5_jackson")
+    "p5_validity_filter", "f2_json_parse", "p5_jackson",
+    // round 12: the rank family (ntile/percent_rank/cume_dist over one
+    // window) — the last sf0.1 row at >=2x with a real denominator and
+    // no tier point; prices the single user-keyed window exchange
+    "w5_rank_family")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio

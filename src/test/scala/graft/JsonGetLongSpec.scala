@@ -57,8 +57,15 @@ class JsonGetLongSpec extends SparkSpecBase {
       """{"a\"b": 1, "k": 7}"""))
   }
 
-  test("duplicate keys: first occurrence wins, matching the Jackson stream") {
-    assertParity(Seq("""{"k": 1, "k": 2}"""))
+  test("duplicate keys: first NON-NULL occurrence wins, matching the Jackson stream") {
+    assertParity(Seq(
+      """{"k": 1, "k": 2}""",
+      // a null-valued match does not settle the lookup (Jackson writes
+      // nothing for it); a later duplicate still matches
+      """{"k": null, "k": 7}""",
+      """{"k": null, "k": "9"}""",
+      """{"k": null, "k": null}""",
+      """{"k": null, "a": 1, "k": 1.5}"""))
   }
 
   test("overflow past the long domain is NULL") {

@@ -255,4 +255,55 @@ class PropertiesSpec extends SparkSpecBase {
         s"err=${math.abs(approx - exact)} bound=$bound")
     }
   }
+
+  test("json_long parity with get_json_object on randomized flat objects (P5)") {
+    // generator covers the scanner's structural space: probe key present/
+    // absent/duplicated/nested-only, sibling values of every JSON type
+    // (strings with quotes-in-payload and escapes, nested objects/arrays,
+    // literals, floats), random member order and whitespace. The oracle is
+    // Spark's own Jackson path run over the SAME column — the contract
+    // JsonGetLongSpec pins case-by-case, here sampled at breadth.
+    import spark.implicits._
+    graft.plans.JsonGetLong.register(spark)
+    val genKeyVal: Gen[String] = Gen.oneOf(
+      Gen.chooseNum(Long.MinValue + 1, Long.MaxValue).map(_.toString),
+      Gen.chooseNum(-999999L, 999999L).map(n => "\"" + n + "\""),
+      Gen.chooseNum(-1000.0, 1000.0).map(_.toString),
+      Gen.const("true"), Gen.const("null"),
+      Gen.const("\"12abc\""), Gen.const("[1, 2]"), Gen.const("{\"k\": 9}"))
+    val genSibling: Gen[String] = Gen.oneOf(
+      Gen.const("\"plain\""),
+      Gen.const("\"has \\\"k\\\": 7 inside\""),
+      Gen.const("\"esc\\\\\\\"end\""),
+      Gen.const("{\"k\": 123, \"z\": [1, {\"k\": 4}]}"),
+      Gen.const("[\"k\", 1, null, {\"k\": 2}]"),
+      Gen.const("false"), Gen.const("-17"), Gen.const("2.5e3"))
+    val genDoc: Gen[String] = for {
+      hasKey <- Gen.oneOf(true, true, true, false) // mostly present
+      dup <- Gen.oneOf(false, false, true)
+      kv <- genKeyVal
+      kv2 <- genKeyVal
+      nSib <- Gen.chooseNum(0, 3)
+      sibs <- Gen.listOfN(nSib, genSibling)
+      ws <- Gen.oneOf("", " ", "\n\t")
+      shuffleSeed <- Gen.chooseNum(0, 1000)
+    } yield {
+      val members = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(shuffleSeed)).shuffle(
+        sibs.zipWithIndex.map { case (s, i) => s""""s$i":$ws$s""" } ++
+          (if (hasKey) Seq(s""""k":$ws$kv""") else Seq.empty))
+      val withDup = if (dup) members :+ s""""k":$ws$kv2""" else members
+      s"{$ws${withDup.mkString(s",$ws")}$ws}"
+    }
+    val docs = samples(genDoc, 400) ++ Seq(
+      "", "not json", "{", "[1]", "{\"k\"", "{\"k\": }")
+    val diverged = docs.toDF("j")
+      .select($"j",
+        expr("json_long(j, 'k')").as("native"),
+        expr("try_cast(get_json_object(j, '$.k') AS BIGINT)").as("jackson"))
+      .filter(!($"native" <=> $"jackson"))
+      .collect()
+    assert(diverged.isEmpty,
+      diverged.take(5).map(_.toString).mkString("diverged on: ", " | ", ""))
+  }
 }
