@@ -105,6 +105,42 @@ object TableLog {
     next
   }
 
+  /** Optimistic-concurrency commit: [[commit]] retried across lost
+    * publish races — the conflict-resolution loop of the production log
+    * stores. A loser re-reads the log and re-targets the next version;
+    * its ACTIONS need no rebase because they are file-level adds/removes
+    * of files only this writer staged (blind appends commute — the same
+    * argument that makes the MV delta abelian). Writers whose semantics
+    * do NOT commute with a concurrent commit (read-modify-write of the
+    * same files, e.g. two compactions of one partition) must instead
+    * treat the race error as a real conflict — that is why [[commit]]
+    * stays the primitive and the retry is opt-in. Gives up after
+    * `maxAttempts` (a pathological storm should surface, not spin). */
+  private[graft] def commitWithRetry(spark: SparkSession, table: String,
+      actions: Seq[Action], maxAttempts: Int = 5,
+      beforePublish: Int => Unit = _ => ()): Int = {
+    var attempt = 1
+    while (true) {
+      val next = currentVersion(spark, table) + 1
+      // `beforePublish(next)` marks the read-to-publish window — the
+      // exact gap a concurrent writer can land in. TimeTravelSpec drives
+      // a competitor through it deterministically; production callers
+      // leave it a no-op.
+      beforePublish(next)
+      try return publish(spark, table, next, actions)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("lost the publish race") =>
+          if (attempt >= maxAttempts)
+            throw new IllegalStateException(
+              s"commit still losing the publish race after $maxAttempts attempts", e)
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
+
   private def manifestLines(f: FileSystem, table: String, v: Int): Seq[String] = {
     val in = f.open(new Path(table, s"_log/v$v.log"))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
@@ -146,12 +182,37 @@ object TableLog {
     * a NO-OP if that marker already committed (the re-delivered micro-
     * batch after a writer restart: its re-staged files stay orphaned and
     * unreferenced until [[vacuum]], the table never sees them twice).
-    * Returns the committed version, or -1 for the skipped re-delivery. */
+    * Returns the committed version, or -1 for the skipped re-delivery.
+    *
+    * The txn gate RE-CHECKS on every publish attempt: without that, two
+    * writers racing the SAME re-delivered batch could both pass one
+    * up-front check, the loser retry past the winner, and the batch land
+    * twice — the gate and the race loop must interleave per attempt
+    * (TimeTravelSpec drives exactly that interleaving through the
+    * `beforePublish` seam). Unrelated concurrent commits just cost the
+    * loser a retry, as in [[commitWithRetry]]. */
   private[graft] def commitIfAbsent(spark: SparkSession, table: String,
-      streamId: String, batchId: Long, actions: Seq[Action]): Int =
-    if (alreadyCommitted(spark, table, streamId, batchId)) -1
-    else commit(spark, table,
-      actions :+ Action("txn", s"$streamId\t$batchId"))
+      streamId: String, batchId: Long, actions: Seq[Action],
+      maxAttempts: Int = 5, beforePublish: Int => Unit = _ => ()): Int = {
+    var attempt = 1
+    while (true) {
+      if (alreadyCommitted(spark, table, streamId, batchId)) return -1
+      val next = currentVersion(spark, table) + 1
+      beforePublish(next)
+      try return publish(spark, table, next,
+        actions :+ Action("txn", s"$streamId\t$batchId"))
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("lost the publish race") =>
+          if (attempt >= maxAttempts)
+            throw new IllegalStateException(
+              s"txn commit still losing the publish race after $maxAttempts attempts", e)
+          attempt += 1
+      }
+    }
+    -1 // unreachable
+  }
 
   /** Physical GC: delete every file under `data/` that no RETAINED
     * version (>= `retainFrom`) references — retired files past their

@@ -282,6 +282,93 @@ class TimeTravelSpec extends SparkSpecBase {
     assert(TableLog.currentVersion(spark, table) === 4)
   }
 
+  test("commitWithRetry: a loser re-reads and lands after the winner, never over it") {
+    // the optimistic-concurrency loop driven deterministically: a
+    // competitor publishes INSIDE the read-to-publish window for the
+    // first three attempts (the beforePublish seam), so our writer loses
+    // three races and must land at the fourth version — with every
+    // competitor manifest intact and its own actions committed exactly
+    // once. Blind file-level appends commute, so no rebase is needed;
+    // that commutativity is the documented precondition.
+    TableLog.buildFixture(spark, sfDir, table) // versions 1..3
+    var raced = 0
+    val v = TableLog.commitWithRetry(spark, table,
+      Seq(TableLog.Action("add", "data/mine/file.parquet")),
+      beforePublish = next => if (raced < 3) {
+        raced += 1
+        TableLog.publish(spark, table, next,
+          Seq(TableLog.Action("add", s"data/competitor/c$raced.parquet")))
+      })
+    assert(raced === 3)
+    assert(v === 7, s"expected to land at v7 after three lost races, got v$v")
+    // every competitor manifest survived byte-intact and in order
+    (1 to 3).foreach { i =>
+      assert(TableLog.liveFiles(spark, table, 3 + i)
+        .contains(s"data/competitor/c$i.parquet"))
+      assert(!TableLog.liveFiles(spark, table, 3 + i)
+        .contains("data/mine/file.parquet"),
+        s"loser's actions leaked into v${3 + i}")
+    }
+    val live = TableLog.liveFiles(spark, table, 7)
+    assert(live.count(_ == "data/mine/file.parquet") === 1)
+    // a storm past maxAttempts surfaces as an error, not a spin
+    val e = intercept[IllegalStateException] {
+      TableLog.commitWithRetry(spark, table,
+        Seq(TableLog.Action("add", "data/mine/never.parquet")),
+        maxAttempts = 2,
+        beforePublish = next => TableLog.publish(spark, table, next,
+          Seq(TableLog.Action("add", s"data/storm/s$next.parquet"))))
+    }
+    assert(e.getMessage.contains("after 2 attempts"), e.getMessage)
+    assert(!TableLog.liveFiles(spark, table,
+      TableLog.currentVersion(spark, table)).contains("data/mine/never.parquet"))
+  }
+
+  test("commitIfAbsent: the txn gate re-checks per attempt — a racing duplicate lands ONCE") {
+    import spark.implicits._
+    // two writers re-deliver the SAME (streamId, batchId): the competitor
+    // lands the marker inside our read-to-publish window; our retry must
+    // re-check the gate and back off with -1 — without the per-attempt
+    // re-check the batch would commit twice (the exactly-once hole the
+    // interleaved gate closes).
+    val t = s"${Etl.scratch(spark)}/txn_race_table"
+    fs.delete(new Path(t), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, t,
+      TableLog.stage(spark, t, ev.filter($"event_id" % 4 === 0), "data/v1/base"))
+    val ours = TableLog.stage(spark, t,
+      ev.filter($"event_id" % 4 === 1), "data/dup/ours")
+    var competed = false
+    val r = TableLog.commitIfAbsent(spark, t, "s", 1L, ours,
+      beforePublish = next => if (!competed) {
+        competed = true
+        val theirs = TableLog.stage(spark, t,
+          ev.filter($"event_id" % 4 === 1), "data/dup/theirs")
+        require(TableLog.publish(spark, t, next,
+          theirs :+ TableLog.Action("txn", "s\t1")) == next)
+      })
+    assert(r === -1, s"duplicate batch committed twice (returned v$r)")
+    // exactly one copy of the batch is live; the loser's staged files are
+    // orphans for vacuum
+    val live = TableLog.liveFiles(spark, t, TableLog.currentVersion(spark, t))
+    assert(live.exists(_.startsWith("data/dup/theirs/")))
+    assert(!live.exists(_.startsWith("data/dup/ours/")))
+    assert(TableLog.readAsOf(spark, t, TableLog.currentVersion(spark, t)).count()
+      === ev.filter($"event_id" % 4 <= 1).count())
+    // an UNRELATED concurrent commit just costs a retry, then lands
+    var bumped = false
+    val v2 = TableLog.commitIfAbsent(spark, t, "s", 2L,
+      TableLog.stage(spark, t, ev.filter($"event_id" % 4 === 2), "data/b2"),
+      beforePublish = next => if (!bumped) {
+        bumped = true
+        TableLog.publish(spark, t, next,
+          Seq(TableLog.Action("add", "data/unrelated/x.parquet")))
+      })
+    assert(v2 === TableLog.currentVersion(spark, t) &&
+      TableLog.alreadyCommitted(spark, t, "s", 2L))
+  }
+
   test("vacuum: the min-age guard protects an in-flight writer's staged files") {
     // "unreferenced" cannot distinguish an orphan from a file a slow
     // writer staged whose manifest hasn't landed: with an age threshold
