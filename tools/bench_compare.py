@@ -127,6 +127,11 @@ def main():
                 elif "err" in box:  # missing table / unsupported SQL: render as —
                     print(f"oracle failed for {name}: {box['err']}", file=sys.stderr)
                     duck_s = None
+                    # a failed oracle (OOM especially) can poison the shared
+                    # connection's memory accounting — every later query then
+                    # fails with "Failed to allocate 8 bytes" (measured on
+                    # the sf25 regen). Isolate the failure: fresh connection.
+                    con = make_connection(sf_dir)
                 else:
                     duck_s = box["s"]
                 duck_cache[sql] = duck_s
