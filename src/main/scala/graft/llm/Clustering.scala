@@ -65,9 +65,11 @@ object Clustering {
     * the same 2-pass training per query — BENCHNOTES r11 priced that at
     * 2.8–2.9× DuckDB on the profile/prune family, pure re-derivation
     * waste (the l13b checkpoint lesson applied to driver-side state). A
-    * regenerated fixture invalidates by fingerprint, a crashed write is
-    * detected by the fp header line, and the stored codebook is the
-    * bit-exact fit (longs in text), so no consumer can drift. */
+    * regenerated fixture invalidates by fingerprint, a crashed write
+    * cannot surface (temp-file + ATOMIC_MOVE publish, and a torn file
+    * that somehow lands anyway fails the record-count trailer check),
+    * and the stored codebook is the bit-exact fit (longs in text), so no
+    * consumer can drift. */
   private val kmMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Int, Int, Long)]]()
 
@@ -77,23 +79,43 @@ object Clustering {
     kmMemo.computeIfAbsent(s"$sfDir|$variant|$fp", _ => {
       val path = java.nio.file.Paths.get(
         s"${AnnIndex.indexDir(spark, sfDir)}/km_codebook_$variant.tsv")
+      // load-time validity = fp header AND the record-count trailer: the
+      // header is written first, so on its own it would bless a torn
+      // write (fewer centroids — or a final long cut mid-digits that
+      // still parses — replaying silently into every l29–l31/r14
+      // consumer). The trailer is written LAST and must agree with the
+      // row count; any mismatch or parse failure falls back to a refit.
       val onDisk =
         if (java.nio.file.Files.isRegularFile(path)) {
           import scala.jdk.CollectionConverters._
           val lines = java.nio.file.Files.readAllLines(path).asScala.toSeq
-          if (lines.headOption.contains(s"# fp=$fp"))
-            Some(lines.tail.map { l =>
+          val body = lines.drop(1).dropRight(1)
+          val complete = lines.headOption.contains(s"# fp=$fp") &&
+            lines.lastOption.contains(s"# n=${lines.length - 2}")
+          if (complete)
+            scala.util.Try(body.map { l =>
               val Array(m, c, d, v) = l.split("\t")
               (m.toInt, c.toInt, d.toInt, v.toLong)
-            })
+            }).toOption
           else None
         } else None
       onDisk.getOrElse {
         val cent = fit
         java.nio.file.Files.createDirectories(path.getParent)
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.write(path,
-          (s"# fp=$fp" +: cent.map { case (m, c, d, v) => s"$m\t$c\t$d\t$v" }).asJava)
+        // stage to a temp sibling and ATOMIC_MOVE into place: a crash
+        // mid-write leaves only the temp file, never a half codebook at
+        // the validated path (same guarantee the table log's manifest
+        // publish rides)
+        val tmp = java.nio.file.Files.createTempFile(
+          path.getParent, s"km_codebook_$variant", ".tmp")
+        java.nio.file.Files.write(tmp,
+          (s"# fp=$fp" +:
+            cent.map { case (m, c, d, v) => s"$m\t$c\t$d\t$v" } :+
+            s"# n=${cent.length}").asJava)
+        java.nio.file.Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         cent
       }
     })

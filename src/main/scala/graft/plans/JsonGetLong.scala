@@ -69,7 +69,15 @@ object JsonGetLong {
 
   /** Single-pass scan. Returns null (boxed) for: not a top-level object,
     * absent key, corrupt JSON, non-integer value, long overflow — each a
-    * case where `CAST(get_json_object(..) AS BIGINT)` is also NULL. */
+    * case where `CAST(get_json_object(..) AS BIGINT)` is also NULL.
+    *
+    * Jackson's path evaluation iterates the WHOLE top-level object (that
+    * is how the duplicate-key rule works), so a document that goes bad
+    * AFTER the matched member — truncation, a trailing comma, a malformed
+    * sibling value — is NULL under get_json_object even though the match
+    * itself was clean. This scan therefore keeps validating members until
+    * the enclosing object closes before releasing a matched value; bytes
+    * after the closing '}' are never read, also like Jackson. */
   def evalJsonLong(json: UTF8String, key: UTF8String): java.lang.Long = {
     val b = json.getBytes
     val kb = key.getBytes
@@ -78,12 +86,16 @@ object JsonGetLong {
     if (i >= n || b(i) != '{') return null
     i += 1
     var first = true
+    var found: java.lang.Long = null
+    var settled = false // a non-null-literal match decided the lookup
     while (i < n) {
       i = skipWs(b, i, n)
-      if (i < n && b(i) == '}') return null // key absent
+      if (i < n && b(i) == '}') return found // object closed well-formed
       if (!first) {
         if (i >= n || b(i) != ',') return null
         i = skipWs(b, i + 1, n)
+        // a trailing comma ({"k":5,}) is a Jackson parse error -> NULL
+        if (i < n && b(i) == '}') return null
       }
       first = false
       // member key
@@ -96,7 +108,7 @@ object JsonGetLong {
       if (i >= n || b(i) != ':') return null
       i = skipWs(b, i + 1, n)
       if (i >= n) return null
-      val matches = keyEnd - keyStart == kb.length && {
+      val matches = !settled && keyEnd - keyStart == kb.length && {
         var j = 0
         var eq = true
         while (eq && j < kb.length) {
@@ -116,11 +128,18 @@ object JsonGetLong {
       // not.
       val isNullLit = i + 3 < n && b(i) == 'n' && b(i + 1) == 'u' &&
         b(i + 2) == 'l' && b(i + 3) == 'l'
-      if (matches && !isNullLit) return parseLongValue(b, i, n)
+      if (matches && !isNullLit) {
+        val v = parseLongValue(b, i, n)
+        // a non-integer matched image fails the CAST whether or not the
+        // tail is well-formed — NULL either way, so settle immediately
+        if (v == null) return null
+        found = v
+        settled = true
+      }
       i = skipValue(b, i, n)
       if (i < 0) return null
     }
-    null
+    null // ran off the end: truncated document, Jackson throws -> NULL
   }
 
   private def skipWs(b: Array[Byte], start: Int, n: Int): Int = {
@@ -140,46 +159,111 @@ object JsonGetLong {
     -1
   }
 
-  /** Past one JSON value of any type; -1 on corrupt input. */
+  /** Past one JSON value of any type, VALIDATING it per the JSON grammar
+    * (exact literals, no leading-zero numbers, balanced well-formed
+    * structures); -1 on corrupt input. Strictness matters for parity: a
+    * malformed value anywhere in the top-level object makes Jackson
+    * throw, so get_json_object is NULL even when the probed key matched
+    * cleanly earlier in the stream. */
   private def skipValue(b: Array[Byte], start: Int, n: Int): Int = {
     if (start >= n) return -1
     b(start) match {
       case '"' => skipString(b, start, n)
-      case '{' | '[' =>
-        var depth = 0
-        var i = start
-        while (i < n) {
-          b(i) match {
-            case '"' =>
-              i = skipString(b, i, n)
-              if (i < 0) return -1
-            case '{' | '[' => depth += 1; i += 1
-            case '}' | ']' =>
-              depth -= 1; i += 1
-              if (depth == 0) return i
-            case _ => i += 1
-          }
+      case '{' =>
+        var i = skipWs(b, start + 1, n)
+        if (i < n && b(i) == '}') return i + 1
+        var more = true
+        while (more) {
+          if (i >= n || b(i) != '"') return -1
+          i = skipString(b, i, n)
+          if (i < 0) return -1
+          i = skipWs(b, i, n)
+          if (i >= n || b(i) != ':') return -1
+          i = skipValue(b, skipWs(b, i + 1, n), n)
+          if (i < 0) return -1
+          i = skipWs(b, i, n)
+          if (i < n && b(i) == ',') i = skipWs(b, i + 1, n)
+          else more = false
         }
-        -1
-      case _ =>
-        // number / true / false / null: run to the next delimiter
-        var i = start
-        while (i < n && b(i) != ',' && b(i) != '}' && b(i) != ']' &&
-          b(i) != ' ' && b(i) != '\t' && b(i) != '\n' && b(i) != '\r') i += 1
-        if (i == start) -1 else i
+        if (i < n && b(i) == '}') i + 1 else -1
+      case '[' =>
+        var i = skipWs(b, start + 1, n)
+        if (i < n && b(i) == ']') return i + 1
+        var more = true
+        while (more) {
+          i = skipValue(b, i, n)
+          if (i < 0) return -1
+          i = skipWs(b, i, n)
+          if (i < n && b(i) == ',') i = skipWs(b, i + 1, n)
+          else more = false
+        }
+        if (i < n && b(i) == ']') i + 1 else -1
+      case 't' => expectLiteral(b, start, n, "true")
+      case 'f' => expectLiteral(b, start, n, "false")
+      case 'n' => expectLiteral(b, start, n, "null")
+      case _ => skipNumber(b, start, n)
     }
   }
 
-  /** The matched member's value as a long: a bare or quoted integer
-    * (optionally negative); anything else — float, exponent, literal,
-    * structure, overflow — is null, as its string image would not survive
-    * CAST(.. AS BIGINT). */
+  /** Past the exact literal iff it ends at a delimiter; -1 otherwise. */
+  private def expectLiteral(b: Array[Byte], start: Int, n: Int, lit: String): Int = {
+    if (start + lit.length > n) return -1
+    var j = 0
+    while (j < lit.length) {
+      if (b(start + j) != lit.charAt(j)) return -1
+      j += 1
+    }
+    val i = start + lit.length
+    if (i < n && !isDelim(b(i))) -1 else i
+  }
+
+  /** Past one JSON number (RFC 8259 grammar: no leading zeros, no bare
+    * '.', optional frac/exp) ending at a delimiter; -1 otherwise. */
+  private def skipNumber(b: Array[Byte], start: Int, n: Int): Int = {
+    var i = start
+    if (i < n && b(i) == '-') i += 1
+    if (i >= n || b(i) < '0' || b(i) > '9') return -1
+    if (b(i) == '0') i += 1 // a leading 0 must stand alone ("007" throws)
+    else while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+    if (i < n && b(i) == '.') {
+      i += 1
+      if (i >= n || b(i) < '0' || b(i) > '9') return -1
+      while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+    }
+    if (i < n && (b(i) == 'e' || b(i) == 'E')) {
+      i += 1
+      if (i < n && (b(i) == '+' || b(i) == '-')) i += 1
+      if (i >= n || b(i) < '0' || b(i) > '9') return -1
+      while (i < n && b(i) >= '0' && b(i) <= '9') i += 1
+    }
+    if (i < n && !isDelim(b(i))) -1 else i
+  }
+
+  private def isDelim(c: Byte): Boolean =
+    c == ',' || c == '}' || c == ']' ||
+      c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  /** The matched member's value as a long: a bare JSON integer, or a
+    * quoted string whose image survives `TRY_CAST(.. AS BIGINT)` —
+    * which trims surrounding whitespace and accepts an explicit '+'
+    * sign and leading zeros ("  +5 " -> 5, "007" -> 7), unlike the bare
+    * JSON number grammar. Anything else — float, exponent, literal,
+    * structure, overflow — is null. Structural validity of the value
+    * (and the rest of the document) is the caller's skipValue pass;
+    * this only decides the cast image. */
   private def parseLongValue(b: Array[Byte], start: Int, n: Int): java.lang.Long = {
     var i = start
-    var quoted = false
-    if (i < n && b(i) == '"') { quoted = true; i += 1 }
+    val quoted = i < n && b(i) == '"'
+    if (quoted) {
+      i += 1
+      // the cast's trimAll on the string image
+      while (i < n && isWs(b(i))) i += 1
+    }
     var neg = false
-    if (i < n && b(i) == '-') { neg = true; i += 1 }
+    if (i < n && (b(i) == '-' || (quoted && b(i) == '+'))) {
+      neg = b(i) == '-'
+      i += 1
+    }
     if (i >= n || b(i) < '0' || b(i) > '9') return null
     // negative accumulation: |Long.MinValue| > Long.MaxValue, so this is
     // the only orientation that parses the full domain edge-exactly
@@ -191,6 +275,7 @@ object JsonGetLong {
       i += 1
     }
     if (quoted) {
+      while (i < n && isWs(b(i))) i += 1
       if (i >= n || b(i) != '"') return null
       i += 1
     }
@@ -201,6 +286,9 @@ object JsonGetLong {
     else if (acc == Long.MinValue) null // +9223372036854775808 overflows
     else -acc
   }
+
+  private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
 
   private val builder = (exprs: Seq[Expression]) =>
     JsonGetLong(exprs.head, exprs(1))

@@ -239,4 +239,36 @@ class ClusteringSpec extends SparkSpecBase {
     assert(tracker.getJobIdsForGroup("km-disk").isEmpty,
       "disk-replayed fit re-ran Spark jobs")
   }
+
+  test("codebook memo: a torn artifact (valid fp header, truncated body) is refit, not replayed") {
+    // r12-advice hardening: the publish is now temp-file + ATOMIC_MOVE so
+    // a crash cannot leave a partial file at the validated path at all —
+    // and if one lands anyway (copied in, disk corruption), the
+    // record-count trailer written LAST must agree with the body, else
+    // the loader falls back to the fit. Three torn shapes: body cut
+    // mid-rows, the final long cut mid-digits (still parses as a long!),
+    // and a missing trailer.
+    import scala.jdk.CollectionConverters._
+    val art = java.nio.file.Paths.get(
+      s"${graft.llm.AnnIndex.indexDir(spark, sfDir)}/km_codebook_base.tsv")
+    C.clearCodebookMemo()
+    java.nio.file.Files.deleteIfExists(art)
+    val good = C.kmTrain(spark, sfDir)
+    val lines = java.nio.file.Files.readAllLines(art).asScala.toSeq
+    assert(lines.last === s"# n=${lines.length - 2}", "trailer missing on a clean publish")
+    val torn = Seq(
+      lines.dropRight(1 + lines.length / 2),                 // body cut, no trailer
+      lines.dropRight(1).init :+ lines.init.last.dropRight(3), // last long cut mid-digits
+      lines.dropRight(1))                                    // trailer alone missing
+    torn.foreach { shape =>
+      java.nio.file.Files.write(art, shape.asJava)
+      C.clearCodebookMemo()
+      val refit = C.kmTrain(spark, sfDir)
+      assert(refit === good, "torn artifact replayed instead of refitting")
+      // the refit re-publishes a complete artifact
+      val repaired = java.nio.file.Files.readAllLines(art).asScala.toSeq
+      assert(repaired.last === s"# n=${repaired.length - 2}")
+      assert(repaired === lines)
+    }
+  }
 }

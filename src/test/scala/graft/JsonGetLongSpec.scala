@@ -68,6 +68,34 @@ class JsonGetLongSpec extends SparkSpecBase {
       """{"k": null, "a": 1, "k": 1.5}"""))
   }
 
+  test("document-tail corruption after a clean match is NULL (Jackson reads to END_OBJECT)") {
+    assertParity(Seq(
+      // truncated: the value parsed but the object never closes
+      """{"k": 5""", """{"k": 5, "a":""", """{"k": 5, "a": 1""",
+      // trailing comma: a Jackson parse error even though k matched
+      """{"k":5,}""", """{"k": 5, "a": 1,}""",
+      // malformed SIBLING value after the match poisons the document
+      """{"k": 5, "a": 12abc}""", """{"k": 5, "a": truex}""",
+      """{"k": 5, "a": 007}""", """{"k": 5, "a": [1,]}""",
+      """{"k": 5, "a": {"x" 1}}""", """{"k": 5 "a": 1}""",
+      // ...but bytes AFTER the closing brace are never read
+      """{"k": 5} trailing garbage"""))
+  }
+
+  test("leading-zero integers: bare throws in Jackson, quoted survives the cast") {
+    assertParity(Seq(
+      """{"k": 007}""", """{"k": -007}""", """{"k": 00}""",
+      """{"k": 0}""", """{"k": -0}""",
+      """{"k": "007"}""", """{"k": "00"}"""))
+  }
+
+  test("quoted values ride the cast's trim/sign rules, not the JSON number grammar") {
+    assertParity(Seq(
+      """{"k": "+5"}""", """{"k": " 5"}""", """{"k": "5 "}""",
+      """{"k": "  +5 "}""", """{"k": "+007"}""", """{"k": "-  5"}""",
+      """{"k": "+"}""", """{"k": ""}""", """{"k": " "}"""))
+  }
+
   test("overflow past the long domain is NULL") {
     // one past Long.MaxValue / Long.MinValue and a 30-digit monster;
     // get_json_object's string image fails the CAST the same way

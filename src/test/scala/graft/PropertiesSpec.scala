@@ -295,7 +295,35 @@ class PropertiesSpec extends SparkSpecBase {
       val withDup = if (dup) members :+ s""""k":$ws$kv2""" else members
       s"{$ws${withDup.mkString(s",$ws")}$ws}"
     }
-    val docs = samples(genDoc, 400) ++ Seq(
+    // corruption stage: the r12-advice shapes sampled at breadth — a
+    // valid doc truncated mid-stream, a trailing comma smuggled before
+    // the close, or a non-grammar value (leading-zero int, junk run,
+    // misspelled literal) — every one a Jackson throw, so the oracle
+    // column settles parity without a second expected-value derivation.
+    // Cast-lenient QUOTED images ("+5", " 5 ", "007") ride genKeyVal.
+    val genCorrupt: Gen[String] = for {
+      doc <- genDoc
+      mode <- Gen.chooseNum(0, 4)
+      cut <- Gen.chooseNum(1, 10)
+    } yield mode match {
+      case 0 => doc.substring(0, math.max(1, doc.length - cut % doc.length))
+      case 1 => doc.dropRight(1) + ",}"
+      case 2 => doc.dropRight(1) + s""","bad":0$cut}"""
+      case 3 => doc.dropRight(1) + s""","bad":${cut}abc}"""
+      case _ => doc.dropRight(1) + ""","bad":nul}"""
+    }
+    val genQuotedLenient: Gen[String] = for {
+      n <- Gen.chooseNum(-99999L, 99999L)
+      pre <- Gen.oneOf("", " ", "  ", "\t")
+      sign <- Gen.oneOf("", "+")
+      pad <- Gen.oneOf("", "0", "00")
+      post <- Gen.oneOf("", " ", "\n")
+    } yield {
+      val img = if (n < 0) s"-$pad${-n}" else s"$sign$pad$n"
+      s"""{"k": "$pre$img$post"}"""
+    }
+    val docs = samples(genDoc, 400) ++ samples(genCorrupt, 200) ++
+      samples(genQuotedLenient, 100) ++ Seq(
       "", "not json", "{", "[1]", "{\"k\"", "{\"k\": }")
     val diverged = docs.toDF("j")
       .select($"j",
