@@ -229,21 +229,43 @@ object AnnIndex {
     import spark.implicits._
     val dir = indexDir(spark, sfDir)
     val fp = sourceFingerprint(sfDir)
-    val emb = Tables.embeddings(spark, sfDir)
-    Tables.sink(s"$dir/ivf_centroids") {
-      emb.select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-        .groupBy($"label", $"pos")
-        .agg((sum($"v".cast("decimal(20,10)")).cast("double") / count(lit(1))).as("c"))
-        .write.mode("overwrite").parquet(s"$dir/ivf_centroids")
-    }
-    stamp(s"$dir/ivf_centroids", fp)
+    buildIvfCentroids(spark, sfDir)
     Tables.sink(s"$dir/ivf_corpus") {
-      emb.withColumn("pshard", pmod($"label", lit(LIST_SHARDS)))
+      Tables.embeddings(spark, sfDir)
+        .withColumn("pshard", pmod($"label", lit(LIST_SHARDS)))
         .repartition($"pshard")
         .write.mode("overwrite").partitionBy("pshard").parquet(s"$dir/ivf_corpus")
     }
     stamp(s"$dir/ivf_corpus", fp)
     dir
+  }
+
+  /** The centroid half of [[buildIvf]] on its own: the K·dim component
+    * table is what the BUILD-FREE ivf forms (l3c/l3f) also need — they
+    * keep their raw-embeddings corpus scan but have no reason to re-run
+    * the corpus-wide centroid aggregate per query (the r12 verdict priced
+    * that re-derivation at 8.3x DuckDB for l3f at sf25 — the same waste
+    * the clustering codebook memo closed for l29–l31). */
+  def buildIvfCentroids(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val dir = indexDir(spark, sfDir)
+    val fp = sourceFingerprint(sfDir)
+    Tables.sink(s"$dir/ivf_centroids") {
+      Tables.embeddings(spark, sfDir)
+        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg((sum($"v".cast("decimal(20,10)")).cast("double") / count(lit(1))).as("c"))
+        .write.mode("overwrite").parquet(s"$dir/ivf_centroids")
+    }
+    stamp(s"$dir/ivf_centroids", fp)
+    dir
+  }
+
+  def ensureIvfCentroids(spark: SparkSession, sfDir: String): String = {
+    val dir = indexDir(spark, sfDir)
+    if (!fresh(s"$dir/ivf_centroids", sourceFingerprint(sfDir)))
+      buildIvfCentroids(spark, sfDir)
+    else dir
   }
 
   def ensureIvf(spark: SparkSession, sfDir: String): String = {

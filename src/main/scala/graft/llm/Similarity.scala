@@ -499,11 +499,16 @@ object Similarity {
     withNative(spark)
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
-    // centroid components: exact decimal sum -> double divide
-    val comps = emb
-      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-      .groupBy($"label", $"pos")
-      .agg((sum($"v".cast("decimal(20,10)")).cast("double") / count(lit(1))).as("c"))
+    // centroid components: exact decimal sum -> double divide. The
+    // aggregate is corpus-wide but its RESULT is K·dim rows that only
+    // change when the source does — so it is built once into the
+    // fingerprint-stamped index dir (AnnIndex.ensureIvfCentroids, the
+    // ensureCodebook idiom) and every l3c/l3f evaluation replays the
+    // persisted components bit-exactly (double parquet roundtrip is
+    // lossless; reassembly is the same ordered fold as l3f_serve's, so
+    // the probe choice is bit-equal to the inline form's).
+    val comps = Tables.readMemo(spark,
+      s"${AnnIndex.ensureIvfCentroids(spark, sfDir)}/ivf_centroids")
     val centroids = comps
       .groupBy($"label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))

@@ -304,6 +304,20 @@ class PlanAuditSpec extends SparkSpecBase {
       s"non-point-lookup vectors_by_id scan:\n${vecScans.mkString("\n")}")
   }
 
+  test("l3f/l3c: the centroid table replays the stamped artifact, never a per-query corpus aggregate") {
+    // the r12 verdict's worst at-scale row (8.3x compute at sf25) was
+    // l3f re-running the corpus-wide centroid aggregate per evaluation;
+    // this pins the fix — the probe ranking reads the persisted
+    // ivf_centroids components, and the only scan of the raw embeddings
+    // table is the corpus search side (plus the vec_id=0 query lookup),
+    // never an Expand/posexplode aggregate underneath the probe ranking
+    for (name <- Seq("l3f_ivf_multiprobe", "l3c_ivf_topk")) {
+      val p = plan(q(name))
+      assert(p.contains("ivf_centroids"), p)
+      assert(!p.contains("posexplode"), s"$name still aggregates centroids inline:\n$p")
+    }
+  }
+
   test("l3n_serve: ADC over the probed pq_codes shards only; floats only as point lookups") {
     val p = plan(q("l3n_serve"))
     // corpus side = the list-sharded code store, dynamically pruned to the
