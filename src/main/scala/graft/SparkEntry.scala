@@ -172,6 +172,8 @@ object SparkEntry {
     "s11_time_travel" -> (graft.operators.TableLog.s11TimeTravel _),
     "s12_schema_evolution" -> (graft.operators.TableLog.s12SchemaEvolution _),
     "mv1_incremental_agg" -> (graft.operators.TableLog.mv1IncrementalAgg _),
+    "s11_warm_read" -> (graft.operators.TableLog.s11WarmRead _),
+    "mv1_warm_refresh" -> (graft.operators.TableLog.mv1WarmRefresh _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
     "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
@@ -746,6 +748,21 @@ object SparkEntry {
     // the direct aggregate over the final snapshot — a delta bug (missed
     // remove, double-counted add, dropped group) diverges
     "mv1_incremental_agg" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE event_type <> 'click' OR value >= 100.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // warm-path s11: one as-of read against the PRE-BUILT log; the
+    // oracle recomputes the v3 snapshot from the commit rules (DuckDB
+    // has no log — its only path is the full-table scan the metadata
+    // plane avoids)
+    "s11_warm_read" ->
+      """SELECT COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE event_type <> 'click' OR value >= 100.0""".stripMargin,
+    // warm-path mv1: ONE O(batch) refresh of the persisted v2 state
+    // through the v3 rewrite window; the oracle is the full recompute of
+    // the refreshed view over the v3 snapshot
+    "mv1_warm_refresh" ->
       """SELECT event_type, COUNT(*) AS n_rows,
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
         |FROM events WHERE event_type <> 'click' OR value >= 100.0

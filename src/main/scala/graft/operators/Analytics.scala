@@ -35,14 +35,25 @@ object Analytics {
     val orders = ordersT
       .filter($"o_orderdate" < cut)
       .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    // revenue terms as exact 4dp-scaled longs: a per-ORDER group is ≤7
+    // lineitems at any corpus scale (the TPC-H line-count bound), so a
+    // raw BIGINT sum is exact and overflow-free — no decimal buffer, no
+    // BigDecimal per row through the 75M-group hash aggregate that was
+    // the bucketed form's residual stage cost (r12 verdict: 2.4x at
+    // sf25). The date leaves the GROUPING KEY too (it is functionally
+    // dependent on o_orderkey) and rides as a MIN aggregate — an 8-byte
+    // compare per row instead of a second hashed key column.
     val items = lineitem
       .filter($"l_shipdate" > cut)
-      .select($"l_orderkey", money($"l_extendedprice").as("price"), money($"l_discount").as("disc"))
+      .select($"l_orderkey",
+        (graft.Exact.cents($"l_extendedprice") *
+          (lit(100L) - graft.Exact.cents($"l_discount"))).as("rev4"))
     orders
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .join(items, $"o_orderkey" === $"l_orderkey")
-      .groupBy($"o_orderkey", unix_timestamp($"o_orderdate").as("orderdate_s"))
-      .agg(sum($"price" * (graft.Exact.one - $"disc")).cast("double").as("revenue"))
+      .groupBy($"o_orderkey")
+      .agg(min(unix_timestamp($"o_orderdate")).as("orderdate_s"),
+        (sum($"rev4").cast("double") / lit(1e4)).as("revenue"))
       .orderBy($"revenue".desc, $"o_orderkey")
       .limit(10)
   }
@@ -70,14 +81,21 @@ object Analytics {
       .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp")
         && $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
       .select($"o_orderkey", $"o_custkey")
+    // nation groups are O(corpus/25) rows — unbounded, so the exact 4dp
+    // integer terms feed sum128 (int128, three-primitive-long buffer)
+    // rather than a raw BIGINT (overflow near 10^10 rows/group) or
+    // SUM(DECIMAL) (BigDecimal box per row; see q1PricingSummary)
+    graft.plans.Sum128.register(spark)
     val items = lineitem
-      .select($"l_orderkey", money($"l_extendedprice").as("price"), money($"l_discount").as("disc"))
+      .select($"l_orderkey",
+        (graft.Exact.cents($"l_extendedprice") *
+          (lit(100L) - graft.Exact.cents($"l_discount"))).as("rev4"))
     orders
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .join(items, $"o_orderkey" === $"l_orderkey")
       .groupBy($"n_name")
       .agg(
-        sum($"price" * (graft.Exact.one - $"disc")).cast("double").as("revenue"),
+        expr("CAST(sum128(rev4, 4) AS DOUBLE)").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"revenue".desc, $"n_name")
   }

@@ -21,19 +21,32 @@ object Relational {
 
   /** Flagship: pricing-summary over lineitem (SURVEY §7.2 slice 0).
     * Filter -> hash agg (partial+final, map-side combine) -> order.
-    */
+    *
+    * Money rides as exact integer cents into `sum128` (plans/Sum128:
+    * int128 accumulation in three primitive buffer longs) instead of
+    * SUM(DECIMAL), whose >18-digit buffer boxes a BigDecimal per row —
+    * that box was ~40% of this query at the sf25 tier (DecProbe: 4.57s
+    * -> 2.70s). Values are unchanged: the 2dp/4dp integer sums are the
+    * decimal sums' exact unscaled values and the final DOUBLE casts are
+    * correctly rounded on both paths, so the query stays hash-exact vs
+    * the DECIMAL-sum oracle. q1 groups are O(corpus/4) rows, so the raw
+    * BIGINT shortcut would overflow near 10^10 rows/group — sum128's
+    * ceiling is 10^29. */
   def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.plans.Sum128.register(spark)
     Tables.lineitem(spark, sfDir)
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .select($"l_returnflag", $"l_linestatus", $"l_quantity",
+        graft.Exact.cents($"l_extendedprice").as("pc"),
+        (lit(100L) - graft.Exact.cents($"l_discount")).as("dk"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         sum($"l_quantity").cast("double").as("sum_qty"),
-        sum(money($"l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(money($"l_extendedprice") * (graft.Exact.one - money($"l_discount")))
-          .cast("double").as("sum_disc_price"),
+        expr("CAST(sum128(pc, 2) AS DOUBLE)").as("sum_base_price"),
+        expr("CAST(sum128(pc * dk, 4) AS DOUBLE)").as("sum_disc_price"),
         (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
-        (sum(money($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        (expr("CAST(sum128(pc, 2) AS DOUBLE)") / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }

@@ -75,15 +75,33 @@ object ObjectStore {
     (body, headers)
   }
 
+  /** RFC 3986 path-segment percent-encoding: keys with spaces or
+    * reserved characters must not be spliced raw into the request line
+    * (URLEncoder's form encoding alone would also be wrong — '+' means
+    * space only in query strings, not paths). '/' separators are the
+    * caller's structure and stay outside. */
+  private[sources] def encodeSegment(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+      .replace("+", "%20")
+      .replace("*", "%2A")
+      .replace("%7E", "~")
+
+  private def objectUrl(baseUrl: String, bucket: String, key: String): String =
+    s"${baseUrl.stripSuffix("/")}/${encodeSegment(bucket)}/" +
+      key.split("/", -1).map(encodeSegment).mkString("/")
+
   /** Ship one local file to `bucket/key`. Single PUT when the file fits
     * in one chunk; the three-phase multipart protocol otherwise — part
     * numbers start at 1, each part's ETag is echoed back in the complete
     * request, exactly the sequence minio.rs:166–242 drives through the
-    * AWS SDK. */
+    * AWS SDK. A failed part or complete ABORTS the upload (DELETE with
+    * the uploadId) before rethrowing: without the abort, a real store
+    * holds the staged parts — billed, invisible to LIST — until a
+    * lifecycle rule expires them. */
   def putFile(baseUrl: String, bucket: String, key: String, file: File,
       chunkSize: Int = CHUNK_SIZE): PutResult = {
     val size = file.length()
-    val objUrl = s"${baseUrl.stripSuffix("/")}/$bucket/$key"
+    val objUrl = objectUrl(baseUrl, bucket, key)
     if (size <= chunkSize) {
       val bytes = java.nio.file.Files.readAllBytes(file.toPath)
       val (_, headers) = expectOk(s"PUT $key")(
@@ -96,31 +114,40 @@ object ObjectStore {
         .findFirstMatchIn(initBody)
         .map(_.group(1))
         .getOrElse(sys.error(s"initiate $key returned no UploadId: $initBody"))
-      val in = new FileInputStream(file)
-      val etags = Seq.newBuilder[(Int, String)]
+      var completed = false
       try {
-        val buf = new Array[Byte](chunkSize)
-        var part = 1
-        var n = in.readNBytes(buf, 0, chunkSize)
-        while (n > 0) {
-          val (_, headers) = expectOk(s"part $part of $key")(
-            request("PUT", s"$objUrl?partNumber=$part&uploadId=$uploadId",
-              java.util.Arrays.copyOf(buf, n)))
-          etags += part -> headers.getOrElse("etag", "")
-          part += 1
-          n = in.readNBytes(buf, 0, chunkSize)
-        }
-      } finally in.close()
-      val parts = etags.result()
-      val completeXml = parts
-        .map { case (p, e) => s"<Part><PartNumber>$p</PartNumber><ETag>$e</ETag></Part>" }
-        .mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
-      val (doneBody, _) = expectOk(s"complete $key")(
-        request("POST", s"$objUrl?uploadId=$uploadId",
-          completeXml.getBytes("UTF-8"), Some("application/xml")))
-      val etag = "<ETag>(.*?)</ETag>".r.findFirstMatchIn(doneBody)
-        .map(_.group(1)).getOrElse("")
-      PutResult(key, size, parts.size, etag)
+        val in = new FileInputStream(file)
+        val etags = Seq.newBuilder[(Int, String)]
+        try {
+          val buf = new Array[Byte](chunkSize)
+          var part = 1
+          var n = in.readNBytes(buf, 0, chunkSize)
+          while (n > 0) {
+            val (_, headers) = expectOk(s"part $part of $key")(
+              request("PUT", s"$objUrl?partNumber=$part&uploadId=$uploadId",
+                java.util.Arrays.copyOf(buf, n)))
+            etags += part -> headers.getOrElse("etag", "")
+            part += 1
+            n = in.readNBytes(buf, 0, chunkSize)
+          }
+        } finally in.close()
+        val parts = etags.result()
+        val completeXml = parts
+          .map { case (p, e) => s"<Part><PartNumber>$p</PartNumber><ETag>$e</ETag></Part>" }
+          .mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+        val (doneBody, _) = expectOk(s"complete $key")(
+          request("POST", s"$objUrl?uploadId=$uploadId",
+            completeXml.getBytes("UTF-8"), Some("application/xml")))
+        val etag = "<ETag>(.*?)</ETag>".r.findFirstMatchIn(doneBody)
+          .map(_.group(1)).getOrElse("")
+        completed = true
+        PutResult(key, size, parts.size, etag)
+      } finally if (!completed) {
+        // best-effort: the primary failure is what propagates; an abort
+        // that itself fails (store down, network gone) must not mask it
+        try request("DELETE", s"$objUrl?uploadId=$uploadId")
+        catch { case _: Exception => () }
+      }
     }
   }
 

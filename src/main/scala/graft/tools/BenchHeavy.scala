@@ -317,7 +317,12 @@ object BenchHeavy {
     // round 12: the rank family (ntile/percent_rank/cume_dist over one
     // window) — the last sf0.1 row at >=2x with a real denominator and
     // no tier point; prices the single user-keyed window exchange
-    "w5_rank_family")
+    "w5_rank_family",
+    // round 13: the table log's PRODUCTION paths — one as-of read and
+    // one O(batch) MV refresh against a pre-built (ensure-stamped) log,
+    // vs DuckDB's only option, the full-table recompute; the cold
+    // s11/mv1 rows price the ten-file-set fixture build instead
+    "s11_warm_read", "mv1_warm_refresh")
 
   /** The sf25 scale-sweep subset (BENCHNOTES_SF25.md): the text/dedup
     * production paths — the compute-bound queries whose sf5→sf25 ratio
@@ -379,7 +384,11 @@ object BenchHeavy {
     "j7_skew_join",
     // the snapshot diff at 250x: its (id, hash) exchange diet makes the
     // wall tier-invariant — the fixed stage floor IS the cost
-    "u4_snapshot_diff")
+    "u4_snapshot_diff",
+    // round 13: the warm table-log paths at 250x — the as-of read and
+    // the O(batch) refresh should be tier-INVARIANT (manifest replay +
+    // window-bounded scans) while the DuckDB recompute doubles per tier
+    "s11_warm_read", "mv1_warm_refresh")
 
   /** ANN queries for the sf25 tier: run each in an isolated JVM (see
     * SF25_QUERIES note on cross-query heap contamination). */

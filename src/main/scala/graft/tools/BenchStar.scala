@@ -103,7 +103,13 @@ object BenchStar {
       // table: the point where DuckDB's full-sort rank replay grows with
       // n·log n while the histogram locate's shuffle stays |groups|×|buckets|
       "a13_exact_percentiles" -> (() =>
-        graft.operators.Analytics.a13From(spark, pq("lineitem"))))
+        graft.operators.Analytics.a13From(spark, pq("lineitem"))),
+      // the wide scan-agg flagship: 6 groups, so the ratio is pure
+      // per-row pipeline cost vs DuckDB's vectorized scan — the r12
+      // verdict's one unexplained flagship ratio (3.8x at sf25 pre-
+      // sum128); the star tiers give it the trend line q2/q3 have
+      "q1_pricing_summary" -> (() =>
+        graft.operators.Relational.q1PricingSummary(spark, dir)))
     val runnable = if (subset.isEmpty) all else all.filter(p => subset(p._1))
     require(runnable.nonEmpty, s"no queries match subset $subset")
 

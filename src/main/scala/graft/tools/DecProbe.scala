@@ -1,0 +1,109 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{BenchUtil, Tables}
+
+/** Iteration probe for the round-13 decimal-aggregation work: times the
+  * shipped q1/q2 forms against integer-unit rewrites (money carried as
+  * long cents / 4dp-scaled longs, the l33 DECIMAL-vs-BIGINT lesson run
+  * the other way) to isolate how much of the q1 3.8x / q2_bucketed 2.4x
+  * sf25 ratios is the BigDecimal-backed sum buffer. Not part of any
+  * query registry — a measurement harness only. */
+object DecProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/target/bench_heavy/sf25")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.Exact.money
+
+    def cents(c: org.apache.spark.sql.Column) =
+      (money(c) * 100).cast("long")
+
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "q1_decimal" -> (() => graft.operators.Relational.q1PricingSummary(spark, dir)),
+      "q1_long" -> (() => {
+        Tables.lineitem(spark, dir)
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .select($"l_returnflag", $"l_linestatus", $"l_quantity",
+            cents($"l_extendedprice").as("pc"),
+            (lit(100L) - cents($"l_discount")).as("dk"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").cast("double").as("sum_qty"),
+            (sum($"pc").cast("double") / 1e2).as("sum_base_price"),
+            (sum($"pc" * $"dk").cast("double") / 1e4).as("sum_disc_price"),
+            (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+            ((sum($"pc").cast("double") / 1e2) / count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      }),
+      "q1_long_salted" -> (() => {
+        Tables.lineitem(spark, dir)
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .select($"l_returnflag", $"l_linestatus", $"l_quantity",
+            pmod($"l_orderkey", lit(65536)).as("salt"),
+            cents($"l_extendedprice").as("pc"),
+            (lit(100L) - cents($"l_discount")).as("dk"))
+          .groupBy($"l_returnflag", $"l_linestatus", $"salt")
+          .agg(sum($"l_quantity").as("q"), sum($"pc").as("p"),
+            sum($"pc" * $"dk").as("pd"), count(lit(1)).as("n"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"q").cast("double").as("sum_qty"),
+            (sum($"p".cast("decimal(38,0)")).cast("double") / 1e2).as("sum_base_price"),
+            (sum($"pd".cast("decimal(38,0)")).cast("double") / 1e4).as("sum_disc_price"),
+            (sum($"q") / sum($"n")).as("avg_qty"),
+            ((sum($"p".cast("decimal(38,0)")).cast("double") / 1e2) / sum($"n")).as("avg_price"),
+            sum($"n").as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      }),
+      "q2_decimal" -> (() => graft.operators.Analytics.q2ShippingPriority(spark, dir)),
+      "q2_long" -> (() => {
+        val cut = lit("1998-07-01").cast("timestamp")
+        val cust = Tables.customer(spark, dir)
+          .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+        val orders = Tables.orders(spark, dir)
+          .filter($"o_orderdate" < cut)
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+        val items = Tables.lineitem(spark, dir)
+          .filter($"l_shipdate" > cut)
+          .select($"l_orderkey",
+            (cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))).as("rev4"))
+        orders
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(items, $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_orderkey")
+          .agg(min(unix_timestamp($"o_orderdate")).as("orderdate_s"),
+            (sum($"rev4").cast("double") / 1e4).as("revenue"))
+          .select($"o_orderkey", $"orderdate_s", $"revenue")
+          .orderBy($"revenue".desc, $"o_orderkey")
+          .limit(10)
+      }))
+
+    variants.foreach { case (name, thunk) =>
+      BenchUtil.force(thunk()) // warmup
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        BenchUtil.force(thunk())
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"DECPROBE $name%-16s median=${BenchUtil.median(ts.toVector)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    // value parity across the variants (exactness argument spot-check)
+    val rows = variants.map { case (n, t) => n -> t().collect().map(_.toString).toSeq }
+    println("DECPROBE q1 parity: " + (rows(0)._2 == rows(1)._2) + " " + (rows(0)._2 == rows(2)._2))
+    println("DECPROBE q2 parity: " + (rows(3)._2 == rows(4)._2))
+    if (rows(0)._2 != rows(1)._2) println(rows(0)._2.mkString("\n") + "\nVS\n" + rows(1)._2.mkString("\n"))
+    spark.stop()
+  }
+}

@@ -119,7 +119,7 @@ class DocCountsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val sections = """(?m)^## (\w+)$""".r.findAllMatchIn(text)
       .map(_.group(1)).toSet
     val expected = Set("q2_shipping_priority", "q3_revenue_by_nation",
-      "a13_exact_percentiles")
+      "a13_exact_percentiles", "q1_pricing_summary")
     assert(sections === expected,
       s"CROSSOVER.md drift — sections: ${sections.toSeq.sorted.mkString(", ")}")
   }

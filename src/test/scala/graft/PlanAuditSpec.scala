@@ -35,6 +35,40 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"))
   }
 
+  test("s2 multiLine array scan is one task per FILE; the s7 JSONL form splits") {
+    // the SURVEY footnote made machine-checked (r12 verdict blemish #4):
+    // a JSON *array* document (the reference's own spool shape,
+    // main.rs:225-227) is inherently unsplittable — Spark must hand the
+    // whole file to one task — so s2 is the ingest-fidelity path at
+    // bounded size and s7's JSONL is the at-scale spool, where the same
+    // bytes fan out across tasks under the normal maxPartitionBytes split
+    import spark.implicits._
+    val base = spark.conf.get("spark.graft.scratchDir", "target/graft-tmp")
+    val rows = (0 until 20000).map(i => (i, s"name_$i"))
+    val arrDir = s"$base/posture_json_array"
+    rows.toDF("id", "name")
+      .agg(org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct($"id", $"name"))).as("doc"))
+      .select($"doc").as[String]
+      .coalesce(1).write.mode("overwrite").text(arrDir)
+    val jsonlDir = s"$base/posture_jsonl"
+    rows.toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").json(jsonlDir)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val arr = spark.read.option("multiLine", "true")
+        .schema("id INT, name STRING").json(arrDir)
+      val jsonl = spark.read.schema("id INT, name STRING").json(jsonlDir)
+      assert(arr.rdd.getNumPartitions === 1,
+        s"multiLine array file split into ${arr.rdd.getNumPartitions} tasks?")
+      assert(jsonl.rdd.getNumPartitions > 1,
+        "JSONL did not split under a 16K partition target")
+      assert(arr.count() === 20000L && jsonl.count() === 20000L)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("j1: dimension side is broadcast (no fact shuffle)") {
     val p = plan(q("j1_enrich_details"))
     assert(p.contains("BroadcastHashJoin"))

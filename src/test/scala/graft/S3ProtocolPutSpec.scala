@@ -116,6 +116,12 @@ class S3ProtocolPutSpec extends SparkSpecBase {
             S3Store.bump("put")
             S3Store.objects.put(path, body)
             respond(200, headers = Map("ETag" -> ("\"" + S3Store.md5hex(body) + "\"")))
+          case ("DELETE", p) if p.contains("uploadId") =>
+            S3Store.bump("abort")
+            Option(S3Store.uploads.remove(p("uploadId"))) match {
+              case Some(_) => respond(204)
+              case None => respond(404, "NoSuchUpload")
+            }
           case _ => respond(405, "MethodNotAllowed")
         }
       }
@@ -202,6 +208,29 @@ class S3ProtocolPutSpec extends SparkSpecBase {
     assert(e.getMessage.contains("HTTP 500"))
     assert(!S3Store.objects.containsKey("corpus/spool/doomed.parquet"),
       "a failed upload left a committed object")
+    // r12-advice: the failure path must ABORT the upload — a real store
+    // bills the staged parts forever otherwise (invisible to LIST, only
+    // a lifecycle rule reclaims them)
+    assert(S3Store.count("abort") === 1, "failed part did not abort the upload")
+    assert(S3Store.uploads.isEmpty, "abort left staged parts in flight")
+  }
+
+  test("keys with spaces and reserved characters percent-encode on the wire, both paths") {
+    S3Store.reset()
+    val key = "spool dir/run=1/odd+name #7&q?.parquet"
+    val small = writeBytes("odd_small.parquet", 10000)
+    val r1 = ObjectStore.putFile(baseUrl, "corpus", key, small, chunkSize = 64 * 1024)
+    assert(r1.parts === 0)
+    val stored1 = S3Store.objects.get(s"corpus/$key")
+    assert(stored1 != null,
+      s"decoded key missing; stored keys = ${S3Store.objects.keySet()}")
+    assert(stored1.toSeq === java.nio.file.Files.readAllBytes(small.toPath).toSeq)
+    val big = writeBytes("odd_big.parquet", 200 * 1024)
+    val r2 = ObjectStore.putFile(baseUrl, "corpus", key, big, chunkSize = 64 * 1024)
+    assert(r2.parts === 4)
+    assert(S3Store.objects.get(s"corpus/$key").toSeq ===
+      java.nio.file.Files.readAllBytes(big.toPath).toSeq,
+      "multipart assembly diverged on the encoded key")
   }
 
   test("s8: a written parquet spool ships distributed and reads back as the same rows") {

@@ -26,20 +26,45 @@ TABLES = ["region", "nation", "customer", "orders", "lineitem"]
 QUERIES = ["q2_shipping_priority", "q3_revenue_by_nation"]
 # queries swept per tier that have no bucketed variant (rendered without
 # the bucketed columns); missing from a tier JSON -> row skipped
-SOLO_QUERIES = ["a13_exact_percentiles"]
+SOLO_QUERIES = ["q1_pricing_summary", "a13_exact_percentiles"]
 RUNS = 3
 
 
 # persistent DuckDB-timing cache (--duck-cache=path.json): keyed by
-# (sf_dir, md5(sql)) so an edited oracle or moved tier self-invalidates;
+# (sf_dir, source fingerprint, md5(sql)) so an edited oracle, a moved
+# tier, OR a regenerated fixture at the same path self-invalidates (the
+# r12-advice hole: this repo regenerates tiers in place, and a
+# path-only key silently replayed stale timings as fresh measurements);
 # lets a notes-only regen skip the ~2-min a13 sf50 re-measure
 _DUCK_CACHE_PATH = None
 _DUCK_CACHE = {}
+_FP_MEMO = {}
+
+
+def source_fp(sf_dir):
+    """Parquet sizes+mtimes under the tier, AnnIndex.sourceFingerprint's
+    recipe: cheap (stat only) and changes whenever any table is
+    rewritten."""
+    import hashlib
+    if sf_dir in _FP_MEMO:
+        return _FP_MEMO[sf_dir]
+    parts = []
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        files = (sorted(os.path.join(p, f) for f in os.listdir(p)
+                        if f.endswith(".parquet"))
+                 if os.path.isdir(p) else ([p] if os.path.exists(p) else []))
+        for fp in files:
+            st = os.stat(fp)
+            parts.append(f"{fp}:{st.st_size}:{st.st_mtime_ns}")
+    fp = hashlib.md5("\n".join(parts).encode()).hexdigest()
+    _FP_MEMO[sf_dir] = fp
+    return fp
 
 
 def duck_time(sf_dir, sql):
     import hashlib
-    key = f"{sf_dir}|{hashlib.md5(sql.encode()).hexdigest()}"
+    key = f"{sf_dir}|{source_fp(sf_dir)}|{hashlib.md5(sql.encode()).hexdigest()}"
     if key in _DUCK_CACHE:
         return _DUCK_CACHE[key]
     con = duckdb.connect()

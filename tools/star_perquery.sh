@@ -14,7 +14,7 @@ dir=$1; label=$2
 rm -f "target/star_pq_${label}"_*.json
 i=0
 for q in q2_shipping_priority q3_revenue_by_nation q2_bucketed q3_bucketed \
-         a13_exact_percentiles; do
+         a13_exact_percentiles q1_pricing_summary; do
   # 2>&1: with stderr detached sbt's stdout intermittently arrives empty
   # (observed twice on q3@sf25); keep both streams and filter. Retry once
   # on a missing line rather than dying mid-tier.
