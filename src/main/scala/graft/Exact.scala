@@ -24,6 +24,24 @@ object Exact {
     * scaled-integer -> DOUBLE conversion is correctly rounded on both
     * paths (the integer is exact below 2^53 / the decimal cast is
     * BigDecimal.doubleValue), so results stay hash-equal to the
-    * DECIMAL-sum oracle form. */
-  def cents(c: Column): Column = (money(c) * 100).cast("long")
+    * DECIMAL-sum oracle form.
+    *
+    * Computed as `round(x*100)` in double, NOT `(money(x)*100).cast
+    * (long)`: the decimal route allocates a BigDecimal per row inside
+    * the cast (shortest-string valueOf + setScale), which DecProbe
+    * measured at ~25% of q1's whole runtime at the 150M-row tier. On
+    * the [[money]] contract's domain — values that ARE 2-decimal
+    * decimals carried in doubles, |cents| < 2^51 (~$22.5T per value) —
+    * the two are equal on every input: x's representation error and
+    * x·100's product rounding together stay under half a cent, so
+    * HALF_UP recovers the integer exactly. Above 2^51 cents the
+    * combined error can cross 0.5 and the routes split (found
+    * empirically by the PropertiesSpec domain-edge property, which now
+    * pins the boundary). Outside the contract (a 3dp double) the
+    * decimal and double routes may also round differently — but such
+    * inputs already diverge between Spark's shortest-string cast and
+    * DuckDB's binary-value cast, i.e. they are outside the oracle
+    * contract entirely. */
+  def cents(c: Column): Column =
+    org.apache.spark.sql.functions.round(c * 100).cast("long")
 }

@@ -159,14 +159,20 @@ object JsonGetLong {
     -1
   }
 
+  /** Jackson's default nesting cap (StreamReadConstraints 2.15+): deeper
+    * documents throw there, so they must be NULL here too — and the cap
+    * also bounds this scanner's recursion, so an adversarial
+    * 100k-deep "[[[[..." can never stack-overflow an executor. */
+  private val MAX_DEPTH = 1000
+
   /** Past one JSON value of any type, VALIDATING it per the JSON grammar
     * (exact literals, no leading-zero numbers, balanced well-formed
-    * structures); -1 on corrupt input. Strictness matters for parity: a
-    * malformed value anywhere in the top-level object makes Jackson
-    * throw, so get_json_object is NULL even when the probed key matched
-    * cleanly earlier in the stream. */
-  private def skipValue(b: Array[Byte], start: Int, n: Int): Int = {
-    if (start >= n) return -1
+    * structures, nesting within [[MAX_DEPTH]]); -1 on corrupt input.
+    * Strictness matters for parity: a malformed value anywhere in the
+    * top-level object makes Jackson throw, so get_json_object is NULL
+    * even when the probed key matched cleanly earlier in the stream. */
+  private def skipValue(b: Array[Byte], start: Int, n: Int, depth: Int = 0): Int = {
+    if (start >= n || depth > MAX_DEPTH) return -1
     b(start) match {
       case '"' => skipString(b, start, n)
       case '{' =>
@@ -179,7 +185,7 @@ object JsonGetLong {
           if (i < 0) return -1
           i = skipWs(b, i, n)
           if (i >= n || b(i) != ':') return -1
-          i = skipValue(b, skipWs(b, i + 1, n), n)
+          i = skipValue(b, skipWs(b, i + 1, n), n, depth + 1)
           if (i < 0) return -1
           i = skipWs(b, i, n)
           if (i < n && b(i) == ',') i = skipWs(b, i + 1, n)
@@ -191,7 +197,7 @@ object JsonGetLong {
         if (i < n && b(i) == ']') return i + 1
         var more = true
         while (more) {
-          i = skipValue(b, i, n)
+          i = skipValue(b, i, n, depth + 1)
           if (i < 0) return -1
           i = skipWs(b, i, n)
           if (i < n && b(i) == ',') i = skipWs(b, i + 1, n)

@@ -29,8 +29,42 @@ object DecProbe {
     def cents(c: org.apache.spark.sql.Column) =
       (money(c) * 100).cast("long")
 
+    def centsFast(c: org.apache.spark.sql.Column) =
+      round(c * 100).cast("long")
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "q1_decimal" -> (() => graft.operators.Relational.q1PricingSummary(spark, dir)),
+      "q1_shipped" -> (() => graft.operators.Relational.q1PricingSummary(spark, dir)),
+      "q1_centsfast" -> (() => {
+        graft.plans.Sum128.register(spark)
+        Tables.lineitem(spark, dir)
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .select($"l_returnflag", $"l_linestatus", $"l_quantity",
+            centsFast($"l_extendedprice").as("pc"),
+            (lit(100L) - centsFast($"l_discount")).as("dk"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").cast("double").as("sum_qty"),
+            expr("CAST(sum128(pc, 2) AS DOUBLE)").as("sum_base_price"),
+            expr("CAST(sum128(pc * dk, 4) AS DOUBLE)").as("sum_disc_price"),
+            (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+            (expr("CAST(sum128(pc, 2) AS DOUBLE)") / count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      }),
+      "q1_decimal" -> (() => {
+        Tables.lineitem(spark, dir)
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").cast("double").as("sum_qty"),
+            sum(money($"l_extendedprice")).cast("double").as("sum_base_price"),
+            sum(money($"l_extendedprice") * (graft.Exact.one - money($"l_discount")))
+              .cast("double").as("sum_disc_price"),
+            (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+            (sum(money($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      }),
       "q1_long" -> (() => {
         Tables.lineitem(spark, dir)
           .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
@@ -99,11 +133,18 @@ object DecProbe {
       }
       println(f"DECPROBE $name%-16s median=${BenchUtil.median(ts.toVector)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
-    // value parity across the variants (exactness argument spot-check)
+    // value parity across the variants (exactness argument spot-check):
+    // every q1_* variant must emit identical rows; q2 pair likewise
     val rows = variants.map { case (n, t) => n -> t().collect().map(_.toString).toSeq }
-    println("DECPROBE q1 parity: " + (rows(0)._2 == rows(1)._2) + " " + (rows(0)._2 == rows(2)._2))
-    println("DECPROBE q2 parity: " + (rows(3)._2 == rows(4)._2))
-    if (rows(0)._2 != rows(1)._2) println(rows(0)._2.mkString("\n") + "\nVS\n" + rows(1)._2.mkString("\n"))
+    val q1s = rows.filter(_._1.startsWith("q1"))
+    q1s.tail.foreach { case (n, r) =>
+      println(s"DECPROBE q1 parity ${q1s.head._1} == $n: " + (r == q1s.head._2))
+      if (r != q1s.head._2)
+        println(q1s.head._2.mkString("\n") + "\nVS\n" + r.mkString("\n"))
+    }
+    val q2s = rows.filter(_._1.startsWith("q2"))
+    if (q2s.size > 1)
+      println("DECPROBE q2 parity: " + q2s.tail.forall(_._2 == q2s.head._2))
     spark.stop()
   }
 }

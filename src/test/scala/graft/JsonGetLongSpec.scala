@@ -96,6 +96,16 @@ class JsonGetLongSpec extends SparkSpecBase {
       """{"k": "+"}""", """{"k": ""}""", """{"k": " "}"""))
   }
 
+  test("adversarially deep nesting is NULL on both sides, never a stack overflow") {
+    // Jackson caps nesting at 1000 (StreamReadConstraints) and throws
+    // past it -> NULL under get_json_object; the native scanner applies
+    // the same cap, which also bounds its validation recursion — a
+    // 100k-deep payload must return NULL, not kill the executor thread
+    val deep = "{\"a\": " + "[" * 100000 + "]" * 100000 + ", \"k\": 5}"
+    val shallow = "{\"a\": " + "[" * 50 + "]" * 50 + ", \"k\": 5}"
+    assertParity(Seq(shallow, deep))
+  }
+
   test("overflow past the long domain is NULL") {
     // one past Long.MaxValue / Long.MinValue and a 30-digit monster;
     // get_json_object's string image fails the CAST the same way

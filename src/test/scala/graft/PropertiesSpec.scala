@@ -29,6 +29,36 @@ class PropertiesSpec extends SparkSpecBase {
     rs <- Gen.listOfN(5, genRating)
   } yield RatingsDistribution(t, "2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z", rs)
 
+  test("Exact.cents (double route) equals the decimal route across the money domain") {
+    // the round(x*100) fast path must equal (money(x)*100)::long on
+    // EVERY value the money contract admits — 2-decimal decimals
+    // carried in doubles, |cents| < 2^51 — including the domain edge
+    // where x*100's representation error is largest, negatives, and the
+    // 0.005-style half-cent lookalikes that a naive truncation would
+    // split on. (Above 2^51 cents the combined representation + product
+    // rounding can cross the half-cent and the two routes DO split —
+    // found by this property's first run at 2^52 — which bounds the
+    // documented domain, ~$22.5T per value.)
+    import spark.implicits._
+    val gen: Gen[Double] = Gen.oneOf(
+      Gen.chooseNum(-99999999L, 99999999L).map(_ / 100.0),
+      // the domain EDGE: cents just below 2^51, where x·100's combined
+      // representation + product rounding is largest but still < 0.5
+      Gen.chooseNum((1L << 51) - 2000000L, (1L << 51) - 1).map(_ / 100.0),
+      Gen.chooseNum(-(1L << 51) + 1, -(1L << 51) + 2000000L).map(_ / 100.0),
+      Gen.chooseNum(0L, 999L).map(_ / 100.0))
+    val vals = samples(gen, 2000) ++
+      Seq(0.01, -0.01, 0.05, 1.15, 2.675, 45184.76, -45184.76,
+        ((1L << 51) - 1) / 100.0, -((1L << 51) - 1) / 100.0)
+    val diverged = vals.toDF("x")
+      .select($"x", graft.Exact.cents($"x").as("fast"),
+        (graft.Exact.money($"x") * 100).cast("long").as("ref"))
+      .filter(!($"fast" <=> $"ref"))
+      .collect()
+    assert(diverged.isEmpty,
+      diverged.take(5).map(_.toString).mkString("cents diverged on: ", " | ", ""))
+  }
+
   test("to_json . from_json = id on ratings-shaped structs (F1/F2 round trip)") {
     import spark.implicits._
     val dists = samples(genDist, 40)
