@@ -62,11 +62,20 @@ object Http {
     * own selector thread) for every partition a long-lived executor
     * processes; the JVM-level cache bounds that at four clients per
     * distinct timeout for the life of the executor. */
-  private val poolCache = new java.util.concurrent.ConcurrentHashMap[Long, Pool]()
-  def cachedPool(timeoutMs: Long): Pool =
-    poolCache.computeIfAbsent(timeoutMs, t => new Pool(t))
+  private val poolCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Map[String, String]), Pool]()
+  def cachedPool(timeoutMs: Long,
+                 headers: Map[String, String] = Map.empty): Pool =
+    poolCache.computeIfAbsent((timeoutMs, headers),
+      { case (t, h) => new Pool(t, headers = h) })
 
-  final class Pool(timeoutMs: Long, userAgents: Seq[String] = USER_AGENTS) {
+  /** `headers` is the config-driven static header map attached to every
+    * request (the reference's api.headers from its layered Settings,
+    * config.rs:22-24 / clients/http.rs — graft.Settings.apiHeaders is
+    * the loaded counterpart). Identity (User-Agent) still rotates per
+    * attempt on top of it. */
+  final class Pool(timeoutMs: Long, userAgents: Seq[String] = USER_AGENTS,
+                   headers: Map[String, String] = Map.empty) {
     private val clients = userAgents.map { _ =>
       java.net.http.HttpClient.newBuilder()
         .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
@@ -77,11 +86,11 @@ object Http {
     def get(i: Int, url: String): (Int, String, String) = {
       val idx = math.floorMod(i, clients.size)
       val ua = userAgents(idx)
-      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(timeoutMs))
         .header("User-Agent", ua)
-        .GET().build()
-      val resp = clients(idx).send(req,
+      headers.foreach { case (k, v) => builder.header(k, v) }
+      val resp = clients(idx).send(builder.GET().build(),
         java.net.http.HttpResponse.BodyHandlers.ofString())
       (resp.statusCode(), resp.body(), ua)
     }
@@ -152,7 +161,8 @@ object Http {
     * cores/connections, not input bytes. */
   def s4LiveLookup(spark: SparkSession, codes: DataFrame, baseUrl: String,
                    maxAttempts: Int = 3, baseDelayMs: Long = 1000L,
-                   timeoutMs: Long = 30000L): DataFrame = {
+                   timeoutMs: Long = 30000L,
+                   headers: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val maxPerSec = spark.conf.get("spark.graft.source.maxRowsPerSecond", "0").toDouble
@@ -161,7 +171,7 @@ object Http {
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it0 =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val pool = cachedPool(timeoutMs)
+        val pool = cachedPool(timeoutMs, headers)
         val it = Throttle.paced(it0, maxPerSec, jitterFrac, seed = pid.toLong)
         var i = 0
         it.map { code =>
@@ -183,11 +193,12 @@ object Http {
   def s3LiveScan(spark: SparkSession, baseUrl: String,
                  pageSize: Int = Paginated.PAGE_SIZE,
                  maxAttempts: Int = 3, baseDelayMs: Long = 1000L,
-                 timeoutMs: Long = 30000L): DataFrame = {
+                 timeoutMs: Long = 30000L,
+                 headers: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     // driver probe: ONE request to size the scan (main.rs:119-130)
-    val probe = fetchListingPage(new Pool(timeoutMs), baseUrl, 0, pageSize,
-      maxAttempts, baseDelayMs)
+    val probe = fetchListingPage(new Pool(timeoutMs, headers = headers),
+      baseUrl, 0, pageSize, maxAttempts, baseDelayMs)
     val nPages = ((probe.availableCount + pageSize - 1) / pageSize).toInt
     val maxPerSec = spark.conf.get("spark.graft.source.maxRowsPerSecond", "0").toDouble
     val jitterFrac = spark.conf.get("spark.graft.source.rateJitter", "0.2").toDouble
@@ -195,7 +206,7 @@ object Http {
     spark.sparkContext.parallelize(0 until nPages, slots)
       .mapPartitions { pages0 =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val pool = cachedPool(timeoutMs) // per-JVM connections (pool.rs)
+        val pool = cachedPool(timeoutMs, headers) // per-JVM connections (pool.rs)
         val pages = Throttle.paced(pages0, maxPerSec, jitterFrac, seed = pid.toLong)
         pages.flatMap { page =>
           val lp = fetchListingPage(pool, baseUrl, page.toLong * pageSize,

@@ -22,6 +22,9 @@ class HttpSourceSpec extends SparkSpecBase {
   // concurrent: Spark tasks hit the server from many threads
   private val hits = new ConcurrentHashMap[Long, AtomicInteger]()
   private val userAgents = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // the config-driven static header, recorded per request ("<null>" when
+  // absent) — the Settings.apiHeaders wire check
+  private val clientIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def startServer(): (HttpServer, String) = {
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -34,6 +37,7 @@ class HttpSourceSpec extends SparkSpecBase {
         val offset = params("offset").toLong
         val limit = params("limit").toInt
         userAgents.add(ex.getRequestHeaders.getFirst("User-Agent"))
+        clientIds.add(Option(ex.getRequestHeaders.getFirst("x-client-id")).getOrElse("<null>"))
         val n = hits.computeIfAbsent(offset, _ => new AtomicInteger(0)).incrementAndGet()
         // fault injection: pages 1 and 3 fail their FIRST attempt (429 on
         // one, 503 on the other) — both must succeed via retry
@@ -296,6 +300,33 @@ class HttpSourceSpec extends SparkSpecBase {
         Http.fetchListingPage(pool, s"http://127.0.0.1:$port/flaky", 0, PAGE,
           maxAttempts = 3, baseDelayMs = 1L, sleep = _ => ())
       }
+    } finally server.stop(0)
+  }
+
+  test("Settings-loaded api headers ride every live request (config.rs layered-config parity)") {
+    // the reference attaches Settings.api.headers to each request; the
+    // engine counterpart: graft.Settings loads file + GRAFT_ overlay and
+    // s3LiveScan's pools attach the map on top of the rotating identity.
+    // Every request to the in-process server — driver probe AND executor
+    // page fetches — must carry the configured header.
+    hits.clear(); userAgents.clear(); clientIds.clear()
+    val conf = java.nio.file.Files.createTempFile("graft_live", ".yaml")
+    java.nio.file.Files.write(conf,
+      ("cities:\n  - \"1\"\nminio:\n  endpoint: e\n  access_key: a\n" +
+        "  secret_key: s\n  bucket: b\n  region: r\napi:\n  headers:\n" +
+        "    x-client-id: \"file-id\"\n").getBytes("UTF-8"))
+    val settings = Settings.load(conf.toString,
+      env = Map("GRAFT_API_HEADERS_X-CLIENT-ID" -> "ignored-unaddressable"))
+    assert(settings.apiHeaders === Map("x-client-id" -> "file-id"))
+    val (server, base) = startServer()
+    try {
+      val rows = Http.s3LiveScan(spark, base, pageSize = PAGE,
+        maxAttempts = 3, baseDelayMs = 1L, timeoutMs = 5000L,
+        headers = settings.apiHeaders).collect()
+      assert(rows.length === N_ITEMS)
+      import scala.jdk.CollectionConverters._
+      assert(clientIds.asScala.toSet === Set("file-id"),
+        s"requests missing the configured header: ${clientIds.asScala}")
     } finally server.stop(0)
   }
 }
