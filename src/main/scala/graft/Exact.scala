@@ -26,10 +26,17 @@ object Exact {
     * BigDecimal.doubleValue), so results stay hash-equal to the
     * DECIMAL-sum oracle form.
     *
-    * Computed as `round(x*100)` in double, NOT `(money(x)*100).cast
-    * (long)`: the decimal route allocates a BigDecimal per row inside
-    * the cast (shortest-string valueOf + setScale), which DecProbe
-    * measured at ~25% of q1's whole runtime at the 150M-row tier. On
+    * Computed as a pure-FP HALF_UP — `trunc(x*100 ± 0.5)` via the
+    * truncating double->long cast — NOT `(money(x)*100).cast(long)` and
+    * not `round(x*100)` either: BOTH of those allocate a BigDecimal per
+    * row (the decimal cast's shortest-string valueOf + setScale, and
+    * Spark's Round, which round-trips doubles through BigDecimal.
+    * valueOf().setScale()), which DecProbe measured at ~25% of q1's
+    * whole runtime at the 150M-row tier. The FP form is whole-stage
+    * arithmetic with zero allocation: x*100 lands within ±0.25 of the
+    * true cent integer c on the contract domain, so trunc-toward-zero
+    * of (x*100 + sign*0.5) ∈ (c ± (0.25..0.75)) recovers c exactly,
+    * both signs. On
     * the [[money]] contract's domain — values that ARE 2-decimal
     * decimals carried in doubles, |cents| < 2^51 (~$22.5T per value) —
     * the two are equal on every input: x's representation error and
@@ -42,6 +49,10 @@ object Exact {
     * inputs already diverge between Spark's shortest-string cast and
     * DuckDB's binary-value cast, i.e. they are outside the oracle
     * contract entirely. */
-  def cents(c: Column): Column =
-    org.apache.spark.sql.functions.round(c * 100).cast("long")
+  def cents(c: Column): Column = {
+    import org.apache.spark.sql.functions.when
+    val scaled = c * 100
+    when(scaled >= 0, (scaled + 0.5).cast("long"))
+      .otherwise((scaled - 0.5).cast("long"))
+  }
 }

@@ -14,15 +14,12 @@ object DecProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/target/bench_heavy/sf25")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = MakeHeavy.session(Some(s"$dir/warehouse"))
     spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val haveBuckets = MakeHeavy.registerBucketed(spark, dir,
+      Seq(("hv_orders_b", "o_orderkey"), ("hv_lineitem_b", "l_orderkey")))
+    val _ = cpus
     import spark.implicits._
     import graft.Exact.money
 
@@ -101,6 +98,43 @@ object DecProbe {
             sum($"n").as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
       }),
+      // q3 projection placement: the shipped form computes rev4 (2 rounds
+      // + a multiply) on ALL lineitem rows below the join; this variant
+      // carries the two raw doubles through the join and computes rev4
+      // only on the ~1/7 of rows whose order survives the date filter —
+      // trading 2x join-payload width for 7x less arithmetic
+      "q3b_shipped" -> (() => {
+        require(haveBuckets, "bucketed tables missing — run MakeStar/MakeHeavy first")
+        graft.operators.Analytics.q3From(spark, Tables.region(spark, dir),
+          Tables.nation(spark, dir), Tables.customer(spark, dir),
+          spark.table("hv_orders_b"), spark.table("hv_lineitem_b").hint("merge"))
+      }),
+      "q3b_postproj" -> (() => {
+        graft.plans.Sum128.register(spark)
+        val region = Tables.region(spark, dir).filter($"r_name" === "ASIA")
+        val nation = Tables.nation(spark, dir)
+          .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey", $"n_name")
+        val cust = Tables.customer(spark, dir)
+          .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+          .select($"c_custkey", $"n_name")
+        val orders = spark.table("hv_orders_b")
+          .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp")
+            && $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+          .select($"o_orderkey", $"o_custkey")
+        val items = spark.table("hv_lineitem_b").hint("merge")
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        orders
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(items, $"o_orderkey" === $"l_orderkey")
+          .select($"n_name",
+            (graft.Exact.cents($"l_extendedprice") *
+              (lit(100L) - graft.Exact.cents($"l_discount"))).as("rev4"))
+          .groupBy($"n_name")
+          .agg(expr("CAST(sum128(rev4, 4) AS DOUBLE)").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"revenue".desc, $"n_name")
+      }),
       "q2_decimal" -> (() => graft.operators.Analytics.q2ShippingPriority(spark, dir)),
       "q2_long" -> (() => {
         val cut = lit("1998-07-01").cast("timestamp")
@@ -137,6 +171,9 @@ object DecProbe {
     // every q1_* variant must emit identical rows; q2 pair likewise
     val rows = variants.map { case (n, t) => n -> t().collect().map(_.toString).toSeq }
     val q1s = rows.filter(_._1.startsWith("q1"))
+    val q3s = rows.filter(_._1.startsWith("q3b"))
+    if (q3s.size > 1)
+      println("DECPROBE q3b parity: " + q3s.tail.forall(_._2 == q3s.head._2))
     q1s.tail.foreach { case (n, r) =>
       println(s"DECPROBE q1 parity ${q1s.head._1} == $n: " + (r == q1s.head._2))
       if (r != q1s.head._2)
