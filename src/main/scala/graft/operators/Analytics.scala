@@ -153,7 +153,7 @@ object Analytics {
     // the end is correctly rounded in both engines (fractional-decimal ->
     // double casts are not, which this formulation avoids)
     Tables.orders(spark, sfDir)
-      .withColumn("cents", (money($"o_totalprice") * 100).cast("long"))
+      .withColumn("cents", graft.Exact.cents($"o_totalprice"))
       .groupBy($"o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
@@ -174,7 +174,7 @@ object Analytics {
     import spark.implicits._
     Tables.orders(spark, sfDir)
       // cents as exact long, then 50k-dollar buckets
-      .withColumn("cents", (money($"o_totalprice") * 100).cast("long"))
+      .withColumn("cents", graft.Exact.cents($"o_totalprice"))
       .withColumn("bucket", expr("cents div 5000000"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"))
