@@ -69,6 +69,28 @@ class Sum128Spec extends SparkSpecBase {
     assert(spark.range(0).selectExpr("sum128(id, 0)").collect()(0).get(0) === null)
   }
 
+  test("interpreted-path parity: the same sums with whole-stage codegen off") {
+    // a codegen fallback (AQE retry, codegen compile failure) must not
+    // change a single bit: the wrapping LEGACY adds and the carry logic
+    // run through Expression.eval instead of generated Java
+    import spark.implicits._
+    register()
+    val prevWs = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevF = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val df = Seq.fill(40)(Long.MaxValue / 2).toDF("x")
+        .union(Seq.fill(40)(Long.MinValue / 2 + 3).toDF("x"))
+      val s = df.agg(expr("sum128(x, 0)")).collect()(0).getDecimal(0)
+      assert(BigInt(s.toBigInteger) ===
+        BigInt(Long.MaxValue / 2) * 40 + BigInt(Long.MinValue / 2 + 3) * 40)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevF)
+    }
+  }
+
   test("money parity on the fixture and the plan stays in whole-stage codegen") {
     import spark.implicits._
     import graft.Exact.money
