@@ -29,6 +29,24 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
   }
 
+  test("q1/q2/q3: the money pipeline is allocation-free — no decimal ops, rounds, or BigDecimal sums in the plan") {
+    // the round-13 rework: cents derive via the pure-FP trunc(x*100±0.5)
+    // (both the DECIMAL(18,2) cast and Spark's round() box a BigDecimal
+    // per row) and unbounded money sums ride the int128 sum128 aggregate.
+    // A reintroduced decimal op would keep results hash-exact while
+    // silently re-paying the ~2-3x per-row tax these plans retired —
+    // exactly the regression a correctness gate cannot catch.
+    for (name <- Seq("q1_pricing_summary", "q2_shipping_priority",
+        "q3_revenue_by_nation", "q2_bucketed", "q3_bucketed")) {
+      val p = plan(q(name))
+      assert(!p.contains("CheckOverflow"), s"$name re-grew a decimal op:\n$p")
+      assert(!p.toLowerCase.contains("round("), s"$name re-grew a round():\n$p")
+      assert(!p.contains("sum(cast("), s"$name sums through a cast again:\n$p")
+    }
+    assert(plan(q("q1_pricing_summary")).contains("sum128"))
+    assert(plan(q("q3_revenue_by_nation")).contains("sum128"))
+  }
+
   test("s1: read schema is pruned to the projected columns") {
     val p = plan(q("s1_parquet_scan"))
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_linenumber:int,l_quantity:double>"))
