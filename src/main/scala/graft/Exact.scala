@@ -44,15 +44,28 @@ object Exact {
     * HALF_UP recovers the integer exactly. Above 2^51 cents the
     * combined error can cross 0.5 and the routes split (found
     * empirically by the PropertiesSpec domain-edge property, which now
-    * pins the boundary). Outside the contract (a 3dp double) the
-    * decimal and double routes may also round differently — but such
-    * inputs already diverge between Spark's shortest-string cast and
-    * DuckDB's binary-value cast, i.e. they are outside the oracle
-    * contract entirely. */
+    * pins the boundary). The magnitude half of the contract is GUARDED
+    * at runtime: |x·100| ≥ 2^51 raises instead of silently splitting
+    * from the decimal route (one fused abs-compare per row — branch
+    * never taken on contract inputs, so it predicts perfectly and stays
+    * inside whole-stage codegen; the error branch's string cast only
+    * materializes on violation). The other half — inputs must BE
+    * 2-decimal values — is not runtime-detectable from the double alone
+    * (1.005 has no exact double, so "was this 2dp?" is unanswerable at
+    * the row): a 3dp caller gets FP-trunc semantics here vs HALF_UP via
+    * [[money]], but such inputs already diverge between Spark's
+    * shortest-string cast and DuckDB's binary-value cast, i.e. they are
+    * outside the oracle contract entirely. NULL passes through as NULL,
+    * matching the decimal cast. */
   def cents(c: Column): Column = {
-    import org.apache.spark.sql.functions.when
+    import org.apache.spark.sql.functions.{abs, concat, lit, raise_error, when}
     val scaled = c * 100
-    when(scaled >= 0, (scaled + 0.5).cast("long"))
-      .otherwise((scaled - 0.5).cast("long"))
+    when(c.isNull, lit(null).cast("long"))
+      .when(abs(scaled) < lit(2.251799813685248e15), // 2^51 cents
+        when(scaled >= 0, (scaled + 0.5).cast("long"))
+          .otherwise((scaled - 0.5).cast("long")))
+      .otherwise(raise_error(concat(
+        lit("Exact.cents: |value*100| >= 2^51 is outside the exact-recovery domain: "),
+        c.cast("string"))))
   }
 }

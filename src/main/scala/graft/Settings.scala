@@ -94,10 +94,15 @@ object Settings {
   /** Parse the YAML subset into flattened dotted keys. Grammar: a line
     * is `key:` (opens a nested map), `key: value` (scalar), or `- value`
     * (list element under the enclosing key); indentation is the nesting
-    * depth (spaces only); values may be single- or double-quoted;
+    * depth (spaces only), and list elements must be indented DEEPER than
+    * their owning key — full YAML also allows them at the key's own
+    * indent, but that form is outside this subset and errors as "list
+    * element outside a key"; values may be single- or double-quoted;
     * `#` starts a comment outside quotes; blank lines skip. Anything
     * outside the subset — tabs, flow syntax, anchors, multi-line
-    * scalars — is a loud error, never a silent misparse. */
+    * scalars, a key assigned twice — is a loud error, never a silent
+    * misparse (full YAML last-wins on duplicate keys; here a duplicate
+    * is far more likely a config typo than an intent). */
   private[graft] def parse(text: String): Map[String, Either[String, Seq[String]]] = {
     val out = scala.collection.mutable.LinkedHashMap[String, Either[String, Seq[String]]]()
     // (indent, key) stack of open maps
@@ -126,8 +131,19 @@ object Settings {
           require(i > 0, s"settings line ${ln + 1}: expected 'key:' or 'key: value'")
           val k = body.substring(0, i).trim
           val rest = body.substring(i + 1).trim
-          if (rest.isEmpty) stack = (indent, k) :: stack // opens a nested scope
-          else out.put(key(k), Left(unquote(rest, ln)))
+          if (rest.isEmpty) {
+            // opens a nested scope; reopening a key that already holds a
+            // value (a second `cities:` block would silently concatenate
+            // its list onto the first) is the same typo class as a
+            // duplicate scalar
+            require(!out.contains(key(k)),
+              s"settings line ${ln + 1}: duplicate key '${key(k)}'")
+            stack = (indent, k) :: stack
+          } else {
+            require(!out.contains(key(k)),
+              s"settings line ${ln + 1}: duplicate key '${key(k)}'")
+            out.put(key(k), Left(unquote(rest, ln)))
+          }
         }
       }
     }

@@ -136,7 +136,12 @@ object JsonGetLong {
         found = v
         settled = true
       }
-      i = skipValue(b, i, n)
+      // depth = 1, not 0: Jackson counts DOCUMENT depth, and the
+      // top-level object this scanner is inside is already level 1 — an
+      // array nested 1000 deep beside k sits at document depth 1001 and
+      // throws there, so it must be NULL here (boundary pinned at
+      // 998..1002 by the parity spec; found by ADVICE r13)
+      i = skipValue(b, i, n, depth = 1)
       if (i < 0) return null
     }
     null // ran off the end: truncated document, Jackson throws -> NULL
@@ -172,10 +177,17 @@ object JsonGetLong {
     * top-level object makes Jackson throw, so get_json_object is NULL
     * even when the probed key matched cleanly earlier in the stream. */
   private def skipValue(b: Array[Byte], start: Int, n: Int, depth: Int = 0): Int = {
-    if (start >= n || depth > MAX_DEPTH) return -1
+    // `depth` is the DOCUMENT depth of the enclosing container (the
+    // top-level object = 1). Jackson increments on every START_OBJECT /
+    // START_ARRAY and throws when the NEW depth exceeds the cap, so the
+    // check fires on structure-open with depth + 1 — a scalar at the cap
+    // itself is fine on both sides (boundary pinned 998..1002 in the
+    // parity spec).
+    if (start >= n) return -1
     b(start) match {
       case '"' => skipString(b, start, n)
       case '{' =>
+        if (depth + 1 > MAX_DEPTH) return -1
         var i = skipWs(b, start + 1, n)
         if (i < n && b(i) == '}') return i + 1
         var more = true
@@ -193,6 +205,7 @@ object JsonGetLong {
         }
         if (i < n && b(i) == '}') i + 1 else -1
       case '[' =>
+        if (depth + 1 > MAX_DEPTH) return -1
         var i = skipWs(b, start + 1, n)
         if (i < n && b(i) == ']') return i + 1
         var more = true
@@ -263,7 +276,7 @@ object JsonGetLong {
     if (quoted) {
       i += 1
       // the cast's trimAll on the string image
-      while (i < n && isWs(b(i))) i += 1
+      while (i < n && isCastTrimWs(b(i))) i += 1
     }
     var neg = false
     if (i < n && (b(i) == '-' || (quoted && b(i) == '+'))) {
@@ -281,7 +294,7 @@ object JsonGetLong {
       i += 1
     }
     if (quoted) {
-      while (i < n && isWs(b(i))) i += 1
+      while (i < n && isCastTrimWs(b(i))) i += 1
       if (i >= n || b(i) != '"') return null
       i += 1
     }
@@ -295,6 +308,17 @@ object JsonGetLong {
 
   private def isWs(c: Byte): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  /** The trim predicate of the CAST route's `UTF8String.trimAll` —
+    * `Character.isWhitespace || Character.isISOControl` over the ASCII
+    * range (trimAll feeds each raw BYTE to those predicates, so a
+    * negative/continuation byte — any multi-byte UTF-8 char — is never
+    * trimmed there either; sign-extension makes it a negative codepoint
+    * both predicates reject). Wider than JSON's structural whitespace
+    * [[isWs]]: `"5"` and `"\f5"` cast to 5, so the quoted-value
+    * trim here must accept them too for value parity. */
+  private def isCastTrimWs(c: Byte): Boolean =
+    c >= 0 && (Character.isWhitespace(c.toInt) || Character.isISOControl(c.toInt))
 
   private val builder = (exprs: Seq[Expression]) =>
     JsonGetLong(exprs.head, exprs(1))

@@ -101,7 +101,7 @@ case class Sum128(child: Expression, scale: Int)
         "toDecimal",
         Seq(hi, lo, Literal(scale)),
         Seq(LongType, LongType, IntegerType),
-        returnNullable = false))
+        returnNullable = true))
 
   override protected def withNewChildInternal(newChild: Expression): Sum128 =
     copy(child = newChild)
@@ -109,9 +109,18 @@ case class Sum128(child: Expression, scale: Int)
 
 object Sum128 {
 
+  /** 10^38 - 1: the largest unscaled value DECIMAL(38, _) can carry. */
+  private val Max38 = new java.math.BigInteger("9" * 38)
+
   /** The signed int128 (hi, lo) as DECIMAL(38, scale). Two's complement:
     * the 16 big-endian bytes feed BigInteger's signed constructor. Called
-    * once per output GROUP, never per row. */
+    * once per output GROUP, never per row.
+    *
+    * The int128 holds up to ~1.7e38, slightly past DECIMAL(38)'s 10^38-1
+    * ceiling; a total in that band returns NULL — SUM(DECIMAL)'s legacy
+    * overflow contract — rather than raising Decimal's precision check.
+    * Unreachable in practice (~10^29 rows per group at 4dp money scale),
+    * but the contract should match SUM's, not crash past it. */
   def toDecimal(hi: Long, lo: Long, scale: Int): Decimal = {
     val bytes = new Array[Byte](16)
     var i = 0
@@ -120,7 +129,9 @@ object Sum128 {
       bytes(8 + i) = (lo >>> (56 - 8 * i)).toByte
       i += 1
     }
-    Decimal(new java.math.BigDecimal(new java.math.BigInteger(bytes), scale), 38, scale)
+    val unscaled = new java.math.BigInteger(bytes)
+    if (unscaled.abs.compareTo(Max38) > 0) null
+    else Decimal(new java.math.BigDecimal(unscaled, scale), 38, scale)
   }
 
   private val builder = (exprs: Seq[Expression]) => {

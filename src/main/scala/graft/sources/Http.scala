@@ -56,18 +56,32 @@ object Http {
     "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15",
     "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Edge/120.0")
 
-  /** One pool per executor JVM (keyed by timeout), matching the
-    * reference's one-pool-per-process topology (pool.rs:14-19). A
-    * per-TASK pool would spin up four fresh HttpClients (each with its
-    * own selector thread) for every partition a long-lived executor
-    * processes; the JVM-level cache bounds that at four clients per
-    * distinct timeout for the life of the executor. */
+  /** One pool per executor JVM (keyed by timeout + static header map),
+    * matching the reference's one-pool-per-process topology
+    * (pool.rs:14-19). A per-TASK pool would spin up four fresh
+    * HttpClients (each with its own selector thread) for every partition
+    * a long-lived executor processes; the JVM-level cache bounds that at
+    * four clients per distinct key for the life of the executor.
+    *
+    * CONTRACT: the header map is config-static (the handful of
+    * Settings.apiHeaders variants a deployment carries), never
+    * per-request — each distinct key pins 4 HttpClients until JVM exit.
+    * A caller that varies headers per request would grow the cache
+    * unboundedly, so the cap below makes that misuse loud (an
+    * IllegalStateException naming this contract) instead of a silent
+    * selector-thread leak. */
+  private val MaxPools = 64
   private val poolCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Map[String, String]), Pool]()
   def cachedPool(timeoutMs: Long,
                  headers: Map[String, String] = Map.empty): Pool =
-    poolCache.computeIfAbsent((timeoutMs, headers),
-      { case (t, h) => new Pool(t, headers = h) })
+    poolCache.computeIfAbsent((timeoutMs, headers), { case (t, h) =>
+      if (poolCache.size >= MaxPools)
+        throw new IllegalStateException(
+          s"cachedPool: > $MaxPools distinct (timeout, headers) keys — " +
+            "header maps must be config-static, not per-request")
+      new Pool(t, headers = h)
+    })
 
   /** `headers` is the config-driven static header map attached to every
     * request (the reference's api.headers from its layered Settings,

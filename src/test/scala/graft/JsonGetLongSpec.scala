@@ -96,6 +96,103 @@ class JsonGetLongSpec extends SparkSpecBase {
       """{"k": "+"}""", """{"k": ""}""", """{"k": " "}"""))
   }
 
+  test("quoted-value trim matches the cast's trimAll: all ASCII whitespace AND ISO controls") {
+    // try_cast trims with UTF8String.trimAll (Character.isWhitespace ||
+    // isISOControl per BYTE) — wider than JSON's structural \s\t\n\r:
+    // vertical tab 0x0B, form feed 0x0C, the 0x1C–0x1F separators, and
+    // 0x7F all strip from a quoted image before the cast. The raw
+    // control char inside a JSON string is itself outside RFC 8259, so
+    // this pins whatever Jackson-route behavior Spark ships, not a
+    // grammar opinion of our own.
+    assertParity(Seq(
+      "{\"k\": \"5\"}", "{\"k\": \"\f5\"}",
+      "{\"k\": \"5\"}", "{\"k\": \"5\"}",
+      "{\"k\": \"5\"}", "{\"k\": \"+5\"}",
+      "{\"k\": \"\"}"))
+  }
+
+  test("nesting-depth boundary: parity at 998/999/1000/1001/1002") {
+    // Jackson's StreamReadConstraints default caps nesting at 1000; the
+    // native scanner must flip NULL at exactly the same document depth,
+    // not one level off. Probed by construction rather than documented
+    // by assumption: k rides beside an array nested to depth d.
+    def doc(d: Int) = "{\"a\": " + "[" * d + "]" * d + ", \"k\": 5}"
+    assertParity((998 to 1002).map(doc))
+  }
+
+  test("differential fuzz: grammar-aware docs + byte-level mutations track get_json_object") {
+    // Two consecutive review rounds found parity holes the hand-picked
+    // corpus missed (trailing commas, leading zeros, exotic trim ws) —
+    // so the corpus is now GENERATED: seeded random valid documents,
+    // half of them hit with byte-level mutations (truncation, deletions,
+    // insertions of structural bytes, digit prefixes), asserting
+    // json_long ≡ try_cast(get_json_object) over the whole set. One
+    // documented generator exclusion: no backslashes ever enter a doc —
+    // an ESCAPED key image never byte-equals the probe (json_long's
+    // plain-identifier contract), which is the one intentional
+    // divergence.
+    import spark.implicits._
+    graft.plans.JsonGetLong.register(spark)
+    val rng = new scala.util.Random(20260815L)
+    val wsPool = " \t\n\r"
+    def ws(): String = if (rng.nextInt(3) == 0) wsPool(rng.nextInt(4)).toString else ""
+    def trimWs(): String = // what trimAll strips: ASCII ws + ISO controls
+      Seq(" ", "\t", "", "\f", "", "")(rng.nextInt(6))
+    def scalar(): String = rng.nextInt(12) match {
+      case 0 => rng.nextLong().toString
+      case 1 => rng.nextInt(200).toString
+      case 2 => "9223372036854775807" + (if (rng.nextBoolean()) "" else rng.nextInt(10).toString)
+      case 3 => "-922337203685477580" + rng.nextInt(10).toString
+      case 4 => "0" * rng.nextInt(3) + rng.nextInt(100).toString // leading zeros
+      case 5 => s""""${trimWs() * rng.nextInt(3)}${if (rng.nextBoolean()) "+" else ""}${rng.nextInt(1000)}${trimWs() * rng.nextInt(3)}""""
+      case 6 => s"${rng.nextInt(100)}.${rng.nextInt(100)}"
+      case 7 => s"${rng.nextInt(100)}e${rng.nextInt(5)}"
+      case 8 => Seq("null", "true", "false")(rng.nextInt(3))
+      case 9 => s""""${Seq("abc", "12abc", "", "k", "{\"k\": 9}")(rng.nextInt(5))}""""
+      case _ => rng.nextInt(1000000).toString
+    }
+    def value(depth: Int): String =
+      if (depth >= 3 || rng.nextInt(4) > 0) scalar()
+      else if (rng.nextBoolean())
+        (0 until rng.nextInt(3)).map(_ => value(depth + 1)).mkString("[", ",", "]")
+      else
+        (0 until rng.nextInt(3)).map(i => s""""n$i":${value(depth + 1)}""").mkString("{", ",", "}")
+    def doc(): String = {
+      val extras = (0 until rng.nextInt(3)).map(i => s""""x$i":${ws()}${value(0)}""")
+      val target = if (rng.nextInt(5) > 0) Seq(s""""k":${ws()}${value(0)}""") else Seq.empty
+      rng.shuffle(extras ++ target)
+        .mkString("{" + ws(), "," + ws(), ws() + "}")
+    }
+    val mutPool = "{}[],:\"0189.-+e \t"
+    def mutate(s: String): String = {
+      var b = s
+      (0 until 1 + rng.nextInt(3)).foreach { _ =>
+        if (b.nonEmpty) rng.nextInt(4) match {
+          case 0 => b = b.substring(0, rng.nextInt(b.length)) // truncate
+          case 1 => val i = rng.nextInt(b.length) // delete a byte
+            b = b.substring(0, i) + b.substring(i + 1)
+          case 2 => val i = rng.nextInt(b.length + 1) // insert structural
+            b = b.substring(0, i) + mutPool(rng.nextInt(mutPool.length)) + b.substring(i)
+          case 3 => val i = rng.nextInt(b.length) // replace
+            b = b.substring(0, i) + mutPool(rng.nextInt(mutPool.length)) + b.substring(i + 1)
+        }
+      }
+      b
+    }
+    val docs = (0 until 10000).map { i =>
+      val d = doc()
+      if (i % 2 == 1) mutate(d) else d
+    }.filterNot(_.contains('\\')) // the documented escaped-key exclusion
+    val diverged = docs.toDF("j")
+      .select($"j",
+        expr("json_long(j, 'k')").as("native"),
+        expr("try_cast(get_json_object(j, '$.k') AS BIGINT)").as("jackson"))
+      .filter(!($"native" <=> $"jackson"))
+      .collect()
+    assert(diverged.isEmpty,
+      diverged.take(10).map(_.toString).mkString(s"${diverged.length} fuzz divergences: ", " | ", ""))
+  }
+
   test("adversarially deep nesting is NULL on both sides, never a stack overflow") {
     // Jackson caps nesting at 1000 (StreamReadConstraints) and throws
     // past it -> NULL under get_json_object; the native scanner applies

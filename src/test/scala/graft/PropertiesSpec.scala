@@ -59,6 +59,22 @@ class PropertiesSpec extends SparkSpecBase {
       diverged.take(5).map(_.toString).mkString("cents diverged on: ", " | ", ""))
   }
 
+  test("Exact.cents outside the 2^51 domain fails loudly instead of silently splitting") {
+    // the r13 verdict's nit: the domain contract lived in a comment +
+    // property; now the guard is in the expression itself — a value
+    // whose |cents| crosses 2^51 raises, NULL still passes through
+    import spark.implicits._
+    val bad = ((1L << 51) + 4096) / 100.0 // representable, over the line
+    val e = intercept[Exception] { // SparkRuntimeException (USER_RAISED_EXCEPTION)
+      Seq(bad).toDF("x").select(graft.Exact.cents($"x")).collect()
+    }
+    assert(e.getMessage.contains("Exact.cents") ||
+      Option(e.getCause).exists(_.getMessage.contains("Exact.cents")), e.getMessage)
+    val ok = Seq[java.lang.Double](1.15, null, -0.05).toDF("x")
+      .select(graft.Exact.cents($"x")).collect().map(_.get(0))
+    assert(ok.toSeq === Seq(115L, null, -5L))
+  }
+
   test("to_json . from_json = id on ratings-shaped structs (F1/F2 round trip)") {
     import spark.implicits._
     val dists = samples(genDist, 40)

@@ -85,6 +85,24 @@ class SettingsSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate keys are a loud error, not YAML's silent last-wins") {
+    val e = intercept[IllegalArgumentException] {
+      Settings.parse("a: 1\nb: 2\na: 3\n")
+    }
+    assert(e.getMessage.contains("duplicate key 'a'"))
+    val e2 = intercept[IllegalArgumentException] { // nested form
+      Settings.parse("m:\n  x: 1\n  x: 2\n")
+    }
+    assert(e2.getMessage.contains("duplicate key 'm.x'"))
+    val e3 = intercept[IllegalArgumentException] { // reopened list block
+      Settings.parse("cities:\n  - a\ncities:\n  - b\n")
+    }
+    assert(e3.getMessage.contains("duplicate key 'cities'"))
+    // same leaf name under different scopes is NOT a duplicate
+    assert(Settings.parse("m:\n  x: 1\nn:\n  x: 2\n") ===
+      Map("m.x" -> Left("1"), "n.x" -> Left("2")))
+  }
+
   test("sibling scopes close correctly: a dedent pops the nested map") {
     val flat = Settings.parse(
       "a:\n  b: 1\nc:\n  d: 2\n  e:\n    f: 3\n  g: 4\n")

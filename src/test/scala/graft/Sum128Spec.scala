@@ -56,6 +56,25 @@ class Sum128Spec extends SparkSpecBase {
     assert(BigInt(neg.toBigInteger) === BigInt(Long.MinValue / 2) * 40)
   }
 
+  test("past DECIMAL(38)'s ceiling the total is NULL — SUM's overflow contract, not a throw") {
+    // the int128 tops out at ~1.7e38, past DECIMAL(38)'s 10^38-1; that
+    // band is unreachable by summing (~10^29 rows/group) so the finisher
+    // is probed directly at the boundary via crafted (hi, lo) buffers
+    val max38 = BigInt("9" * 38)
+    def buf(v: BigInt): (Long, Long) =
+      ((v >> 64).toLong, v.toLong)
+    for (v <- Seq(max38, -max38)) { // exactly representable: exact value out
+      val (hi, lo) = buf(v)
+      assert(graft.plans.Sum128.toDecimal(hi, lo, 0).toJavaBigDecimal
+        .unscaledValue() === v.bigInteger)
+    }
+    for (v <- Seq(max38 + 1, -(max38 + 1), // one past the ceiling
+        (BigInt(1) << 127) - 1)) { // the int128's own max, ~1.7e38
+      val (hi, lo) = buf(v)
+      assert(graft.plans.Sum128.toDecimal(hi, lo, 0) === null, v)
+    }
+  }
+
   test("null handling and scale: all-null group is NULL, nulls skipped, scale applied") {
     import spark.implicits._
     register()
