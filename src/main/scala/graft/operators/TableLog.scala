@@ -26,9 +26,11 @@ import graft.Tables
   *  - a snapshot read scans exactly the manifest's file list — no
   *    eventually-consistent listing, no stray-file pickup, and the
   *    listing cost is metadata-scale (log lines), not data-scale.
-  * On HDFS the manifest rename is atomic; on S3 production formats use a
-  * conditional PUT / log-store for the same one-winner contract — the
-  * log replay and snapshot-read shape here is the portable part.
+  * The one atomic step is storage-specific, so it lives behind the
+  * [[LogStore]] seam: HDFS's no-clobber rename, POSIX's link(2) (the
+  * closed-window primitive local tables get by default), an object
+  * store's conditional PUT — the log replay and snapshot-read shape here
+  * is the portable part.
   */
 object TableLog {
 
@@ -76,29 +78,17 @@ object TableLog {
       actions.foreach(a => out.write(s"${a.op}\t${a.path}\n".getBytes("UTF-8")))
       out.hflush()
     } finally out.close()
-    // one-winner publish via the no-clobber rename primitive:
-    // FileContext.rename(.., Options.Rename.NONE) is atomic-exclusive on
-    // HDFS (the namenode rejects an existing destination inside the one
-    // rename op — the HDFSLogStore discipline of the production log
-    // stores), so a lost race surfaces as FileAlreadyExistsException,
-    // never as a silently overwritten manifest. On a local POSIX FS the
-    // no-clobber check lives inside the FS layer's rename, which NARROWS
-    // the two-writer window rather than closing it (POSIX rename(2)
-    // clobbers; object stores need a conditional PUT / log store for the
-    // true one-winner contract) — the contract holds on the FS this log
-    // targets at scale, and locally no check-then-act spans our code.
+    // one-winner publish through the LogStore seam — the storage-specific
+    // atomic-exclusive primitive (HDFS no-clobber rename, POSIX link(2),
+    // an object store's conditional PUT); see [[LogStore]] for the
+    // contract and per-storage windows. A lost race surfaces as
+    // FileAlreadyExistsException, never as a silently overwritten
+    // manifest.
     val dst = f.makeQualified(new Path(table, s"_log/v$next.log"))
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      dst.toUri, spark.sparkContext.hadoopConfiguration)
-    try fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+    try LogStore.forTable(spark, dst)
+      .publishExclusive(spark.sparkContext.hadoopConfiguration, tmp, dst)
     catch {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"commit v$next lost the publish race", e)
-      case e: java.io.IOException
-          if e.getMessage != null && e.getMessage.contains("already exists") =>
-        // RawLocalFs surfaces the no-clobber refusal as a plain
-        // IOException rather than the typed FileAlreadyExistsException
         throw new IllegalStateException(
           s"commit v$next lost the publish race", e)
     }

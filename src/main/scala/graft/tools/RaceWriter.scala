@@ -18,10 +18,15 @@ object RaceWriter {
     val id = args(1)
     val n = args(2).toInt
     val gate = new java.io.File(args(3))
+    // optional 5th arg: force a LogStore impl (auto|hardlink|rename) —
+    // the race spec drives the same contest through BOTH publish
+    // primitives
+    val logStore = if (args.length > 4) args(4) else "auto"
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName(s"race-writer-$id")
       .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.graft.logstore", logStore)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
