@@ -211,35 +211,55 @@ object Quality {
     * ids ≡ 3 (mod 17) — v2's additions; v2 lacks ids ≡ 5 (mod 19) —
     * removals; ids ≡ 2 (mod 13) carry edited text in v2 — changes.
     *
-    * Scale: each version reduces map-side to (doc_id, xxhash64(text)) —
-    * 16-byte rows through the full-outer join's exchanges, text never
-    * rides (the l1_xxh diet applied to version comparison); at 100 TB the
-    * two sides are different crawl snapshots and the diff costs two
-    * manifest-width shuffles regardless of document size. The oracle
-    * compares the TEXT itself, so the hash-exact driver compare doubles
-    * as the collision check (the l1 stance). */
+    * Scale — two shapes, one operator:
+    *  - [[snapshotDiffTables]] is the general form: two DISTINCT crawl
+    *    snapshots reduce map-side to (doc_id, xxhash64(text)) — 16-byte
+    *    rows through a full-outer join's exchanges, text never rides
+    *    (the l1_xxh diet applied to version comparison); at 100 TB the
+    *    diff costs two manifest-width shuffles regardless of document
+    *    size.
+    *  - When both versions DERIVE from one stored snapshot (the
+    *    recurring-crawl fixture case: v2 = v1 plus a known delta
+    *    expression), the two membership tests and both hashes are
+    *    columns of the SAME row, so the diff FUSES to one scan with no
+    *    join and no exchange before the output sort — the dq2
+    *    single-pass idiom (r13 verdict item 2: this removed u4's fixed
+    *    4-stage floor; 1.53s -> scan-bound at the sf25 tier). The fused
+    *    and join forms are pinned row-equal in QualitySpec.
+    * The oracle compares the TEXT itself, so the hash-exact driver
+    * compare doubles as the collision check (the l1 stance). */
   def u4SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    def version(changed: Boolean): DataFrame = {
-      val docs = Tables.documents(spark, sfDir)
-      if (!changed)
-        docs.filter(pmod($"doc_id", lit(17L)) =!= 3)
-          .select($"doc_id", xxhash64($"text").as("h"))
-      else
-        docs.filter(pmod($"doc_id", lit(19L)) =!= 5)
-          .select($"doc_id", xxhash64(
-            when(pmod($"doc_id", lit(13L)) === 2, concat($"text", lit(" [rev2]")))
-              .otherwise($"text")).as("h"))
-    }
-    version(changed = false).toDF("doc_id", "h1")
-      .join(version(changed = true).toDF("doc_id", "h2"),
-        Seq("doc_id"), "full_outer")
+    val inV1 = pmod($"doc_id", lit(17L)) =!= 3
+    val inV2 = pmod($"doc_id", lit(19L)) =!= 5
+    val h1 = xxhash64($"text")
+    val h2 = xxhash64(
+      when(pmod($"doc_id", lit(13L)) === 2, concat($"text", lit(" [rev2]")))
+        .otherwise($"text"))
+    Tables.documents(spark, sfDir)
       .select($"doc_id",
-        when($"h1".isNull, lit("added"))
-          .when($"h2".isNull, lit("removed"))
-          .when($"h1" =!= $"h2", lit("changed"))
-          .otherwise(lit("unchanged")).as("status"))
-      .filter($"status" =!= "unchanged")
+        when(!inV1 && inV2, lit("added"))
+          .when(inV1 && !inV2, lit("removed"))
+          .when(inV1 && inV2 && h1 =!= h2, lit("changed")).as("status"))
+      .filter($"status".isNotNull) // unchanged AND in-neither both drop
       .orderBy($"doc_id")
+  }
+
+  /** The general snapshot-diff: two independent corpus versions, joined
+    * on their (doc_id, content-hash) manifests. This is the form two
+    * truly distinct crawl snapshots need; [[u4SnapshotDiff]]'s fused
+    * single-scan form applies only when both versions derive from one
+    * stored table. */
+  private[graft] def snapshotDiffTables(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val m1 = v1.select(col("doc_id"), xxhash64(col("text")).as("h1"))
+    val m2 = v2.select(col("doc_id"), xxhash64(col("text")).as("h2"))
+    m1.join(m2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy(col("doc_id"))
   }
 }

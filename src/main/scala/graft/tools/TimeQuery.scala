@@ -23,16 +23,30 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stage-runtime accounting (the BENCHNOTES `stage s` convention):
+    // wall minus stage is the fixed driver/AQE scheduling floor
+    val stageMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val st = s.stageInfo
+        for (c <- st.completionTime; b <- st.submissionTime) stageMs.addAndGet(c - b)
+      }
+    })
     val queries = SparkEntry.queries
     names.foreach { n =>
       val q = queries(n)
       BenchUtil.force(q(spark, sfDir)) // warmup
-      val ts = (1 to 3).map { _ =>
+      val runs = (1 to 3).map { _ =>
+        stageMs.set(0)
         val t0 = System.nanoTime()
         BenchUtil.force(q(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(150) // let the listener bus drain stage-completed events
+        (wall, stageMs.get() / 1e3)
       }
-      println(f"TIMEQ $n%-28s median=${BenchUtil.median(ts.toVector)}%.3f  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+      val med = runs.sortBy(_._1).apply(1)
+      println(f"TIMEQ $n%-28s median=${med._1}%.3f  stage=${med._2}%.3f  runs=${runs.map(t => f"${t._1}%.3f").mkString(",")}")
     }
     spark.stop()
   }

@@ -268,4 +268,33 @@ class QualitySpec extends SparkSpecBase {
     assert(got === expected)
     assert(Set("added", "removed", "changed").subsetOf(got.map(_._2).toSet))
   }
+
+  test("U4 fused single-scan diff equals the general two-table join form; plan has no join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // materialize the two derived versions as if they were independent
+    // snapshots, run the general manifest-join diff, and pin row
+    // equality with the fused form the u4 query ships
+    val docs = Tables.documents(spark, sfDir)
+    val v1 = docs.filter(pmod($"doc_id", lit(17L)) =!= 3).select($"doc_id", $"text")
+    val v2 = docs.filter(pmod($"doc_id", lit(19L)) =!= 5)
+      .select($"doc_id",
+        when(pmod($"doc_id", lit(13L)) === 2, concat($"text", lit(" [rev2]")))
+          .otherwise($"text").as("text"))
+    val general = graft.operators.Quality.snapshotDiffTables(v1, v2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val fused = graft.operators.Quality.u4SnapshotDiff(spark, sfDir)
+    val got = fused.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === general)
+    // the fused plan is the point: one scan, no join, no exchange
+    // before the output sort (the r13 4-stage floor removed)
+    val full = fused.queryExecution.executedPlan.toString
+    val p = full.indexOf("== Initial Plan ==") match { // AQE prints both
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") === 1, p)
+  }
 }
