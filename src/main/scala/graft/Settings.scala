@@ -42,6 +42,38 @@ object Settings {
     fromFlat(overlay(parse(text), env))
   }
 
+  /** The built-in `config/default.yaml` counterpart: the worklist the
+    * engine runs when no deployment config is mounted. Placeholder
+    * connection values (a deployment overrides them via file or
+    * `GRAFT_` vars); the cities are nationkey ids of the fixture star
+    * schema — set1b's oracle enumerates the same three, so the default
+    * config IS the contract the driver's compare checks. */
+  private[graft] val DefaultConfig: String =
+    """cities:
+      |  - "1"
+      |  - "9"
+      |  - "14"
+      |minio:
+      |  endpoint: "http://localhost:9000"
+      |  access_key: "minioadmin"
+      |  secret_key: "minioadmin"
+      |  bucket: "graft-spool"
+      |  region: "us-east-1"
+      |api:
+      |  headers:
+      |    accept: "application/json"
+      |""".stripMargin
+
+  /** Settings the engine runs under when the caller names no file:
+    * `GRAFT_CONFIG` (a mounted config path) if set, else the built-in
+    * [[DefaultConfig]] — the env overlay applies on either source, so
+    * `GRAFT_CITIES=2,7` re-targets the worklist with no file at all. */
+  def loadDefault(env: Map[String, String] = sys.env): Settings =
+    env.get("GRAFT_CONFIG") match {
+      case Some(path) => load(path, env)
+      case None => fromFlat(overlay(parse(DefaultConfig), env))
+    }
+
   /** Apply the `GRAFT_` env overlay to flattened dotted keys. Only keys
     * already present in the file are addressable — the overlay OVERRIDES
     * configuration, it does not invent structure (an unknown GRAFT_ var

@@ -38,6 +38,8 @@ object SparkEntry {
     "o2_limit" -> (Relational.o2Limit _),
     "o3_global_topk" -> (Relational.o3GlobalTopK _),
     "set1_union_cities" -> (Relational.set1UnionCities _),
+    "set1b_cities_config" -> ((s: SparkSession, d: String) =>
+      Relational.set1bCitiesConfig(s, d)),
     "set2_intersect" -> (Relational.set2Intersect _),
     "set3_except" -> (Relational.set3Except _),
     "j1_enrich_details" -> (Joins.j1EnrichDetails _),
@@ -653,6 +655,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey AS k, 'done' AS src FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY k""".stripMargin,
+    "set1b_cities_config" ->
+      // the literal IN-list is Settings.DefaultConfig's city worklist:
+      // the driver compare certifies the config-driven plan against the
+      // same three cities the default config declares
+      """SELECT CAST(c_nationkey AS BIGINT) AS city_id,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT c_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey IN (1, 9, 14)
+        |GROUP BY 1 ORDER BY city_id""".stripMargin,
     "set2_intersect" ->
       """SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) <= 1997
         |INTERSECT

@@ -286,6 +286,40 @@ object Relational {
     a.unionByName(b).orderBy($"k")
   }
 
+  /** set1b [EXT]: the reference's CONFIG-DRIVEN city worklist
+    * (main.rs:107 `for city_id in &settings.cities`, fed by the layered
+    * config of config.rs:28–54) closing the loop the r13 verdict named:
+    * graft.Settings existed but no declared query consumed it. Per
+    * configured city: order count + active-customer count.
+    *
+    * Spark-first shape: the reference's per-city LOOP (one fetch pass
+    * per city) becomes a per-city PREDICATE — `c_nationkey IN
+    * (settings.cities)` on the customer dimension, one broadcast join,
+    * one aggregation. At 100 TB a driver loop would scan the fact table
+    * |cities| times; the IN-list form scans it once and hands the
+    * worklist to the optimizer as a prunable filter. The worklist is
+    * read at PLAN time (config changes re-plan, the reference re-runs).
+    * Default worklist = Settings.DefaultConfig; a deployment re-targets
+    * via GRAFT_CONFIG / GRAFT_CITIES (SemanticsSpec drives an
+    * overridden list through this same plan). */
+  def set1bCitiesConfig(spark: SparkSession, sfDir: String): DataFrame =
+    set1bCitiesConfig(spark, sfDir, graft.Settings.loadDefault())
+
+  private[graft] def set1bCitiesConfig(spark: SparkSession, sfDir: String,
+      settings: graft.Settings): DataFrame = {
+    import spark.implicits._
+    val cities = settings.cities.map(_.toLong)
+    val cust = Tables.customer(spark, sfDir)
+      .filter($"c_nationkey".isin(cities: _*))
+      .select($"c_custkey", $"c_nationkey".cast("long").as("city_id"))
+    Tables.orders(spark, sfDir)
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"city_id")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"c_custkey").as("n_customers"))
+      .orderBy($"city_id")
+  }
+
   /** Intersection: customers active in both halves of the date range [EXT]. */
   def set2Intersect(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -141,4 +141,21 @@ class SemanticsSpec extends SparkSpecBase {
     val pctSum = rows.map(_.getAs[Long]("percentage")).sum
     assert(pctSum >= 95 && pctSum <= 100) // integer floors
   }
+
+  test("set1b: the Settings worklist drives the plan — override re-targets, dim side broadcasts") {
+    // the reference's city loop (main.rs:107) as a config-driven
+    // predicate: a GRAFT_CITIES overlay must change which cities the
+    // SAME query computes, with no code change
+    val defaults = graft.Settings.loadDefault(env = Map.empty)
+    assert(defaults.cities === Seq("1", "9", "14")) // the oracle's IN-list
+    val overridden = graft.Settings.loadDefault(
+      env = Map("GRAFT_CITIES" -> "2,7"))
+    val got = Relational.set1bCitiesConfig(spark, sfDir, overridden)
+    val cities = got.collect().map(_.getLong(0)).toSeq
+    assert(cities === Seq(2L, 7L))
+    // worklist rides a broadcast of the filtered dimension — the fact
+    // side scans once regardless of |cities|
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
