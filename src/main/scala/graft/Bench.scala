@@ -37,6 +37,10 @@ object Bench {
       // experiment knob: AQE re-plans cost extra per-query overhead on
       // tiny local data; default mirrors production (GraftSession: on)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // the one production AQE knob the star plans depend on (GraftSession
+      // rationale): hash-join instead of sorting when every build-side
+      // partition measures under the gate
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -34,6 +34,16 @@ object GraftSession {
     // the size gates (creation side <= 10 MB, application scan >= 10 GB)
     // only ever fire at scale, so locking it on costs nothing locally
     "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    // AQE SMJ->SHJ conversion: when every post-shuffle partition of the
+    // build side measures <= this, hash-join instead of sorting both
+    // sides. The r14 plain-star measurement: q2/q3's big-big fact joins
+    // dropped 1.2x/1.5x and their 1-2.4 GB sort spills went to ZERO the
+    // moment the sort disappeared. Size-gated per partition on MEASURED
+    // (compressed) map sizes, so it scales: decompressed build ~3x the
+    // gate -> worst case ~768 MB per running task, sized for >=8 GB
+    // executors; AQE skew-split runs first, so a skewed partition either
+    // splits under the gate or blocks the conversion entirely
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "256m",
     "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC",

@@ -19,8 +19,93 @@ object Analytics {
     * for one segment: customer ⋈ orders ⋈ lineitem with both date sides
     * pruned at the scans, revenue in exact decimal, TakeOrdered top-K. */
   def q2ShippingPriority(spark: SparkSession, sfDir: String): DataFrame =
-    q2From(spark, Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+    q2PlainFrom(spark, Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
       Tables.lineitem(spark, sfDir))
+
+  /** The plain (unbucketed) star forms' join-strategy gate. The plain
+    * q2/q3 gap vs a single-node engine was never arithmetic — it was the
+    * fact-table shuffle (CROSSOVER r13: plain q3 9.0x at sf50, ~2 GB
+    * spilled; DuckDB's plan is scan + in-memory hash join, no exchange at
+    * all). The distributed plan that matches it is the same algorithm:
+    * build a hash table on the FILTERED dimension side and stream the
+    * fact scan through it — i.e. a broadcast-hash join — which is only
+    * safe when the filtered side actually fits an executor. Static stats
+    * can't see that (a Filter's sizeInBytes estimate is its child's, so
+    * the planner sees "650 MB", never "5M surviving rows"), so the
+    * library measures it: one cheap COUNT over the filtered column —
+    * parquet reads just the predicate columns and row-group stats skip
+    * most groups outright — then hints broadcast iff the count clears
+    * `graft.star.broadcastMaxDimRows` (default 16M rows ≈ ~500 MB of
+    * hash relation, sized for ≥4 GB executors; deployments tune it with
+    * executor memory). At 100 TB the count says billions → the gate
+    * falls back to the shuffle join, which is exactly the plan a
+    * 1000-executor network spreads. Conf `graft.star.dimBroadcast`:
+    * `auto` (gate, default) | `force` (always hint — single-box /
+    * known-small deployments) | `off` (never — pure shuffle plan). */
+  private def gatedBroadcast(spark: SparkSession, dim: DataFrame,
+      gateCount: => Long): DataFrame =
+    spark.conf.get("graft.star.dimBroadcast", "auto") match {
+      case "force" => broadcast(dim)
+      case "off" => dim
+      case _ =>
+        val maxRows = spark.conf.get("graft.star.broadcastMaxDimRows",
+          "16000000").toLong
+        if (gateCount <= maxRows) broadcast(dim) else dim
+    }
+
+  /** Q2 plain form at scale [r13 verdict item 5]: the gate picks the
+    * PLAN SHAPE from a measured survivor count, because q2's two optimal
+    * shapes are different plans, not one plan with a hint:
+    *  - Small surviving item set (a late date cut — the classic case):
+    *    aggregate revenue per order BELOW the join (a per-order BIGINT
+    *    sum is exact — ≤7 items) and BROADCAST the pre-aggregate, so the
+    *    35M-row orders side never shuffles; o_orderkey is unique in
+    *    orders, so the join emits one already-grouped row per qualifying
+    *    order and the final GROUP BY disappears — TakeOrdered(10) runs
+    *    straight off the join.
+    *  - Large surviving set (this fixture keeps 49% of lineitem — a
+    *    MEASURED negative for the pre-aggregate route: the per-order
+    *    hash table is corpus-sized, its exchange spills ~1 GB at sf25,
+    *    and the plan lost 1.4x to the core it replaced): fall back to
+    *    [[q2From]]'s join-then-aggregate, where the post-join aggregate
+    *    reuses the join's partitioning and no second exchange exists.
+    * The gate count is one pushed-down single-column scan; its threshold
+    * is [[gatedBroadcast]]'s row budget. */
+  def q2PlainFrom(spark: SparkSession, customer: DataFrame, ordersT: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cut = lit("1998-07-01").cast("timestamp")
+    val maxRows = spark.conf.get("graft.star.broadcastMaxDimRows",
+      "16000000").toLong
+    val mode = spark.conf.get("graft.star.dimBroadcast", "auto")
+    val takeBroadcast = mode match {
+      case "force" => true
+      case "off" => false
+      case _ => lineitem.filter($"l_shipdate" > cut).count() <= maxRows
+    }
+    if (!takeBroadcast) q2From(spark, customer, ordersT, lineitem)
+    else {
+      val cust = customer
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val items = lineitem
+        .filter($"l_shipdate" > cut)
+        .select($"l_orderkey",
+          (graft.Exact.cents($"l_extendedprice") *
+            (lit(100L) - graft.Exact.cents($"l_discount"))).as("rev4"))
+        .groupBy($"l_orderkey")
+        .agg(sum($"rev4").as("rev4"))
+      ordersT
+        .filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(items), $"o_orderkey" === $"l_orderkey")
+        .select($"o_orderkey",
+          unix_timestamp($"o_orderdate").as("orderdate_s"),
+          ($"rev4".cast("double") / lit(1e4)).as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderkey")
+        .limit(10)
+    }
+  }
 
   /** Q2 over caller-supplied base tables: the bench's bucketed tier passes
     * catalog tables bucketed on the order key, which run the same plan with
@@ -62,9 +147,62 @@ object Analytics {
     * region ⋈ nation ⋈ customer broadcast outward-in, the two fact tables
     * joined once on the order key. */
   def q3RevenueByNation(spark: SparkSession, sfDir: String): DataFrame =
-    q3From(spark, Tables.region(spark, sfDir), Tables.nation(spark, sfDir),
+    q3PlainFrom(spark, Tables.region(spark, sfDir), Tables.nation(spark, sfDir),
       Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
       Tables.lineitem(spark, sfDir))
+
+  /** Q3 plain form at scale [r13 verdict item 5]: the whole dimension
+    * side — orders date-filtered to ~1/7, then the ASIA customer cut —
+    * collapses to (o_orderkey, n_name), and the fact side is the FULL
+    * lineitem scan; the r13 plan shuffled all of it (150M × 24B at sf25,
+    * the measured 10x). Here the dim side is hash-joined through
+    * [[gatedBroadcast]] (gate = the pushed-down filtered-orders count,
+    * ≥ the post-customer-cut dim rows, so conservative): when it fits,
+    * lineitem never exchanges — scan → broadcast probe → rev4 on the
+    * ~1/35 surviving rows (arithmetic stays ABOVE the join, the r13
+    * placement lesson) → 25-group partial agg, and the only exchange
+    * left carries 25 rows. At 100 TB the gate falls back to the shuffle
+    * join a cluster spreads. */
+  def q3PlainFrom(spark: SparkSession, regionT: DataFrame, nationT: DataFrame,
+      customer: DataFrame, ordersT: DataFrame, lineitem: DataFrame): DataFrame = {
+    import spark.implicits._
+    val region = regionT.filter($"r_name" === "ASIA")
+    val nation = nationT
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    // the broadcast dim stays FIXED-WIDTH: (o_orderkey, n_nationkey) is
+    // two longs per row — the nation NAME would triple the hash-relation
+    // row (UnsafeRow string field + its bytes) and put a string hash
+    // under the per-fact-row group-by; the 25-row nation lookup re-joins
+    // AFTER the aggregate, where it costs nothing
+    val cust = customer
+      .join(broadcast(nation.select($"n_nationkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_nationkey")
+    val dateLo = lit("1997-01-01").cast("timestamp")
+    val dateHi = lit("1998-01-01").cast("timestamp")
+    val inWindow = ordersT
+      .filter($"o_orderdate" >= dateLo && $"o_orderdate" < dateHi)
+    val dim = inWindow
+      .select($"o_orderkey", $"o_custkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_nationkey")
+    val gated = gatedBroadcast(spark, dim, inWindow.count())
+    graft.plans.Sum128.register(spark)
+    lineitem
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .join(gated, $"l_orderkey" === $"o_orderkey")
+      .select($"c_nationkey",
+        (graft.Exact.cents($"l_extendedprice") *
+          (lit(100L) - graft.Exact.cents($"l_discount"))).as("rev4"))
+      .groupBy($"c_nationkey")
+      .agg(
+        expr("CAST(sum128(rev4, 4) AS DOUBLE)").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"revenue", $"n_items")
+      .orderBy($"revenue".desc, $"n_name")
+  }
 
   /** Q3 over caller-supplied base tables (see [[q2From]]). */
   def q3From(spark: SparkSession, regionT: DataFrame, nationT: DataFrame,

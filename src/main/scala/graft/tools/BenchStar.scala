@@ -83,6 +83,17 @@ object BenchStar {
     val subset = args.drop(2).toSet
     val spark = MakeHeavy.session(Some(s"$dir/warehouse"))
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // mirror GraftSession's AQE hash-join gate (the bench session is
+    // deliberately minimal; this is the one production knob the star
+    // plans depend on — r14: sort spills to zero, q2/q3 -1.2x/-1.5x)
+    spark.conf.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
+    // A/B probe hook: semicolon-separated k=v runtime conf overrides, so a
+    // candidate optimizer knob can be measured on a tier without a rebuild
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        spark.conf.set(kv.take(i), kv.drop(i + 1))
+      })
     val haveBuckets = MakeHeavy.registerBucketed(spark, dir,
       Seq(("hv_orders_b", "o_orderkey"), ("hv_lineitem_b", "l_orderkey")))
     require(haveBuckets, s"bucketed tables missing under $dir/warehouse — run MakeStar first")
@@ -90,8 +101,16 @@ object BenchStar {
     def pq(t: String): DataFrame = spark.read.parquet(s"$dir/$t.parquet")
     val all: Seq[(String, () => DataFrame)] = Seq(
       "q2_shipping_priority" -> (() =>
-        graft.operators.Analytics.q2From(spark, pq("customer"), pq("orders"), pq("lineitem"))),
+        graft.operators.Analytics.q2PlainFrom(spark, pq("customer"), pq("orders"), pq("lineitem"))),
       "q3_revenue_by_nation" -> (() =>
+        graft.operators.Analytics.q3PlainFrom(spark, pq("region"), pq("nation"),
+          pq("customer"), pq("orders"), pq("lineitem"))),
+      // the r13 plain plans (every-item fact shuffle), kept as probe rows
+      // so CROSSOVER's "what did the gated-broadcast rework buy" delta is
+      // measured on the same tier generation, not quoted across ones
+      "q2_plain_legacy" -> (() =>
+        graft.operators.Analytics.q2From(spark, pq("customer"), pq("orders"), pq("lineitem"))),
+      "q3_plain_legacy" -> (() =>
         graft.operators.Analytics.q3From(spark, pq("region"), pq("nation"),
           pq("customer"), pq("orders"), pq("lineitem"))),
       "q2_bucketed" -> (() => graft.operators.Analytics.q2From(spark, pq("customer"),

@@ -552,8 +552,22 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(scans === 0, s"profile re-scanned the table $scans times")
   }
 
-  test("u4: version exchanges carry (id, hash) only; text dies in the scan projection") {
-    val fmt = fmtPlan(q("u4_snapshot_diff"))
+  test("u4: fused diff is one scan, zero joins; the general form's exchanges carry (id, hash) only") {
+    // the declared u4 derives both versions from one snapshot, so the
+    // r13-item-2 fusion must hold: a single parquet scan, no join, no
+    // hash exchange at all (only the output sort's range exchange)
+    val fused = q("u4_snapshot_diff")
+    val fusedFmt = fmtPlan(fused)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(fusedFmt).size === 1,
+      s"fused diff re-grew a second scan:\n$fusedFmt")
+    assert(!fusedFmt.contains("Join"), s"fused diff re-grew a join:\n$fusedFmt")
+    assert(!exchangeBlocks(fusedFmt).exists(b =>
+        blockLine(b, "Arguments").contains("hashpartitioning")),
+      s"fused diff hash-exchanges rows:\n$fusedFmt")
+    // the general two-snapshot form keeps the original pin: versions
+    // reduce map-side to (doc_id, xxhash64) — text never rides a shuffle
+    val docs = graft.Tables.documents(spark, sfDir)
+    val fmt = fmtPlan(graft.operators.Quality.snapshotDiffTables(docs, docs))
     val hashEx = exchangeBlocks(fmt).filter(b =>
       blockLine(b, "Arguments").contains("hashpartitioning"))
     assert(hashEx.nonEmpty, s"no join exchanges:\n$fmt")

@@ -158,4 +158,37 @@ class SemanticsSpec extends SparkSpecBase {
     val p = got.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q2/q3 plain gated-broadcast forms equal the shuffle-core plans under every gate mode") {
+    // the r14 plain-star rework: the declared q2/q3 run the count-gated
+    // broadcast-dimension plan (Analytics.gatedBroadcast); value parity
+    // with the original join-then-aggregate core and with each other must
+    // hold on BOTH sides of the gate — broadcast hint taken (force /
+    // auto-under-threshold) and shuffle fallback (off / auto-over-threshold)
+    def q2() = Analytics.q2PlainFrom(spark, Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)).collect().toSeq
+    def q3() = Analytics.q3PlainFrom(spark, Tables.region(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)).collect().toSeq
+    val core2 = Analytics.q2From(spark, Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)).collect().toSeq
+    val core3 = Analytics.q3From(spark, Tables.region(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)).collect().toSeq
+    try {
+      for (mode <- Seq("auto", "force", "off")) {
+        spark.conf.set("graft.star.dimBroadcast", mode)
+        assert(q2() === core2, s"q2 diverged under mode=$mode")
+        assert(q3() === core3, s"q3 diverged under mode=$mode")
+      }
+      // auto with a zero row budget must take the fallback arm and still agree
+      spark.conf.set("graft.star.dimBroadcast", "auto")
+      spark.conf.set("graft.star.broadcastMaxDimRows", "0")
+      assert(q2() === core2, "q2 diverged under auto/zero-budget fallback")
+      assert(q3() === core3, "q3 diverged under auto/zero-budget fallback")
+    } finally {
+      spark.conf.unset("graft.star.dimBroadcast")
+      spark.conf.unset("graft.star.broadcastMaxDimRows")
+    }
+  }
 }
