@@ -53,24 +53,31 @@ object Analytics {
         if (gateCount <= maxRows) broadcast(dim) else dim
     }
 
-  /** Q2 plain form at scale [r13 verdict item 5]: the gate picks the
-    * PLAN SHAPE from a measured survivor count, because q2's two optimal
-    * shapes are different plans, not one plan with a hint:
-    *  - Small surviving item set (a late date cut — the classic case):
-    *    aggregate revenue per order BELOW the join (a per-order BIGINT
-    *    sum is exact — ≤7 items) and BROADCAST the pre-aggregate, so the
-    *    35M-row orders side never shuffles; o_orderkey is unique in
-    *    orders, so the join emits one already-grouped row per qualifying
-    *    order and the final GROUP BY disappears — TakeOrdered(10) runs
-    *    straight off the join.
-    *  - Large surviving set (this fixture keeps 49% of lineitem — a
-    *    MEASURED negative for the pre-aggregate route: the per-order
-    *    hash table is corpus-sized, its exchange spills ~1 GB at sf25,
-    *    and the plan lost 1.4x to the core it replaced): fall back to
-    *    [[q2From]]'s join-then-aggregate, where the post-join aggregate
-    *    reuses the join's partitioning and no second exchange exists.
-    * The gate count is one pushed-down single-column scan; its threshold
-    * is [[gatedBroadcast]]'s row budget. */
+  /** Q2 plain form at scale [r13 verdict item 5]: the gate picks among
+    * THREE plan shapes from measured survivor counts, because q2's
+    * optimal plans differ by which filtered side fits memory:
+    *  1. Small surviving ITEM set (a late date cut — the classic case):
+    *     aggregate revenue per order BELOW the join (a per-order BIGINT
+    *     sum is exact — ≤7 items) and BROADCAST the pre-aggregate, so
+    *     the 35M-row orders side never shuffles; o_orderkey is unique in
+    *     orders, so the join emits one already-grouped row per
+    *     qualifying order — the GROUP BY disappears and TakeOrdered(10)
+    *     runs straight off the join. (The pre-aggregate WITHOUT the
+    *     broadcast is a measured negative on this fixture — 49% of
+    *     lineitem survives, the per-order hash table is corpus-sized,
+    *     its exchange spilled ~1 GB at sf25 and lost 1.4x to the core.)
+    *  2. Small surviving ORDERS set (this fixture: the BUILDING-segment
+    *     date-cut orders are ~1/9 of orders): broadcast the fixed-width
+    *     (o_orderkey, o_orderdate) dim — [[q3PlainFrom]]'s shape — so
+    *     lineitem streams through the probe with no fact exchange, and
+    *     the per-order aggregate shuffles only the ~1/9 of item rows
+    *     that survive the probe instead of every filtered item.
+    *  3. Both large: [[q2From]]'s join-then-aggregate shuffle core,
+    *     where the aggregate reuses the join's partitioning (+ the
+    *     session's AQE hash-join conversion, which removed its sort
+    *     spill) — the 100 TB fallback a cluster spreads.
+    * Each gate is one pushed-down narrow count; `force` takes shape 2
+    * (the robust broadcast — the dim is bounded by orders, not items). */
   def q2PlainFrom(spark: SparkSession, customer: DataFrame, ordersT: DataFrame,
       lineitem: DataFrame): DataFrame = {
     import spark.implicits._
@@ -78,32 +85,48 @@ object Analytics {
     val maxRows = spark.conf.get("graft.star.broadcastMaxDimRows",
       "16000000").toLong
     val mode = spark.conf.get("graft.star.dimBroadcast", "auto")
-    val takeBroadcast = mode match {
-      case "force" => true
-      case "off" => false
-      case _ => lineitem.filter($"l_shipdate" > cut).count() <= maxRows
+    val cust = customer
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val dim = ordersT
+      .filter($"o_orderdate" < cut)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_orderdate")
+    def rev4 = (graft.Exact.cents($"l_extendedprice") *
+      (lit(100L) - graft.Exact.cents($"l_discount"))).as("rev4")
+    val shape: Int = mode match {
+      case "force" => 2
+      case "off" => 3
+      case _ =>
+        if (lineitem.filter($"l_shipdate" > cut).count() <= maxRows) 1
+        else if (dim.count() <= maxRows) 2
+        else 3
     }
-    if (!takeBroadcast) q2From(spark, customer, ordersT, lineitem)
-    else {
-      val cust = customer
-        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
-      val items = lineitem
-        .filter($"l_shipdate" > cut)
-        .select($"l_orderkey",
-          (graft.Exact.cents($"l_extendedprice") *
-            (lit(100L) - graft.Exact.cents($"l_discount"))).as("rev4"))
-        .groupBy($"l_orderkey")
-        .agg(sum($"rev4").as("rev4"))
-      ordersT
-        .filter($"o_orderdate" < cut)
-        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-        .join(broadcast(items), $"o_orderkey" === $"l_orderkey")
-        .select($"o_orderkey",
-          unix_timestamp($"o_orderdate").as("orderdate_s"),
-          ($"rev4".cast("double") / lit(1e4)).as("revenue"))
-        .orderBy($"revenue".desc, $"o_orderkey")
-        .limit(10)
+    shape match {
+      case 1 =>
+        val items = lineitem
+          .filter($"l_shipdate" > cut)
+          .select($"l_orderkey", rev4)
+          .groupBy($"l_orderkey")
+          .agg(sum($"rev4").as("rev4"))
+        dim
+          .join(broadcast(items), $"o_orderkey" === $"l_orderkey")
+          .select($"o_orderkey",
+            unix_timestamp($"o_orderdate").as("orderdate_s"),
+            ($"rev4".cast("double") / lit(1e4)).as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderkey")
+          .limit(10)
+      case 2 =>
+        lineitem
+          .filter($"l_shipdate" > cut)
+          .select($"l_orderkey", rev4)
+          .join(broadcast(dim), $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderkey")
+          .agg(min(unix_timestamp($"o_orderdate")).as("orderdate_s"),
+            (sum($"rev4").cast("double") / lit(1e4)).as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderkey")
+          .limit(10)
+      case _ => q2From(spark, customer, ordersT, lineitem)
     }
   }
 

@@ -13,7 +13,8 @@ cd "$(dirname "$0")/.."
 dir=$1; label=$2
 rm -f "target/star_pq_${label}"_*.json
 i=0
-for q in q2_shipping_priority q3_revenue_by_nation q2_bucketed q3_bucketed \
+for q in q2_shipping_priority q3_revenue_by_nation q2_plain_legacy \
+         q3_plain_legacy q2_bucketed q3_bucketed \
          a13_exact_percentiles q1_pricing_summary; do
   # 2>&1: with stderr detached sbt's stdout intermittently arrives empty
   # (observed twice on q3@sf25); keep both streams and filter. Retry once
