@@ -17,9 +17,20 @@ object Analytics {
 
   /** Q2: shipping-priority style — top-10 open orders by pending revenue
     * for one segment: customer ⋈ orders ⋈ lineitem with both date sides
-    * pruned at the scans, revenue in exact decimal, TakeOrdered top-K. */
+    * pruned at the scans, revenue in exact decimal, TakeOrdered top-K.
+    *
+    * The declared form IS [[q2From]]'s shuffle core (under the session's
+    * AQE hash-join conversion): the r14 CROSSOVER campaign measured every
+    * adaptive alternative for q2 on all four tiers and the core won or
+    * tied each one once gate costs count — q2's fact side is already
+    * date-pruned, so the shuffle a broadcast would replace is ~5x
+    * cheaper than q3's, and its filtered dims (4-8M rows at sf25/50)
+    * sit past the broadcast budget's wall crossing. [[q2PlainFrom]]
+    * remains the adaptive variant for deployments whose item cut is
+    * genuinely selective (a 1-2% late-shipdate slice → its arm-1
+    * zero-exchange plan), value-pinned equal in SemanticsSpec. */
   def q2ShippingPriority(spark: SparkSession, sfDir: String): DataFrame =
-    q2PlainFrom(spark, Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+    q2From(spark, Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
       Tables.lineitem(spark, sfDir))
 
   /** The plain (unbucketed) star forms' join-strategy gate. The plain
@@ -35,23 +46,37 @@ object Analytics {
     * library measures it: one cheap COUNT over the filtered column —
     * parquet reads just the predicate columns and row-group stats skip
     * most groups outright — then hints broadcast iff the count clears
-    * `graft.star.broadcastMaxDimRows` (default 16M rows ≈ ~500 MB of
-    * hash relation, sized for ≥4 GB executors; deployments tune it with
-    * executor memory). At 100 TB the count says billions → the gate
-    * falls back to the shuffle join, which is exactly the plan a
-    * 1000-executor network spreads. Conf `graft.star.dimBroadcast`:
-    * `auto` (gate, default) | `force` (always hint — single-box /
-    * known-small deployments) | `off` (never — pure shuffle plan). */
+    * `spark.graft.star.broadcastMaxDimRows`. The default budget (3.5M rows)
+    * is NOT a memory bound — it is the measured wall crossing of the
+    * broadcast's DRIVER-SERIAL term (collect + hash-relation build +
+    * send, ~0.25s per million 16-byte rows on the bench host) against
+    * the shuffle it replaces: a 2.9M-row dim still wins 1.4x end-to-end
+    * at the 300M-row tier (q3/sf50), a 4.0M-row dim already loses the
+    * wall it saves in stage compute (q2/sf25) — the default splits the
+    * measured bracket; both plans are in CROSSOVER.md. Deployments with
+    * more executor cores per driver raise it. At 100 TB the count says
+    * billions → the gate falls back to the shuffle join, which is
+    * exactly the plan a 1000-executor network spreads. Conf
+    * `spark.graft.star.dimBroadcast`: `auto` (gate, default) | `force`
+    * (always hint — single-box / known-small deployments) | `off`
+    * (never — pure shuffle plan).
+    *
+    * `gates` are COUNT thunks, cheapest first, each an UPPER BOUND on
+    * (or exactly) the dim's rows; the first one inside the budget
+    * approves the broadcast without running the rest, so the common
+    * small case pays one narrow pushed-down count and only the
+    * ambiguous middle pays the precise join-side count. */
   private def gatedBroadcast(spark: SparkSession, dim: DataFrame,
-      gateCount: => Long): DataFrame =
-    spark.conf.get("graft.star.dimBroadcast", "auto") match {
+      gates: Seq[() => Long]): DataFrame =
+    spark.conf.get("spark.graft.star.dimBroadcast", "auto") match {
       case "force" => broadcast(dim)
       case "off" => dim
       case _ =>
-        val maxRows = spark.conf.get("graft.star.broadcastMaxDimRows",
-          "16000000").toLong
-        if (gateCount <= maxRows) broadcast(dim) else dim
+        if (gates.exists(_() <= broadcastBudget(spark))) broadcast(dim) else dim
     }
+
+  private def broadcastBudget(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.star.broadcastMaxDimRows", "3500000").toLong
 
   /** Q2 plain form at scale [r13 verdict item 5]: the gate picks among
     * THREE plan shapes from measured survivor counts, because q2's
@@ -82,9 +107,8 @@ object Analytics {
       lineitem: DataFrame): DataFrame = {
     import spark.implicits._
     val cut = lit("1998-07-01").cast("timestamp")
-    val maxRows = spark.conf.get("graft.star.broadcastMaxDimRows",
-      "16000000").toLong
-    val mode = spark.conf.get("graft.star.dimBroadcast", "auto")
+    val maxRows = broadcastBudget(spark)
+    val mode = spark.conf.get("spark.graft.star.dimBroadcast", "auto")
     val cust = customer
       .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
     val dim = ordersT
@@ -94,13 +118,29 @@ object Analytics {
       .select($"o_orderkey", $"o_orderdate")
     def rev4 = (graft.Exact.cents($"l_extendedprice") *
       (lit(100L) - graft.Exact.cents($"l_discount"))).as("rev4")
+    // arm order is a cost statement: shape 2's broadcast is the orders-
+    // bounded FIXED-WIDTH dim — always the cheaper hash relation — so it
+    // goes first whenever it fits (also: one gate count instead of two
+    // in the common case). Shape 1 is the rescue for the huge-orders /
+    // tiny-items corner (its pre-aggregate pays an items exchange AND a
+    // per-order-width broadcast: measured 2.8x worse than shape 2 at the
+    // 30M-row tier when items ran near the budget).
     val shape: Int = mode match {
       case "force" => 2
       case "off" => 3
       case _ =>
-        if (lineitem.filter($"l_shipdate" > cut).count() <= maxRows) 1
-        else if (dim.count() <= maxRows) 2
-        else 3
+        if (dim.count() <= maxRows) 2
+        else {
+          // arm-1 gate is a LIMIT-probe, not a count: when the filtered
+          // item set is huge (every case where arm 1 loses), LocalLimit
+          // aborts each task at the cap and the probe costs ~a task wave
+          // instead of a full 300M-row column scan; when it is small the
+          // probe degenerates to the count it replaces
+          val cap = math.min(maxRows, Int.MaxValue - 2L).toInt
+          val probed = lineitem.filter($"l_shipdate" > cut)
+            .limit(cap + 1).count()
+          if (probed <= maxRows) 1 else 3
+        }
     }
     shape match {
       case 1 =>
@@ -179,8 +219,8 @@ object Analytics {
     * collapses to (o_orderkey, n_name), and the fact side is the FULL
     * lineitem scan; the r13 plan shuffled all of it (150M × 24B at sf25,
     * the measured 10x). Here the dim side is hash-joined through
-    * [[gatedBroadcast]] (gate = the pushed-down filtered-orders count,
-    * ≥ the post-customer-cut dim rows, so conservative): when it fits,
+    * [[gatedBroadcast]] (gate = the precise dim count — the date-only
+    * count overcounts the ASIA cut ~5x): when it fits,
     * lineitem never exchanges — scan → broadcast probe → rev4 on the
     * ~1/35 surviving rows (arithmetic stays ABOVE the join, the r13
     * placement lesson) → 25-group partial agg, and the only exchange
@@ -210,7 +250,13 @@ object Analytics {
       .select($"o_orderkey", $"o_custkey")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .select($"o_orderkey", $"c_nationkey")
-    val gated = gatedBroadcast(spark, dim, inWindow.count())
+    // gate chain, cheap -> precise: the date-window count is a narrow
+    // pushed-down scan and an upper bound (it overcounts the ASIA cut
+    // ~5x) — when IT fits, done in one cheap job; when it doesn't, the
+    // precise dim count (the broadcast-cust probe rides the same job)
+    // decides, so mid-size windows aren't wrongly rejected
+    val gated = gatedBroadcast(spark, dim,
+      Seq(() => inWindow.count(), () => dim.count()))
     graft.plans.Sum128.register(spark)
     lineitem
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")

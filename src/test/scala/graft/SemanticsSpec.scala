@@ -177,18 +177,18 @@ class SemanticsSpec extends SparkSpecBase {
       Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)).collect().toSeq
     try {
       for (mode <- Seq("auto", "force", "off")) {
-        spark.conf.set("graft.star.dimBroadcast", mode)
+        spark.conf.set("spark.graft.star.dimBroadcast", mode)
         assert(q2() === core2, s"q2 diverged under mode=$mode")
         assert(q3() === core3, s"q3 diverged under mode=$mode")
       }
       // auto with a zero row budget must take the fallback arm and still agree
-      spark.conf.set("graft.star.dimBroadcast", "auto")
-      spark.conf.set("graft.star.broadcastMaxDimRows", "0")
+      spark.conf.set("spark.graft.star.dimBroadcast", "auto")
+      spark.conf.set("spark.graft.star.broadcastMaxDimRows", "0")
       assert(q2() === core2, "q2 diverged under auto/zero-budget fallback")
       assert(q3() === core3, "q3 diverged under auto/zero-budget fallback")
     } finally {
-      spark.conf.unset("graft.star.dimBroadcast")
-      spark.conf.unset("graft.star.broadcastMaxDimRows")
+      spark.conf.unset("spark.graft.star.dimBroadcast")
+      spark.conf.unset("spark.graft.star.broadcastMaxDimRows")
     }
   }
 }
