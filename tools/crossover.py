@@ -139,7 +139,8 @@ def main():
                 "per tier."
                 + (" " + analysis["_header_note"] if "_header_note" in analysis else "")
                 + "\n\n")
-        have_legacy = any(per[q][5] is not None for _, _, per in rows)
+        have_legacy = any(per[jq][5] is not None
+                          for _, _, per in rows for jq in QUERIES)
         for q in QUERIES:
             f.write(f"## {q}\n\n")
             legh = "r13-plan wall s | " if have_legacy else ""
