@@ -671,6 +671,27 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(range.size <= 1, s"more than the presentation sort:\n$fmt")
   }
 
+  test("q3 plain: the gated broadcast holds — the fact table crosses no exchange") {
+    // the r14 rework's load-bearing property (CROSSOVER: 2.4 GB spill ->
+    // zero, stage 15.3s -> 4.2s at sf50): under the gate's pass arm the
+    // lineitem scan streams through a broadcast probe and the only hash
+    // exchange left carries the 25-nation partial aggregate. A future
+    // change that silently reintroduces the fact shuffle keeps results
+    // hash-exact — exactly the regression the correctness gate can't see.
+    val df = q("q3_revenue_by_nation")
+    val fmt = fmtPlan(df)
+    assert(fmt.contains("BroadcastHashJoin"), s"q3 lost the gated broadcast:\n$fmt")
+    val hashEx = exchangeBlocks(fmt).filter(b =>
+      blockLine(b, "Arguments").contains("hashpartitioning"))
+    for (b <- hashEx; factCol <- Seq("l_orderkey", "l_extendedprice", "l_discount", "rev4"))
+      assert(!blockLine(b, "Input").contains(factCol),
+        s"fact column $factCol rides a hash exchange again:\n$b")
+    // (the fallback arm's SHUFFLE shape can't be pinned at this scale —
+    // the static 10 MB threshold broadcasts the tiny test dim with or
+    // without the gate's hint; its value parity is pinned in
+    // SemanticsSpec under a zero row budget)
+  }
+
   test("r12: audit log is window-free and the events scan drops the payload column") {
     val df = q("r12_merge_log")
     val p = plan(df)
