@@ -20,7 +20,7 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *
   * On Spark the unit worth tracing is the QUERY, not the line of code:
   * [[install]] registers a `QueryExecutionListener` that emits ONE JSON
-  * line per completed action — action name, wall, output rows, shuffle
+  * line per completed action — action name, wall, output rows, exchange
   * data size, disk spill, scan count, status, error class — which is
   * exactly the page-someone signal a 100 TB deployment monitors (spill
   * growing round-over-round, a scan count jumping after a plan change,
@@ -53,7 +53,9 @@ object Observe {
       case (k, v: String) => s"${esc(k)}:${esc(v)}"
       case (k, v: Long) => s"${esc(k)}:$v"
       case (k, v: Int) => s"${esc(k)}:$v"
-      case (k, v: Double) => s"${esc(k)}:$v"
+      // a non-finite double (a caller's NaN event field) would emit
+      // invalid JSON and corrupt the machine-readable stream — stringify
+      case (k, v: Double) if java.lang.Double.isFinite(v) => s"${esc(k)}:$v"
       case (k, v: Boolean) => s"${esc(k)}:$v"
       case (k, v) => s"${esc(k)}:${esc(String.valueOf(v))}"
     }.mkString("{", ",", "}")
@@ -95,11 +97,14 @@ object Observe {
         "name" -> name) ++ fields))
     /** Files written so far (first + rotated parts). */
     def files: Seq[Path] = writer.paths.filter(Files.exists(_))
-    /** Unregister the listener and stop observing (files remain). */
+    /** Unregister the listener and stop observing queries. Files remain,
+      * and [[event]] stays usable — the stream is the RUN's log, closing
+      * detaches only the query listener (the reference's `info!` outlives
+      * any one stage the same way). */
     def close(): Unit = spark.listenerManager.unregister(listener)
   }
 
-  /** Best-effort plan metrics: (rows out, shuffle data bytes, spill
+  /** Best-effort plan metrics: (rows out, exchange data bytes — every Exchange's dataSize, broadcast included — spill
     * bytes, parquet scans). Walks the FINAL adaptive plan when AQE ran —
     * the pre-execution plan's metrics are zeros. */
   private def planMetrics(qe: QueryExecution): (Long, Long, Long, Long) =
@@ -144,7 +149,7 @@ object Observe {
           "status" -> error.map(_ => "failed").getOrElse("ok"),
           "wall_s" -> durationNs / 1e9,
           "rows_out" -> rows,
-          "shuffle_bytes" -> shuffle,
+          "exchange_bytes" -> shuffle,
           "spill_bytes" -> spill,
           "scans" -> scans) ++
           error.map(e => "error" ->

@@ -35,7 +35,7 @@ class ObserveSpec extends SparkSpecBase {
         && l.contains("\"status\":\"ok\"")).get
       // structured fields present and the line is real JSON
       for (f <- Seq("\"ts\":", "\"action\":", "\"wall_s\":", "\"rows_out\":",
-          "\"shuffle_bytes\":", "\"spill_bytes\":", "\"scans\":"))
+          "\"exchange_bytes\":", "\"spill_bytes\":", "\"scans\":"))
         assert(rec.contains(f), s"missing $f in $rec")
       val parsed = org.json4s.jackson.JsonMethods.parse(rec)
       assert((parsed \ "status") === org.json4s.JString("ok"))
