@@ -294,16 +294,41 @@ object AnnIndex {
     * shards of CODE rows (M small ints per vector) and never a float.
     * This is the at-rest form of the l3n composite: FAISS's IVFADC index
     * as parquet directories. Returns the index directory. */
+  /** The trained PQ codebook on its own — [[ensureIvfCentroids]]'s idiom
+    * applied to [[Similarity.pqTrain]]'s driver state: the M·K·SUB-row
+    * codebook is a deterministic function of the corpus (integer Lloyd,
+    * bit-identical on any engine), so the declared l3m/l3n queries replay
+    * the fingerprint-stamped artifact instead of re-running the training
+    * fixpoint per evaluation (the r13 l3f precedent: train once into the
+    * index dir, serve hash-exactly; l3l remains the inline training —
+    * checking the TRAINING is its whole point). Returns the codebook
+    * rows, building + persisting them if the stamp is stale. */
+  def ensurePqCodebook(spark: SparkSession, sfDir: String): Seq[(Int, Int, Int, Long)] = {
+    import spark.implicits._
+    val dir = indexDir(spark, sfDir)
+    val fp = sourceFingerprint(sfDir)
+    if (!fresh(s"$dir/pq_codebook", fp)) {
+      val cent = Similarity.pqTrain(spark, sfDir)
+      Tables.sink(s"$dir/pq_codebook") {
+        cent.toDF("m", "c", "d", "cent").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/pq_codebook")
+      }
+      stamp(s"$dir/pq_codebook", fp)
+      cent
+    } else
+      // ints and longs round-trip parquet exactly; order is immaterial
+      // (every consumer broadcasts the set), sorted anyway for
+      // deterministic driver state
+      Tables.readMemo(spark, s"$dir/pq_codebook")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSeq.sorted
+  }
+
   def buildIvfPq(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     val dir = indexDir(spark, sfDir)
     val fp = sourceFingerprint(sfDir)
-    val cent = Similarity.pqTrain(spark, sfDir)
-    Tables.sink(s"$dir/pq_codebook") {
-      cent.toDF("m", "c", "d", "cent").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/pq_codebook")
-    }
-    stamp(s"$dir/pq_codebook", fp)
+    val cent = ensurePqCodebook(spark, sfDir)
     Tables.sink(s"$dir/pq_codes") {
       Similarity.pqAssign(Similarity.pqDims(spark, sfDir), cent)
         .join(Tables.embeddings(spark, sfDir).select($"vec_id", $"label"), Seq("vec_id"))

@@ -59,6 +59,19 @@ class PqSpec extends SparkSpecBase {
     assert(moved > want.size / 2, s"only $moved centroids moved off init")
   }
 
+  test("codebook memo replay is bit-equal to inline training (the l3m/l3n serve path)") {
+    // r14: the declared l3m/l3n read the fingerprint-stamped pq_codebook
+    // instead of re-running Lloyd per evaluation — the replay must be the
+    // SAME driver state the training produces (ints/longs round-trip
+    // parquet exactly), and a second ensure must be a pure read (fresh
+    // stamp), not a retrain
+    val inline = S.pqTrain(spark, sfDir).toSet
+    val first = graft.llm.AnnIndex.ensurePqCodebook(spark, sfDir).toSet
+    val again = graft.llm.AnnIndex.ensurePqCodebook(spark, sfDir).toSet
+    assert(first === inline)
+    assert(again === inline)
+  }
+
   test("l3m: ADC ranks the query's own vector first; distances are sane") {
     import spark.implicits._
     val r = S.l3mPqTopk(spark, sfDir).collect()
