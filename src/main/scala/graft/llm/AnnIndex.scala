@@ -65,8 +65,15 @@ object AnnIndex {
     * (name, length, mtime), covering both the single-file fixture layout and
     * directory-of-parts layouts (the heavy tiers). Cheap — metadata only —
     * so every ensure* call can afford it. */
-  def sourceFingerprint(sfDir: String): String = {
-    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+  def sourceFingerprint(sfDir: String): String =
+    fileFingerprint(s"$sfDir/embeddings.parquet")
+
+  /** [[sourceFingerprint]] for any source table file/dir — artifacts that
+    * derive from a table OTHER than embeddings (the BPE merge memo reads
+    * documents) must stamp against THEIR source, or a regenerated fixture
+    * that touched only that table would stale-serve. */
+  private[llm] def fileFingerprint(path: String): String = {
+    val src = new java.io.File(path)
     if (src.isFile) s"${src.getName}=${src.length}:${src.lastModified}"
     else
       Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -80,7 +87,7 @@ object AnnIndex {
 
   /** An artifact is servable iff its write committed (`_SUCCESS`) AND it was
     * built from the embeddings bytes currently on disk (fingerprint match). */
-  private def fresh(path: String, fp: String): Boolean =
+  private[llm] def fresh(path: String, fp: String): Boolean =
     new java.io.File(s"$path/_SUCCESS").exists() &&
       java.nio.file.Files.isRegularFile(fpFile(path)) &&
       new String(java.nio.file.Files.readAllBytes(fpFile(path)),
@@ -88,7 +95,7 @@ object AnnIndex {
 
   /** Stamp AFTER the artifact write commits: a crashed build leaves either
     * no `_SUCCESS` or no stamp, and both read as not-fresh. */
-  private def stamp(path: String, fp: String): Unit =
+  private[llm] def stamp(path: String, fp: String): Unit =
     java.nio.file.Files.write(fpFile(path),
       fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
