@@ -42,8 +42,16 @@ object GraftSession {
     // (compressed) map sizes, so it scales: decompressed build ~3x the
     // gate -> worst case ~768 MB per running task, sized for >=8 GB
     // executors; AQE skew-split runs first, so a skewed partition either
-    // splits under the gate or blocks the conversion entirely
-    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "256m",
+    // splits under the gate or blocks the conversion entirely.
+    // SIZING RULE (the ~3x decompression factor is data-dependent —
+    // highly compressible columns expand 10x+ — and SHJ build maps do
+    // NOT spill): budget PER EXECUTOR is cores x (threshold x expansion);
+    // at 8 cores/8 GB the 256m default already sums past the heap in the
+    // worst case, so memory-tight deployments must lower it. Overridable
+    // without a rebuild via GRAFT_SHJ_THRESHOLD (e.g. "64m" or "0" to
+    // disable the conversion), mirroring Bench's SPARK_GRAFT_AQE toggle.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" ->
+      sys.env.getOrElse("GRAFT_SHJ_THRESHOLD", "256m"),
     "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC",

@@ -104,22 +104,34 @@ object Observe {
     def close(): Unit = spark.listenerManager.unregister(listener)
   }
 
-  /** Best-effort plan metrics: (rows out, exchange data bytes — every Exchange's dataSize, broadcast included — spill
+  /** Best-effort plan metrics: (rows out, exchange data bytes, spill
     * bytes, parquet scans). Walks the FINAL adaptive plan when AQE ran —
-    * the pre-execution plan's metrics are zeros. */
+    * the pre-execution plan's metrics are zeros — and descends into
+    * query-stage wrappers (AQE's materialized stages are leaf wrappers;
+    * a plain `collect` never sees inside them). `exchange_bytes` sums
+    * dataSize over Exchange nodes ONLY (shuffle + broadcast):
+    * ReusedExchangeExec is a leaf pointing at an already-counted
+    * exchange, so skipping non-Exchange nodes also prevents the
+    * double-count it would cause. Limitation: subquery plans hanging off
+    * expressions (scalar/IN subqueries) are not traversed — their
+    * exchanges and scans are not in these sums. */
   private def planMetrics(qe: QueryExecution): (Long, Long, Long, Long) =
     try {
-      def unwrap(p: SparkPlan): SparkPlan = p match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case other => other
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      import org.apache.spark.sql.execution.exchange.Exchange
+      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+        case q: QueryStageExec => q +: expand(q.plan)
+        case other => other +: other.children.flatMap(expand)
       }
-      val root = unwrap(qe.executedPlan)
-      val nodes = root.collect { case n => unwrap(n) }
-      val rows = root.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
-      def sum(name: String) =
-        nodes.flatMap(_.metrics.get(name)).map(_.value).sum
+      val nodes = expand(qe.executedPlan)
+      val rows = nodes.headOption
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).getOrElse(-1L)
+      val exchange = nodes.collect { case e: Exchange => e }
+        .flatMap(_.metrics.get("dataSize")).map(_.value).sum
+      val spill = nodes.flatMap(_.metrics.get("spillSize")).map(_.value).sum
       val scans = nodes.count(_.nodeName.toLowerCase.contains("scan"))
-      (rows, sum("dataSize"), sum("spillSize"), scans.toLong)
+      (rows, exchange, spill, scans.toLong)
     } catch { case _: Throwable => (-1L, -1L, -1L, -1L) }
 
   /** Install the observability surface on a session. One JSON line per
@@ -129,14 +141,19 @@ object Observe {
     * rotated past `maxBytes`. */
   def install(spark: SparkSession, dir: String = "logs",
       maxBytes: Long = 64L * 1024 * 1024): Handle = {
+    // sanitize: the login lands in a FILENAME — a '/' or '..' in the env
+    // value would redirect the resolve into nonexistent subdirectories
+    // and fail every listener write
     val user = sys.env.getOrElse("GRAFT_USER_LOGIN", "default_user")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
     val d = Paths.get(dir)
     Files.createDirectories(d)
-    // seq suffix: the reference names by (timestamp, user) alone
-    // (main.rs:28-33); two installs inside one second would interleave
-    // two sessions' records into one stream, so disambiguate
+    // pid + seq suffix: the reference names by (timestamp, user) alone
+    // (main.rs:28-33); two installs inside one second — same JVM (seq) or
+    // two JVMs (pid) — would interleave two sessions' records otherwise
+    val pid = ProcessHandle.current().pid()
     val seq = installSeq.getAndIncrement()
-    val base = d.resolve(s"graft_${tsFmt.format(Instant.now())}_${user}_$seq.jsonl")
+    val base = d.resolve(s"graft_${tsFmt.format(Instant.now())}_${user}_p${pid}_$seq.jsonl")
     val writer = new RotatingWriter(base, maxBytes)
     val listener = new QueryExecutionListener {
       private def record(funcName: String, qe: QueryExecution,

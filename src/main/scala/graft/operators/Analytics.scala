@@ -139,7 +139,11 @@ object Analytics {
           val cap = math.min(maxRows, Int.MaxValue - 2L).toInt
           val probed = lineitem.filter($"l_shipdate" > cut)
             .limit(cap + 1).count()
-          if (probed <= maxRows) 1 else 3
+          // compare against CAP, not maxRows: when a deployment sets the
+          // budget above ~2.1B the LIMIT saturates at cap < maxRows and
+          // `probed <= maxRows` would be vacuously true — a saturated
+          // probe is over-budget evidence, so fall back to the shuffle
+          if (probed <= cap) 1 else 3
         }
     }
     shape match {

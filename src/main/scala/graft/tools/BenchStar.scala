@@ -92,6 +92,9 @@ object BenchStar {
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').filter(_.nonEmpty)
       .foreach { kv =>
         val i = kv.indexOf('=')
+        // a '='-less token would slice to conf.set("", kv) — a silently
+        // wrong probe; malformed entries must fail the run loudly
+        require(i > 0, s"bad SPARK_GRAFT_EXTRA_CONF entry (want k=v): $kv")
         spark.conf.set(kv.take(i), kv.drop(i + 1))
       })
     val haveBuckets = MakeHeavy.registerBucketed(spark, dir,
