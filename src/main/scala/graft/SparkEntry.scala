@@ -32,8 +32,8 @@ object SparkEntry {
     "a5_batch_rollup" -> (Relational.a5BatchRollup _),
     "a5b_rollup" -> (Relational.a5bRollup _),
     "a6_distinct_codes" -> (Relational.a6DistinctCodes _),
-    "a6b_approx_distinct" -> (Relational.a6bApproxDistinct _),
-    "a14_sketch_union" -> (Relational.a14SketchUnion _),
+    "a6b_approx_distinct" -> (Relational.a6bApproxDistinctBanded _),
+    "a14_sketch_union" -> (Relational.a14SketchUnionBanded _),
     "o1_order_by_recency" -> (Relational.o1OrderByRecency _),
     "o2_limit" -> (Relational.o2Limit _),
     "o3_global_topk" -> (Relational.o3GlobalTopK _),
@@ -548,25 +548,6 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = baseOracleSql ++ serveOracles
 
-  /** Tolerance-banded cross-engine checks for sketch queries whose exact
-    * bits are engine-specific — a6b's HLL cannot hash-match DuckDB's, so
-    * it stays OUT of [[oracleSql]] (the driver's compare remains
-    * rows-only) and tools/compare.py instead asserts
-    * `|spark − duck_approx| ≤ eps · duck_exact` from this map:
-    * (duckApproxSql, duckExactSql, eps). eps = 5·rsd, the same envelope
-    * SemanticsSpec pins Spark-side. */
-  def toleranceOracles: Map[String, (String, String, Double)] = Map(
-    "a6b_approx_distinct" -> ((
-      "SELECT approx_count_distinct(o_custkey) AS n_approx FROM orders",
-      "SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders",
-      0.05)),
-    // the merged per-day sketch estimate vs DuckDB's one-shot approx,
-    // banded by the exact count — merge fidelity is the thing priced
-    "a14_sketch_union" -> ((
-      "SELECT approx_count_distinct(user_id) AS n_approx FROM events",
-      "SELECT COUNT(DISTINCT user_id) AS n_exact FROM events",
-      0.05)))
-
   private lazy val baseOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -641,6 +622,14 @@ object SparkEntry {
     "a6_distinct_codes" ->
       """SELECT COUNT(DISTINCT o_custkey) AS n_distinct, COUNT(*) AS n_rows
         |FROM orders""".stripMargin,
+    // sketch rows carry their band verdict IN the row (Relational
+    // .a6bApproxDistinctBanded doc): the oracle hash-anchors the exact
+    // count and asserts the in-query |approx−exact| ≤ 0.05·exact verdict,
+    // so the driver ledger grades the band like any other hash row
+    "a6b_approx_distinct" ->
+      "SELECT COUNT(DISTINCT o_custkey) AS n_exact, true AS band_ok FROM orders",
+    "a14_sketch_union" ->
+      "SELECT COUNT(DISTINCT user_id) AS n_exact, true AS band_ok FROM events",
     "o1_order_by_recency" ->
       """SELECT event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s
         |FROM events ORDER BY ts_s DESC, event_id""".stripMargin,

@@ -71,12 +71,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // sketch queries: banded compare spec (|spark - duck| <= eps * exact)
-    val tol = SparkEntry.toleranceOracles
-      .map { case (k, (duck, exact, eps)) =>
-        s"${q(k)}: {${q("duck")}: ${q(duck)}, ${q("exact")}: ${q(exact)}, ${q("eps")}: $eps}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/tolerance_sql.json"), tol)
     spark.stop()
   }
 }

@@ -213,12 +213,30 @@ object Relational {
       .agg(countDistinct($"o_custkey").as("n_distinct"), count(lit(1)).as("n_rows"))
   }
 
-  /** A6b: approximate distinct (HLL sketch) [EXT]. No oracle — sketch
-    * results are engine-specific; the spec checks the error envelope. */
+  /** A6b: approximate distinct (HLL sketch) [EXT]. Sketch results are
+    * engine-specific; the spec checks the error envelope and the graded
+    * ledger row is [[a6bApproxDistinctBanded]]. */
   def a6bApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, sfDir)
       .agg(approx_count_distinct($"o_custkey", 0.01).as("n_approx"))
+  }
+
+  /** A6b's LEDGER row: sketch bits cannot hash-match a foreign engine, so
+    * the graded query carries the band INSIDE the row — `n_exact` (the
+    * exact distinct, independently recomputed by the DuckDB oracle: the
+    * hash anchor) plus `band_ok` = |approx − exact| ≤ 0.05·exact computed
+    * in-query. A drifting sketch flips band_ok to false and the row goes
+    * red like any other — replacing the r14 tolerance side-channel that
+    * read as `err:"no_oracle"` in the round artifact. HLL is
+    * deterministic for a fixed input, so the verdict cannot flake. */
+  def a6bApproxDistinctBanded(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .agg(approx_count_distinct($"o_custkey", 0.01).as("n_approx"),
+           countDistinct($"o_custkey").as("n_exact"))
+      .select($"n_exact",
+        (abs($"n_approx" - $"n_exact") <= lit(0.05) * $"n_exact").as("band_ok"))
   }
 
   /** A14 [EXT]: persisted mergeable sketches — the pre-aggregated-metrics
@@ -244,6 +262,20 @@ object Relational {
     }
     Tables.readMemo(spark, out)
       .agg(hll_sketch_estimate(hll_union_agg($"sketch")).as("n_approx"))
+  }
+
+  /** A14's LEDGER row — the [[a6bApproxDistinctBanded]] idiom over the
+    * merged per-day sketch estimate: `n_exact` hash-anchors against the
+    * oracle's independent recount, `band_ok` prices merge fidelity
+    * (|union-estimate − exact| ≤ 0.05·exact) inside the row itself. */
+  def a14SketchUnionBanded(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val est = a14SketchUnion(spark, sfDir)
+    val exact = Tables.events(spark, sfDir)
+      .agg(countDistinct($"user_id").as("n_exact"))
+    est.crossJoin(exact)
+      .select($"n_exact",
+        (abs($"n_approx" - $"n_exact") <= lit(0.05) * $"n_exact").as("band_ok"))
   }
 
   // ------------------------------------------------------- §2.6 sorts / limits
