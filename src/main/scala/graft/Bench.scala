@@ -61,14 +61,29 @@ object Bench {
     }
     // samples(name) = successful wall times, one per sweep at most
     val samples = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
+    // per-query plan metrics from the last successful run (host-invariant
+    // regression signal: exchange bytes / spill / scan count are plan
+    // properties, not box properties — tools/bench_drift.py diffs them
+    // round-over-round where walls are uninterpretable under the ±25%
+    // per-round host drift). Read off the SAME QueryExecution the drain
+    // executed; a metrics extraction failure degrades to -1s, never to a
+    // failed query (the Observe contract).
+    val plans = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long)]
     val sweepMeta = (1 to SWEEPS).map { _ =>
       val la = loadavg()
       val s0 = System.nanoTime()
       names.foreach { n =>
         val t0 = System.nanoTime()
-        val ok = try { BenchUtil.force(queries(n)(spark, sfDir)); true }
-                 catch { case _: Throwable => false }
-        if (ok) samples(n) :+= (System.nanoTime() - t0) / 1e9
+        val done = try {
+          val df = queries(n)(spark, sfDir)
+          BenchUtil.force(df)
+          Some(df)
+        } catch { case _: Throwable => None }
+        val wall = (System.nanoTime() - t0) / 1e9 // metric walk NOT timed
+        done.foreach { df =>
+          samples(n) :+= wall
+          plans(n) = Observe.planMetrics(df.queryExecution)
+        }
       }
       val wall = (System.nanoTime() - s0) / 1e9
       (wall, la, loadavg())
@@ -84,7 +99,16 @@ object Bench {
       s"""{"wall":$w,"loadavg_pre":"$la0","loadavg_post":"$la1"}"""
     }.mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sweeps":$sweeps,"failed":$failedJson}"""
+    // plan-metric map: {"name":[rows,exchange_bytes,spill_bytes,scans]}
+    val planJson = names.flatMap(n => plans.get(n).map { case (r, x, sp, sc) =>
+      "\"" + n + s"\":[$r,$x,$sp,$sc]"
+    }).mkString("{", ",", "}")
+    val planTotals = {
+      val vs = plans.values.toSeq
+      def t(f: ((Long, Long, Long, Long)) => Long) = vs.map(f).filter(_ >= 0).sum
+      (t(_._2), t(_._3), t(_._4))
+    }
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sweeps":$sweeps,"failed":$failedJson,"plan":$planJson}"""
     // The driver's artifact capture keeps only the last ~2000 chars of
     // stdout (BENCH_r07/r08 recorded `parsed: null` with a mid-line
     // "tail"), so the full ~4k-char per-query map is unparseable there.
@@ -99,7 +123,7 @@ object Bench {
       fullLine)
     if (args.isEmpty) BenchUtil.writeArtifact("BENCHFULL.json", fullLine)
     println(BenchUtil.compactLine(total, results, failed, sfDir,
-      sweepMeta.map(_._1), budget = 1850))
+      sweepMeta.map(_._1), budget = 1850, planTotals = Some(planTotals)))
     spark.stop()
   }
 }

@@ -115,7 +115,7 @@ object Observe {
     * double-count it would cause. Limitation: subquery plans hanging off
     * expressions (scalar/IN subqueries) are not traversed — their
     * exchanges and scans are not in these sums. */
-  private def planMetrics(qe: QueryExecution): (Long, Long, Long, Long) =
+  private[graft] def planMetrics(qe: QueryExecution): (Long, Long, Long, Long) =
     try {
       import org.apache.spark.sql.execution.adaptive.QueryStageExec
       import org.apache.spark.sql.execution.exchange.Exchange

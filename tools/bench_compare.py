@@ -68,6 +68,7 @@ def main():
     cache_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
                        if a.startswith("--duck-cache=")), None)
     pcache = {}
+    served_from_cache = set()  # RATIO provenance: not timed this session
     if cache_path and os.path.exists(cache_path):
         pcache = json.load(open(cache_path))
     def cache_key(sql):
@@ -88,6 +89,7 @@ def main():
             if hit is not None and hit.get("sql_md5") == cache_key(sql) \
                     and hit.get("sf_dir") == sf_dir:
                 duck_cache.setdefault(sql, hit["s"])
+                served_from_cache.add(name)
             if sql in duck_cache:
                 duck_s = duck_cache[sql]
             else:
@@ -149,6 +151,52 @@ def main():
         print(f"SPARK FAILURES (recorded as -1 by Bench): {failed}", file=sys.stderr)
     total_spark = sum(r[1] for r in rows if r[1] is not None and r[1] >= 0)
     total_duck = sum(r[2] for r in rows if r[2] is not None)
+    # --ratio-out=RATIO_rN.json: the machine-readable same-host ratio
+    # artifact the r14 verdict asked for — the graded bench carries its
+    # own denominator instead of prose. Spark walls come from the Bench
+    # line on stdin; DuckDB walls were timed by THIS process, so when the
+    # two commands run back-to-back (tools/ratio.sh) both columns are one
+    # host, one session. Cache-served duck entries are flagged: a ratio
+    # artifact with cached rows is NOT a same-session measurement.
+    ratio_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                      if a.startswith("--ratio-out=")), None)
+    if ratio_out:
+        import datetime
+        import platform
+        matched = [(n, s, d) for n, s, d, _ in rows
+                   if s is not None and s >= 0 and d is not None]
+        ms = sum(s for _, s, _ in matched)
+        md = sum(d for _, _, d in matched)
+        payload = {
+            "generated_utc":
+                datetime.datetime.now(datetime.timezone.utc).isoformat(),
+            "host": {"hostname": platform.node(), "cpus": os.cpu_count(),
+                     "loadavg": list(os.getloadavg()),
+                     "duckdb": duckdb.__version__},
+            "sf_dir": sf_dir,
+            "provenance": ("spark walls = graft.Bench line on stdin; duckdb "
+                           "walls timed by tools/bench_compare.py in the same "
+                           "invocation (tools/ratio.sh runs them back-to-back "
+                           "on one host)"),
+            "n_matched": len(matched),
+            "n_duck_cached": len(served_from_cache),
+            "spark_total_s": round(ms, 3),
+            "duck_total_s": round(md, 3),
+            "ratio": round(ms / md, 4) if md else None,
+            "per_query": {n: {"spark_s": round(s, 4), "duck_s": round(d, 4),
+                              "ratio": round(s / d, 3) if d else None,
+                              **({"duck_cached": True}
+                                 if n in served_from_cache else {})}
+                          for n, s, d in matched},
+            "spark_unmatched_s": {n: round(s, 4) for n, s, d, _ in rows
+                                  if s is not None and s >= 0 and d is None},
+        }
+        with open(ratio_out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"ratio artifact -> {ratio_out}: spark {ms:.1f}s / duck "
+              f"{md:.1f}s = {ms / md:.2f}x over {len(matched)} queries"
+              + (f" ({len(served_from_cache)} duck walls from cache)"
+                 if served_from_cache else ""), file=sys.stderr)
     analysis = {}
     if os.path.exists(ANALYSIS_PATH):
         analysis = json.load(open(ANALYSIS_PATH)).get(os.path.basename(out_path), {})
