@@ -24,11 +24,21 @@ import org.apache.spark.sql.SparkSession
   *    ([[HardLinkLogStore]]). This CLOSES the two-writer window the
   *    rename route only narrows on POSIX (rename(2) clobbers; the
   *    no-clobber check in the FS layer is check-then-act);
-  *  - S3-class object stores: a conditional PUT (`If-None-Match: *`) is
-  *    the same primitive; no impl ships here because no object-store
-  *    client jar does (sandbox has no hadoop-aws), but the seam is
-  *    exactly where it plugs in — reference semantics:
-  *    src/storage/minio.rs:139-242's store is such an object store.
+  *  - S3-class object stores: a conditional PUT (`If-None-Match: *`) of
+  *    the manifest BYTES to the final key ([[ObjectStoreLogStore]],
+  *    r15) — PUT is all-or-nothing on S3, so the key either serves the
+  *    complete manifest or does not exist, and the precondition makes
+  *    name creation one-winner (real S3 honors it since Nov 2024; the
+  *    reference's store class, src/storage/minio.rs:139-242, is exactly
+  *    this storage). Speaks the REST protocol directly via
+  *    [[graft.sources.ObjectStore.putIfAbsent]] (no SDK in this
+  *    sandbox); ObjectStoreLogRaceSpec races it over an in-process
+  *    S3-protocol server that enforces the precondition atomically.
+  *    NOTE: this impl covers the PUBLISH primitive — the one atomic
+  *    step the log protocol needs from storage. Hosting a whole
+  *    TableLog on `s3a://` additionally needs a Hadoop S3 filesystem
+  *    for the read/list path (hadoop-aws, absent here — jar
+  *    availability, not design).
   *
   * On lost race every impl throws Hadoop's
   * [[org.apache.hadoop.fs.FileAlreadyExistsException]]; [[TableLog]]
@@ -46,20 +56,33 @@ private[graft] sealed trait LogStore {
 private[graft] object LogStore {
 
   /** Pick the impl for this table's storage. `spark.graft.logstore`
-    * overrides: `hardlink` / `rename` force an impl (the race spec pins
-    * both); default `auto` = hardlink on `file:` (the closed-window
-    * primitive for the scheme), rename elsewhere (atomic-exclusive on
-    * HDFS, the storage the rename contract names). */
+    * overrides: `hardlink` / `rename` / `objectstore` force an impl (the
+    * race specs pin all three); default `auto` = hardlink on `file:`
+    * (the closed-window primitive for the scheme), objectstore on
+    * `s3`/`s3a` (conditional PUT against
+    * `spark.graft.logstore.endpoint`), rename elsewhere
+    * (atomic-exclusive on HDFS, the storage the rename contract names). */
   def forTable(spark: SparkSession, table: Path): LogStore = {
     val conf = spark.sparkContext.hadoopConfiguration
     val scheme = Option(table.toUri.getScheme).getOrElse(
       org.apache.hadoop.fs.FileSystem.getDefaultUri(conf).getScheme)
+    def objectStore = new ObjectStoreLogStore(
+      endpoint = spark.conf.getOption("spark.graft.logstore.endpoint")
+        .getOrElse(throw new IllegalArgumentException(
+          "objectstore LogStore needs spark.graft.logstore.endpoint " +
+            "(the store's base URL)")),
+      bucket = spark.conf.getOption("spark.graft.logstore.bucket"))
     spark.conf.get("spark.graft.logstore", "auto") match {
       case "hardlink" => HardLinkLogStore
       case "rename" => RenameLogStore
-      case "auto" => if (scheme == "file") HardLinkLogStore else RenameLogStore
+      case "objectstore" => objectStore
+      case "auto" =>
+        if (scheme == "file") HardLinkLogStore
+        else if (scheme == "s3" || scheme == "s3a") objectStore
+        else RenameLogStore
       case other => throw new IllegalArgumentException(
-        s"spark.graft.logstore: unknown impl '$other' (auto|hardlink|rename)")
+        s"spark.graft.logstore: unknown impl '$other' " +
+          "(auto|hardlink|rename|objectstore)")
     }
   }
 }
@@ -96,6 +119,52 @@ private[graft] object RenameLogStore extends LogStore {
   * The tmp (and the checksummed LocalFileSystem's `.crc` sibling from
   * staging) is unlinked after publish; a crash between link and unlink
   * leaves only those same ignorable dot-files. */
+/** S3-class impl: conditional PUT of the staged manifest's bytes to the
+  * final key. The staging FS and the publish store are deliberately
+  * decoupled: `tmp` is read through whatever Hadoop FS staged it (local
+  * scratch in this sandbox; s3a on a cluster), and the PUBLISH — the one
+  * step that needs one-winner semantics — is a single-part
+  * `If-None-Match: *` PUT of the complete bytes. On an S3-class store
+  * that PUT is all-or-nothing, so a reader can never see a torn `dst`,
+  * and the precondition guarantees exactly one of N concurrent
+  * publishers claims the name: every loser gets 412 (or 409 when racing
+  * an in-flight conditional write) and surfaces here as
+  * FileAlreadyExistsException — the same loud loss the other impls
+  * throw. Crash before the PUT leaves only the staged tmp; crash after
+  * leaves a fully published `dst` plus a tmp the next staging sweep
+  * ignores — no lock to leak, no repair path, the minio.rs:139-242
+  * storage class driven through the exact primitive it exposes.
+  *
+  * Key mapping: an `s3://bucket/path` dst uses its own authority as the
+  * bucket; otherwise (e.g. a local-path table publishing through an
+  * explicit endpoint) the configured `spark.graft.logstore.bucket` owns
+  * the dst's full path as the key. */
+private[graft] final class ObjectStoreLogStore(
+    endpoint: String, bucket: Option[String]) extends LogStore {
+  def publishExclusive(conf: Configuration, tmp: Path, dst: Path): Unit = {
+    val fs = tmp.getFileSystem(conf)
+    val in = fs.open(tmp)
+    val bytes = try in.readAllBytes() finally in.close()
+    val uri = dst.toUri
+    val (b, key) = Option(uri.getAuthority).filter(_ =>
+        uri.getScheme == "s3" || uri.getScheme == "s3a") match {
+      case Some(auth) => (auth, uri.getPath.stripPrefix("/"))
+      case None => (bucket.getOrElse(throw new IllegalArgumentException(
+          s"objectstore LogStore: non-s3 dst $dst needs " +
+            "spark.graft.logstore.bucket")),
+        uri.getPath.stripPrefix("/"))
+    }
+    try graft.sources.ObjectStore.putIfAbsent(endpoint, b, key, bytes)
+    catch {
+      case e: graft.sources.ObjectStore.ObjectAlreadyExists =>
+        throw new FileAlreadyExistsException(s"$dst already exists: $e")
+    }
+    fs.delete(tmp, false)
+    fs.delete(new Path(tmp.getParent,
+      "." + tmp.getName + ".crc"), false)
+  }
+}
+
 private[graft] object HardLinkLogStore extends LogStore {
   def publishExclusive(conf: Configuration, tmp: Path, dst: Path): Unit = {
     val t = java.nio.file.Paths.get(tmp.toUri.getPath)

@@ -40,12 +40,20 @@ object ObjectStore {
     * (parts = 0 marks the single-part path). */
   final case class PutResult(key: String, size: Long, parts: Int, etag: String)
 
+  /** Thrown by [[putIfAbsent]] when the store refuses the conditional
+    * create: 412 PreconditionFailed (the name exists) or 409 Conflict
+    * (a concurrent conditional write raced this one mid-flight — real
+    * S3 emits it; either way the caller did NOT win the name). */
+  final class ObjectAlreadyExists(msg: String) extends java.io.IOException(msg)
+
   private def request(method: String, url: String,
       body: Array[Byte] = Array.emptyByteArray,
-      contentType: Option[String] = None): (Int, String, Map[String, String]) = {
+      contentType: Option[String] = None,
+      reqHeaders: Map[String, String] = Map.empty): (Int, String, Map[String, String]) = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method)
     contentType.foreach(conn.setRequestProperty("Content-Type", _))
+    reqHeaders.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     if (method == "PUT" || method == "POST") {
       conn.setDoOutput(true)
       conn.setFixedLengthStreamingMode(body.length)
@@ -89,6 +97,32 @@ object ObjectStore {
   private def objectUrl(baseUrl: String, bucket: String, key: String): String =
     s"${baseUrl.stripSuffix("/")}/${encodeSegment(bucket)}/" +
       key.split("/", -1).map(encodeSegment).mkString("/")
+
+  /** Conditional CREATE: a single-part PUT carrying `If-None-Match: *`,
+    * the object store's one-winner name-claim primitive (real S3 honors
+    * the precondition on PUT since Nov 2024; MinIO-class stores —
+    * the reference's storage, minio.rs:139–242 — do too). Of N
+    * concurrent callers for one key exactly one gets a 2xx; every loser
+    * gets 412 (name exists) or 409 (lost to an in-flight conditional
+    * write) and this throws [[ObjectAlreadyExists]]. A PUT is
+    * all-or-nothing on an S3-class store, so there is no torn-read
+    * window: the key either serves the complete body or does not exist
+    * — which is exactly [[graft.operators.LogStore]]'s publish contract
+    * (ObjectStoreLogStore rides this). Single-part only by design:
+    * manifests are KB-sized; a multipart object cannot claim a name
+    * atomically at initiate time. */
+  def putIfAbsent(baseUrl: String, bucket: String, key: String,
+      bytes: Array[Byte]): PutResult = {
+    val (code, respBody, respHeaders) = request(
+      "PUT", objectUrl(baseUrl, bucket, key), bytes, Some(CONTENT_TYPE),
+      reqHeaders = Map("If-None-Match" -> "*"))
+    if (code == 412 || code == 409)
+      throw new ObjectAlreadyExists(
+        s"conditional PUT $bucket/$key refused: HTTP $code $respBody")
+    require(code >= 200 && code < 300,
+      s"conditional PUT $bucket/$key failed: HTTP $code $respBody")
+    PutResult(key, bytes.length.toLong, 0, respHeaders.getOrElse("etag", ""))
+  }
 
   /** Ship one local file to `bucket/key`. Single PUT when the file fits
     * in one chunk; the three-phase multipart protocol otherwise — part

@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.ConcurrentHashMap
 
-import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import com.sun.net.httpserver.HttpServer
 import org.apache.spark.sql.functions._
 
 import graft.sources.ObjectStore
@@ -18,30 +18,9 @@ import graft.sources.ObjectStore
   * records: a part ETag mis-echoed at complete time, an out-of-order
   * part list, or a completed object diverging from the source bytes all
   * fail the spec. */
-object S3Store {
-  // completed objects: "bucket/key" -> bytes
-  val objects = new ConcurrentHashMap[String, Array[Byte]]()
-  // in-flight multiparts: uploadId -> (objectPath, partNo -> (bytes, etag))
-  val uploads =
-    new ConcurrentHashMap[String, (String, ConcurrentHashMap[Int, (Array[Byte], String)])]()
-  // op counters per kind, for call-shape assertions
-  val ops = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
-  @volatile var failParts = false
-  val nextId = new java.util.concurrent.atomic.AtomicLong(0)
-
-  def count(kind: String): Long =
-    Option(ops.get(kind)).map(_.get()).getOrElse(0L)
-
-  def bump(kind: String): Unit =
-    ops.computeIfAbsent(kind, _ => new java.util.concurrent.atomic.AtomicLong(0))
-      .incrementAndGet()
-
-  def reset(): Unit = { objects.clear(); uploads.clear(); ops.clear(); failParts = false }
-
-  def md5hex(b: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5").digest(b)
-      .map("%02x".format(_)).mkString
-}
+/** Shared store instance for this spec's call-shape assertions
+  * (state + server logic live in [[S3StoreState]]/[[S3TestServer]]). */
+object S3Store extends S3StoreState
 
 class S3ProtocolPutSpec extends SparkSpecBase {
 
@@ -50,84 +29,9 @@ class S3ProtocolPutSpec extends SparkSpecBase {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
-    server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = {
-        val path = ex.getRequestURI.getPath.stripPrefix("/") // bucket/key...
-        val query = Option(ex.getRequestURI.getQuery).getOrElse("")
-        val params = query.split("&").filter(_.nonEmpty)
-          .map(p => p.split("=", 2) match {
-            case Array(k, v) => k -> v
-            case Array(k) => k -> ""
-          }).toMap
-        val body = ex.getRequestBody.readAllBytes()
-        def respond(code: Int, payload: String = "",
-            headers: Map[String, String] = Map.empty): Unit = {
-          headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
-          val bytes = payload.getBytes("UTF-8")
-          ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
-          if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
-          ex.close()
-        }
-        (ex.getRequestMethod, params) match {
-          case ("POST", p) if p.contains("uploads") =>
-            S3Store.bump("initiate")
-            val id = s"up-${S3Store.nextId.incrementAndGet()}"
-            S3Store.uploads.put(id, (path, new ConcurrentHashMap()))
-            respond(200,
-              s"<InitiateMultipartUploadResult><UploadId>$id</UploadId></InitiateMultipartUploadResult>")
-          case ("PUT", p) if p.contains("partNumber") =>
-            S3Store.bump("part")
-            if (S3Store.failParts) respond(500, "InternalError")
-            else {
-              val id = p("uploadId")
-              val partNo = p("partNumber").toInt
-              val etag = "\"" + S3Store.md5hex(body) + "\""
-              Option(S3Store.uploads.get(id)) match {
-                case Some((_, parts)) =>
-                  parts.put(partNo, (body, etag))
-                  respond(200, headers = Map("ETag" -> etag))
-                case None => respond(404, "NoSuchUpload")
-              }
-            }
-          case ("POST", p) if p.contains("uploadId") =>
-            S3Store.bump("complete")
-            val id = p("uploadId")
-            Option(S3Store.uploads.remove(id)) match {
-              case Some((objPath, parts)) =>
-                val listed = "<Part><PartNumber>(\\d+)</PartNumber><ETag>(.*?)</ETag></Part>".r
-                  .findAllMatchIn(new String(body, "UTF-8"))
-                  .map(m => m.group(1).toInt -> m.group(2)).toSeq
-                val ascending = listed.map(_._1) == listed.map(_._1).sorted
-                val allMatch = listed.forall { case (n, e) =>
-                  Option(parts.get(n)).exists(_._2 == e)
-                }
-                if (!ascending || !allMatch || listed.size != parts.size())
-                  respond(400, "InvalidPartOrder")
-                else {
-                  val assembled = listed.flatMap { case (n, _) => parts.get(n)._1 }.toArray
-                  S3Store.objects.put(objPath, assembled)
-                  respond(200,
-                    s"<CompleteMultipartUploadResult><ETag>\"${S3Store.md5hex(assembled)}-${listed.size}\"</ETag></CompleteMultipartUploadResult>")
-                }
-              case None => respond(404, "NoSuchUpload")
-            }
-          case ("PUT", _) =>
-            S3Store.bump("put")
-            S3Store.objects.put(path, body)
-            respond(200, headers = Map("ETag" -> ("\"" + S3Store.md5hex(body) + "\"")))
-          case ("DELETE", p) if p.contains("uploadId") =>
-            S3Store.bump("abort")
-            Option(S3Store.uploads.remove(p("uploadId"))) match {
-              case Some(_) => respond(204)
-              case None => respond(404, "NoSuchUpload")
-            }
-          case _ => respond(405, "MethodNotAllowed")
-        }
-      }
-    })
-    server.start()
-    baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}"
+    val (srv, url) = S3TestServer.start(S3Store)
+    server = srv
+    baseUrl = url
   }
 
   override def afterAll(): Unit = {
