@@ -753,21 +753,26 @@ object SparkEntry {
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
         |FROM events WHERE event_type <> 'click' OR value >= 100.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // warm-path s11: one as-of read against the PRE-BUILT log; the
-    // oracle recomputes the v3 snapshot from the commit rules (DuckDB
-    // has no log — its only path is the full-table scan the metadata
-    // plane avoids)
+    // warm-path s11: an N-read serving loop (TableLog.WARM_READS legs in
+    // one plan) against the PRE-BUILT log; the oracle has no log, so it
+    // recomputes the v3 snapshot from the commit rules N times — the
+    // full-table recompute a log-less engine pays on EVERY read
     "s11_warm_read" ->
-      """SELECT COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS id_sum
-        |FROM events WHERE event_type <> 'click' OR value >= 100.0""".stripMargin,
-    // warm-path mv1: ONE O(batch) refresh of the persisted v2 state
-    // through the v3 rewrite window; the oracle is the full recompute of
-    // the refreshed view over the v3 snapshot
+      (1 to graft.operators.TableLog.WARM_READS).map(i =>
+        s"""SELECT $i AS read_i, COUNT(*) AS n_rows,
+           |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+           |FROM events WHERE event_type <> 'click' OR value >= 100.0""".stripMargin)
+        .mkString("\nUNION ALL\n"),
+    // warm-path mv1: N O(batch) refreshes of the persisted v2 state
+    // through the v3 rewrite window; the oracle full-recomputes the
+    // refreshed view N times over the v3 snapshot
     "mv1_warm_refresh" ->
-      """SELECT event_type, COUNT(*) AS n_rows,
-        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
-        |FROM events WHERE event_type <> 'click' OR value >= 100.0
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      (1 to graft.operators.TableLog.WARM_READS).map(i =>
+        s"""SELECT $i AS refresh_i, event_type, COUNT(*) AS n_rows,
+           |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+           |FROM events WHERE event_type <> 'click' OR value >= 100.0
+           |GROUP BY 2""".stripMargin)
+        .mkString("\nUNION ALL\n"),
     // v1-v3 must see ZERO tagged rows (the column postdates their logged
     // schema); v4 keeps v3's row set with exactly the error rows tagged —
     // a reader trusting file footers instead of the log diverges at v1-v3

@@ -414,11 +414,28 @@ object TableLog {
     * from the commit rules with a full-table scan — exactly the
     * comparison the "as-of read costs manifest replay + pruned scan, not
     * history replay" claim needs a number for. */
+  /** Serving-loop width (r14 verdict item 5): the warm rows price an
+    * N-read serving deployment INSIDE one declared query — N distinct
+    * read legs in one plan, so the per-query job floor amortizes over N
+    * and the ledger row prices the steady state instead of a cold
+    * session. The oracle replays the same recompute N times (UNION ALL
+    * of N literal-tagged SELECTs), so DuckDB pays N real recomputes —
+    * the comparison a dashboard ticking N times actually faces. */
+  val WARM_READS = 8
+
   def s11WarmRead(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val table = ensureWarmFixture(spark, sfDir)
-    readAsOf(spark, table, 3)
-      .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"))
+    // the read_i literal sits BELOW each leg's aggregate on purpose: it
+    // makes the N subtrees non-identical, so AQE exchange reuse cannot
+    // collapse the N reads into one — every leg really scans the
+    // snapshot, as N independent serving requests would
+    (1 to WARM_READS).map { i =>
+      readAsOf(spark, table, 3)
+        .withColumn("read_i", lit(i))
+        .groupBy($"read_i")
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"))
+    }.reduce(_.unionAll(_))
   }
 
   /** MV1 warm path [EXT]: one O(batch) refresh — the persisted v2 view
@@ -431,8 +448,16 @@ object TableLog {
   def mv1WarmRefresh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val table = ensureWarmFixture(spark, sfDir)
-    mvMerge(spark.read.parquet(s"$table/mv_state_v2"), mvDelta(spark, table, 2, 3))
-      .orderBy($"event_type")
+    // N refresh legs in one plan ([[WARM_READS]] doc); refresh_i lands
+    // below each leg's aggregate so no leg can be exchange-reuse'd away
+    (1 to WARM_READS).map { i =>
+      spark.read.parquet(s"$table/mv_state_v2").withColumn("refresh_i", lit(i))
+        .unionByName(
+          mvDelta(spark, table, 2, 3).withColumn("refresh_i", lit(i)))
+        .groupBy($"refresh_i", $"event_type")
+        .agg(sum($"n_rows").as("n_rows"), sum($"id_sum").as("id_sum"))
+        .filter($"n_rows" > 0)
+    }.reduce(_.unionAll(_))
   }
 
   /** File actions across manifests (from, to]: (added, removed), each a
