@@ -617,18 +617,57 @@ object Similarity {
       .select($"vec_id", $"m", $"best.c".as("c"))
   }
 
+  /** [[pqTrain]]'s fixpoint as ONE compiled plan: the codebook stays a
+    * (M·K·SUB = 1024-row) DataFrame between iterations instead of a
+    * collect + re-broadcast round trip, so the whole PQ_ITERS-deep Lloyd
+    * chain runs as a single action — identical arithmetic, identical
+    * result (PqSpec pins plan ≡ collect bit-for-bit). Loop-carried
+    * DRIVER state is only warranted when plan depth would grow without
+    * bound (l2e's fixpoint, l21's 40-step argmax); PQ_ITERS is a
+    * compile-time 2, and the r14 l3l row spent most of its 2.1s on the
+    * per-iteration job boundaries, not on its 2k-vector corpus. The
+    * chained plan re-inlines `dims` ~10x by design: ten pruned scans of
+    * one parquet inside ONE job beat four jobs with a persist (and a
+    * cache entry the declared-query contract has no place to release);
+    * at production scale the train input is a bounded sample
+    * (pqTrainSized), so the re-inline never multiplies a corpus scan. */
+  private[graft] def pqTrainPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dims = pqDims(spark, sfDir)
+    val init = dims.filter($"vec_id" < PQ_K)
+      .select($"m", $"vec_id".cast("int").as("c"), $"d", $"qv".as("cent"))
+    (1 to PQ_ITERS).foldLeft(init) { (cent, _) =>
+      val codes = dims.join(broadcast(cent), Seq("m", "d"))
+        .groupBy($"vec_id", $"m", $"c")
+        .agg(sum(($"qv" - $"cent") * ($"qv" - $"cent")).as("dist"))
+        .groupBy($"vec_id", $"m")
+        .agg(min(struct($"dist", $"c")).as("best"))
+        .select($"vec_id", $"m", $"best.c".as("c"))
+      val updated = codes.join(dims, Seq("vec_id", "m"))
+        .groupBy($"m", $"c", $"d")
+        .agg(expr("CAST(CAST(CAST(sum(qv) AS BIGINT) AS DOUBLE) / count(*) AS BIGINT)")
+          .as("u"))
+      // empty clusters keep their previous centroid (the collect path's
+      // getOrElse), expressed as a left join + coalesce
+      cent.join(updated, Seq("m", "c", "d"), "left")
+        .select($"m", $"c", $"d", coalesce($"u", $"cent").as("cent"))
+    }
+  }
+
   /** L3l [EXT]: train the PQ codebook — emits (m, c, d, cent), the full
     * learned table, so the oracle (the same Lloyd iterations unrolled as
     * CTEs, the l21 idiom) checks the TRAINING hash-exactly, not just a
     * downstream search. Scale: the corpus-size-dependent work is two
     * broadcast-join + partial-agg passes per iteration; the codebook is
-    * O(M·K·SUB) driver state, so 100 TB changes the scan cost, never the
-    * loop state. In production the codebook trains once on a sample and
-    * encodes everything (AnnIndex's build/serve split applies verbatim). */
+    * O(M·K·SUB) rows regardless of corpus, so 100 TB changes the scan
+    * cost, never the loop state. In production the codebook trains once
+    * on a sample and encodes everything (AnnIndex's build/serve split
+    * applies verbatim). Runs the single-plan chain ([[pqTrainPlan]]) —
+    * the learn is still inline and oracle-checked; it just compiles to
+    * one job instead of one per Lloyd step. */
   def l3lPqTrain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    pqTrain(spark, sfDir).toDF("m", "c", "d", "cent")
-      .orderBy($"m", $"c", $"d")
+    pqTrainPlan(spark, sfDir).orderBy($"m", $"c", $"d")
   }
 
   /** L3m [EXT]: asymmetric-distance top-k over PQ codes — every vector

@@ -400,8 +400,10 @@ object TableLog {
         buildFixture(spark, sfDir, table)
         // the stored view state as of v2: what a deployment has on disk
         // when commit v3 lands and the refresh runs
-        mvMerge(mvSlice(spark, table, Seq.empty, 1L), mvDelta(spark, table, 0, 2))
-          .write.mode(SaveMode.Overwrite).parquet(s"$table/mv_state_v2")
+        Tables.sink(s"$table/mv_state_v2") {
+          mvMerge(mvSlice(spark, table, Seq.empty, 1L), mvDelta(spark, table, 0, 2))
+            .write.mode(SaveMode.Overwrite).parquet(s"$table/mv_state_v2")
+        }
         java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
       }
       table
@@ -448,16 +450,44 @@ object TableLog {
   def mv1WarmRefresh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val table = ensureWarmFixture(spark, sfDir)
-    // N refresh legs in one plan ([[WARM_READS]] doc); refresh_i lands
-    // below each leg's aggregate so no leg can be exchange-reuse'd away
+    // N refresh legs in one plan ([[WARM_READS]] doc): each leg reads the
+    // stored state and the (2,3] window's add/remove files SEPARATELY
+    // (refresh_i below the aggregate — 3 real scans per leg, nothing
+    // exchange-reuse'd away), contributions normalized to SIGNED rows
+    // (state rows carry their aggregates, added rows +1/+event_id,
+    // removed rows −1/−event_id — the same abelian merge mvSlice+mvMerge
+    // compute, associativity makes one global sum ≡ per-leg sums), then
+    // ONE (refresh_i, event_type) aggregate merges all legs. Every leg's
+    // merge work still happens — 8x the rows ride the hash table — but
+    // the 8x2 per-leg slice exchanges collapse to one, which is how a
+    // real scheduler batches N concurrent refresh ticks.
+    val (adds, removes) = actionsIn(spark, table, 2, 3)
+    // schema memo per path: without it every leg re-infers footers on
+    // the DRIVER (24 inferences across the legs — the Tables.readMemo
+    // rationale; a serving deployment reads catalog tables)
+    def readFiles(files: Seq[String]): DataFrame = {
+      val paths = files.map(r => s"$table/$r")
+      spark.read.schema(Tables.readMemo(spark, paths.head).schema)
+        .parquet(paths: _*)
+    }
+    def contrib(i: Int, files: Seq[String], sign: Long): DataFrame =
+      if (files.isEmpty)
+        spark.emptyDataset[(Int, String, Long, Long)]
+          .toDF("refresh_i", "event_type", "nc", "ic")
+      else
+        readFiles(files)
+          .select(lit(i).as("refresh_i"), $"event_type",
+            lit(sign).as("nc"), (lit(sign) * $"event_id").as("ic"))
     (1 to WARM_READS).map { i =>
-      spark.read.parquet(s"$table/mv_state_v2").withColumn("refresh_i", lit(i))
-        .unionByName(
-          mvDelta(spark, table, 2, 3).withColumn("refresh_i", lit(i)))
-        .groupBy($"refresh_i", $"event_type")
-        .agg(sum($"n_rows").as("n_rows"), sum($"id_sum").as("id_sum"))
-        .filter($"n_rows" > 0)
-    }.reduce(_.unionAll(_))
+      Tables.readMemo(spark, s"$table/mv_state_v2")
+        .select(lit(i).as("refresh_i"), $"event_type",
+          $"n_rows".as("nc"), $"id_sum".as("ic"))
+        .unionByName(contrib(i, adds, 1L))
+        .unionByName(contrib(i, removes, -1L))
+    }.reduce(_.unionByName(_))
+      .groupBy($"refresh_i", $"event_type")
+      .agg(sum($"nc").as("n_rows"), sum($"ic").as("id_sum"))
+      .filter($"n_rows" > 0)
   }
 
   /** File actions across manifests (from, to]: (added, removed), each a

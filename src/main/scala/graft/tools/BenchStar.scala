@@ -120,6 +120,14 @@ object BenchStar {
       "q3_plain_legacy" -> (() =>
         graft.operators.Analytics.q3From(spark, pq("region"), pq("nation"),
           pq("customer"), pq("orders"), pq("lineitem"))),
+      // r15 probe arm (verdict q2 item 4): single-pass sort-based
+      // aggregation after the SHJ — run with SPARK_GRAFT_EXTRA_CONF=
+      // "spark.sql.execution.replaceHashWithSortAgg.enabled=true" so the
+      // ordered child actually plans as SortAggregate (the rule is off
+      // by default); same-sweep against q2_shipping_priority
+      "q2_sortagg_probe" -> (() =>
+        graft.operators.Analytics.q2From(spark, pq("customer"), pq("orders"),
+          pq("lineitem"), sortAgg = true)),
       "q2_bucketed" -> (() => graft.operators.Analytics.q2From(spark, pq("customer"),
         spark.table("hv_orders_b"), spark.table("hv_lineitem_b").hint("merge"))),
       "q3_bucketed" -> (() => graft.operators.Analytics.q3From(spark, pq("region"),

@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Print the EXECUTED (post-AQE) formatted plan of declared queries —
+  * the `.explain("formatted")` iteration loop as a batch tool.
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.PlanDump <query> ..."
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for (n <- args.toSeq) {
+      val df = graft.SparkEntry.queries(n)(spark, sf)
+      graft.BenchUtil.force(df) // run so AQE finalizes
+      println(s"==== $n ====")
+      println(df.queryExecution.executedPlan.toString)
+    }
+    spark.stop()
+  }
+}

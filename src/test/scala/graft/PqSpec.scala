@@ -59,6 +59,15 @@ class PqSpec extends SparkSpecBase {
     assert(moved > want.size / 2, s"only $moved centroids moved off init")
   }
 
+  test("single-plan Lloyd chain == collect-per-iteration training, bit for bit") {
+    // r15: the declared l3l runs the whole fixpoint as ONE compiled plan
+    // (pqTrainPlan — no per-iteration collect/job boundary); the memo
+    // builder keeps the collecting pqTrain. Same rules, same bits.
+    val plan = S.pqTrainPlan(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(plan === S.pqTrain(spark, sfDir).toSet)
+  }
+
   test("codebook memo replay is bit-equal to inline training (the l3m/l3n serve path)") {
     // r14: the declared l3m/l3n read the fingerprint-stamped pq_codebook
     // instead of re-running Lloyd per evaluation — the replay must be the
