@@ -179,7 +179,7 @@ object Analytics {
     * zero shuffle exchanges (bucket layout feeds the fact join AND the
     * post-join aggregation). */
   def q2From(spark: SparkSession, customer: DataFrame, ordersT: DataFrame,
-      lineitem: DataFrame, sortAgg: Boolean = false): DataFrame = {
+      lineitem: DataFrame): DataFrame = {
     import spark.implicits._
     val cut = lit("1998-07-01").cast("timestamp")
     val cust = customer
@@ -200,22 +200,17 @@ object Analytics {
       .select($"l_orderkey",
         (graft.Exact.cents($"l_extendedprice") *
           (lit(100L) - graft.Exact.cents($"l_discount"))).as("rev4"))
-    val joined = orders
+    // the fused partial+final hash aggregate after the join builds TWO
+    // ~|orders|-group hash tables back to back in one stage; with the
+    // group key unique in orders the partial's reduction is marginal,
+    // so one build is near-pure tax. The measured alternative
+    // (BenchStar's q2_sortagg_probe arm, r14 verdict item 4): keep the
+    // SMJ and let spark.sql.execution.replaceHashWithSortAgg collapse
+    // the pair into ONE Complete-mode SortAggregate streaming over the
+    // join's own key order — the verdict lives in CROSSOVER.md.
+    orders
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .join(items, $"o_orderkey" === $"l_orderkey")
-    // probe arm (r14 verdict q2 item 4): the fused partial+final hash
-    // aggregate after the SHJ builds TWO ~|orders|-group hash tables
-    // back to back in one stage — with the group key unique in orders
-    // the partial's reduction is marginal, so one build is near-pure
-    // tax. The sort arm orders the join output within its (already
-    // co-partitioned) partitions so the aggregation can run as two
-    // STREAMING merges instead (requires
-    // spark.sql.execution.replaceHashWithSortAgg.enabled=true, set by
-    // the BenchStar probe run via SPARK_GRAFT_EXTRA_CONF); the price is
-    // the per-partition sort of the join output. Probe-only, never
-    // declared — the measured verdict lives in CROSSOVER.md.
-    val pre = if (sortAgg) joined.sortWithinPartitions($"o_orderkey") else joined
-    pre
       .groupBy($"o_orderkey")
       .agg(min(unix_timestamp($"o_orderdate")).as("orderdate_s"),
         (sum($"rev4").cast("double") / lit(1e4)).as("revenue"))

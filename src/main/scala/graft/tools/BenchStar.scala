@@ -120,14 +120,21 @@ object BenchStar {
       "q3_plain_legacy" -> (() =>
         graft.operators.Analytics.q3From(spark, pq("region"), pq("nation"),
           pq("customer"), pq("orders"), pq("lineitem"))),
-      // r15 probe arm (verdict q2 item 4): single-pass sort-based
-      // aggregation after the SHJ — run with SPARK_GRAFT_EXTRA_CONF=
-      // "spark.sql.execution.replaceHashWithSortAgg.enabled=true" so the
-      // ordered child actually plans as SortAggregate (the rule is off
-      // by default); same-sweep against q2_shipping_priority
-      "q2_sortagg_probe" -> (() =>
+      // r15 probe arm (verdict q2 item 4, "skip the partial agg"): keep
+      // the SMJ (SHJ conversion off) and let ReplaceHashWithSortAgg
+      // collapse the fused partial+final double hash build into ONE
+      // Complete-mode SortAggregate streaming over the join's own sort
+      // order — zero extra sort, zero partial pass. Per-arm conf scoping:
+      // the overrides are (re)set inside the closure right before the
+      // build, and every OTHER arm runs after resetBaseConf below, so the
+      // probe's session knobs never leak across arms or sweeps.
+      "q2_sortagg_probe" -> (() => {
+        spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", "true")
+        spark.conf.set(
+          "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "0")
         graft.operators.Analytics.q2From(spark, pq("customer"), pq("orders"),
-          pq("lineitem"), sortAgg = true)),
+          pq("lineitem"))
+      }),
       "q2_bucketed" -> (() => graft.operators.Analytics.q2From(spark, pq("customer"),
         spark.table("hv_orders_b"), spark.table("hv_lineitem_b").hint("merge"))),
       "q3_bucketed" -> (() => graft.operators.Analytics.q3From(spark, pq("region"),
@@ -171,11 +178,19 @@ object BenchStar {
     // expressions to the grouping keys: the measured q1 was a gutted
     // plan (0.96s vs 2.9s honest at sf25) while DuckDB always fetched
     // full rows.
-    for ((_, fn) <- runnable) graft.BenchUtil.force(fn()) // warmup: JIT + codegen + listing
+    // restore the session knobs a conf-scoped probe arm (q2_sortagg_probe)
+    // may have set — every arm starts from the same baseline
+    def resetBaseConf(): Unit = {
+      spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", "false")
+      spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
+    }
+    for ((_, fn) <- runnable) { resetBaseConf(); graft.BenchUtil.force(fn()) } // warmup: JIT + codegen + listing
 
     val samples = scala.collection.mutable.Map(
       runnable.map(_._1 -> Vector.empty[(Double, Double, Double)]): _*)
     for (_ <- 1 to SWEEPS; (name, fn) <- runnable) {
+      resetBaseConf()
       stageMs.set(0); spillB.set(0)
       val t0 = System.nanoTime()
       graft.BenchUtil.force(fn())
