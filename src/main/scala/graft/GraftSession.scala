@@ -106,8 +106,20 @@ object GraftSession {
   )
 
   /** Apply graft's recommended SQL + committer conf to any builder. */
+  /** STATIC confs — must be set at session BUILD time (conf.set on a
+    * live session refuses them), which is why they live apart from
+    * [[tunedConf]] (whose keys the spec proves runtime-settable):
+    *  - codegen class cache: defaults to 100 entries; a pipeline
+    *    deployment running hundreds of distinct plans per session
+    *    evicts compiled classes before reuse and silently re-pays
+    *    janino compilation per query (measured 30-100% on the bench
+    *    suite's in-sweep rows vs isolated JVMs before graft.Bench
+    *    sized it). Size to the workload's distinct-plan count. */
+  def staticConf: Seq[(String, String)] = Seq(
+    "spark.sql.codegen.cache.maxEntries" -> "4000")
+
   def tuned(builder: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = {
-    val withRuntime = (tunedConf(shufflePartitions) ++ objectStoreConf)
+    val withRuntime = (tunedConf(shufflePartitions) ++ objectStoreConf ++ staticConf)
       .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
     withRuntime.config(extensionsConf._1, extensionsConf._2)
   }

@@ -14,6 +14,17 @@ class GraftSessionSpec extends SparkSpecBase {
     assert(s.conf.get("spark.sql.shuffle.partitions") === "7")
   }
 
+  test("every staticConf key is a REAL static conf (refused at runtime, not silently unknown)") {
+    // spark.conf.set silently accepts unknown keys; a genuine static key
+    // is the one case Spark rejects loudly — that rejection is the
+    // validity proof (these keys only take effect via the tuned builder)
+    val s = spark.newSession()
+    for ((k, v) <- GraftSession.staticConf) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] { s.conf.set(k, v) }
+      assert(e.getMessage.toLowerCase.contains("static"), s"$k: ${e.getMessage}")
+    }
+  }
+
   test("extensions conf names a resolvable class that wires dot_f32") {
     val (key, className) = GraftSession.extensionsConf
     assert(key === "spark.sql.extensions")

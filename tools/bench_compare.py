@@ -209,9 +209,12 @@ def main():
         if header_note:
             header_note = " " + header_note
         f.write(f"**Totals: Spark {total_spark:.1f}s, DuckDB {total_duck:.1f}s over "
-                f"{len(rows) - len(failed)} queries.**{failed_note}{header_note} Note ~0.1-0.2s fixed Spark job overhead per "
-                f"query (~{0.15*len(rows):.0f}s across the suite) dominates the gap; "
-                f"per-query ratios below reflect that floor, not asymptotic cost.\n\n")
+                f"{len(rows) - len(failed)} queries.**{failed_note}{header_note} "
+                f"Per-query ratios at this scale still carry a fixed Spark "
+                f"job-scheduling term per query (~0.05-0.15s after the r15 "
+                f"floor work), so sub-second rows price overhead, not "
+                f"asymptotic cost — tier trends live in BENCHNOTES_HEAVY/"
+                f"CROSSOVER.\n\n")
         def fmt(row_name, spark_val, cells):
             # a query that failed every sweep is a FAILURE row, not a timing
             if spark_val is not None and spark_val < 0:
