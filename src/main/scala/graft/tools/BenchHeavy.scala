@@ -170,6 +170,10 @@ object MakeHeavy {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // graft.Bench's r15 static conf, mirrored (the BenchHeavy sweep
+      // runs ~80 distinct plans in one JVM — the default 100-entry
+      // codegen cache thrashes exactly like the 170-query suite did)
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.ui.enabled", "false")
     warehouse.foreach(b.config("spark.sql.warehouse.dir", _))
     val s = b.getOrCreate()

@@ -4,12 +4,15 @@ BENCHNOTES table, so extending a tier re-measures only the NEW queries'
 DuckDB side (the incremental-regen path: BenchHeavy subset run →
 merge_bench.py → bench_compare.py --duck-cache=...).
 
-The seeded entry records md5(current oracle SQL): if an oracle was edited
-since the table was published, its seed self-invalidates and that query is
-re-measured — the cache can never silently serve a timing for SQL that no
-longer matches.
+The seeded entry records md5(current oracle SQL) — which protects against
+edits made AFTER seeding, but NOT against oracles that changed BETWEEN the
+table's publication and this seeding (the published time would be stamped
+with the new SQL's md5 and silently served for different semantics — this
+bit round 15's warm serving-loop rows). Pass every query whose oracle
+changed since the source table was published via --exclude.
 
-Usage: seed_duck_cache.py <BENCHNOTES.md> <oracle_sql.json> <sf_dir> <out.json>
+Usage: seed_duck_cache.py <BENCHNOTES.md> <oracle_sql.json> <sf_dir> <out.json> \
+           [--exclude=q1,q2,...]
 """
 import hashlib
 import json
@@ -18,7 +21,11 @@ import sys
 
 
 def main():
-    notes, oracle_path, sf_dir, out = sys.argv[1:5]
+    notes, oracle_path, sf_dir, out = [a for a in sys.argv[1:] if not a.startswith("--")][:4]
+    exclude = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--exclude="):
+            exclude.update(x for x in a.split("=", 1)[1].split(",") if x)
     oracle = json.load(open(oracle_path))
     cache = {}
     for line in open(notes):
@@ -40,6 +47,8 @@ def main():
         except ValueError:
             continue
         if name not in oracle:
+            continue
+        if name in exclude:
             continue
         cache[name] = {"sql_md5": hashlib.md5(oracle[name].encode()).hexdigest(),
                        "sf_dir": sf_dir, "s": duck}
