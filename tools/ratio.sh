@@ -21,8 +21,18 @@ if [ ! -f "$ORACLE" ]; then
   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 target/verify_out a1_count_rows" >/dev/null
 fi
 
+PREV_FULL=$(git show HEAD:BENCHFULL.json > target/benchfull_prev.json 2>/dev/null \
+  && echo target/benchfull_prev.json || true)
+
 SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' \
   | python3 tools/bench_compare.py "$SF" "$ORACLE" \
       --out=BENCHNOTES.md --ratio-out="RATIO_r${N}.json"
 echo "wrote RATIO_r${N}.json + BENCHNOTES.md (spark line also in BENCHFULL.json)"
+
+# host-invariant regression gate (r14 verdict item 3): diff the plan
+# metrics against the previously committed artifact; exit 2 = the old
+# artifact predates plan maps (pre-r15), informational only
+if [ -n "${PREV_FULL}" ]; then
+  python3 tools/bench_drift.py "$PREV_FULL" BENCHFULL.json || true
+fi
