@@ -42,6 +42,40 @@ class ObserveSpec extends SparkSpecBase {
     } finally h.close()
   }
 
+  test("planMetrics: exchange bytes sum Exchange nodes only (reuse not double-counted), scans counted inside AQE stages") {
+    import spark.implicits._
+    // a self-join of one aggregated subtree: AQE reuses the shuffle
+    // exchange, so the final plan has ONE Exchange + one ReusedExchange
+    // (or a reused stage) — the r14 planMetrics summed dataSize over
+    // every node and double-counted exactly this shape (r15 advice)
+    val agg = Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    val df = agg.as("a").join(agg.as("b"), "o_orderpriority")
+    BenchUtil.force(df)
+    val (_, exch, _, scans) = Observe.planMetrics(df.queryExecution)
+    // rows_out is best-effort (-1 when the root node exposes no
+    // numOutputRows metric) — not asserted here
+    // the traversal descends into query stages: the parquet scan(s) are
+    // inside materialized stages, invisible to a plain plan.collect
+    assert(scans >= 1, s"scans=$scans — stage interiors not traversed")
+    // ground truth: sum dataSize over distinct Exchange node INSTANCES
+    // (a reused exchange points back at the same instance)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => q +: expand(q.plan)
+      case other => other +: other.children.flatMap(expand)
+    }
+    val distinctExchanges = expand(df.queryExecution.executedPlan)
+      .collect { case e: Exchange => e }.distinct
+    val want = distinctExchanges.flatMap(_.metrics.get("dataSize")).map(_.value).sum
+    assert(exch === want,
+      s"exchange_bytes=$exch != distinct-instance sum $want (double count?)")
+    assert(exch > 0, "the grouped self-join must ship at least one exchange")
+  }
+
   test("failed actions record status=failed with the error class") {
     val h = Observe.install(spark, dir)
     try {
