@@ -462,14 +462,16 @@ object TableLog {
     // the 8x2 per-leg slice exchanges collapse to one, which is how a
     // real scheduler batches N concurrent refresh ticks.
     val (adds, removes) = actionsIn(spark, table, 2, 3)
-    // schema memo per path: without it every leg re-infers footers on
-    // the DRIVER (24 inferences across the legs — the Tables.readMemo
-    // rationale; a serving deployment reads catalog tables)
-    def readFiles(files: Seq[String]): DataFrame = {
-      val paths = files.map(r => s"$table/$r")
-      spark.read.schema(Tables.readMemo(spark, paths.head).schema)
-        .parquet(paths: _*)
-    }
+    // window files read under the LOGGED snapshot schema (the readAsOf
+    // discipline) — inferring from the first file's footer and projecting
+    // the rest through it would silently drop columns an evolved file
+    // carries (r16 advice: the log's own v4 column-tagging scenario).
+    // Footer inference is only the fallback for a log predating schema
+    // tracking, and then once per call, not once per leg.
+    val windowSchema = schemaAsOf(spark, table, 3)
+      .getOrElse(Tables.readMemo(spark, s"$table/${adds.head}").schema)
+    def readFiles(files: Seq[String]): DataFrame =
+      spark.read.schema(windowSchema).parquet(files.map(r => s"$table/$r"): _*)
     def contrib(i: Int, files: Seq[String], sign: Long): DataFrame =
       if (files.isEmpty)
         spark.emptyDataset[(Int, String, Long, Long)]

@@ -179,12 +179,17 @@ object BenchStar {
     // plan (0.96s vs 2.9s honest at sf25) while DuckDB always fetched
     // full rows.
     // restore the session knobs a conf-scoped probe arm (q2_sortagg_probe)
-    // may have set — every arm starts from the same baseline
-    def resetBaseConf(): Unit = {
-      spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", "false")
-      spark.conf.set(
-        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
-    }
+    // may have set — every arm starts from the same baseline. The baseline
+    // is CAPTURED here, after SPARK_GRAFT_EXTRA_CONF applied: hardcoding
+    // the defaults would silently undo an extra-conf override of exactly
+    // these two keys on every arm — the documented A/B hook would measure
+    // the baseline while claiming the probe (r16 advice, medium).
+    val baseConf = Seq(
+      "spark.sql.execution.replaceHashWithSortAgg",
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold")
+      .map(k => k -> spark.conf.get(k))
+    def resetBaseConf(): Unit =
+      baseConf.foreach { case (k, v) => spark.conf.set(k, v) }
     for ((_, fn) <- runnable) { resetBaseConf(); graft.BenchUtil.force(fn()) } // warmup: JIT + codegen + listing
 
     val samples = scala.collection.mutable.Map(

@@ -6,11 +6,14 @@ import graft.SparkEntry
 /** A/B the per-query bench floor levers (r14 verdict item 1: ~30s of the
   * 108.7s sf0.1 suite is fixed 0.15-0.25s/query job overhead):
   *
-  *   force   — noop-sink v2 write (current BenchUtil.force) vs a raw
-  *             toRdd partition drain. Both are FULL materialization —
-  *             every operator runs and every output row is produced by
-  *             the compiled plan — but the drain skips the v2 write
-  *             command machinery (write task setup, commit coordinator
+  *   force   — noop-sink v2 write (the r10–r14 BenchUtil.force, inlined
+  *             here as [[noopWrite]] since r15 moved BenchUtil.force to
+  *             the drain — delegating would measure drain vs drain and
+  *             erase the very tax this tool documents) vs a raw toRdd
+  *             partition drain. Both are FULL materialization — every
+  *             operator runs and every output row is produced by the
+  *             compiled plan — but the drain skips the v2 write command
+  *             machinery (write task setup, commit coordinator
   *             round-trips) that prices in per job, not per row.
   *   AQE     — on (production mirror) vs off: each AQE stage is its own
   *             job, so tiny queries pay scheduling per stage.
@@ -26,6 +29,11 @@ object FloorCutProbe {
     df.queryExecution.toRdd.foreachPartition { it =>
       while (it.hasNext) it.next()
     }
+
+  /** The r10–r14 forcing under test: full-materialization noop-sink v2
+    * write (inlined — BenchUtil.force IS the drain since r15). */
+  private def noopWrite(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,7 +81,7 @@ object FloorCutProbe {
           "spark.sql.adaptive.coalescePartitions.parallelismFirst", c.pf.toString)
         def run(): Unit = {
           val df = queries(n)(spark, sfDir)
-          if (c.noop) graft.BenchUtil.force(df) else drain(df)
+          if (c.noop) noopWrite(df) else drain(df)
         }
         try run() catch { case e: Throwable =>
           println(s"  [$n ${c.label}] failed: ${e.getClass.getSimpleName}")

@@ -193,8 +193,11 @@ def main():
         }
         with open(ratio_out, "w") as f:
             json.dump(payload, f, indent=1)
+        # guard md == 0 like the JSON 'ratio' field: a subset run with no
+        # oracle-matched query must still report the written artifact
+        ratio_str = f"{ms / md:.2f}x" if md else "n/a"
         print(f"ratio artifact -> {ratio_out}: spark {ms:.1f}s / duck "
-              f"{md:.1f}s = {ms / md:.2f}x over {len(matched)} queries"
+              f"{md:.1f}s = {ratio_str} over {len(matched)} queries"
               + (f" ({len(served_from_cache)} duck walls from cache)"
                  if served_from_cache else ""), file=sys.stderr)
     analysis = {}
