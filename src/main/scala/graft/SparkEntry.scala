@@ -176,6 +176,9 @@ object SparkEntry {
     "mv1_incremental_agg" -> (graft.operators.TableLog.mv1IncrementalAgg _),
     "s11_warm_read" -> (graft.operators.TableLog.s11WarmRead _),
     "mv1_warm_refresh" -> (graft.operators.TableLog.mv1WarmRefresh _),
+    "s13_log_compaction" -> (graft.operators.Lakehouse.s13LogCompaction _),
+    "s14_cdf_read" -> (graft.operators.Lakehouse.s14CdfRead _),
+    "s15_stats_skipping" -> (graft.operators.Lakehouse.s15StatsSkipping _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
     "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
@@ -773,6 +776,42 @@ object SparkEntry {
            |FROM events WHERE event_type <> 'click' OR value >= 100.0
            |GROUP BY 2""".stripMargin)
         .mkString("\nUNION ALL\n"),
+    // data identity across the OPTIMIZE transaction: v8 (32 fragmented
+    // files) and v9 (2 packed files) must both equal the full source —
+    // a compaction that lost/duplicated a row diverges; the file counts
+    // are deterministic literals (round-robin repartition, no empty
+    // partition at any declared sf)
+    "s13_log_compaction" ->
+      """SELECT CAST(8 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum, CAST(32 AS BIGINT) AS n_files
+        |FROM events
+        |UNION ALL SELECT 9, COUNT(*), CAST(SUM(event_id) AS BIGINT), 2
+        |FROM events ORDER BY version""".stripMargin,
+    // the change feed replayed from the commit rules: v1/v2 pure inserts
+    // (mod-4 split), v3 ONLY the deletes (clicks under 100 — the re-added
+    // >=100 rows are identical and must vanish from the feed), v4 every
+    // error row exactly once as an update (the value+1 backfill). A feed
+    // that leaks rewrites or misses a remove diverges on rows or hash.
+    "s14_cdf_read" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events)
+        |SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+        |  COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM e WHERE event_id % 4 <> 3
+        |UNION ALL SELECT 2, 'insert', COUNT(*), CAST(SUM(event_id) AS BIGINT)
+        |FROM e WHERE event_id % 4 = 3
+        |UNION ALL SELECT 3, 'delete', COUNT(*), CAST(SUM(event_id) AS BIGINT)
+        |FROM e WHERE event_type = 'click' AND value < 100.0
+        |UNION ALL SELECT 4, 'update', COUNT(*), CAST(SUM(event_id) AS BIGINT)
+        |FROM e WHERE event_type = 'error'
+        |ORDER BY version, change_type""".stripMargin,
+    // the manifest-pruned range read must equal the same predicate over
+    // the full source (v1+v2 together hold every row): a pruning bug that
+    // drops an overlapping file loses rows and fails the hash
+    "s15_stats_skipping" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE event_id BETWEEN 100 AND 299
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // v1-v3 must see ZERO tagged rows (the column postdates their logged
     // schema); v4 keeps v3's row set with exactly the error rows tagged —
     // a reader trusting file footers instead of the log diverges at v1-v3
@@ -2164,10 +2203,14 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // r16 scale-posture re-declaration (a6b's in-row band idiom): n
+    // hash-anchors the oracle's recount; the rank bands on the GK
+    // approx_percentile values are computed in-query on the Spark side
+    // (sketch values are engine-specific — the band IS the grade, and a
+    // drifting sketch flips it false and the row goes red)
     "a9_percentiles" ->
-      """SELECT o_orderpriority,
-        |  QUANTILE_CONT(o_totalprice, 0.5) AS med,
-        |  QUANTILE_CONT(o_totalprice, 0.9) AS p90
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  TRUE AS band_p50_ok, TRUE AS band_p90_ok
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "a5d_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

@@ -347,9 +347,49 @@ object Analytics {
       .orderBy($"user_id")
   }
 
-  /** A9 [EXT]: exact interpolated percentiles per group — Spark's
-    * `percentile` matches ANSI `percentile_cont` / DuckDB `quantile_cont`. */
+  /** A9 [EXT]: per-group percentiles at 100 TB posture — re-declared in
+    * r16 over `approx_percentile` (GK summaries: state bounded by the
+    * accuracy parameter, NEVER by group size) with the a6b in-row band.
+    * The exact-buffering `percentile` form this row used to carry is the
+    * survey's own named OOM path (every group value buffered in one
+    * executor); it remains available as [[a9ExactPercentiles]] for the
+    * spec ladder, but no DECLARED query's memory now grows with group
+    * size — the exact GRADED family is a13's two-phase selection.
+    *
+    * The band is rank-based and computed in-query: for each group the GK
+    * value v_q must satisfy |rank(v_q)/n − q| ≤ 0.01 (accuracy 1000 →
+    * guaranteed rank error ≤ 0.1%; the band is 10× looser to absorb
+    * ties). `n` hash-anchors against the oracle's recount; a drifting
+    * sketch flips band_ok to false and the row goes red like any other.
+    * Two bounded passes: the 5-row approx aggregate broadcast back over
+    * the table for the rank count — no per-group buffering anywhere. */
   def a9Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, sfDir)
+      .select($"o_orderpriority", graft.Exact.cents($"o_totalprice").as("cents"))
+    val approx = base
+      .groupBy($"o_orderpriority")
+      .agg(expr("approx_percentile(cents, array(0.5, 0.9), 1000)").as("qs"))
+      .select($"o_orderpriority", $"qs"(0).as("med_a"), $"qs"(1).as("p90_a"))
+    base.join(broadcast(approx), Seq("o_orderpriority"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"cents" <= $"med_a", 1L).otherwise(0L)).as("le_med"),
+        sum(when($"cents" <= $"p90_a", 1L).otherwise(0L)).as("le_p90"))
+      .select($"o_orderpriority", $"n",
+        (abs($"le_med" / $"n".cast("double") - 0.5) <= 0.01).as("band_p50_ok"),
+        (abs($"le_p90" / $"n".cast("double") - 0.9) <= 0.01).as("band_p90_ok"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** The pre-r16 exact form of a9 (`percentile` = ANSI percentile_cont):
+    * correct, and the right tool when groups are known-small, but its
+    * aggregation state is EVERY group value — the documented negative at
+    * 100 TB group sizes. Kept for the spec ladder (SemanticsSpec pins it
+    * equal to the oracle's quantile_cont at test scale); the graded exact
+    * family is [[a13ExactPercentiles]]. */
+  private[graft] def a9ExactPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, sfDir)
       .groupBy($"o_orderpriority")

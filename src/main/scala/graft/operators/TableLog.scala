@@ -34,9 +34,33 @@ import graft.Tables
   */
 object TableLog {
 
+  /** Per-file column statistics carried by an `add` action: min/max of ONE
+    * long-typed stats column, recorded at stage time. At 100 TB this is
+    * the difference between opening ~800k parquet footers to plan a range
+    * scan and reading one manifest: a snapshot read prunes to the files
+    * whose [min, max] overlaps the predicate BEFORE any footer I/O (the
+    * data-skipping S9's clustered layout provides inside a file, lifted
+    * to the file-set level). Stats are optional per action — a file
+    * staged without them is simply never pruned (the safe direction). */
+  private[graft] final case class FileStats(col: String, min: Long, max: Long)
+
   /** One logged file action; `path` is table-relative (portable across
     * mounts — the log never embeds an absolute URI). */
-  private[graft] final case class Action(op: String, path: String)
+  private[graft] final case class Action(op: String, path: String,
+      stats: Option[FileStats] = None)
+
+  /** Parse one manifest line to a file action (None for schema/txn
+    * markers). Wire format: `add\tpath[\tcol\tmin\tmax]` / `remove\tpath`
+    * — the 2-field form is what every pre-stats manifest holds, so old
+    * logs replay unchanged. */
+  private[graft] def parseAction(line: String): Option[Action] =
+    line.split("\t") match {
+      case Array("add", p)    => Some(Action("add", p))
+      case Array("add", p, c, mn, mx) =>
+        Some(Action("add", p, Some(FileStats(c, mn.toLong, mx.toLong))))
+      case Array("remove", p) => Some(Action("remove", p))
+      case _ => None // schema / txn markers
+    }
 
   private def fsOf(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -75,7 +99,13 @@ object TableLog {
       s"_log/.v$next.${java.util.UUID.randomUUID}.tmp"))
     val out = f.create(tmp, true)
     try {
-      actions.foreach(a => out.write(s"${a.op}\t${a.path}\n".getBytes("UTF-8")))
+      actions.foreach { a =>
+        val line = a.stats match {
+          case Some(s) => s"${a.op}\t${a.path}\t${s.col}\t${s.min}\t${s.max}"
+          case None => s"${a.op}\t${a.path}"
+        }
+        out.write((line + "\n").getBytes("UTF-8"))
+      }
       out.hflush()
     } finally out.close()
     // one-winner publish through the LogStore seam — the storage-specific
@@ -137,25 +167,31 @@ object TableLog {
     finally in.close()
   }
 
-  /** Live table-relative files as of `version`: replay adds/removes of
-    * manifests 1..version (txn markers skipped). Metadata-scale driver
-    * work — one short text line per file action, the same order of cost
-    * as the file index any scan builds. */
-  private[graft] def liveFiles(spark: SparkSession, table: String,
-      version: Int): Seq[String] = {
+  /** Live table-relative files as of `version`, each with its logged
+    * column stats (None for files staged without them): replay
+    * adds/removes of manifests 1..version (txn markers skipped).
+    * Metadata-scale driver work — one short text line per file action,
+    * the same order of cost as the file index any scan builds. */
+  private[graft] def liveFilesWithStats(spark: SparkSession, table: String,
+      version: Int): Seq[(String, Option[FileStats])] = {
     val f = fsOf(spark, table)
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Option[FileStats]]
     (1 to version).foreach { v =>
       manifestLines(f, table, v).foreach { line =>
-        line.split("\t", 2) match {
-          case Array("add", path) => live += path
-          case Array("remove", path) => live -= path
-          case _ => () // txn marker
+        parseAction(line) match {
+          case Some(Action("add", path, st)) => live(path) = st
+          case Some(Action("remove", path, _)) => live.remove(path)
+          case _ => () // schema / txn marker
         }
       }
     }
     live.toSeq
   }
+
+  /** Live table-relative files as of `version` (stats dropped). */
+  private[graft] def liveFiles(spark: SparkSession, table: String,
+      version: Int): Seq[String] =
+    liveFilesWithStats(spark, table, version).map(_._1)
 
   /** Has `(streamId, batchId)` already committed? The exactly-once test a
     * restarted micro-batch writer runs before (and [[commitIfAbsent]]
@@ -300,6 +336,75 @@ object TableLog {
         s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
       }
       .map(s => Action("add", s"$rel/${s.getPath.getName}"))
+  }
+
+  /** Stage `df` clustered on `statsCol` into `files` range-partitioned
+    * files and return add actions carrying each file's (min, max) of
+    * `statsCol` — the manifest column stats [[readAsOfRange]] prunes by.
+    * The range layout (S9's clusteredWrite discipline) is what makes the
+    * stats TIGHT: each file covers a disjoint slice, so a point/range
+    * predicate keeps O(1) files instead of all of them. The stats pass is
+    * ONE distributed aggregation over the just-written files, grouped by
+    * `input_file_name` — its result is metadata-sized (one row per staged
+    * file), the sanctioned bounded collect. */
+  private[graft] def stageWithStats(spark: SparkSession, table: String,
+      df: DataFrame, rel: String, statsCol: String, files: Int): Seq[Action] = {
+    import spark.implicits._
+    val dir = s"$table/$rel"
+    df.repartitionByRange(files, col(statsCol))
+      .sortWithinPartitions(col(statsCol))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statsCol)).cast("long").as("mn"),
+        max(col(statsCol)).cast("long").as("mx"))
+      .as[(String, Long, Long)].collect()
+      .toSeq.sortBy(_._1)
+      .map { case (uri, mn, mx) =>
+        Action("add", s"$rel/${uri.split('/').last}",
+          Some(FileStats(statsCol, mn, mx)))
+      }
+  }
+
+  /** The live files of `version` that can contain rows with `statsCol` in
+    * [lo, hi], plus the unpruned live-file count. A file is dropped ONLY
+    * when its logged stats prove disjointness; a file without stats (or
+    * with stats on a different column) is always kept — pruning can skip
+    * work, never rows. */
+  private[graft] def prunedLiveFiles(spark: SparkSession, table: String,
+      version: Int, statsCol: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    val all = liveFilesWithStats(spark, table, version)
+    val kept = all.collect {
+      case (p, None) => p
+      case (p, Some(s)) if s.col != statsCol => p
+      case (p, Some(s)) if s.max >= lo && s.min <= hi => p
+    }
+    (kept, all.size)
+  }
+
+  /** Snapshot range read: [[readAsOf]] restricted to `statsCol` in
+    * [lo, hi], with the file list pruned by manifest stats BEFORE any
+    * parquet footer is opened (S15). The predicate is STILL applied to
+    * the scan — pruning is a pure optimization, so a wrong logged stat
+    * can only surface as a missing file, which the declared query's
+    * oracle catches as a row diff, never as a silent extra row. */
+  def readAsOfRange(spark: SparkSession, table: String, version: Int,
+      statsCol: String, lo: Long, hi: Long): DataFrame = {
+    val (files, _) = prunedLiveFiles(spark, table, version, statsCol, lo, hi)
+    val pred = col(statsCol) >= lo && col(statsCol) <= hi
+    val schema = schemaAsOf(spark, table, version)
+    if (files.isEmpty) {
+      val s = schema.getOrElse(throw new IllegalStateException(
+        s"every file pruned and no logged schema for $table@v$version"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
+    val paths = files.map(r => s"$table/$r")
+    val df = schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    df.filter(pred)
   }
 
   /** The s11 fixture: three commits over the events slice, one file set
@@ -503,9 +608,9 @@ object TableLog {
     val removes = Seq.newBuilder[String]
     ((from + 1) to to).foreach { v =>
       manifestLines(f, table, v).foreach { line =>
-        line.split("\t", 2) match {
-          case Array("add", p) => adds += p
-          case Array("remove", p) => removes += p
+        parseAction(line) match {
+          case Some(Action("add", p, _)) => adds += p
+          case Some(Action("remove", p, _)) => removes += p
           case _ => ()
         }
       }

@@ -1,0 +1,287 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Etl, Lakehouse, TableLog}
+
+/** S13/S14/S15's claims SQL can't see: snapshot isolation for readers
+  * pinned under a racing compaction, the append-retry vs real-conflict
+  * split of the compaction commit, the empty feed a pure rewrite must
+  * produce, and the manifest-stats pruning of the range read's file set. */
+class LakehouseSpec extends SparkSpecBase {
+
+  private def fs(table: String) = new Path(table)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("s13: compaction is one manifest transaction — pinned readers see identical rows, files collapse, inputs stay on disk for time travel") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s13_spec_table"
+    Lakehouse.s13Fixture(spark, sfDir, table)
+    val vPre = TableLog.currentVersion(spark, table)
+    val preFiles = TableLog.liveFiles(spark, table, vPre)
+    assert(preFiles.size === Lakehouse.S13_BATCHES * Lakehouse.S13_FILES_PER_BATCH)
+    val pinned = TableLog.readAsOf(spark, table, vPre)
+      .agg(count(lit(1)), sum($"event_id")).collect().head
+    val vPost = Lakehouse.compactCommit(spark, table, Lakehouse.S13_TARGET_FILES)
+    assert(vPost === vPre + 1)
+    // the packed snapshot: same rows, S13_TARGET_FILES live files
+    val postFiles = TableLog.liveFiles(spark, table, vPost)
+    assert(postFiles.size === Lakehouse.S13_TARGET_FILES)
+    assert(postFiles.forall(_.startsWith("data/compact/")))
+    val post = TableLog.readAsOf(spark, table, vPost)
+      .agg(count(lit(1)), sum($"event_id")).collect().head
+    assert(post === pinned, "compaction changed the data")
+    // snapshot isolation: the PINNED version still reads its own (small)
+    // files — all still on disk, none swapped under the reader
+    val rePinned = TableLog.readAsOf(spark, table, vPre)
+    assert(rePinned.agg(count(lit(1)), sum($"event_id")).collect().head === pinned)
+    preFiles.foreach(r => assert(fs(table).exists(new Path(s"$table/$r")),
+      s"compaction must not delete $r — v$vPre still references it"))
+    assert(rePinned.inputFiles.forall(!_.contains("/compact/")),
+      "the pinned snapshot must scan the pre-compaction file list")
+  }
+
+  test("s13 x s14: a pure rewrite produces an EMPTY change feed") {
+    val table = s"${Etl.scratch(spark)}/s13_cdf_table"
+    Lakehouse.s13Fixture(spark, sfDir, table)
+    val vPre = TableLog.currentVersion(spark, table)
+    val vPost = Lakehouse.compactCommit(spark, table, Lakehouse.S13_TARGET_FILES)
+    // every row of the compaction commit is a rewritten-identical pair —
+    // the feed a consumer subscribes to must see NOTHING
+    assert(Lakehouse.cdfRead(spark, table, vPre, vPost, "event_id").count() === 0L,
+      "compaction leaked layout changes into the change feed")
+  }
+
+  test("s13: a blind append racing the compaction costs it a clean retry; nothing lost") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s13_race_table"
+    Lakehouse.s13Fixture(spark, sfDir, table)
+    val v0 = TableLog.currentVersion(spark, table)
+    val nRows = TableLog.readAsOf(spark, table, v0).count()
+    // an appender lands a fresh batch INSIDE the compaction's
+    // read-to-publish window (the beforePublish seam), exactly once
+    val extra = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .filter($"event_id" % Lakehouse.S13_BATCHES === 0)
+      .withColumn("event_id", $"event_id" + 10000000L)
+    var raced = false
+    val vPost = Lakehouse.compactCommit(spark, table,
+      Lakehouse.S13_TARGET_FILES, beforePublish = { _ =>
+        if (!raced) {
+          raced = true
+          TableLog.commit(spark, table,
+            TableLog.stage(spark, table, extra, "data/race-append"))
+        }
+      })
+    // the compaction lost v(v0+1) to the append, revalidated (all inputs
+    // still live — appends commute), and landed at v0+2
+    assert(vPost === v0 + 2)
+    val head = TableLog.readAsOf(spark, table, vPost)
+    assert(head.count() === nRows + extra.count(),
+      "the racing append's rows must survive the compaction commit")
+    val live = TableLog.liveFiles(spark, table, vPost)
+    assert(live.exists(_.startsWith("data/race-append/")),
+      "the appended files must stay live alongside the packed rewrite")
+    assert(live.count(_.startsWith("data/compact/")) === Lakehouse.S13_TARGET_FILES)
+  }
+
+  test("s13: a concurrent commit removing an input is a REAL conflict — loud abort, orphans vacuumable") {
+    val table = s"${Etl.scratch(spark)}/s13_conflict_table"
+    Lakehouse.s13Fixture(spark, sfDir, table)
+    val victim = TableLog.liveFiles(spark, table,
+      TableLog.currentVersion(spark, table)).head
+    var raced = false
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Lakehouse.compactCommit(spark, table, Lakehouse.S13_TARGET_FILES,
+        beforePublish = { _ =>
+          if (!raced) {
+            raced = true
+            // a competing writer retires one of the compaction's inputs
+            // (what a second compaction or a DELETE would do)
+            TableLog.commit(spark, table,
+              Seq(TableLog.Action("remove", victim)))
+          }
+        })
+    }
+    assert(e.getMessage.contains("conflict"))
+    // the aborted attempt's staged rewrite is an unreferenced orphan:
+    // on disk now, gone after a vacuum, and never readable as a version
+    val staged = fs(table).globStatus(new Path(s"$table/data/compact/*/*.parquet"))
+    assert(staged.nonEmpty, "the aborted attempt should have staged files")
+    TableLog.vacuum(spark, table,
+      retainFrom = 1)
+    val after = fs(table).globStatus(new Path(s"$table/data/compact/*/*.parquet"))
+    assert(after.isEmpty, "vacuum must reclaim the aborted compaction's staging")
+  }
+
+  test("s14: the feed classifies per commit — inserts, true deletes, value-changed updates with post-images") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s14_spec_table"
+    Lakehouse.s14Fixture(spark, sfDir, table)
+    val feed = Lakehouse.cdfRead(spark, table, 0, 4, "event_id").cache()
+    try {
+      // v3 (the click rewrite): ONLY deletes — and exactly the sub-100 rows
+      val v3 = feed.filter($"_commit_version" === 3)
+      assert(v3.select($"_change_type").distinct().as[String].collect().toSeq
+        === Seq("delete"))
+      val expectedDeletes = Tables.events(spark, sfDir)
+        .filter($"event_type" === "click" && $"value" < 100.0).count()
+      assert(v3.count() === expectedDeletes)
+      // v4 (the value+1 backfill): ONLY updates, post-image carries the
+      // bumped value for every error row
+      val v4 = feed.filter($"_commit_version" === 4)
+      assert(v4.select($"_change_type").distinct().as[String].collect().toSeq
+        === Seq("update"))
+      val bumped = v4.select($"event_id", $"value")
+        .join(Tables.events(spark, sfDir)
+          .filter($"event_type" === "error")
+          .select($"event_id", $"value".as("orig")), Seq("event_id"))
+      assert(bumped.count() > 0)
+      assert(bumped.filter($"value" =!= $"orig" + 1.0).count() === 0L,
+        "update rows must carry the post-image")
+    } finally feed.unpersist()
+  }
+
+  test("s14: the feed subscribes to a LIVE stream — foreachBatch commits replay per version, a merge rewrite feeds only its changed rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = s"${Etl.scratch(spark)}/s14_stream_table"
+    fs(t).delete(new Path(t), true)
+    val evts = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .as[Evt].collect().toSeq
+    // v1 publishes the schema — the cdf contract: images read under the
+    // LOGGED schema (readAsOf discipline), never from footers
+    TableLog.commit(spark, t, Seq(TableLog.Action("schema",
+      spark.createDataset(evts.take(1)).toDF().schema.json)))
+    val mem = MemoryStream[Evt]
+    val q = mem.toDS().toDF().writeStream
+      .foreachBatch(TableLog.commitBatch(t, "cdf-stream") _)
+      .outputMode("append").start()
+    try {
+      mem.addData(evts.take(40)); q.processAllAvailable()
+      mem.addData(evts.slice(40, 100)); q.processAllAvailable()
+    } finally q.stop()
+    assert(TableLog.currentVersion(spark, t) === 3)
+    val feed = Lakehouse.cdfRead(spark, t, 1, 3, "event_id").cache()
+    try {
+      // each version's feed slice is exactly its micro-batch, all inserts
+      assert(feed.select($"_change_type").distinct().as[String].collect().toSeq
+        === Seq("insert"))
+      assert(feed.filter($"_commit_version" === 2)
+        .select($"event_id").as[Long].collect().toSet
+        === evts.take(40).map(_.event_id).toSet)
+      assert(feed.filter($"_commit_version" === 3)
+        .select($"event_id").as[Long].collect().toSet
+        === evts.slice(40, 100).map(_.event_id).toSet)
+    } finally feed.unpersist()
+    // a downstream MERGE-shaped commit: batch 0's files rewritten with 5
+    // rows user-bumped — the feed emits exactly those 5 as updates; the
+    // 35 rewritten-identical rows emit NOTHING
+    val (b0files, _) = TableLog.actionsIn(spark, t, 1, 2)
+    val bumpIds = evts.take(5).map(_.event_id).toSet
+    val rewritten = spark.read
+      .schema(TableLog.schemaAsOf(spark, t, 3).get)
+      .parquet(b0files.map(r => s"$t/$r"): _*)
+      .withColumn("user_id",
+        when($"event_id".isin(bumpIds.toSeq: _*), $"user_id" + 1000000L)
+          .otherwise($"user_id"))
+    TableLog.commit(spark, t,
+      b0files.map(TableLog.Action("remove", _)) ++
+        TableLog.stage(spark, t, rewritten, "data/cdf-merge"))
+    val merge = Lakehouse.cdfRead(spark, t, 3, 4, "event_id")
+    assert(merge.select($"_change_type").distinct().as[String].collect().toSeq
+      === Seq("update"))
+    assert(merge.select($"event_id").as[Long].collect().toSet === bumpIds)
+  }
+
+  test("s15: the range read's file set is pruned from the manifest, and matches exactly the stats-overlapping files") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s15_spec_table"
+    Lakehouse.s15Fixture(spark, sfDir, table)
+    val (kept, total) = TableLog.prunedLiveFiles(spark, table, 2,
+      "event_id", Lakehouse.S15_LO, Lakehouse.S15_HI)
+    assert(total === Lakehouse.S15_V1_FILES + Lakehouse.S15_V2_FILES)
+    assert(kept.size < total, s"nothing pruned: kept ${kept.size} of $total")
+    // the kept set is exactly the manifest's overlap computation — and
+    // the SCAN reads exactly those files, none of the pruned ones
+    val overlap = TableLog.liveFilesWithStats(spark, table, 2).collect {
+      case (p, Some(s))
+          if s.max >= Lakehouse.S15_LO && s.min <= Lakehouse.S15_HI => p
+    }
+    assert(kept.toSet === overlap.toSet)
+    val scanned = TableLog.readAsOfRange(spark, table, 2, "event_id",
+      Lakehouse.S15_LO, Lakehouse.S15_HI).inputFiles.toSeq
+    assert(scanned.size === kept.size)
+    assert(kept.forall(k => scanned.exists(_.endsWith(k))))
+    // pruning is pure optimization: pruned read ≡ unpruned read + filter
+    val pruned = TableLog.readAsOfRange(spark, table, 2, "event_id",
+      Lakehouse.S15_LO, Lakehouse.S15_HI)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    val full = TableLog.readAsOf(spark, table, 2)
+      .filter($"event_id".between(Lakehouse.S15_LO, Lakehouse.S15_HI))
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(pruned === full)
+  }
+
+  test("s15: an all-pruned range returns empty under the logged schema; stat-less files are never pruned") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s15_edge_table"
+    Lakehouse.s15Fixture(spark, sfDir, table)
+    // a range past every file's max prunes everything — empty result,
+    // logged schema preserved
+    val out = TableLog.readAsOfRange(spark, table, 2, "event_id",
+      1000000000L, 2000000000L)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("event_id", "user_id", "event_type", "value"))
+    // a stats-less add (plain stage) joins the table: it must survive
+    // every pruning — stats can skip work, never rows
+    val extra = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .filter($"event_id" < 10)
+      .withColumn("event_id", $"event_id" + 5000000L)
+    TableLog.commit(spark, table,
+      TableLog.stage(spark, table, extra.repartition(1), "data/nostats"))
+    val (kept, _) = TableLog.prunedLiveFiles(spark, table, 3,
+      "event_id", Lakehouse.S15_LO, Lakehouse.S15_HI)
+    assert(kept.exists(_.startsWith("data/nostats/")),
+      "a file without logged stats must always be kept")
+  }
+
+  test("s15 x s13: compaction with a stats column preserves manifest skipping") {
+    val table = s"${Etl.scratch(spark)}/s15_compact_table"
+    Lakehouse.s15Fixture(spark, sfDir, table)
+    val v = Lakehouse.compactCommit(spark, table, targetFiles = 6,
+      statsCol = Some("event_id"))
+    val withStats = TableLog.liveFilesWithStats(spark, table, v)
+    assert(withStats.forall(_._2.isDefined),
+      "compacted files must carry manifest stats")
+    val (kept, total) = TableLog.prunedLiveFiles(spark, table, v,
+      "event_id", Lakehouse.S15_LO, Lakehouse.S15_HI)
+    assert(total === 6)
+    assert(kept.size < total,
+      "the packed range layout must still prune under the range predicate")
+    // and the pruned read over the packed table is still exact
+    import spark.implicits._
+    val got = TableLog.readAsOfRange(spark, table, v, "event_id",
+      Lakehouse.S15_LO, Lakehouse.S15_HI).count()
+    val want = Tables.events(spark, sfDir)
+      .filter($"event_id".between(Lakehouse.S15_LO, Lakehouse.S15_HI)).count()
+    assert(got === want)
+  }
+
+  test("stats wire format: round-trips through the manifest; pre-stats 2-field lines replay unchanged") {
+    val a = TableLog.Action("add", "data/x/part-0.parquet",
+      Some(TableLog.FileStats("event_id", -3L, 42L)))
+    assert(TableLog.parseAction("add\tdata/x/part-0.parquet\tevent_id\t-3\t42")
+      === Some(a))
+    assert(TableLog.parseAction("add\tdata/x/part-0.parquet")
+      === Some(TableLog.Action("add", "data/x/part-0.parquet")))
+    assert(TableLog.parseAction("remove\tdata/x/part-0.parquet")
+      === Some(TableLog.Action("remove", "data/x/part-0.parquet")))
+    assert(TableLog.parseAction("txn\tstream\t7") === None)
+    assert(TableLog.parseAction("schema\t{\"type\":\"struct\"}") === None)
+  }
+}

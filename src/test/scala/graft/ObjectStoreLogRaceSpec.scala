@@ -155,6 +155,142 @@ class ObjectStoreLogRaceSpec extends SparkSpecBase {
     assert(residue.forall(_.startsWith(".")), residue.toSeq)
   }
 
+  test("compaction racing blind appenders over conditional PUT: dense chain, appends survive, removes only ever name live files") {
+    store.reset()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logStore = new ObjectStoreLogStore(baseUrl, Some("lake"))
+    val prefix = "lake/tables/opt/_log/"
+    val stageDir = new java.io.File(s"$scratch/oslog_opt_race")
+    org.apache.commons.io.FileUtils.deleteQuietly(stageDir)
+    stageDir.mkdirs()
+
+    import scala.jdk.CollectionConverters._
+    // chain replay straight from the STORE's bytes — the reader every
+    // assertion below trusts is the object listing itself, not any
+    // writer's bookkeeping
+    val vRe = ("^" + java.util.regex.Pattern.quote(prefix) + "v(\\d+)\\.log$").r
+    def manifests(): Seq[(Int, String)] =
+      store.objects.keySet().asScala.toSeq
+        .flatMap(k => vRe.findFirstMatchIn(k).map(m =>
+          m.group(1).toInt -> new String(store.objects.get(k), "UTF-8")))
+        .sortBy(_._1)
+    def liveAt(ms: Seq[(Int, String)]): Seq[String] = {
+      val live = scala.collection.mutable.LinkedHashSet.empty[String]
+      ms.foreach { case (_, body) =>
+        body.linesIterator.foreach(_.split("\t") match {
+          case Array("add", p) => live += p
+          case Array("remove", p) => live -= p
+          case _ => ()
+        })
+      }
+      live.toSeq
+    }
+    def publishBody(body: String, version: Int): Boolean = {
+      val tmp = new java.io.File(stageDir,
+        s".v$version.${java.util.UUID.randomUUID}.tmp")
+      java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
+      try {
+        logStore.publishExclusive(conf,
+          new Path("file:" + tmp.getAbsolutePath),
+          new Path(s"/tables/opt/_log/v$version.log"))
+        true
+      } catch { case _: FileAlreadyExistsException => false }
+    }
+
+    val APPENDERS = 2
+    val COMMITS = 6
+    val COMPACTIONS = 3
+    val start = new CountDownLatch(1)
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+
+    // blind appenders: TableLog.commitWithRetry's shape — re-guess the
+    // version on every 412, never look at anyone else's files
+    val appenders = (1 to APPENDERS).map { w =>
+      val t = new Thread(() => {
+        start.await()
+        try {
+          var guess = 1
+          for (c <- 0 until COMMITS) {
+            while (!publishBody(s"add\tdata/w$w/c$c.parquet\n", guess))
+              guess += 1
+            guess += 1
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      })
+      t.start(); t
+    }
+    // the compactor: Lakehouse.compactCommit's optimistic loop — read the
+    // chain, pack the CURRENT live set, publish remove(inputs)+add(packed)
+    // at head+1; on a lost race revalidate against the new head (inputs
+    // all still live = blind appends, retry same actions; an input gone
+    // would be a real conflict — impossible here, the appenders never
+    // remove, and the assertion below proves it stayed impossible)
+    val compactor = new Thread(() => {
+      start.await()
+      try {
+        var done = 0
+        while (done < COMPACTIONS) {
+          val ms = manifests()
+          val inputs = liveAt(ms)
+          if (inputs.isEmpty) Thread.sleep(5)
+          else {
+            val packed = s"data/compact/p$done.parquet"
+            val body = inputs.map(p => s"remove\t$p\n").mkString +
+              s"add\t$packed\n"
+            var v = ms.lastOption.map(_._1).getOrElse(0) + 1
+            var landed = false
+            while (!landed) {
+              if (publishBody(body, v)) landed = true
+              else {
+                // lost to a concurrent commit — revalidate inputs at head
+                val gone = inputs.filterNot(liveAt(manifests()).contains)
+                assert(gone.isEmpty,
+                  s"compaction input removed concurrently: $gone")
+                v += 1
+              }
+            }
+            done += 1
+            Thread.sleep(2) // let appends interleave between compactions
+          }
+        }
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    compactor.start()
+    start.countDown()
+    (appenders :+ compactor).foreach(_.join(60000))
+    assert(failures.isEmpty, s"writer failed: ${failures.asScala.toSeq}")
+
+    val ms = manifests()
+    // dense chain: v1..vN with no gaps — both commit types interleaved
+    assert(ms.map(_._1) === (1 to ms.size), s"chain not dense: ${ms.map(_._1)}")
+    assert(ms.size === APPENDERS * COMMITS + COMPACTIONS)
+    // no payload lost: every appended file is either live at head or was
+    // retired by a compaction that re-packed it — i.e. every add appears
+    // exactly once, and every remove names a file added EARLIER and
+    // still live at that point (the conflict rule held end to end)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val everAdded = scala.collection.mutable.Set.empty[String]
+    ms.foreach { case (v, body) =>
+      body.linesIterator.foreach(_.split("\t") match {
+        case Array("add", p) =>
+          assert(!everAdded.contains(p), s"v$v re-adds $p")
+          everAdded += p; live += p
+        case Array("remove", p) =>
+          assert(live.contains(p), s"v$v removes non-live $p")
+          live -= p
+        case other => fail(s"v$v unexpected line: ${other.mkString("\\t")}")
+      })
+    }
+    // every appender payload landed exactly once
+    for (w <- 1 to APPENDERS; c <- 0 until COMMITS)
+      assert(everAdded.contains(s"data/w$w/c$c.parquet"), s"lost w$w/c$c")
+    // head state: the last compaction's pack plus appends that landed
+    // after it — never empty, never a torn mix
+    assert(live.contains(s"data/compact/p${COMPACTIONS - 1}.parquet"))
+    assert(live.forall(p =>
+      p.startsWith("data/compact/") || p.startsWith("data/w")))
+  }
+
   test("forTable wiring: s3 scheme auto-routes to the object store, conf overrides force it, missing endpoint is loud") {
     val prevImpl = spark.conf.getOption("spark.graft.logstore")
     val prevEp = spark.conf.getOption("spark.graft.logstore.endpoint")

@@ -191,4 +191,26 @@ class SemanticsSpec extends SparkSpecBase {
       spark.conf.unset("spark.graft.star.broadcastMaxDimRows")
     }
   }
+
+  test("a9: the GK band holds at the guarantee, and the retired exact form still matches percentile_cont semantics") {
+    import spark.implicits._
+    // the DECLARED row: every group's rank bands true (the in-row verdict
+    // the oracle grades as plain TRUE literals — a sketch drift flips it)
+    val banded = Analytics.a9Percentiles(spark, sfDir).collect()
+    assert(banded.nonEmpty)
+    banded.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3),
+        s"GK rank band violated for ${r.getString(0)}")
+    }
+    // the documented-negative exact form (spec ladder only): equals
+    // Spark's own percentile_cont — the ANSI semantics DuckDB's
+    // quantile_cont oracle used to grade this row pre-r16
+    val exact = Analytics.a9ExactPercentiles(spark, sfDir).collect().toSeq
+    val ansi = Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("med"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"))
+      .orderBy($"o_orderpriority").collect().toSeq
+    assert(exact === ansi)
+  }
 }
