@@ -394,6 +394,23 @@ object BenchHeavy {
     // window-bounded scans) while the DuckDB recompute doubles per tier
     "s11_warm_read", "mv1_warm_refresh")
 
+  /** The sf50 scale-sweep subset (BENCHNOTES_SF50.md, round 16): the
+    * dedup/decontamination flagships — the family whose "advantage widens
+    * with corpus size" claim had only two tier points (sf5, sf25; r15
+    * verdict item 4). The third point is a 2.5M-doc / ~740M-shingle
+    * corpus (500 replica copies, documents-only tier —
+    * `MakeHeavy <src> <out> 500 documents`), re-measured at sf5/sf25/sf50
+    * in ONE session with fresh DuckDB columns per tier (the host-variance
+    * protocol: never quote tier walls across sessions). Every query here
+    * reads ONLY the documents table, so the tier build skips the
+    * star/event/embedding tables entirely. */
+  val SF50_QUERIES: Seq[String] = Seq(
+    "l1_exact_dedup", "l1_xxh", "l2b_lsh_candidates", "l2c_simhash",
+    "l2d_ngram_jaccard", "l2e_connected_components", "l2f_decontam",
+    "l14_span_screen", "l19_split_screen", "l23_containment_score",
+    "l24_segment_dedup", "l26_winnow_screen", "l32_dup_run_trim",
+    "l32b_dup_run_excise")
+
   /** ANN queries for the sf25 tier: run each in an isolated JVM (see
     * SF25_QUERIES note on cross-query heap contamination). */
   val SF25_ANN: Seq[String] =

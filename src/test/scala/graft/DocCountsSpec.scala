@@ -132,4 +132,11 @@ class DocCountsSpec extends org.scalatest.funsuite.AnyFunSuite {
       graft.tools.BenchHeavy.SF25_QUERIES.toSet
         ++ graft.tools.BenchHeavy.SF25_ANN)
   }
+
+  test("BENCHNOTES_SF50 covers the dedup/decontam scale-sweep subset") {
+    assert(captured(read("BENCHNOTES_SF50.md"), """over (\d+) queries""", "BENCHNOTES_SF50")
+      === graft.tools.BenchHeavy.SF50_QUERIES.size)
+    assertSameQueries("BENCHNOTES_SF50.md",
+      graft.tools.BenchHeavy.SF50_QUERIES.toSet)
+  }
 }

@@ -23,8 +23,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def make_connection(sf_dir):
     """Fresh DuckDB connection with one view per fixture table (shared by
-    the initial bootstrap and the stuck-oracle recovery path)."""
+    the initial bootstrap and the stuck-oracle recovery path).
+
+    The connection gets a temp_directory: an IN-MEMORY DuckDB has none by
+    default, so a heavy oracle (the sf25+ unnest/window replays) aborts
+    with a native OOM instead of spilling — which a file-backed production
+    DuckDB would never do. The spill dir makes the comparison fair to
+    DuckDB (it can only help the oracle column) and keeps one runaway
+    query from taking the whole regen down (the r16 sf50 campaign lost two
+    invocations to the system-wide allocation pressure of an un-spillable
+    l24)."""
     con = duckdb.connect()
+    tmp = os.path.join(os.path.dirname(__file__), "..", "target", "duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.sql(f"SET temp_directory='{os.path.abspath(tmp)}'")
+    con.sql("SET memory_limit='64GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table: a dir of part files
@@ -111,8 +124,20 @@ def main():
                         box["err"] = e
 
                 th = threading.Thread(target=run, daemon=True)
-                th.start()
-                th.join(timeout_s)
+                try:
+                    th.start()
+                    th.join(timeout_s)
+                except RuntimeError:
+                    # can't start a thread: a heavy spilling oracle can
+                    # saturate vm.max_map_count (observed: 65k maps during
+                    # the sf25/sf50 l24 replay), and pthread_create then
+                    # fails process-wide. Time the query inline — the
+                    # timeout guard is lost for this one oracle, but the
+                    # regen survives instead of dying mid-campaign.
+                    print(f"thread spawn failed; timing {name} inline "
+                          "(no timeout guard — consider raising "
+                          "vm.max_map_count)", file=sys.stderr)
+                    run()
                 if th.is_alive():
                     con.interrupt()
                     th.join(30)
