@@ -179,6 +179,8 @@ object SparkEntry {
     "s13_log_compaction" -> (graft.operators.Lakehouse.s13LogCompaction _),
     "s14_cdf_read" -> (graft.operators.Lakehouse.s14CdfRead _),
     "s15_stats_skipping" -> (graft.operators.Lakehouse.s15StatsSkipping _),
+    "s16_zorder_scan" -> (graft.operators.Lakehouse.s16ZorderScan _),
+    "mv2_cdf_refresh" -> (graft.operators.Lakehouse.mv2CdfRefresh _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
     "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
@@ -804,6 +806,26 @@ object SparkEntry {
         |UNION ALL SELECT 4, 'update', COUNT(*), CAST(SUM(event_id) AS BIGINT)
         |FROM e WHERE event_type = 'error'
         |ORDER BY version, change_type""".stripMargin,
+    // a range read on the SECOND z-order dimension over the z-clustered
+    // table must equal the same predicate over the source — pruning by
+    // user_id's manifest stats can only LOSE a file (row diff), never add
+    "s16_zorder_scan" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE user_id BETWEEN 100 AND 299
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the non-abelian view (MIN can RISE under a delete) refreshed by
+    // CDF-targeted partial recompute must equal the direct aggregate over
+    // the final snapshot's commit rules: clicks keep only value >= 100
+    // (v3 delete), error values carry the +1 backfill (v4 update)
+    "mv2_cdf_refresh" ->
+      """WITH v4 AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_type = 'error' THEN value + 1.0 ELSE value END AS value
+        |  FROM events
+        |  WHERE event_type <> 'click' OR value >= 100.0)
+        |SELECT event_type, COUNT(*) AS n_rows, MIN(value) AS min_value
+        |FROM v4 GROUP BY 1 ORDER BY 1""".stripMargin,
     // the manifest-pruned range read must equal the same predicate over
     // the full source (v1+v2 together hold every row): a pruning bug that
     // drops an overlapping file loses rows and fails the hash

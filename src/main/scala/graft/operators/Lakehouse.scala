@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.TableLog.{Action, FileStats}
@@ -59,18 +59,17 @@ object Lakehouse {
     * throughout: removed files stay on disk until vacuum, and the swap is
     * one manifest publish, never a directory mutation. */
   private[graft] def compactCommit(spark: SparkSession, table: String,
-      targetFiles: Int, statsCol: Option[String] = None, maxAttempts: Int = 5,
+      targetFiles: Int, statsCols: Seq[String] = Nil, maxAttempts: Int = 5,
       beforePublish: Int => Unit = _ => ()): Int = {
     val v0 = TableLog.currentVersion(spark, table)
     val inputs = TableLog.liveFiles(spark, table, v0)
     require(inputs.nonEmpty, s"nothing to compact in $table")
     val rel = s"data/compact/${java.util.UUID.randomUUID}"
     val snapshot = TableLog.readAsOf(spark, table, v0)
-    val adds = statsCol match {
-      case Some(c) => TableLog.stageWithStats(spark, table, snapshot, rel, c, targetFiles)
-      case None =>
-        TableLog.stage(spark, table, snapshot.repartition(targetFiles), rel)
-    }
+    val adds =
+      if (statsCols.nonEmpty)
+        TableLog.stageWithStats(spark, table, snapshot, rel, statsCols, targetFiles)
+      else TableLog.stage(spark, table, snapshot.repartition(targetFiles), rel)
     val actions = inputs.map(Action("remove", _)) ++ adds
     var attempt = 1
     while (true) {
@@ -246,6 +245,64 @@ object Lakehouse {
       .orderBy($"version", $"change_type")
   }
 
+  // ------------------------------------- MV2: CDF-driven partial refresh
+
+  /** MV2 [EXT]: incremental maintenance of a NON-ABELIAN view from the
+    * change feed — the consumer S14 exists for. MV1's delta refresh only
+    * works for aggregates that merge by addition (counts, sums): a MIN /
+    * MAX / exact-distinct view cannot subtract a delete. The production
+    * answer is PARTIAL recompute: the feed names exactly the groups a
+    * commit window touched, so the refresh recomputes THOSE groups from
+    * the snapshot and carries every untouched group forward from the
+    * stored state without scanning a row of it.
+    *
+    * Cost shape at 100 TB: |touched groups| is bounded by the window's
+    * change volume (CDF is window-bounded, the MV1 argument), the
+    * recompute scan is filtered to the touched groups' rows (predicate
+    * pushdown prunes row groups; a partition/cluster layout on the group
+    * key prunes files), and the untouched state never moves. A daily
+    * commit touching 2 of 10^6 groups refreshes a MIN view at the cost
+    * of 2 groups, not a corpus rescan — which is the whole point of
+    * keeping row-level deltas next to the log.
+    *
+    * `state` must be keyed by `groupCol` with the same schema as the
+    * recompute's output; returns the refreshed view. */
+  private[graft] def mv2Refresh(spark: SparkSession, table: String,
+      state: DataFrame, from: Int, to: Int, groupCol: String)(
+      recompute: DataFrame => DataFrame): DataFrame = {
+    val touched = cdfRead(spark, table, from, to, "event_id")
+      .select(col(groupCol)).distinct()
+    // bounded driver collect: |touched groups| ≤ the window's change
+    // volume by construction (enum-sized here; a wide window at scale
+    // still collects group KEYS, never rows)
+    val keys = touched.collect().map(_.get(0)).toSeq
+    val fresh = recompute(
+      TableLog.readAsOf(spark, table, to).filter(col(groupCol).isin(keys: _*)))
+    state.filter(!col(groupCol).isin(keys: _*)).unionByName(fresh)
+  }
+
+  /** MV2 [EXT]: declared query — a per-type (n_rows, min_value) view (MIN
+    * is non-abelian: a delete can RAISE it, which MV1's signed merge
+    * cannot express) maintained across the s14 fixture's v3 delete commit
+    * (clicks under 100 removed — min(click) must jump to the ≥100 floor)
+    * and v4 update commit (error values +1 — min(error) must move) by
+    * CDF-targeted partial recompute from the stored v2 state. The oracle
+    * recomputes the v4 view directly from the commit rules; LakehouseSpec
+    * pins what SQL can't see — untouched groups ride from the STATE
+    * (a sentinel planted in an untouched group's state row survives the
+    * refresh verbatim). */
+  def mv2CdfRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/mv2_table"
+    s14Fixture(spark, sfDir, table)
+    def view(df: DataFrame): DataFrame =
+      df.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"), min($"value").as("min_value"))
+    val state = view(TableLog.readAsOf(spark, table, 2))
+    mv2Refresh(spark, table, state, 2, 4, "event_type")(view)
+      .orderBy($"event_type")
+  }
+
   // --------------------------------------------- S15: manifest file skipping
 
   private[graft] val S15_LO = 100L
@@ -266,10 +323,79 @@ object Lakehouse {
       .select($"event_id", $"user_id", $"event_type", $"value")
     TableLog.commit(spark, table, Action("schema", ev.schema.json) +:
       TableLog.stageWithStats(spark, table,
-        ev.filter($"event_id" % 4 =!= 3), "data/v1", "event_id", S15_V1_FILES))
+        ev.filter($"event_id" % 4 =!= 3), "data/v1", Seq("event_id"), S15_V1_FILES))
     TableLog.commit(spark, table,
       TableLog.stageWithStats(spark, table,
-        ev.filter($"event_id" % 4 === 3), "data/v2", "event_id", S15_V2_FILES))
+        ev.filter($"event_id" % 4 === 3), "data/v2", Seq("event_id"), S15_V2_FILES))
+  }
+
+  // ------------------------------------------------- S16: Z-order clustering
+
+  /** Morton (Z-curve) value of two non-negative long columns, each first
+    * scaled linearly into `bits` bits against its [lo, hi] domain: the
+    * interleaved-bit cluster key that makes ONE sort order serve range
+    * predicates on BOTH dimensions. Built entirely from codegen'd bit
+    * functions (shiftright/and/shiftleft chains — no UDF): 2·`bits`
+    * unrolled terms OR-folded, whole-stage-compiled like any arithmetic.
+    * 16 bits per dimension is plenty for file-level skipping — the curve
+    * only has to separate files, not rows. */
+  def zOrderValue(a: Column, aLo: Long, aHi: Long,
+      b: Column, bLo: Long, bHi: Long, bits: Int = 16): Column = {
+    val scale = (1L << bits) - 1
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      if (hi <= lo) lit(0L)
+      else ((c - lit(lo)).cast("long") * lit(scale) / lit(hi - lo)).cast("long")
+    val na = norm(a, aLo, aHi)
+    val nb = norm(b, bLo, bHi)
+    (0 until bits).map { k =>
+      shiftleft(shiftrightunsigned(na, k).bitwiseAND(lit(1L)), 2 * k)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(nb, k).bitwiseAND(lit(1L)), 2 * k + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  private[graft] val S16_FILES = 16
+  private[graft] val S16_LO = 100L
+  private[graft] val S16_HI = 299L
+
+  /** s16's fixture: events staged in ONE commit, clustered on the
+    * Z-value of (event_id, user_id) with manifest stats recorded for
+    * BOTH columns — the multi-dimensional data-skipping layout. Domain
+    * bounds for the bit scaling come from one bounded min/max pass (the
+    * same write-time cost class as the stats pass itself). */
+  private[graft] def s16Fixture(spark: SparkSession, sfDir: String,
+      table: String): Unit = {
+    import spark.implicits._
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val Row(eLo: Long, eHi: Long, uLo: Long, uHi: Long) = ev
+      .agg(min($"event_id"), max($"event_id"), min($"user_id"), max($"user_id"))
+      .head()
+    val z = zOrderValue($"event_id", eLo, eHi, $"user_id", uLo, uHi)
+    TableLog.commit(spark, table, Action("schema", ev.schema.json) +:
+      TableLog.stageWithStats(spark, table, ev, "data/z1",
+        Seq("event_id", "user_id"), S16_FILES, orderBy = Some(z)))
+  }
+
+  /** S16 [EXT]: declared query — a range read on the SECOND Z-order
+    * dimension (user_id) over the Z-clustered table: the manifest prunes
+    * the file list by user_id's per-file stats even though no file is
+    * sorted by user_id alone — the property a single-column cluster
+    * (S9/S15) cannot offer, and the reason production formats Z-ORDER
+    * their OPTIMIZE output. The oracle runs the same predicate over the
+    * source; LakehouseSpec pins the skipping itself on BOTH dimensions
+    * (each predicate's kept set is a strict subset, and equals the
+    * stats-overlap computation). */
+  def s16ZorderScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s16_table"
+    s16Fixture(spark, sfDir, table)
+    TableLog.readAsOfRange(spark, table, 1, "user_id", S16_LO, S16_HI)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"))
+      .orderBy($"event_type")
   }
 
   /** S15 [EXT]: declared query — a range read over the stats-carrying log

@@ -45,21 +45,24 @@ object TableLog {
   private[graft] final case class FileStats(col: String, min: Long, max: Long)
 
   /** One logged file action; `path` is table-relative (portable across
-    * mounts — the log never embeds an absolute URI). */
+    * mounts — the log never embeds an absolute URI). An `add` may carry
+    * stats for SEVERAL columns (the Z-order layout records every
+    * clustered dimension — S16). */
   private[graft] final case class Action(op: String, path: String,
-      stats: Option[FileStats] = None)
+      stats: Seq[FileStats] = Nil)
 
   /** Parse one manifest line to a file action (None for schema/txn
-    * markers). Wire format: `add\tpath[\tcol\tmin\tmax]` / `remove\tpath`
-    * — the 2-field form is what every pre-stats manifest holds, so old
-    * logs replay unchanged. */
+    * markers). Wire format: `add\tpath[\tcol\tmin\tmax]...` (one col-min-
+    * max triple per stats column) / `remove\tpath` — the 2-field form is
+    * what every pre-stats manifest holds, so old logs replay unchanged. */
   private[graft] def parseAction(line: String): Option[Action] =
     line.split("\t") match {
-      case Array("add", p)    => Some(Action("add", p))
-      case Array("add", p, c, mn, mx) =>
-        Some(Action("add", p, Some(FileStats(c, mn.toLong, mx.toLong))))
+      case Array("add", p, rest @ _*) if rest.size % 3 == 0 =>
+        Some(Action("add", p, rest.grouped(3).map {
+          case Seq(c, mn, mx) => FileStats(c, mn.toLong, mx.toLong)
+        }.toSeq))
       case Array("remove", p) => Some(Action("remove", p))
-      case _ => None // schema / txn markers
+      case _ => None // schema / txn markers (and malformed stats arity)
     }
 
   private def fsOf(spark: SparkSession, table: String): FileSystem =
@@ -100,10 +103,8 @@ object TableLog {
     val out = f.create(tmp, true)
     try {
       actions.foreach { a =>
-        val line = a.stats match {
-          case Some(s) => s"${a.op}\t${a.path}\t${s.col}\t${s.min}\t${s.max}"
-          case None => s"${a.op}\t${a.path}"
-        }
+        val line = (s"${a.op}\t${a.path}" +:
+          a.stats.map(s => s"${s.col}\t${s.min}\t${s.max}")).mkString("\t")
         out.write((line + "\n").getBytes("UTF-8"))
       }
       out.hflush()
@@ -173,9 +174,9 @@ object TableLog {
     * Metadata-scale driver work — one short text line per file action,
     * the same order of cost as the file index any scan builds. */
   private[graft] def liveFilesWithStats(spark: SparkSession, table: String,
-      version: Int): Seq[(String, Option[FileStats])] = {
+      version: Int): Seq[(String, Seq[FileStats])] = {
     val f = fsOf(spark, table)
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Option[FileStats]]
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Seq[FileStats]]
     (1 to version).foreach { v =>
       manifestLines(f, table, v).foreach { line =>
         parseAction(line) match {
@@ -338,31 +339,44 @@ object TableLog {
       .map(s => Action("add", s"$rel/${s.getPath.getName}"))
   }
 
-  /** Stage `df` clustered on `statsCol` into `files` range-partitioned
+  /** Stage `df` clustered by `orderBy` into `files` range-partitioned
     * files and return add actions carrying each file's (min, max) of
-    * `statsCol` — the manifest column stats [[readAsOfRange]] prunes by.
-    * The range layout (S9's clusteredWrite discipline) is what makes the
-    * stats TIGHT: each file covers a disjoint slice, so a point/range
-    * predicate keeps O(1) files instead of all of them. The stats pass is
-    * ONE distributed aggregation over the just-written files, grouped by
-    * `input_file_name` — its result is metadata-sized (one row per staged
-    * file), the sanctioned bounded collect. */
+    * every column in `statsCols` — the manifest column stats
+    * [[readAsOfRange]] prunes by. The range layout (S9's clusteredWrite
+    * discipline) is what makes the stats TIGHT: each file covers a
+    * disjoint slice of the cluster order, so a range predicate on a
+    * clustered dimension keeps O(1) files instead of all of them.
+    * `orderBy` defaults to the first stats column; a Z-VALUE expression
+    * over several columns (S16, [[Lakehouse.zOrderValue]]) clusters ALL
+    * of them at once — each dimension's per-file ranges then tighten
+    * together (the multi-dimensional data-skipping layout). The stats
+    * pass is ONE distributed aggregation over the just-written files,
+    * grouped by `input_file_name` — its result is metadata-sized (one
+    * row per staged file), the sanctioned bounded collect. */
   private[graft] def stageWithStats(spark: SparkSession, table: String,
-      df: DataFrame, rel: String, statsCol: String, files: Int): Seq[Action] = {
-    import spark.implicits._
+      df: DataFrame, rel: String, statsCols: Seq[String], files: Int,
+      orderBy: Option[org.apache.spark.sql.Column] = None): Seq[Action] = {
     val dir = s"$table/$rel"
-    df.repartitionByRange(files, col(statsCol))
-      .sortWithinPartitions(col(statsCol))
+    val ord = orderBy.getOrElse(col(statsCols.head))
+    // the cluster key may be a derived expression (z-value): ride it as a
+    // temp column so the range partitioner and the in-file sort agree,
+    // then drop it before the write (a projection — order-preserving)
+    df.withColumn("__cluster", ord)
+      .repartitionByRange(files, col("__cluster"))
+      .sortWithinPartitions(col("__cluster"))
+      .drop("__cluster")
       .write.mode(SaveMode.Overwrite).parquet(dir)
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"mn_$c"), max(col(c)).cast("long").as(s"mx_$c")))
     spark.read.parquet(dir)
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(statsCol)).cast("long").as("mn"),
-        max(col(statsCol)).cast("long").as("mx"))
-      .as[(String, Long, Long)].collect()
-      .toSeq.sortBy(_._1)
-      .map { case (uri, mn, mx) =>
-        Action("add", s"$rel/${uri.split('/').last}",
-          Some(FileStats(statsCol, mn, mx)))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq
+      .map(r => r.getString(0) -> statsCols.zipWithIndex.map { case (c, i) =>
+        FileStats(c, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)) })
+      .sortBy(_._1)
+      .map { case (uri, sts) =>
+        Action("add", s"$rel/${uri.split('/').last}", sts)
       }
   }
 
@@ -375,9 +389,8 @@ object TableLog {
       version: Int, statsCol: String, lo: Long, hi: Long): (Seq[String], Int) = {
     val all = liveFilesWithStats(spark, table, version)
     val kept = all.collect {
-      case (p, None) => p
-      case (p, Some(s)) if s.col != statsCol => p
-      case (p, Some(s)) if s.max >= lo && s.min <= hi => p
+      case (p, sts) if sts.find(_.col == statsCol)
+        .forall(s => s.max >= lo && s.min <= hi) => p
     }
     (kept, all.size)
   }

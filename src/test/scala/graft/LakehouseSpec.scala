@@ -208,7 +208,7 @@ class LakehouseSpec extends SparkSpecBase {
     // the kept set is exactly the manifest's overlap computation — and
     // the SCAN reads exactly those files, none of the pruned ones
     val overlap = TableLog.liveFilesWithStats(spark, table, 2).collect {
-      case (p, Some(s))
+      case (p, Seq(s))
           if s.max >= Lakehouse.S15_LO && s.min <= Lakehouse.S15_HI => p
     }
     assert(kept.toSet === overlap.toSet)
@@ -254,9 +254,9 @@ class LakehouseSpec extends SparkSpecBase {
     val table = s"${Etl.scratch(spark)}/s15_compact_table"
     Lakehouse.s15Fixture(spark, sfDir, table)
     val v = Lakehouse.compactCommit(spark, table, targetFiles = 6,
-      statsCol = Some("event_id"))
+      statsCols = Seq("event_id"))
     val withStats = TableLog.liveFilesWithStats(spark, table, v)
-    assert(withStats.forall(_._2.isDefined),
+    assert(withStats.forall(_._2.nonEmpty),
       "compacted files must carry manifest stats")
     val (kept, total) = TableLog.prunedLiveFiles(spark, table, v,
       "event_id", Lakehouse.S15_LO, Lakehouse.S15_HI)
@@ -274,14 +274,74 @@ class LakehouseSpec extends SparkSpecBase {
 
   test("stats wire format: round-trips through the manifest; pre-stats 2-field lines replay unchanged") {
     val a = TableLog.Action("add", "data/x/part-0.parquet",
-      Some(TableLog.FileStats("event_id", -3L, 42L)))
+      Seq(TableLog.FileStats("event_id", -3L, 42L)))
     assert(TableLog.parseAction("add\tdata/x/part-0.parquet\tevent_id\t-3\t42")
       === Some(a))
+    // multi-column stats (the S16 Z-order layout): one triple per column
+    assert(TableLog.parseAction(
+      "add\tdata/z/p.parquet\tevent_id\t0\t99\tuser_id\t3\t14")
+      === Some(TableLog.Action("add", "data/z/p.parquet",
+        Seq(TableLog.FileStats("event_id", 0L, 99L),
+          TableLog.FileStats("user_id", 3L, 14L)))))
     assert(TableLog.parseAction("add\tdata/x/part-0.parquet")
       === Some(TableLog.Action("add", "data/x/part-0.parquet")))
     assert(TableLog.parseAction("remove\tdata/x/part-0.parquet")
       === Some(TableLog.Action("remove", "data/x/part-0.parquet")))
     assert(TableLog.parseAction("txn\tstream\t7") === None)
     assert(TableLog.parseAction("schema\t{\"type\":\"struct\"}") === None)
+    // malformed stats arity must not corrupt the path (a dropped action
+    // surfaces as a row diff downstream, never as a mangled file name)
+    assert(TableLog.parseAction("add\tdata/x/p.parquet\tevent_id\t0") === None)
+  }
+
+  test("s16: one Z-order sort serves range predicates on BOTH dimensions — each prunes files, both reads exact") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s16_spec_table"
+    Lakehouse.s16Fixture(spark, sfDir, table)
+    val stats = TableLog.liveFilesWithStats(spark, table, 1)
+    assert(stats.size === Lakehouse.S16_FILES)
+    assert(stats.forall(_._2.map(_.col).toSet === Set("event_id", "user_id")))
+    val ev = Tables.events(spark, sfDir)
+    // data-derived quarter-domain windows (the fixture sf is tiny; the
+    // declared query's literals target the graded sfs)
+    val Seq(eHi, uHi) = Seq("event_id", "user_id")
+      .map(c => ev.agg(max(col(c))).head().getLong(0))
+    for ((c, hi) <- Seq(("event_id", eHi), ("user_id", uHi))) {
+      val (lo, up) = (hi / 4, hi / 2)
+      val (kept, total) = TableLog.prunedLiveFiles(spark, table, 1, c, lo, up)
+      assert(kept.size < total,
+        s"z-order failed to prune on $c: ${kept.size} of $total")
+      val got = TableLog.readAsOfRange(spark, table, 1, c, lo, up)
+        .select($"event_id").as[Long].collect().sorted.toSeq
+      val want = ev.filter(col(c).between(lo, up))
+        .select($"event_id").as[Long].collect().sorted.toSeq
+      assert(got === want, s"range read on $c diverged")
+    }
+  }
+
+  test("mv2: untouched groups ride from the stored state — a planted sentinel survives the CDF-targeted refresh") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/mv2_spec_table"
+    Lakehouse.s14Fixture(spark, sfDir, table)
+    def view(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"), min($"value").as("min_value"))
+    // the (2,4] window touches ONLY click (v3 deletes) and error (v4
+    // updates): plant a sentinel in an untouched group's state row — a
+    // refresh that recomputes it would repair the sentinel and FAIL here
+    val state = view(TableLog.readAsOf(spark, table, 2))
+      .withColumn("min_value",
+        when($"event_type" === "view", lit(-777.0)).otherwise($"min_value"))
+    val out = Lakehouse.mv2Refresh(spark, table, state, 2, 4, "event_type")(view)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("view")._2 === -777.0,
+      "an untouched group was recomputed instead of riding from state")
+    // the touched groups ARE recomputed: min(click) jumps to the >=100
+    // floor, min(error) moves by the +1 backfill
+    val v4 = view(TableLog.readAsOf(spark, table, 4))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("click") === v4("click"))
+    assert(out("error") === v4("error"))
+    assert(out("click")._2 >= 100.0)
   }
 }
