@@ -226,6 +226,17 @@ class LakehouseSpec extends SparkSpecBase {
     assert(pruned === full)
   }
 
+  test("s15: the range predicate also reaches the parquet scan (PushedFilters) — manifest pruning stacks on row-group skipping") {
+    val table = s"${Etl.scratch(spark)}/s15_push_table"
+    Lakehouse.s15Fixture(spark, sfDir, table)
+    val plan = TableLog.readAsOfRange(spark, table, 2, "event_id",
+      Lakehouse.S15_LO, Lakehouse.S15_HI)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(event_id") &&
+      plan.contains("LessThanOrEqual(event_id"),
+      s"range predicate not pushed to the scan:\n$plan")
+  }
+
   test("s15: an all-pruned range returns empty under the logged schema; stat-less files are never pruned") {
     import spark.implicits._
     val table = s"${Etl.scratch(spark)}/s15_edge_table"
