@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.TableLog.{Action, FileStats}
+import graft.operators.TableLog.Action
 
 /** S13–S15 [EXT]: the production table-format layer composed from
   * [[TableLog]]'s primitives — the three capabilities the r15 review named
@@ -205,9 +205,27 @@ object Lakehouse {
     * abelian delta cannot offer non-additive consumers (a downstream
     * MERGE, a cache invalidator, a search indexer). */
   def cdfRead(spark: SparkSession, table: String, from: Int, to: Int,
-      keyCol: String): DataFrame =
+      keyCol: String): DataFrame = {
+    require(from <= to, s"cdfRead window inverted: ($from, $to]")
+    if (from == to) {
+      // the poller's steady state: no new commits → an EMPTY feed with
+      // the feed's schema (derived from the logged table schema), never
+      // an exception
+      val schema = TableLog.schemaAsOf(spark, table, math.max(to, 1))
+        .getOrElse(throw new IllegalStateException(
+          s"cdfRead needs a logged schema for $table — commit one at v1"))
+      val feed = org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          schema(keyCol)) ++
+          schema.fields.filterNot(_.name == keyCol))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], feed)
+    }
     ((from + 1) to to).map(cdfSlice(spark, table, _, keyCol))
       .reduce(_ unionByName _)
+  }
 
   /** s14's fixture: the s11 three-commit history plus a fourth commit
     * that rewrites the `error` partition with `value + 1` — a backfill
@@ -266,11 +284,13 @@ object Lakehouse {
     * keeping row-level deltas next to the log.
     *
     * `state` must be keyed by `groupCol` with the same schema as the
-    * recompute's output; returns the refreshed view. */
+    * recompute's output; `keyCol` is the table's row key the change feed
+    * joins on (cdfRead's contract). Returns the refreshed view. */
   private[graft] def mv2Refresh(spark: SparkSession, table: String,
-      state: DataFrame, from: Int, to: Int, groupCol: String)(
+      state: DataFrame, from: Int, to: Int, groupCol: String,
+      keyCol: String = "event_id")(
       recompute: DataFrame => DataFrame): DataFrame = {
-    val touched = cdfRead(spark, table, from, to, "event_id")
+    val touched = cdfRead(spark, table, from, to, keyCol)
       .select(col(groupCol)).distinct()
     // bounded driver collect: |touched groups| ≤ the window's change
     // volume by construction (enum-sized here; a wide window at scale

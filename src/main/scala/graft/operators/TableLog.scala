@@ -54,15 +54,27 @@ object TableLog {
   /** Parse one manifest line to a file action (None for schema/txn
     * markers). Wire format: `add\tpath[\tcol\tmin\tmax]...` (one col-min-
     * max triple per stats column) / `remove\tpath` — the 2-field form is
-    * what every pre-stats manifest holds, so old logs replay unchanged. */
+    * what every pre-stats manifest holds, so old logs replay unchanged.
+    * A CORRUPT add (stats arity not 3k, non-numeric bound) fails LOUDLY:
+    * silently dropping an unparseable add would lose a LIVE file from
+    * every subsequent read with no error anywhere — a transactional log
+    * must refuse to replay what it cannot parse. */
   private[graft] def parseAction(line: String): Option[Action] =
     line.split("\t") match {
-      case Array("add", p, rest @ _*) if rest.size % 3 == 0 =>
-        Some(Action("add", p, rest.grouped(3).map {
-          case Seq(c, mn, mx) => FileStats(c, mn.toLong, mx.toLong)
-        }.toSeq))
+      case Array("add", p, rest @ _*) =>
+        if (rest.size % 3 != 0) throw new IllegalStateException(
+          s"corrupt manifest add action (stats arity ${rest.size}): $line")
+        val sts =
+          try rest.grouped(3).map {
+            case Seq(c, mn, mx) => FileStats(c, mn.toLong, mx.toLong)
+          }.toSeq
+          catch {
+            case e: NumberFormatException => throw new IllegalStateException(
+              s"corrupt manifest stats bound in: $line", e)
+          }
+        Some(Action("add", p, sts))
       case Array("remove", p) => Some(Action("remove", p))
-      case _ => None // schema / txn markers (and malformed stats arity)
+      case _ => None // schema / txn markers
     }
 
   private def fsOf(spark: SparkSession, table: String): FileSystem =
@@ -329,15 +341,22 @@ object TableLog {
     * actions — no reader sees them until the enclosing [[commit]]. */
   private[graft] def stage(spark: SparkSession, table: String, df: DataFrame,
       rel: String): Seq[Action] = {
-    val dir = s"$table/$rel"
-    df.write.mode(SaveMode.Overwrite).parquet(dir)
-    fsOf(spark, table).listStatus(new Path(dir)).toSeq
+    df.write.mode(SaveMode.Overwrite).parquet(s"$table/$rel")
+    listStaged(spark, table, rel)
+  }
+
+  /** The add actions for every parquet file already staged under
+    * `table/rel/` (hidden `_`/`.` entries skipped) — the single listing
+    * discipline both [[stage]] and [[stageWithStats]] derive their
+    * manifests from. */
+  private[graft] def listStaged(spark: SparkSession, table: String,
+      rel: String): Seq[Action] =
+    fsOf(spark, table).listStatus(new Path(s"$table/$rel")).toSeq
       .filter { s =>
         val n = s.getPath.getName
         s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
       }
       .map(s => Action("add", s"$rel/${s.getPath.getName}"))
-  }
 
   /** Stage `df` clustered by `orderBy` into `files` range-partitioned
     * files and return add actions carrying each file's (min, max) of
@@ -368,16 +387,25 @@ object TableLog {
       .write.mode(SaveMode.Overwrite).parquet(dir)
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"mn_$c"), max(col(c)).cast("long").as(s"mx_$c")))
-    spark.read.parquet(dir)
+    // stats keyed by file NAME; an all-null stats column in some file
+    // aggregates to null min/max → that column simply gets no stats for
+    // that file (a null range can't prune anything a range predicate
+    // wouldn't already exclude — stats can skip work, never rows)
+    val statsByFile = spark.read.parquet(dir)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
-      .map(r => r.getString(0) -> statsCols.zipWithIndex.map { case (c, i) =>
-        FileStats(c, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)) })
-      .sortBy(_._1)
-      .map { case (uri, sts) =>
-        Action("add", s"$rel/${uri.split('/').last}", sts)
-      }
+      .map(r => r.getString(0).split('/').last ->
+        statsCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+          else Some(FileStats(c, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+        }).toMap
+    // the add set comes from the LISTING (stage()'s discipline), never
+    // from the stats read-back: a file the stats pass missed still lands
+    // in the manifest — with no stats, so it is never pruned
+    listStaged(spark, table, rel)
+      .map(a => a.copy(stats =
+        statsByFile.getOrElse(a.path.split('/').last, Nil)))
   }
 
   /** The live files of `version` that can contain rows with `statsCol` in

@@ -14,8 +14,8 @@ import graft.operators.{Lakehouse, TableLog}
   * (`MakeHeavy <src> <out> <copies> events`), quarter-domain windows on
   * each Z-order dimension, lower-median of REPS after one warmup.
   *
-  * Prints one JSON line (target/lake_probe.json): per-arm walls, kept-
-  * vs-total file counts per dimension.
+  * Prints one JSON line (written to target/lake_probe_<files>.json):
+  * per-arm walls, kept-vs-total file counts per dimension.
   */
 object LakeProbe {
   val REPS = 3

@@ -300,9 +300,23 @@ class LakehouseSpec extends SparkSpecBase {
       === Some(TableLog.Action("remove", "data/x/part-0.parquet")))
     assert(TableLog.parseAction("txn\tstream\t7") === None)
     assert(TableLog.parseAction("schema\t{\"type\":\"struct\"}") === None)
-    // malformed stats arity must not corrupt the path (a dropped action
-    // surfaces as a row diff downstream, never as a mangled file name)
-    assert(TableLog.parseAction("add\tdata/x/p.parquet\tevent_id\t0") === None)
+    // a corrupt add must fail LOUDLY: silently dropping it would lose a
+    // LIVE file from every read with no error anywhere
+    intercept[IllegalStateException] {
+      TableLog.parseAction("add\tdata/x/p.parquet\tevent_id\t0")
+    }
+    intercept[IllegalStateException] {
+      TableLog.parseAction("add\tdata/x/p.parquet\tevent_id\tzero\tten")
+    }
+  }
+
+  test("s14: an empty commit window (the poller's steady state) yields an EMPTY feed, not an exception") {
+    val table = s"${Etl.scratch(spark)}/s14_empty_table"
+    Lakehouse.s14Fixture(spark, sfDir, table)
+    val feed = Lakehouse.cdfRead(spark, table, 4, 4, "event_id")
+    assert(feed.count() === 0L)
+    assert(feed.columns.take(3).toSeq
+      === Seq("_commit_version", "_change_type", "event_id"))
   }
 
   test("s16: one Z-order sort serves range predicates on BOTH dimensions — each prunes files, both reads exact") {

@@ -37,7 +37,10 @@ def make_connection(sf_dir):
     tmp = os.path.join(os.path.dirname(__file__), "..", "target", "duck_tmp")
     os.makedirs(tmp, exist_ok=True)
     con.sql(f"SET temp_directory='{os.path.abspath(tmp)}'")
-    con.sql("SET memory_limit='64GB'")
+    # no explicit memory_limit: the default (80% of physical RAM) is
+    # host-correct on any box, and with a temp_directory set DuckDB spills
+    # at that ceiling instead of dying — a hardcoded figure would RAISE
+    # the ceiling above RAM on smaller hosts and reintroduce the OOM
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table: a dir of part files
