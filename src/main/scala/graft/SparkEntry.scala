@@ -181,6 +181,7 @@ object SparkEntry {
     "s15_stats_skipping" -> (graft.operators.Lakehouse.s15StatsSkipping _),
     "s16_zorder_scan" -> (graft.operators.Lakehouse.s16ZorderScan _),
     "mv2_cdf_refresh" -> (graft.operators.Lakehouse.mv2CdfRefresh _),
+    "s17_cow_merge" -> (graft.operators.Lakehouse.s17CowMerge _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
     "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
@@ -814,6 +815,19 @@ object SparkEntry {
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
         |FROM events WHERE user_id BETWEEN 100 AND 299
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the per-version CDF replication (with a worst-case re-delivery that
+    // must no-op at the txn gate) lands the destination on exactly the
+    // source's final commit rules — a dropped delete, a double-applied
+    // version, or a lost untouched file diverges on rows or hash
+    "s17_cow_merge" ->
+      """WITH v4 AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_type = 'error' THEN value + 1.0 ELSE value END AS value
+        |  FROM events
+        |  WHERE event_type <> 'click' OR value >= 100.0)
+        |SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum, MIN(value) AS min_value
+        |FROM v4 GROUP BY 1 ORDER BY 1""".stripMargin,
     // the non-abelian view (MIN can RISE under a delete) refreshed by
     // CDF-targeted partial recompute must equal the direct aggregate over
     // the final snapshot's commit rules: clicks keep only value >= 100

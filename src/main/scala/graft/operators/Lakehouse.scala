@@ -349,6 +349,100 @@ object Lakehouse {
         ev.filter($"event_id" % 4 === 3), "data/v2", Seq("event_id"), S15_V2_FILES))
   }
 
+  // ------------------------------- S17: pruned copy-on-write MERGE (CDF sync)
+
+  /** Apply ONE commit's change feed to a downstream log table as a
+    * pruned copy-on-write MERGE — the composition the whole r16 layer
+    * builds toward: S14 names the changed rows, S15's manifest stats
+    * bound which destination files can hold their keys, and the S11 txn
+    * marker makes the apply EXACTLY-ONCE under re-delivery.
+    *
+    * Shape: destination files are staged clustered on `keyCol` with
+    * manifest stats, so the rewrite set is `prunedLiveFiles(dst)` over
+    * the delta's [min, max] key range — every other file is untouched
+    * (not read, not rewritten, byte-identical on disk). The rewritten
+    * rows are the pruned files' rows anti-joined against delete/update
+    * keys, unioned with insert/update post-images; the commit removes
+    * exactly the pruned files and adds the re-clustered replacements,
+    * under a `(cdf:<consumer>, version)` txn marker — a re-delivered
+    * version no-ops at the gate, the dst never applies a delta twice.
+    *
+    * At 100 TB: |rewrite| is bounded by the delta's key locality, not the
+    * table — a commit touching one key range rewrites the files covering
+    * that range (the copy-on-write MERGE every production format runs for
+    * its UPDATE/DELETE/MERGE), and the key-clustered layout is what keeps
+    * that bound tight. Returns the dst version committed (-1 = replayed
+    * no-op). */
+  private[graft] def cdfApply(spark: SparkSession, src: String, dst: String,
+      v: Int, keyCol: String, consumer: String, files: Int): Int = {
+    import org.apache.spark.sql.functions.{col => c}
+    val streamId = s"cdf:$consumer"
+    if (TableLog.alreadyCommitted(spark, dst, streamId, v.toLong)) return -1
+    val delta = cdfSlice(spark, src, v, keyCol)
+    val dstV = TableLog.currentVersion(spark, dst)
+    if (dstV == 0) {
+      // cold start: the first delta is pure inserts — stage it clustered
+      // with stats and record the logged schema
+      val rows = delta.filter(c("_change_type") =!= "delete")
+        .drop("_commit_version", "_change_type")
+      return TableLog.commitIfAbsent(spark, dst, streamId, v.toLong,
+        Action("schema", rows.schema.json) +:
+          TableLog.stageWithStats(spark, dst, rows, s"data/apply-v$v",
+            Seq(keyCol), files))
+    }
+    // bounded driver reduction: the delta's key RANGE (two longs) — the
+    // only thing the pruning needs; keys themselves stay distributed
+    val Row(lo: Long, hi: Long) = delta
+      .agg(min(c(keyCol)).cast("long"), max(c(keyCol)).cast("long")).head()
+    val (touched, _) = TableLog.prunedLiveFiles(spark, dst, dstV, keyCol, lo, hi)
+    val schema = TableLog.schemaAsOf(spark, dst, dstV).get
+    val base =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(touched.map(r => s"$dst/$r"): _*)
+    // copy-on-write semantics: survivors = touched rows whose key is NOT
+    // deleted/updated; arrivals = insert/update post-images
+    val gone = delta.filter(c("_change_type").isin("delete", "update"))
+      .select(c(keyCol).as("__gone"))
+    val survivors = base.join(gone, c(keyCol) === c("__gone"), "left_anti")
+    val arrivals = delta.filter(c("_change_type") =!= "delete")
+      .drop("_commit_version", "_change_type")
+    val adds = TableLog.stageWithStats(spark, dst,
+      survivors.unionByName(arrivals), s"data/apply-v$v", Seq(keyCol), files)
+    TableLog.commitIfAbsent(spark, dst, streamId, v.toLong,
+      touched.map(Action("remove", _)) ++ adds)
+  }
+
+  /** S17 [EXT]: declared query — replicate the s14 source history into a
+    * key-clustered downstream table by per-version [[cdfApply]] (with a
+    * worst-case RE-DELIVERY of version 3, which must no-op at the txn
+    * gate), then audit the destination's final snapshot per type. The
+    * oracle recomputes the v4 commit rules directly — a replication that
+    * dropped a delete, double-applied the re-delivery, or lost an
+    * untouched file diverges on rows or hash; LakehouseSpec pins the
+    * pruning (files outside the delta's key range survive byte-identical)
+    * and the exactly-once gate. */
+  def s17CowMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = s"${Etl.scratch(spark)}/s17_src_table"
+    val dst = s"${Etl.scratch(spark)}/s17_dst_table"
+    s14Fixture(spark, sfDir, src)
+    new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(dst), true)
+    (1 to 4).foreach { v =>
+      cdfApply(spark, src, dst, v, "event_id", "s17", files = 4)
+      if (v == 3)
+        require(cdfApply(spark, src, dst, 3, "event_id", "s17", 4) == -1,
+          "re-delivered version must no-op at the txn gate")
+    }
+    TableLog.readAsOf(spark, dst, TableLog.currentVersion(spark, dst))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"),
+        min($"value").as("min_value"))
+      .orderBy($"event_type")
+  }
+
   // ------------------------------------------------- S16: Z-order clustering
 
   /** Morton (Z-curve) value of two non-negative long columns, each first

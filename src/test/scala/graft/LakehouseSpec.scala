@@ -197,6 +197,52 @@ class LakehouseSpec extends SparkSpecBase {
     assert(merge.select($"event_id").as[Long].collect().toSet === bumpIds)
   }
 
+  test("s17: the copy-on-write MERGE rewrites ONLY the files covering the delta's key range — the rest survive byte-identical") {
+    import spark.implicits._
+    val src = s"${Etl.scratch(spark)}/s17_spec_src"
+    val dst = s"${Etl.scratch(spark)}/s17_spec_dst"
+    Seq(src, dst).foreach(t => fs(t).delete(new Path(t), true))
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val maxId = ev.agg(max($"event_id")).head().getLong(0)
+    val k = maxId / 8 // the delta's key locality: the first ~1/8 of keys
+    // src v1: the whole table; dst cold-applies it into 8 clustered files
+    TableLog.commit(spark, src, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, src, ev, "data/v1"))
+    Lakehouse.cdfApply(spark, src, dst, 1, "event_id", "spec", files = 8)
+    val before = TableLog.liveFiles(spark, dst, 1)
+    assert(before.size === 8)
+    // src v2 REWRITES every file but only CHANGES keys < k: the feed's
+    // identical-row suppression turns a full physical rewrite into a
+    // narrow logical delta — and the apply must prune to that delta
+    val bumped = ev.withColumn("value",
+      when($"event_id" < k, $"value" + 1.0).otherwise($"value"))
+    TableLog.commit(spark, src,
+      TableLog.liveFiles(spark, src, 1).map(TableLog.Action("remove", _)) ++
+        TableLog.stage(spark, src, bumped, "data/v2"))
+    Lakehouse.cdfApply(spark, src, dst, 2, "event_id", "spec", files = 8)
+    val after = TableLog.liveFiles(spark, dst, 2)
+    val survivorsOnDisk = before.toSet.intersect(after.toSet)
+    val rewritten = before.toSet -- after.toSet
+    assert(rewritten.nonEmpty && rewritten.size < before.size,
+      s"expected a PARTIAL rewrite, got ${rewritten.size} of ${before.size}")
+    assert(survivorsOnDisk.nonEmpty, "untouched files must stay live")
+    // untouched files were never rewritten: same physical bytes on disk
+    survivorsOnDisk.foreach { r =>
+      assert(fs(dst).exists(new Path(s"$dst/$r")), s"survivor $r vanished")
+    }
+    // and the destination's final rows replay the src commit rules —
+    // compared as a set of (id, value), order- and layout-proof
+    val gotRows = TableLog.readAsOf(spark, dst, 2)
+      .select($"event_id", $"value").as[(Long, Double)].collect().toSet
+    val wantRows = bumped.select($"event_id", $"value")
+      .as[(Long, Double)].collect().toSet
+    assert(gotRows === wantRows, "dst rows diverged from the src rules")
+    // exactly-once: re-delivering version 2 no-ops at the txn gate
+    assert(Lakehouse.cdfApply(spark, src, dst, 2, "event_id", "spec", 8) === -1)
+    assert(TableLog.currentVersion(spark, dst) === 2)
+  }
+
   test("s15: the range read's file set is pruned from the manifest, and matches exactly the stats-overlapping files") {
     import spark.implicits._
     val table = s"${Etl.scratch(spark)}/s15_spec_table"
