@@ -207,11 +207,17 @@ object Lakehouse {
   def cdfRead(spark: SparkSession, table: String, from: Int, to: Int,
       keyCol: String): DataFrame = {
     require(from <= to, s"cdfRead window inverted: ($from, $to]")
+    val cur = TableLog.currentVersion(spark, table)
+    require(to <= cur, s"cdfRead past the head: to=$to but $table is at v$cur")
     if (from == to) {
       // the poller's steady state: no new commits → an EMPTY feed with
       // the feed's schema (derived from the logged table schema), never
-      // an exception
-      val schema = TableLog.schemaAsOf(spark, table, math.max(to, 1))
+      // an exception. Bounded to the head above, so schemaAsOf never
+      // opens a manifest that does not exist; a table with NO commits
+      // yet gets the loud schema message, not a FileNotFoundException.
+      val schema = (if (cur >= 1)
+        TableLog.schemaAsOf(spark, table, math.min(math.max(to, 1), cur))
+      else None)
         .getOrElse(throw new IllegalStateException(
           s"cdfRead needs a logged schema for $table — commit one at v1"))
       val feed = org.apache.spark.sql.types.StructType(
@@ -378,8 +384,32 @@ object Lakehouse {
     import org.apache.spark.sql.functions.{col => c}
     val streamId = s"cdf:$consumer"
     if (TableLog.alreadyCommitted(spark, dst, streamId, v.toLong)) return -1
-    val delta = cdfSlice(spark, src, v, keyCol)
+    // schema-evolution guard: cdfSlice compares on the pre/post COLUMN
+    // INTERSECTION, so replicating a source whose schema grew past the
+    // destination's would silently drop the new column's values — refuse
+    // loudly until the destination's schema is evolved first
     val dstV = TableLog.currentVersion(spark, dst)
+    if (dstV > 0) {
+      val srcCols = TableLog.schemaAsOf(spark, src, v).get.fieldNames.toSet
+      val dstCols = TableLog.schemaAsOf(spark, dst, dstV).get.fieldNames.toSet
+      val missing = srcCols -- dstCols
+      require(missing.isEmpty,
+        s"cdfApply: source v$v carries columns the destination lacks " +
+          s"(${missing.mkString(", ")}) — evolve the destination schema first")
+    }
+    // checkpoint the window delta: the range agg, the anti-join side, and
+    // the staged write would otherwise each re-run cdfSlice's full-outer
+    // join over the window's files
+    val delta = cdfSlice(spark, src, v, keyCol).localCheckpoint()
+    // a compaction / identical-rewrite source commit emits an EMPTY feed:
+    // record the version as applied (marker-only commit) and move nothing
+    if (delta.isEmpty)
+      return TableLog.commitIfAbsent(spark, dst, streamId, v.toLong, Nil)
+    // attempt-unique staging dir (commitBatch's discipline): a racing
+    // re-delivery of the same version must never Overwrite-delete the
+    // winner's committed files — the loser's staging stays orphaned for
+    // vacuum, the txn gate stops its commit
+    val rel = s"data/apply-v$v-${java.util.UUID.randomUUID}"
     if (dstV == 0) {
       // cold start: the first delta is pure inserts — stage it clustered
       // with stats and record the logged schema
@@ -387,29 +417,32 @@ object Lakehouse {
         .drop("_commit_version", "_change_type")
       return TableLog.commitIfAbsent(spark, dst, streamId, v.toLong,
         Action("schema", rows.schema.json) +:
-          TableLog.stageWithStats(spark, dst, rows, s"data/apply-v$v",
-            Seq(keyCol), files))
+          TableLog.stageWithStats(spark, dst, rows, rel, Seq(keyCol), files))
     }
-    // bounded driver reduction: the delta's key RANGE (two longs) — the
-    // only thing the pruning needs; keys themselves stay distributed
-    val Row(lo: Long, hi: Long) = delta
-      .agg(min(c(keyCol)).cast("long"), max(c(keyCol)).cast("long")).head()
-    val (touched, _) = TableLog.prunedLiveFiles(spark, dst, dstV, keyCol, lo, hi)
+    // copy-on-write semantics: only DELETE/UPDATE keys force a rewrite of
+    // the files covering them — inserts just add files, so a pure append
+    // (or a delete at one key plus an insert far away) rewrites NOTHING
+    // it does not have to. The pruning range is the GONE keys' [min, max]
+    // (a bounded two-long driver reduction; the keys stay distributed).
+    val gone = delta.filter(c("_change_type").isin("delete", "update"))
+      .select(c(keyCol).as("__gone"))
+    val goneRange = gone
+      .agg(min(c("__gone")).cast("long"), max(c("__gone")).cast("long")).head()
+    val touched =
+      if (goneRange.isNullAt(0)) Seq.empty[String]
+      else TableLog.prunedLiveFiles(spark, dst, dstV, keyCol,
+        goneRange.getLong(0), goneRange.getLong(1))._1
     val schema = TableLog.schemaAsOf(spark, dst, dstV).get
     val base =
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else spark.read.schema(schema)
         .parquet(touched.map(r => s"$dst/$r"): _*)
-    // copy-on-write semantics: survivors = touched rows whose key is NOT
-    // deleted/updated; arrivals = insert/update post-images
-    val gone = delta.filter(c("_change_type").isin("delete", "update"))
-      .select(c(keyCol).as("__gone"))
     val survivors = base.join(gone, c(keyCol) === c("__gone"), "left_anti")
     val arrivals = delta.filter(c("_change_type") =!= "delete")
       .drop("_commit_version", "_change_type")
     val adds = TableLog.stageWithStats(spark, dst,
-      survivors.unionByName(arrivals), s"data/apply-v$v", Seq(keyCol), files)
+      survivors.unionByName(arrivals), rel, Seq(keyCol), files)
     TableLog.commitIfAbsent(spark, dst, streamId, v.toLong,
       touched.map(Action("remove", _)) ++ adds)
   }

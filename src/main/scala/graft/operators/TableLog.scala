@@ -74,6 +74,11 @@ object TableLog {
           }
         Some(Action("add", p, sts))
       case Array("remove", p) => Some(Action("remove", p))
+      // a file action that lost its path, or a remove with trailing
+      // garbage: refusing loudly beats silently dropping the action —
+      // a swallowed remove RESURRECTS deleted rows in every snapshot
+      case arr if arr.headOption.exists(op => op == "add" || op == "remove") =>
+        throw new IllegalStateException(s"corrupt manifest file action: $line")
       case _ => None // schema / txn markers
     }
 
@@ -385,6 +390,11 @@ object TableLog {
       .sortWithinPartitions(col("__cluster"))
       .drop("__cluster")
       .write.mode(SaveMode.Overwrite).parquet(dir)
+    val listed = listStaged(spark, table, rel)
+    // an empty stage (e.g. a copy-on-write purge whose survivors and
+    // arrivals are both empty) writes no parquet at all — there is
+    // nothing to read stats from, and nothing to add
+    if (listed.isEmpty) return Nil
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"mn_$c"), max(col(c)).cast("long").as(s"mx_$c")))
     // stats keyed by file NAME; an all-null stats column in some file
@@ -403,9 +413,8 @@ object TableLog {
     // the add set comes from the LISTING (stage()'s discipline), never
     // from the stats read-back: a file the stats pass missed still lands
     // in the manifest — with no stats, so it is never pruned
-    listStaged(spark, table, rel)
-      .map(a => a.copy(stats =
-        statsByFile.getOrElse(a.path.split('/').last, Nil)))
+    listed.map(a => a.copy(stats =
+      statsByFile.getOrElse(a.path.split('/').last, Nil)))
   }
 
   /** The live files of `version` that can contain rows with `statsCol` in

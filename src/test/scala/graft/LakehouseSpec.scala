@@ -212,6 +212,10 @@ class LakehouseSpec extends SparkSpecBase {
     Lakehouse.cdfApply(spark, src, dst, 1, "event_id", "spec", files = 8)
     val before = TableLog.liveFiles(spark, dst, 1)
     assert(before.size === 8)
+    val sigBefore = before.map { r =>
+      val st = fs(dst).getFileStatus(new Path(s"$dst/$r"))
+      r -> (st.getLen, st.getModificationTime)
+    }.toMap
     // src v2 REWRITES every file but only CHANGES keys < k: the feed's
     // identical-row suppression turns a full physical rewrite into a
     // narrow logical delta — and the apply must prune to that delta
@@ -227,9 +231,12 @@ class LakehouseSpec extends SparkSpecBase {
     assert(rewritten.nonEmpty && rewritten.size < before.size,
       s"expected a PARTIAL rewrite, got ${rewritten.size} of ${before.size}")
     assert(survivorsOnDisk.nonEmpty, "untouched files must stay live")
-    // untouched files were never rewritten: same physical bytes on disk
+    // untouched files were never rewritten: same physical (length, mtime)
+    // — existence alone would pass a rewrite that clobbered them in place
     survivorsOnDisk.foreach { r =>
-      assert(fs(dst).exists(new Path(s"$dst/$r")), s"survivor $r vanished")
+      val st = fs(dst).getFileStatus(new Path(s"$dst/$r"))
+      assert((st.getLen, st.getModificationTime) === sigBefore(r),
+        s"survivor $r was physically rewritten")
     }
     // and the destination's final rows replay the src commit rules —
     // compared as a set of (id, value), order- and layout-proof
@@ -241,6 +248,28 @@ class LakehouseSpec extends SparkSpecBase {
     // exactly-once: re-delivering version 2 no-ops at the txn gate
     assert(Lakehouse.cdfApply(spark, src, dst, 2, "event_id", "spec", 8) === -1)
     assert(TableLog.currentVersion(spark, dst) === 2)
+    // a pure APPEND src commit (new disjoint keys) must rewrite NOTHING:
+    // inserts never force a copy-on-write of existing files
+    val shifted = ev.withColumn("event_id", $"event_id" + 10000000L)
+      .filter($"event_id" % 7 === 0)
+    TableLog.commit(spark, src, TableLog.stage(spark, src, shifted, "data/v3"))
+    Lakehouse.cdfApply(spark, src, dst, 3, "event_id", "spec", files = 2)
+    val afterAppend = TableLog.liveFiles(spark, dst, 3).toSet
+    assert(after.toSet.subsetOf(afterAppend),
+      "a pure-insert delta rewrote existing destination files")
+    assert(TableLog.readAsOf(spark, dst, 3).count()
+      === bumped.count() + shifted.count())
+    // an empty delta (a src compaction — identical rewrite) applies as a
+    // marker-only commit: the version is recorded, no file moves
+    Lakehouse.compactCommit(spark, src, targetFiles = 4)
+    val dstBefore = TableLog.liveFiles(spark, dst,
+      TableLog.currentVersion(spark, dst)).toSet
+    val v4 = Lakehouse.cdfApply(spark, src, dst, 4, "event_id", "spec", 2)
+    assert(v4 > 0, "an empty delta must still record its version")
+    assert(TableLog.liveFiles(spark, dst,
+      TableLog.currentVersion(spark, dst)).toSet === dstBefore,
+      "an empty delta moved destination files")
+    assert(Lakehouse.cdfApply(spark, src, dst, 4, "event_id", "spec", 2) === -1)
   }
 
   test("s15: the range read's file set is pruned from the manifest, and matches exactly the stats-overlapping files") {
@@ -353,6 +382,13 @@ class LakehouseSpec extends SparkSpecBase {
     }
     intercept[IllegalStateException] {
       TableLog.parseAction("add\tdata/x/p.parquet\tevent_id\tzero\tten")
+    }
+    // a file action that lost its path, and a remove with trailing
+    // garbage: both refuse loudly (a swallowed remove would RESURRECT
+    // deleted rows in every later snapshot)
+    intercept[IllegalStateException] { TableLog.parseAction("add") }
+    intercept[IllegalStateException] {
+      TableLog.parseAction("remove\tdata/x/p.parquet\tgarbage")
     }
   }
 
