@@ -229,8 +229,15 @@ object Lakehouse {
           schema.fields.filterNot(_.name == keyCol))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], feed)
     }
+    // allowMissingColumns: slices on either side of a schema-evolution
+    // commit (S12) carry different value-column sets — the pre-evolution
+    // slices null-fill the later columns, so a CDF window MAY cross an
+    // evolution boundary instead of throwing AnalysisException on the
+    // union (each slice still compares pre/post images on the columns
+    // both sides of ITS commit share — evolution never fabricates an
+    // update out of a null-fill)
     ((from + 1) to to).map(cdfSlice(spark, table, _, keyCol))
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** s14's fixture: the s11 three-commit history plus a fourth commit
@@ -296,15 +303,22 @@ object Lakehouse {
       state: DataFrame, from: Int, to: Int, groupCol: String,
       keyCol: String = "event_id")(
       recompute: DataFrame => DataFrame): DataFrame = {
+    // the touched-group keys stay DISTRIBUTED: a wide window at 100 TB can
+    // name 10^4–10^6 groups, and materializing them as `isin` plan
+    // literals (the first-cut plan) is an analyzer/codegen blowup and a
+    // driver OOM vector. Instead the key frame rides both sides as a
+    // broadcast join — semi for the recompute filter (with dynamic
+    // partition/file pruning doing the isin literal's job against a
+    // group-clustered layout), anti for the state carry-forward. The
+    // checkpoint is because both joins consume the frame: without it each
+    // side would re-run cdfRead's per-commit full-outer joins.
     val touched = cdfRead(spark, table, from, to, keyCol)
-      .select(col(groupCol)).distinct()
-    // bounded driver collect: |touched groups| ≤ the window's change
-    // volume by construction (enum-sized here; a wide window at scale
-    // still collects group KEYS, never rows)
-    val keys = touched.collect().map(_.get(0)).toSeq
+      .select(col(groupCol).as("__touched")).distinct().localCheckpoint()
     val fresh = recompute(
-      TableLog.readAsOf(spark, table, to).filter(col(groupCol).isin(keys: _*)))
-    state.filter(!col(groupCol).isin(keys: _*)).unionByName(fresh)
+      TableLog.readAsOf(spark, table, to)
+        .join(broadcast(touched), col(groupCol) === col("__touched"), "left_semi"))
+    state.join(broadcast(touched), col(groupCol) === col("__touched"), "left_anti")
+      .unionByName(fresh)
   }
 
   /** MV2 [EXT]: declared query — a per-type (n_rows, min_value) view (MIN
@@ -422,16 +436,45 @@ object Lakehouse {
     // copy-on-write semantics: only DELETE/UPDATE keys force a rewrite of
     // the files covering them — inserts just add files, so a pure append
     // (or a delete at one key plus an insert far away) rewrites NOTHING
-    // it does not have to. The pruning range is the GONE keys' [min, max]
-    // (a bounded two-long driver reduction; the keys stay distributed).
+    // it does not have to. keyCol must be integral (the stageWithStats
+    // wire contract): a string key would cast its stats compare to null
+    // and silently skip the rewrite — deletes unapplied, update
+    // post-images still appended, duplicate keys in the destination.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val keyType = TableLog.schemaAsOf(spark, dst, dstV).get(keyCol).dataType
+    require(keyType == LongType || keyType == IntegerType ||
+      keyType == ShortType || keyType == ByteType,
+      s"cdfApply needs an integral key; '$keyCol' is ${keyType.simpleString}")
     val gone = delta.filter(c("_change_type").isin("delete", "update"))
-      .select(c(keyCol).as("__gone"))
-    val goneRange = gone
-      .agg(min(c("__gone")).cast("long"), max(c("__gone")).cast("long")).head()
-    val touched =
-      if (goneRange.isNullAt(0)) Seq.empty[String]
-      else TableLog.prunedLiveFiles(spark, dst, dstV, keyCol,
-        goneRange.getLong(0), goneRange.getLong(1))._1
+      .select(c(keyCol).cast("long").as("__gone"))
+    // the rewrite set is computed per FILE, by interval overlap of each
+    // destination file's manifest [min, max] against the DISTRIBUTED gone
+    // keys — not against the keys' global [min, max] envelope (r16
+    // review: a bimodal delta touching keys 10 and 10^9 must not rewrite
+    // every file between them). The file-stats frame is metadata-sized
+    // (one row per live dst file) and broadcasts; the hit set collects
+    // bounded by |dst files|. A file without stats on keyCol can never be
+    // excluded — stats skip work, never rows.
+    val fileStats = TableLog.liveFilesWithStats(spark, dst, dstV)
+    val touched: Seq[String] =
+      if (gone.isEmpty) Seq.empty[String]
+      else {
+        val statless = fileStats.collect {
+          case (p, sts) if !sts.exists(_.col == keyCol) => p }
+        val ranged = fileStats.flatMap { case (p, sts) =>
+          sts.find(_.col == keyCol).map(s => (p, s.min, s.max)) }
+        val hits =
+          if (ranged.isEmpty) Seq.empty[String]
+          else {
+            import spark.implicits._
+            val fileDf = ranged.toDF("__path", "__mn", "__mx")
+            gone.join(broadcast(fileDf),
+                c("__gone") >= c("__mn") && c("__gone") <= c("__mx"))
+              .select(c("__path")).distinct()
+              .collect().map(_.getString(0)).toSeq
+          }
+        statless ++ hits
+      }
     val schema = TableLog.schemaAsOf(spark, dst, dstV).get
     val base =
       if (touched.isEmpty)
@@ -489,9 +532,33 @@ object Lakehouse {
   def zOrderValue(a: Column, aLo: Long, aHi: Long,
       b: Column, bLo: Long, bHi: Long, bits: Int = 16): Column = {
     val scale = (1L << bits) - 1
+    // divide-FIRST scaling: the multiply-first form ((c-lo)*scale/(hi-lo))
+    // wraps when the domain exceeds 2^(63-bits) (~2^47 at 16 bits) — a
+    // snowflake-style 10^18 id domain would silently emit wrapped negative
+    // Morton keys and collapse clustering quality (reads stay correct —
+    // stats come from file contents — but the layout stops separating).
+    // A wide domain divides by a power of two applied as an unsigned
+    // shift: exact at any width (Column./ is DOUBLE division — lossy past
+    // 2^53), monotone, in [0, scale] since 2^shift >= width/scale. A
+    // NARROW domain (width <= scale) instead multiplies UP by an integer
+    // factor so the dimension still occupies the full bit budget —
+    // otherwise an asymmetric pair (ids in millions × a small enum) lets
+    // the wide dimension's high bits own the curve's top and the narrow
+    // one stops separating files. The upscale product is overflow-safe by
+    // construction (d <= scale < 2^bits, f <= 2^bits). Width is computed
+    // in BigInt so a [~Long.Min, ~Long.Max] domain fails loudly instead
+    // of wrapping.
     def norm(c: Column, lo: Long, hi: Long): Column =
       if (hi <= lo) lit(0L)
-      else ((c - lit(lo)).cast("long") * lit(scale) / lit(hi - lo)).cast("long")
+      else {
+        val width = BigInt(hi) - BigInt(lo)
+        require(width <= BigInt(Long.MaxValue),
+          s"z-order domain [$lo, $hi] wider than 2^63 — split the dimension")
+        val d = (c - lit(lo)).cast("long")
+        if (width <= scale) d * lit((scale + 1) / (width.toLong + 1))
+        else shiftrightunsigned(d, 64 -
+          java.lang.Long.numberOfLeadingZeros(width.toLong / (scale + 1)))
+      }
     val na = norm(a, aLo, aHi)
     val nb = norm(b, bLo, bHi)
     (0 until bits).map { k =>

@@ -380,6 +380,21 @@ object TableLog {
   private[graft] def stageWithStats(spark: SparkSession, table: String,
       df: DataFrame, rel: String, statsCols: Seq[String], files: Int,
       orderBy: Option[org.apache.spark.sql.Column] = None): Seq[Action] = {
+    // the wire format stores LONG bounds, and a fractional column's
+    // cast("long") truncates toward zero — recorded min RAISED, max
+    // LOWERED, which lets pruning "prove" disjointness for a file that
+    // holds matching rows (silent row loss — the inverted direction of
+    // the "stats skip work, never rows" invariant). Integral columns are
+    // exact under the cast, so the contract is enforced at stage time
+    // instead of discovered as a missing row at read time.
+    statsCols.foreach { sc =>
+      val dt = df.schema(sc).dataType
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      require(dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType,
+        s"manifest stats need an integral column; '$sc' is ${dt.simpleString} " +
+          "— long wire bounds would truncate fractional min/max toward zero " +
+          "and prune files that still hold matching rows")
+    }
     val dir = s"$table/$rel"
     val ord = orderBy.getOrElse(col(statsCols.head))
     // the cluster key may be a derived expression (z-value): ride it as a

@@ -426,6 +426,157 @@ class LakehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("s17: a BIMODAL delta (two far-apart keys) rewrites only the two covering files — the middle survives byte-identical") {
+    import spark.implicits._
+    val src = s"${Etl.scratch(spark)}/s17_bimodal_src"
+    val dst = s"${Etl.scratch(spark)}/s17_bimodal_dst"
+    Seq(src, dst).foreach(t => fs(t).delete(new Path(t), true))
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val (minId, maxId) = {
+      val r = ev.agg(min($"event_id"), max($"event_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    TableLog.commit(spark, src, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, src, ev, "data/v1"))
+    Lakehouse.cdfApply(spark, src, dst, 1, "event_id", "bimodal", files = 8)
+    val before = TableLog.liveFiles(spark, dst, 1)
+    assert(before.size === 8)
+    val sig = before.map { r =>
+      val st = fs(dst).getFileStatus(new Path(s"$dst/$r"))
+      r -> (st.getLen, st.getModificationTime)
+    }.toMap
+    // the delta changes ONLY the extreme keys: under envelope pruning the
+    // gone range [minId, maxId] covers every file; per-file interval
+    // overlap must keep the six middle files untouched on disk
+    val bumped = ev.withColumn("value",
+      when($"event_id" === minId || $"event_id" === maxId, $"value" + 1.0)
+        .otherwise($"value"))
+    TableLog.commit(spark, src,
+      TableLog.liveFiles(spark, src, 1).map(TableLog.Action("remove", _)) ++
+        TableLog.stage(spark, src, bumped, "data/v2"))
+    Lakehouse.cdfApply(spark, src, dst, 2, "event_id", "bimodal", files = 8)
+    val after = TableLog.liveFiles(spark, dst, 2).toSet
+    val rewritten = before.toSet -- after
+    assert(rewritten.size <= 2,
+      s"bimodal delta must rewrite at most the two covering files, got ${rewritten.size}")
+    (before.toSet -- rewritten).foreach { r =>
+      val st = fs(dst).getFileStatus(new Path(s"$dst/$r"))
+      assert((st.getLen, st.getModificationTime) === sig(r),
+        s"middle file $r was physically rewritten")
+    }
+    // and the destination still replays the source rules exactly
+    val got = TableLog.readAsOf(spark, dst, 2)
+      .select($"event_id", $"value").as[(Long, Double)].collect().toSet
+    assert(got === bumped.select($"event_id", $"value")
+      .as[(Long, Double)].collect().toSet)
+  }
+
+  test("z-order scaling survives a 2^60-wide domain — monotone, non-negative, in [0, 2^bits)") {
+    import spark.implicits._
+    // the multiply-first form wraps past 2^47 at 16 bits; the shift form
+    // must stay exact at any width
+    val lo = -(1L << 59)
+    val hi = (1L << 59)
+    val probes = Seq(lo, lo + 1, -1L, 0L, 1L, hi / 2, hi - 1, hi)
+    val df = probes.toDF("a").withColumn("z",
+      Lakehouse.zOrderValue(col("a"), lo, hi, lit(0L), 0L, 0L))
+    val zs = df.orderBy($"a").select($"z").as[Long].collect().toSeq
+    assert(zs.forall(_ >= 0L), s"wrapped negative Morton key: $zs")
+    assert(zs === zs.sorted, s"non-monotone scaling: $zs")
+    // second dimension is constant 0, so z IS the interleave of norm(a)
+    // alone — every bit lands at an even position, bounded by 2^(2*16)
+    assert(zs.last < (1L << 32))
+    // tiny domains still separate: distinct inputs map to distinct norms
+    val small = (0L to 63L).toDF("a").withColumn("z",
+      Lakehouse.zOrderValue(col("a"), 0L, 63L, lit(0L), 0L, 0L))
+      .select($"z").distinct().count()
+    assert(small === 64L)
+  }
+
+  test("stage-time stats contract: a fractional stats column is refused loudly (long bounds would truncate and lose rows)") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/stats_contract_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"value")
+    val e = intercept[IllegalArgumentException] {
+      TableLog.stageWithStats(spark, table, ev, "data/v1", Seq("value"), 2)
+    }
+    assert(e.getMessage.contains("integral"))
+    // and cdfApply refuses a non-integral key up front instead of
+    // silently skipping the rewrite on a null-cast range
+    val src = s"${Etl.scratch(spark)}/stats_contract_src"
+    val dst = s"${Etl.scratch(spark)}/stats_contract_dst"
+    Seq(src, dst).foreach(t => fs(t).delete(new Path(t), true))
+    val byType = ev.withColumn("k", $"event_id".cast("string"))
+      .select($"k", $"event_id", $"value")
+    TableLog.commit(spark, src, TableLog.Action("schema", byType.schema.json) +:
+      TableLog.stage(spark, src, byType, "data/v1"))
+    intercept[IllegalArgumentException] {
+      Lakehouse.cdfApply(spark, src, dst, 1, "k", "contract", files = 2)
+    }
+  }
+
+  test("s14 x s12: a CDF window crossing a schema-evolution commit unions with null-filled early slices, not an AnalysisException") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s14_evo_table"
+    TableLog.buildFixture(spark, sfDir, table)
+    TableLog.evolveFixture(spark, sfDir, table) // v4 adds source_tag
+    // v5: a post-evolution rewrite whose pre AND post schemas both carry
+    // source_tag — its slice has the evolved column, v1–v4's slices
+    // (intersection of their own pre/post schemas) do not, so the window
+    // union crosses the boundary the r16 advice flagged
+    val v4files = TableLog.liveFiles(spark, table, 4).filter(_.contains("/v4/"))
+    val rewritten = spark.read.schema(TableLog.schemaAsOf(spark, table, 4).get)
+      .parquet(v4files.map(r => s"$table/$r"): _*)
+      .withColumn("value", $"value" + 1.0)
+    TableLog.commit(spark, table,
+      v4files.map(TableLog.Action("remove", _)) ++
+        TableLog.stage(spark, table, rewritten, "data/v5/error"))
+    val feed = Lakehouse.cdfRead(spark, table, 0, 5, "event_id")
+    assert(feed.columns.contains("source_tag"))
+    // pre-boundary slices null-fill the evolved column; the v5 update
+    // post-images carry it for every rewritten error row
+    val pre = feed.filter($"_commit_version" < 5)
+    assert(pre.count() > 0)
+    assert(pre.filter($"source_tag".isNotNull).count() === 0L)
+    val v5 = feed.filter($"_commit_version" === 5)
+    assert(v5.count() > 0)
+    assert(v5.select($"_change_type").distinct().as[String].collect().toSeq
+      === Seq("update"))
+    assert(v5.filter($"source_tag".isNull).count() === 0L)
+  }
+
+  test("mv2: the refresh plan keeps touched-group keys DISTRIBUTED — semi/anti joins, never collected isin literals") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/mv2_plan_table"
+    Lakehouse.s14Fixture(spark, sfDir, table)
+    def view(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"), min($"value").as("min_value"))
+    val state = view(TableLog.readAsOf(spark, table, 2))
+    val out = Lakehouse.mv2Refresh(spark, table, state, 2, 4, "event_type")(view)
+    val plan = out.queryExecution.optimizedPlan.toString
+    // the join shapes: semi on the recompute side, anti on the state carry
+    assert(plan.contains("LeftSemi"),
+      s"recompute side must SEMI-join the touched keys:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"state carry must ANTI-join the touched keys:\n$plan")
+    // and no group key rides the plan as a literal (the isin blowup the
+    // r16 review flagged: 10^4-10^6 keys embedded per plan at a wide
+    // window — analyzer/codegen cost and a driver OOM vector)
+    assert(!plan.contains(" IN (") && !plan.contains("click,error") &&
+      !plan.contains("click, error"),
+      s"touched group keys leaked into the plan as literals:\n$plan")
+    // the re-planned refresh still lands on the direct v4 aggregate
+    val got = out.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = view(TableLog.readAsOf(spark, table, 4)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === want)
+  }
+
   test("mv2: untouched groups ride from the stored state — a planted sentinel survives the CDF-targeted refresh") {
     import spark.implicits._
     val table = s"${Etl.scratch(spark)}/mv2_spec_table"
