@@ -182,6 +182,13 @@ object SparkEntry {
     "s16_zorder_scan" -> (graft.operators.Lakehouse.s16ZorderScan _),
     "mv2_cdf_refresh" -> (graft.operators.Lakehouse.mv2CdfRefresh _),
     "s17_cow_merge" -> (graft.operators.Lakehouse.s17CowMerge _),
+    "s18_mor_delete" -> (graft.operators.Lakehouse.s18MorDelete _),
+    "s13_warm_read" -> (graft.operators.Lakehouse.s13WarmRead _),
+    "s14_warm_feed" -> (graft.operators.Lakehouse.s14WarmFeed _),
+    "s15_warm_skip" -> (graft.operators.Lakehouse.s15WarmSkip _),
+    "s16_warm_scan" -> (graft.operators.Lakehouse.s16WarmScan _),
+    "s17_warm_apply" -> (graft.operators.Lakehouse.s17WarmApply _),
+    "mv2_warm_refresh" -> (graft.operators.Lakehouse.mv2WarmRefresh _),
     "s3_paginated_scan" -> (graft.sources.Paginated.s3PaginatedScan _),
     "s4_point_lookup" -> (graft.sources.Paginated.s4PointLookup _),
     "q2_shipping_priority" -> (Analytics.q2ShippingPriority _),
@@ -827,6 +834,78 @@ object SparkEntry {
         |  WHERE event_type <> 'click' OR value >= 100.0)
         |SELECT event_type, COUNT(*) AS n_rows,
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum, MIN(value) AS min_value
+        |FROM v4 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // merge-on-read deletes: v2's deletion vector hides the sub-100
+    // clicks without touching a data file, v3's re-insert of a third of
+    // the deleted keys must ESCAPE the earlier DV (sequence-number
+    // scoping) — a resurrected delete, a lost survivor, or a DV applied
+    // to the re-insert diverges on rows, id_sum, or n_bumped
+    "s18_mor_delete" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        | del AS (SELECT event_id FROM e
+        |         WHERE event_type = 'click' AND value < 100.0)
+        |SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum, CAST(0 AS BIGINT) AS n_bumped
+        |FROM e
+        |UNION ALL SELECT 2, COUNT(*), CAST(SUM(event_id) AS BIGINT), 0
+        |FROM e WHERE event_id NOT IN (SELECT event_id FROM del)
+        |UNION ALL SELECT 3,
+        |  CAST(COUNT(*) + (SELECT COUNT(*) FROM del WHERE event_id % 3 = 0) AS BIGINT),
+        |  CAST(SUM(event_id)
+        |    + (SELECT COALESCE(SUM(event_id), 0) FROM del WHERE event_id % 3 = 0)
+        |    AS BIGINT),
+        |  (SELECT COUNT(*) FROM del WHERE event_id % 3 = 0)
+        |FROM e WHERE event_id NOT IN (SELECT event_id FROM del)
+        |ORDER BY version""".stripMargin,
+    // warm lakehouse family (r17): the PREBUILT-log serving rows — same
+    // replayed commit rules as their cold forms, but the measured side
+    // prices the warm read/apply loop instead of in-query fixture writes
+    // (the s11_warm_read idiom; r16 verdict item 2). The oracle still
+    // pays the full recompute a log-less engine pays on every read.
+    "s13_warm_read" ->
+      """SELECT CAST(8 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum, CAST(32 AS BIGINT) AS n_files
+        |FROM events
+        |UNION ALL SELECT 9, COUNT(*), CAST(SUM(event_id) AS BIGINT), 2
+        |FROM events ORDER BY version""".stripMargin,
+    "s14_warm_feed" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events)
+        |SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+        |  COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM e WHERE event_id % 4 <> 3
+        |UNION ALL SELECT 2, 'insert', COUNT(*), CAST(SUM(event_id) AS BIGINT)
+        |FROM e WHERE event_id % 4 = 3
+        |UNION ALL SELECT 3, 'delete', COUNT(*), CAST(SUM(event_id) AS BIGINT)
+        |FROM e WHERE event_type = 'click' AND value < 100.0
+        |UNION ALL SELECT 4, 'update', COUNT(*), CAST(SUM(event_id) AS BIGINT)
+        |FROM e WHERE event_type = 'error'
+        |ORDER BY version, change_type""".stripMargin,
+    "s15_warm_skip" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE event_id BETWEEN 100 AND 299
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s16_warm_scan" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE user_id BETWEEN 100 AND 299
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s17_warm_apply" ->
+      """WITH v4 AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_type = 'error' THEN value + 1.0 ELSE value END AS value
+        |  FROM events
+        |  WHERE event_type <> 'click' OR value >= 100.0)
+        |SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum, MIN(value) AS min_value
+        |FROM v4 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mv2_warm_refresh" ->
+      """WITH v4 AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_type = 'error' THEN value + 1.0 ELSE value END AS value
+        |  FROM events
+        |  WHERE event_type <> 'click' OR value >= 100.0)
+        |SELECT event_type, COUNT(*) AS n_rows, MIN(value) AS min_value
         |FROM v4 GROUP BY 1 ORDER BY 1""".stripMargin,
     // the non-abelian view (MIN can RISE under a delete) refreshed by
     // CDF-targeted partial recompute must equal the direct aggregate over
@@ -2245,9 +2324,12 @@ object SparkEntry {
     // (sketch values are engine-specific — the band IS the grade, and a
     // drifting sketch flips it false and the row goes red)
     "a9_percentiles" ->
-      """SELECT o_orderpriority, COUNT(*) AS n,
+      """WITH c AS (SELECT o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
         |  TRUE AS band_p50_ok, TRUE AS band_p90_ok
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "a5d_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,

@@ -375,9 +375,15 @@ object Analytics {
       .groupBy($"o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
+        // sum_cents is the cross-engine anchor for the whole cents
+        // pipeline (r16 advice): a scaling bug that corrupted both the
+        // sketch input AND the rank-band computation consistently would
+        // self-grade TRUE — but it cannot also match the oracle's
+        // independent DECIMAL-derived sum
+        sum($"cents").as("sum_cents"),
         sum(when($"cents" <= $"med_a", 1L).otherwise(0L)).as("le_med"),
         sum(when($"cents" <= $"p90_a", 1L).otherwise(0L)).as("le_p90"))
-      .select($"o_orderpriority", $"n",
+      .select($"o_orderpriority", $"n", $"sum_cents",
         (abs($"le_med" / $"n".cast("double") - 0.5) <= 0.01).as("band_p50_ok"),
         (abs($"le_p90" / $"n".cast("double") - 0.9) <= 0.01).as("band_p90_ok"))
       .orderBy($"o_orderpriority")

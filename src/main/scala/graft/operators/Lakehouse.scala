@@ -62,26 +62,43 @@ object Lakehouse {
       targetFiles: Int, statsCols: Seq[String] = Nil, maxAttempts: Int = 5,
       beforePublish: Int => Unit = _ => ()): Int = {
     val v0 = TableLog.currentVersion(spark, table)
-    val inputs = TableLog.liveFiles(spark, table, v0)
+    val st0 = TableLog.liveState(spark, table, v0)
+    val inputs = st0.files.map(_.path)
+    val dvInputs = st0.dvs.map(_._1)
     require(inputs.nonEmpty, s"nothing to compact in $table")
     val rel = s"data/compact/${java.util.UUID.randomUUID}"
+    // the snapshot read is DV-aware, so the packed rewrite ABSORBS every
+    // live deletion vector (S18): deleted rows are physically gone from
+    // the output and the DVs retire in the same commit — the OPTIMIZE
+    // step that bounds how many DVs a read ever has to anti-join
     val snapshot = TableLog.readAsOf(spark, table, v0)
     val adds =
       if (statsCols.nonEmpty)
         TableLog.stageWithStats(spark, table, snapshot, rel, statsCols, targetFiles)
       else TableLog.stage(spark, table, snapshot.repartition(targetFiles), rel)
-    val actions = inputs.map(Action("remove", _)) ++ adds
+    val actions = (inputs ++ dvInputs).map(Action("remove", _)) ++ adds
     var attempt = 1
     while (true) {
       val head = TableLog.currentVersion(spark, table)
       if (head != v0) {
-        val nowLive = TableLog.liveFiles(spark, table, head).toSet
-        val gone = inputs.filterNot(nowLive)
+        val now = TableLog.liveState(spark, table, head)
+        val nowLive = now.files.map(_.path).toSet ++ now.dvs.map(_._1).toSet
+        val gone = (inputs ++ dvInputs).filterNot(nowLive)
         if (gone.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"compaction conflict: ${gone.size} input file(s) removed by a " +
               s"concurrent commit since v$v0 (e.g. ${gone.head}); " +
               "staged rewrite abandoned for vacuum")
+        // a deletion vector that landed since the snapshot is ALSO a real
+        // conflict: it scopes to files added before it, and the packed
+        // rewrite (added at head+1) would escape it — committing would
+        // resurrect the concurrently deleted rows
+        val newDvs = now.dvs.map(_._1).filterNot(dvInputs.toSet)
+        if (newDvs.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"compaction conflict: ${newDvs.size} deletion vector(s) " +
+              s"committed since v$v0 (e.g. ${newDvs.head}) would not apply " +
+              "to the packed rewrite; staged rewrite abandoned for vacuum")
       }
       beforePublish(head + 1)
       try return TableLog.publish(spark, table, head + 1, actions)
@@ -184,11 +201,19 @@ object Lakehouse {
       .intersect(preSchema.fieldNames.toSeq).filterNot(_ == keyCol)
     require(valCols.nonEmpty,
       s"cdfRead needs at least one non-key column shared by v${v - 1}/v$v schemas")
-    val pre = rd(removes, preSchema)
+    // pre-images are the removed files' rows AS VISIBLE at v-1 — with the
+    // deletion vectors live at v-1 applied (S18). A raw read would feed a
+    // DV-absorbing compaction's physical purge as a SECOND delete of rows
+    // every consumer already saw deleted.
+    val preState = TableLog.liveState(spark, table, v - 1)
+    val removedSet = removes.toSet
+    val preFiles = preState.files.filter(f => removedSet(f.path))
+    val pre = (if (preFiles.isEmpty) rd(Nil, preSchema)
+      else TableLog.scanState(spark, table, preFiles, preState.dvs, Some(preSchema)))
       .select(col(keyCol).as("__key"), struct(valCols.map(col): _*).as("__pre"))
     val post = rd(adds, postSchema)
       .select(col(keyCol).as("__key"), struct(valCols.map(col): _*).as("__post"))
-    pre.join(post, Seq("__key"), "full_outer")
+    val fileDelta = pre.join(post, Seq("__key"), "full_outer")
       .withColumn("_change_type",
         when(col("__pre").isNull, "insert")
           .when(col("__post").isNull, "delete")
@@ -198,6 +223,29 @@ object Lakehouse {
         when(col("__post").isNotNull, col("__post")).otherwise(col("__pre")))
       .select(Seq(lit(v.toLong).as("_commit_version"), col("_change_type"),
         col("__key").as(keyCol)) ++ valCols.map(c => col(s"__img.$c").as(c)): _*)
+    // S18: a deletion-vector commit deletes rows without touching a data
+    // file, so its deltas are invisible to the add/remove join above —
+    // the feed derives their pre-images by semi-joining the v-1 snapshot
+    // (which has earlier DVs already applied: a key deleted twice feeds
+    // once) against the DV keys. The DV side is delete-volume-bounded
+    // and broadcasts; keys with no live pre-image feed nothing.
+    val dvPaths = TableLog.dvsAt(spark, table, v)
+    if (dvPaths.isEmpty) fileDelta
+    else {
+      val preSnap = TableLog.readAsOf(spark, table, v - 1)
+      val dvDeletes = dvPaths.map(p => spark.read.parquet(s"$table/$p"))
+        .groupBy(_.columns.head).toSeq
+        .map { case (kc, frames) =>
+          val keys = frames.map(_.select(col(kc).as("__dv_key"))).reduce(_ union _)
+          preSnap.join(broadcast(keys), col(kc) === col("__dv_key"), "left_semi")
+        }
+        .reduce(_ unionByName _)
+        .dropDuplicates(keyCol)
+        .select(Seq(lit(v.toLong).as("_commit_version"),
+          lit("delete").as("_change_type"), col(keyCol)) ++
+          valCols.map(col): _*)
+      fileDelta.unionByName(dvDeletes)
+    }
   }
 
   /** S14 [EXT]: change-data-feed read over the window (from, to] — the
@@ -519,6 +567,80 @@ object Lakehouse {
       .orderBy($"event_type")
   }
 
+  // ------------------------------- S18: merge-on-read deletes (deletion vectors)
+
+  /** S18 [EXT]: merge-on-read DELETE — the complement of S17's
+    * copy-on-write and the posture every production format ships for
+    * fine-grained deletes at 100 TB (Delta deletion vectors, Iceberg v2
+    * equality-delete files): the commit writes ONE small parquet of
+    * deleted keys plus a one-line `dv` manifest action, and rewrites NO
+    * data file. Readers anti-join the DV keys onto the (pruned) scan;
+    * [[compactCommit]] absorbs live DVs into its packed rewrite, which is
+    * what bounds how many a read ever stacks.
+    *
+    * Scoping is the sequence-number rule: a DV applies only to files
+    * added BEFORE its commit, so re-inserting a deleted key later
+    * survives ([[TableLog.LiveFile]]'s version). The key file is
+    * self-describing — its single column's NAME is the key column it
+    * deletes on — so the manifest line stays two fields and pre-S18 logs
+    * replay unchanged.
+    *
+    * Cost shape: S17 rewrites O(files covering the keys) on every delete;
+    * S18 writes O(deleted keys) at delete time and defers the rewrite to
+    * the next OPTIMIZE — the right trade when deletes are frequent and
+    * fine-grained (GDPR erasure, late-arriving retractions). Returns the
+    * committed version. */
+  def morDelete(spark: SparkSession, table: String, keys: DataFrame): Int = {
+    require(keys.columns.length == 1,
+      s"morDelete takes a single-column key frame; got ${keys.columns.mkString(", ")}")
+    val rel = s"data/dv/${java.util.UUID.randomUUID}"
+    // one file: a DV is delete-volume-sized by contract (the broadcast
+    // bound readers rely on) — a delete big enough to need many files
+    // should be a copy-on-write rewrite (S17) instead
+    keys.distinct().coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$table/$rel")
+    val staged = TableLog.listStaged(spark, table, rel)
+      .map(a => Action("dv", a.path))
+    require(staged.nonEmpty, "morDelete staged no key file")
+    // plain commit, not blind retry: delete-by-key does NOT commute with
+    // a concurrent commit that re-inserts the key (the dv would scope
+    // over the loser's files on retry) — a lost race surfaces loudly and
+    // the caller decides, the compaction-conflict discipline
+    TableLog.commit(spark, table, staged)
+  }
+
+  /** S18 [EXT]: declared query — v1 stages the events table key-clustered
+    * into 8 files; v2 MOR-deletes the sub-100 click keys (ONE key-file
+    * write, zero data files touched — LakehouseSpec pins the files
+    * byte-identical); v3 re-inserts a deterministic third of the deleted
+    * keys with a +100000 value bump, which must SURVIVE the earlier DV
+    * (sequence-number scoping). The audit reads every version:
+    * n_bumped counts re-inserted rows (v1/v2 must be 0), and id_sum
+    * catches a resurrected delete or a lost survivor. The oracle replays
+    * the three commit rules directly. */
+  def s18MorDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s18_table"
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, Action("schema", ev.schema.json) +:
+      TableLog.stageWithStats(spark, table, ev, "data/v1", Seq("event_id"), 8))
+    val doomed = ev.filter($"event_type" === "click" && $"value" < 100.0)
+    morDelete(spark, table, doomed.select($"event_id"))
+    val reinserted = doomed.filter($"event_id" % 3 === 0)
+      .withColumn("value", $"value" + 100000.0)
+    TableLog.commit(spark, table,
+      TableLog.stage(spark, table, reinserted, "data/v3"))
+    (1 to 3).map { v =>
+      TableLog.readAsOf(spark, table, v)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"),
+          count(when($"value" >= 100000.0, 1)).as("n_bumped"))
+        .select(lit(v.toLong).as("version"), $"n_rows", $"id_sum", $"n_bumped")
+    }.reduce(_ unionByName _).orderBy($"version")
+  }
+
   // ------------------------------------------------- S16: Z-order clustering
 
   /** Morton (Z-curve) value of two non-negative long columns, each first
@@ -609,6 +731,144 @@ object Lakehouse {
     TableLog.readAsOfRange(spark, table, 1, "user_id", S16_LO, S16_HI)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"))
+      .orderBy($"event_type")
+  }
+
+  // --------------------------------------------- warm serving rows (r17)
+
+  private val lakeWarmLock = new Object
+
+  /** Warm-fixture ensure for the whole r16 lakehouse family — the
+    * s11_warm_read idiom (TableLog.ensureWarmFixture) applied to
+    * S13–S17/MV2 (r16 verdict item 2): the multi-commit physical logs are
+    * built ONCE per source generation and stamped, so the declared
+    * `*_warm` rows price the warm READ/APPLY loop a deployment actually
+    * runs, instead of re-paying dozens of small fixture parquet writes
+    * inside every measurement. Contents:
+    *  - `src`: the s14 four-commit history (shared, READ-ONLY — s14/s17/
+    *    mv2 warm rows read it; nothing mutates it),
+    *  - `mv2_state_v2`: the persisted v2 view state mv2's refresh folds,
+    *  - `packed`: the s13 eight-commit fragmented table WITH its OPTIMIZE
+    *    commit already landed (v9), so both layouts are readable,
+    *  - `s15t`/`s16t`: the stats-carrying and Z-clustered tables.
+    * Returns the fixture root. */
+  private[graft] def ensureLakeFixture(spark: SparkSession, sfDir: String): String =
+    lakeWarmLock.synchronized {
+      import spark.implicits._
+      val root = s"${Etl.scratch(spark)}/lake_warm"
+      val fp = TableLog.eventsFp(sfDir)
+      val marker = java.nio.file.Paths.get(s"$root/_GRAFT_SOURCE")
+      val fresh = java.nio.file.Files.isRegularFile(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp &&
+        TableLog.currentVersion(spark, s"$root/src") == 4 &&
+        TableLog.currentVersion(spark, s"$root/packed") == S13_BATCHES + 1 &&
+        TableLog.currentVersion(spark, s"$root/s15t") == 2 &&
+        TableLog.currentVersion(spark, s"$root/s16t") == 1 &&
+        java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$root/mv2_state_v2"))
+      if (!fresh) {
+        new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(new Path(root), true)
+        s14Fixture(spark, sfDir, s"$root/src")
+        TableLog.readAsOf(spark, s"$root/src", 2)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_rows"), min($"value").as("min_value"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$root/mv2_state_v2")
+        s13Fixture(spark, sfDir, s"$root/packed")
+        compactCommit(spark, s"$root/packed", S13_TARGET_FILES)
+        s15Fixture(spark, sfDir, s"$root/s15t")
+        s16Fixture(spark, sfDir, s"$root/s16t")
+        java.nio.file.Files.createDirectories(marker.getParent)
+        java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+      }
+      root
+    }
+
+  /** S13 warm path [EXT]: the pre/post-OPTIMIZE audit over the PREBUILT
+    * packed log — prices manifest replay plus the fragmented (32-file)
+    * and packed (2-file) snapshot reads, not the fixture's 32 parquet
+    * writes. Oracle identical to the cold row (both snapshots ≡ source,
+    * file counts literal). */
+  def s13WarmRead(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = s"${ensureLakeFixture(spark, sfDir)}/packed"
+    def audit(v: Int): DataFrame = {
+      val nFiles = TableLog.liveFiles(spark, table, v).size.toLong
+      TableLog.readAsOf(spark, table, v)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"))
+        .select(lit(v.toLong).as("version"), $"n_rows", $"id_sum",
+          lit(nFiles).as("n_files"))
+    }
+    audit(S13_BATCHES).unionByName(audit(S13_BATCHES + 1)).orderBy($"version")
+  }
+
+  /** S14 warm path [EXT]: the full change feed of the prebuilt history —
+    * prices the per-commit full-outer joins over the window's files (the
+    * subscription read a consumer polls), zero fixture writes. */
+  def s14WarmFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = s"${ensureLakeFixture(spark, sfDir)}/src"
+    cdfRead(spark, table, 0, 4, "event_id")
+      .groupBy($"_commit_version".as("version"), $"_change_type".as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"))
+      .orderBy($"version", $"change_type")
+  }
+
+  /** S15 warm path [EXT]: the manifest-pruned range read over the
+    * prebuilt stats-carrying table — the steady-state serving read
+    * (manifest replay + ~2 of 12 files opened), no stage pass. */
+  def s15WarmSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = s"${ensureLakeFixture(spark, sfDir)}/s15t"
+    TableLog.readAsOfRange(spark, table, 2, "event_id", S15_LO, S15_HI)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"))
+      .orderBy($"event_type")
+  }
+
+  /** S16 warm path [EXT]: the second-dimension range read over the
+    * prebuilt Z-clustered table — prices the multi-dimensional manifest
+    * pruning + pruned scan, not the Z-sort write. */
+  def s16WarmScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = s"${ensureLakeFixture(spark, sfDir)}/s16t"
+    TableLog.readAsOfRange(spark, table, 1, "user_id", S16_LO, S16_HI)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"))
+      .orderBy($"event_type")
+  }
+
+  /** S17 warm path [EXT]: the four-version CDF apply loop against the
+    * PREBUILT source history — the replication work itself (feed join,
+    * file pruning, survivor anti-join, clustered re-stage ×4) into a
+    * fresh per-run destination; the source's fixture build is amortized
+    * away. The destination writes are the operator, not fixture tax. */
+  def s17WarmApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = s"${ensureLakeFixture(spark, sfDir)}/src"
+    val dst = s"${Etl.scratch(spark)}/s17_warm_dst"
+    new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(dst), true)
+    (1 to 4).foreach(v => cdfApply(spark, src, dst, v, "event_id", "s17w", 4))
+    TableLog.readAsOf(spark, dst, TableLog.currentVersion(spark, dst))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"),
+        min($"value").as("min_value"))
+      .orderBy($"event_type")
+  }
+
+  /** MV2 warm path [EXT]: one CDF-targeted partial refresh from the
+    * PERSISTED v2 state over the prebuilt (2, 4] window — the production
+    * tick (feed → touched keys → semi/anti joins), not the state build. */
+  def mv2WarmRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureLakeFixture(spark, sfDir)
+    val state = Tables.readMemo(spark, s"$root/mv2_state_v2")
+    def view(df: DataFrame): DataFrame =
+      df.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"), min($"value").as("min_value"))
+    mv2Refresh(spark, s"$root/src", state, 2, 4, "event_type")(view)
       .orderBy($"event_type")
   }
 

@@ -53,12 +53,15 @@ object TableLog {
 
   /** Parse one manifest line to a file action (None for schema/txn
     * markers). Wire format: `add\tpath[\tcol\tmin\tmax]...` (one col-min-
-    * max triple per stats column) / `remove\tpath` — the 2-field form is
+    * max triple per stats column) / `remove\tpath` / `dv\tpath` (S18: a
+    * deletion-vector file — a parquet of deleted keys whose single
+    * column IS the key column it deletes on) — the 2-field forms are
     * what every pre-stats manifest holds, so old logs replay unchanged.
-    * A CORRUPT add (stats arity not 3k, non-numeric bound) fails LOUDLY:
-    * silently dropping an unparseable add would lose a LIVE file from
-    * every subsequent read with no error anywhere — a transactional log
-    * must refuse to replay what it cannot parse. */
+    * A CORRUPT file action (stats arity not 3k, non-numeric bound, lost
+    * path) fails LOUDLY: silently dropping an unparseable add would lose
+    * a LIVE file — and a swallowed remove or dv would RESURRECT deleted
+    * rows — from every subsequent read with no error anywhere; a
+    * transactional log must refuse to replay what it cannot parse. */
   private[graft] def parseAction(line: String): Option[Action] =
     line.split("\t") match {
       case Array("add", p, rest @ _*) =>
@@ -74,10 +77,9 @@ object TableLog {
           }
         Some(Action("add", p, sts))
       case Array("remove", p) => Some(Action("remove", p))
-      // a file action that lost its path, or a remove with trailing
-      // garbage: refusing loudly beats silently dropping the action —
-      // a swallowed remove RESURRECTS deleted rows in every snapshot
-      case arr if arr.headOption.exists(op => op == "add" || op == "remove") =>
+      case Array("dv", p) => Some(Action("dv", p))
+      case arr if arr.headOption.exists(op =>
+          op == "add" || op == "remove" || op == "dv") =>
         throw new IllegalStateException(s"corrupt manifest file action: $line")
       case _ => None // schema / txn markers
     }
@@ -185,26 +187,50 @@ object TableLog {
     finally in.close()
   }
 
-  /** Live table-relative files as of `version`, each with its logged
-    * column stats (None for files staged without them): replay
-    * adds/removes of manifests 1..version (txn markers skipped).
-    * Metadata-scale driver work — one short text line per file action,
-    * the same order of cost as the file index any scan builds. */
-  private[graft] def liveFilesWithStats(spark: SparkSession, table: String,
-      version: Int): Seq[(String, Seq[FileStats])] = {
+  /** One live data file in a snapshot: table-relative path, its logged
+    * column stats, and the version whose commit ADDED it — the add
+    * version is what scopes deletion vectors (a DV committed at version v
+    * applies only to files added BEFORE v, so a post-delete re-insert of
+    * the same key survives, exactly the sequence-number rule of the
+    * production v2 table formats). */
+  private[graft] final case class LiveFile(path: String, stats: Seq[FileStats],
+      version: Int)
+
+  /** Full replay result as of a version: live data files plus live
+    * deletion vectors (path, commit version). */
+  private[graft] final case class LiveState(files: Seq[LiveFile],
+      dvs: Seq[(String, Int)])
+
+  /** Replay adds/removes/dvs of manifests 1..version (schema/txn markers
+    * skipped). Metadata-scale driver work — one short text line per file
+    * action, the same order of cost as the file index any scan builds. */
+  private[graft] def liveState(spark: SparkSession, table: String,
+      version: Int): LiveState = {
     val f = fsOf(spark, table)
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Seq[FileStats]]
+    val live =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Seq[FileStats], Int)]
+    val dvs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     (1 to version).foreach { v =>
       manifestLines(f, table, v).foreach { line =>
         parseAction(line) match {
-          case Some(Action("add", path, st)) => live(path) = st
-          case Some(Action("remove", path, _)) => live.remove(path)
+          case Some(Action("add", path, st)) => live(path) = (st, v)
+          case Some(Action("dv", path, _)) => dvs(path) = v
+          case Some(Action("remove", path, _)) =>
+            live.remove(path); dvs.remove(path)
           case _ => () // schema / txn marker
         }
       }
     }
-    live.toSeq
+    LiveState(live.toSeq.map { case (p, (st, v)) => LiveFile(p, st, v) },
+      dvs.toSeq)
   }
+
+  /** Live table-relative files as of `version`, each with its logged
+    * column stats (deletion vectors not included — use [[liveState]]
+    * where DV semantics matter). */
+  private[graft] def liveFilesWithStats(spark: SparkSession, table: String,
+      version: Int): Seq[(String, Seq[FileStats])] =
+    liveState(spark, table, version).files.map(f => f.path -> f.stats)
 
   /** Live table-relative files as of `version` (stats dropped). */
   private[graft] def liveFiles(spark: SparkSession, table: String,
@@ -279,8 +305,13 @@ object TableLog {
   private[graft] def vacuum(spark: SparkSession, table: String,
       retainFrom: Int, minAgeMs: Long = 0L): Seq[String] = {
     val f = fsOf(spark, table)
+    // referenced = every retained version's data files AND deletion
+    // vectors — a GC'd live DV would silently resurrect its deleted rows
     val referenced = (retainFrom to currentVersion(spark, table))
-      .flatMap(v => liveFiles(spark, table, v)).toSet
+      .flatMap { v =>
+        val st = liveState(spark, table, v)
+        st.files.map(_.path) ++ st.dvs.map(_._1)
+      }.toSet
     val root = new Path(table, "data")
     if (!f.exists(root)) return Seq.empty
     def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
@@ -335,12 +366,54 @@ object TableLog {
     * writer, an uncommitted stage) is invisible — TimeTravelSpec proves
     * both. */
   def readAsOf(spark: SparkSession, table: String, version: Int): DataFrame = {
-    val files = liveFiles(spark, table, version).map(r => s"$table/$r")
-    schemaAsOf(spark, table, version) match {
-      case Some(s) => spark.read.schema(s).parquet(files: _*)
-      case None => spark.read.parquet(files: _*)
+    val st = liveState(spark, table, version)
+    scanState(spark, table, st.files, st.dvs, schemaAsOf(spark, table, version))
+  }
+
+  /** The DV-aware snapshot scan both [[readAsOf]] and [[readAsOfRange]]
+    * build on. Data files group by the SET of deletion vectors that apply
+    * to them (dv.version > file's add version — the sequence-number
+    * scoping); each group anti-joins its DV keys. The DV side is
+    * delete-volume-sized and BROADCAST (compaction absorbs DVs, which is
+    * what bounds their accumulation — the S13×S18 contract), so at 100 TB
+    * a snapshot read pays one broadcast anti-join per group, never a
+    * shuffle of the data. Group count is bounded by the commit count
+    * between compactions. A table with no live DVs takes the exact
+    * pre-S18 single-scan plan — zero cost when the feature is unused. */
+  private[graft] def scanState(spark: SparkSession, table: String,
+      files: Seq[LiveFile], dvs: Seq[(String, Int)],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    def rd(paths: Seq[String]): DataFrame = {
+      val full = paths.map(r => s"$table/$r")
+      schema match {
+        case Some(s) => spark.read.schema(s).parquet(full: _*)
+        case None => spark.read.parquet(full: _*)
+      }
+    }
+    if (dvs.isEmpty || files.isEmpty) rd(files.map(_.path))
+    else {
+      files.groupBy(f => dvs.filter(_._2 > f.version).map(_._1)).toSeq
+        .map { case (dvPaths, group) =>
+          applyDvs(spark, table, rd(group.map(_.path)), dvPaths)
+        }
+        .reduce(_ unionByName _)
     }
   }
+
+  /** Anti-join `df` against the keys of the given deletion-vector files.
+    * Each DV parquet is self-describing: its single column's NAME is the
+    * key column it deletes on. DVs sharing a key column union into one
+    * broadcast per column. */
+  private def applyDvs(spark: SparkSession, table: String, df: DataFrame,
+      dvPaths: Seq[String]): DataFrame =
+    if (dvPaths.isEmpty) df
+    else dvPaths.map(p => spark.read.parquet(s"$table/$p"))
+      .groupBy(_.columns.head).toSeq
+      .foldLeft(df) { case (acc, (kc, frames)) =>
+        val keys = frames.map(_.select(col(kc).as("__dv_key")))
+          .reduce(_ union _)
+        acc.join(broadcast(keys), col(kc) === col("__dv_key"), "left_anti")
+      }
 
   /** Stage `df` as a fresh file set under `table/rel/` and return the add
     * actions — no reader sees them until the enclosing [[commit]]. */
@@ -455,21 +528,18 @@ object TableLog {
     * oracle catches as a row diff, never as a silent extra row. */
   def readAsOfRange(spark: SparkSession, table: String, version: Int,
       statsCol: String, lo: Long, hi: Long): DataFrame = {
-    val (files, _) = prunedLiveFiles(spark, table, version, statsCol, lo, hi)
+    val st = liveState(spark, table, version)
+    val kept = st.files.filter(_.stats.find(_.col == statsCol)
+      .forall(s => s.max >= lo && s.min <= hi))
     val pred = col(statsCol) >= lo && col(statsCol) <= hi
     val schema = schemaAsOf(spark, table, version)
-    if (files.isEmpty) {
+    if (kept.isEmpty) {
       val s = schema.getOrElse(throw new IllegalStateException(
         s"every file pruned and no logged schema for $table@v$version"))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }
-    val paths = files.map(r => s"$table/$r")
-    val df = schema match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
-    }
-    df.filter(pred)
+    scanState(spark, table, kept, st.dvs, schema).filter(pred)
   }
 
   /** The s11 fixture: three commits over the events slice, one file set
@@ -537,7 +607,7 @@ object TableLog {
 
   /** Fingerprint of the events source (file sizes+mtimes) — the warm
     * fixture's invalidation key, AnnIndex.sourceFingerprint's recipe. */
-  private def eventsFp(sfDir: String): String = {
+  private[graft] def eventsFp(sfDir: String): String = {
     val src = new java.io.File(s"$sfDir/events.parquet")
     if (src.isFile) s"${src.getName}=${src.length}:${src.lastModified}"
     else
@@ -662,20 +732,43 @@ object TableLog {
       .filter($"n_rows" > 0)
   }
 
-  /** File actions across manifests (from, to]: (added, removed), each a
-    * list of table-relative paths. A file added and removed INSIDE the
-    * window appears in both — its +agg and −agg cancel exactly in the
-    * abelian merge, so no dedup pass is needed. */
+  /** Deletion-vector paths committed at exactly version `v` (S18). */
+  private[graft] def dvsAt(spark: SparkSession, table: String,
+      v: Int): Seq[String] =
+    manifestLines(fsOf(spark, table), table, v).flatMap(parseAction).collect {
+      case Action("dv", p, _) => p
+    }
+
+  /** DATA-file actions across manifests (from, to]: (added, removed),
+    * each a list of table-relative paths. A file added and removed INSIDE
+    * the window appears in both — its +agg and −agg cancel exactly in the
+    * abelian merge, so no dedup pass is needed. Deletion-vector files are
+    * excluded from BOTH lists: a window that retires a DV (compaction
+    * absorbing it — S18×S13) must not hand the key file to a reader as
+    * removed-row pre-images, which would fabricate null-filled phantom
+    * deltas. The dv-path set replays from v1 (a DV added before the
+    * window can be removed inside it), the same metadata-scale cost as
+    * the window replay itself. */
   private[graft] def actionsIn(spark: SparkSession, table: String,
       from: Int, to: Int): (Seq[String], Seq[String]) = {
     val f = fsOf(spark, table)
+    val dvEver = scala.collection.mutable.HashSet.empty[String]
+    (1 to from).foreach { v =>
+      manifestLines(f, table, v).foreach { line =>
+        parseAction(line) match {
+          case Some(Action("dv", p, _)) => dvEver += p
+          case _ => ()
+        }
+      }
+    }
     val adds = Seq.newBuilder[String]
     val removes = Seq.newBuilder[String]
     ((from + 1) to to).foreach { v =>
       manifestLines(f, table, v).foreach { line =>
         parseAction(line) match {
           case Some(Action("add", p, _)) => adds += p
-          case Some(Action("remove", p, _)) => removes += p
+          case Some(Action("dv", p, _)) => dvEver += p
+          case Some(Action("remove", p, _)) => if (!dvEver(p)) removes += p
           case _ => ()
         }
       }

@@ -98,6 +98,27 @@ object ObjectStore {
     s"${baseUrl.stripSuffix("/")}/${encodeSegment(bucket)}/" +
       key.split("/", -1).map(encodeSegment).mkString("/")
 
+  /** Bucket-reachability preflight — the reference's startup HeadBucket
+    * (minio.rs:52–69: `head_bucket` with a contextual error before any
+    * upload), the last reference behavior without an engine-side seam
+    * (r16 review). One HEAD RTT, no body either way; called once on the
+    * DRIVER before a fan-out, so a bad bucket or endpoint surfaces as ONE
+    * loud startup error naming both, instead of N executors each failing
+    * their first PUT mid-job with a bare HTTP code. */
+  def headBucket(baseUrl: String, bucket: String): Unit = {
+    val url = s"${baseUrl.stripSuffix("/")}/${encodeSegment(bucket)}"
+    val code =
+      try request("HEAD", url)._1
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"object store unreachable at $baseUrl (preflight for bucket '$bucket')", e)
+      }
+    if (code < 200 || code >= 300)
+      throw new IllegalStateException(
+        s"bucket '$bucket' not reachable at $baseUrl: HTTP $code — " +
+          "create the bucket or fix the endpoint before uploading")
+  }
+
   /** Conditional CREATE: a single-part PUT carrying `If-None-Match: *`,
     * the object store's one-winner name-claim primitive (real S3 honors
     * the precondition on PUT since Nov 2024; MinIO-class stores —
@@ -193,6 +214,7 @@ object ObjectStore {
   def s8UploadDir(spark: SparkSession, localDir: String, baseUrl: String,
       bucket: String, prefix: String, chunkSize: Int = CHUNK_SIZE): DataFrame = {
     import spark.implicits._
+    headBucket(baseUrl, bucket)
     val files = Option(new File(localDir).listFiles())
       .getOrElse(Array.empty[File])
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))

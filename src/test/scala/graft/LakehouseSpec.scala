@@ -548,6 +548,189 @@ class LakehouseSpec extends SparkSpecBase {
     assert(v5.filter($"source_tag".isNull).count() === 0L)
   }
 
+  test("s18: a MOR delete commits ONE key file and rewrites ZERO data files; time travel and range reads stay DV-aware") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s18_spec_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stageWithStats(spark, table, ev, "data/v1", Seq("event_id"), 8))
+    val before = TableLog.liveState(spark, table, 1)
+    val sig = before.files.map { f =>
+      val st = fs(table).getFileStatus(new Path(s"$table/${f.path}"))
+      f.path -> (st.getLen, st.getModificationTime)
+    }.toMap
+    val doomed = ev.filter($"event_type" === "click" && $"value" < 100.0)
+    val v2 = Lakehouse.morDelete(spark, table, doomed.select($"event_id"))
+    assert(v2 === 2)
+    val after = TableLog.liveState(spark, table, 2)
+    // zero data files touched: same live set, byte-identical on disk
+    assert(after.files.map(_.path) === before.files.map(_.path))
+    after.files.foreach { f =>
+      val st = fs(table).getFileStatus(new Path(s"$table/${f.path}"))
+      assert((st.getLen, st.getModificationTime) === sig(f.path),
+        s"MOR delete physically rewrote ${f.path}")
+    }
+    assert(after.dvs.size === 1)
+    // the snapshot hides exactly the deleted keys; v1 still sees them
+    val goneIds = doomed.select($"event_id").as[Long].collect().toSet
+    val v2Ids = TableLog.readAsOf(spark, table, 2)
+      .select($"event_id").as[Long].collect().toSet
+    assert(v2Ids.intersect(goneIds).isEmpty)
+    assert(TableLog.readAsOf(spark, table, 1).count()
+      === v2Ids.size + goneIds.size)
+    // the manifest-pruned range read applies the DV too: a window inside
+    // the deleted keys' range returns no deleted row
+    val someGone = goneIds.min
+    val ranged = TableLog.readAsOfRange(spark, table, 2, "event_id",
+      someGone, someGone + 50).select($"event_id").as[Long].collect().toSet
+    assert(ranged.intersect(goneIds).isEmpty)
+    assert(ranged === v2Ids.filter(i => i >= someGone && i <= someGone + 50))
+  }
+
+  test("s18: a post-delete re-insert ESCAPES the earlier DV (sequence-number scoping)") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s18_reins_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table, ev, "data/v1"))
+    val doomed = ev.filter($"event_type" === "click" && $"value" < 100.0)
+    Lakehouse.morDelete(spark, table, doomed.select($"event_id"))
+    val reins = doomed.limit(10).withColumn("value", $"value" + 100000.0)
+    TableLog.commit(spark, table, TableLog.stage(spark, table, reins, "data/v3"))
+    val got = TableLog.readAsOf(spark, table, 3)
+      .filter($"value" >= 100000.0).count()
+    assert(got === 10L, "re-inserted rows must escape the older DV")
+    // and the DV still applies to the ORIGINAL copies of those keys: each
+    // re-inserted key appears exactly once
+    val reinsIds = reins.select($"event_id").as[Long].collect().toSeq
+    val counts = TableLog.readAsOf(spark, table, 3)
+      .filter($"event_id".isin(reinsIds: _*))
+      .groupBy($"event_id").count()
+      .select($"count").as[Long].collect().toSeq
+    assert(counts.nonEmpty && counts.forall(_ === 1L))
+  }
+
+  test("s18 x s13: compaction ABSORBS deletion vectors — rows physically purged, DVs retired, pinned readers unaffected") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s18_compact_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stageWithStats(spark, table, ev, "data/v1", Seq("event_id"), 8))
+    val doomed = ev.filter($"event_type" === "click" && $"value" < 100.0)
+    Lakehouse.morDelete(spark, table, doomed.select($"event_id"))
+    val v2Rows = TableLog.readAsOf(spark, table, 2)
+      .select($"event_id").as[Long].collect().toSet
+    val dvPath = TableLog.liveState(spark, table, 2).dvs.head._1
+    val v3 = Lakehouse.compactCommit(spark, table, targetFiles = 2,
+      statsCols = Seq("event_id"))
+    val st3 = TableLog.liveState(spark, table, v3)
+    assert(st3.dvs.isEmpty, "compaction must retire the absorbed DV")
+    assert(st3.files.size === 2)
+    assert(TableLog.readAsOf(spark, table, v3)
+      .select($"event_id").as[Long].collect().toSet === v2Rows)
+    // the pinned v2 read still anti-joins the (still on disk) DV
+    assert(TableLog.readAsOf(spark, table, 2)
+      .select($"event_id").as[Long].collect().toSet === v2Rows)
+    // the absorbing rewrite feeds NOTHING: physical purge of rows a
+    // consumer already saw deleted must not look like a second delete
+    assert(Lakehouse.cdfRead(spark, table, 2, v3, "event_id").count() === 0L)
+    // after retention passes v2, the retired DV is vacuumable (and reads
+    // before v3 stop working, by the vacuum contract)
+    TableLog.vacuum(spark, table, retainFrom = v3)
+    assert(!fs(table).exists(new Path(s"$table/$dvPath")),
+      "a DV unreferenced by every retained version must be reclaimed")
+  }
+
+  test("s18 x s13: a DV landing inside the compaction's window is a REAL conflict — the packed rewrite would escape it") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s18_conflict_table"
+    Lakehouse.s13Fixture(spark, sfDir, table)
+    val ev = Tables.events(spark, sfDir)
+    var raced = false
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Lakehouse.compactCommit(spark, table, Lakehouse.S13_TARGET_FILES,
+        beforePublish = { _ =>
+          if (!raced) {
+            raced = true
+            Lakehouse.morDelete(spark, table,
+              ev.filter($"event_id" % 100 === 0).select($"event_id"))
+          }
+        })
+    }
+    assert(e.getMessage.contains("deletion vector"))
+    // the delete is NOT lost: the winning DV still applies to the table
+    val head = TableLog.currentVersion(spark, table)
+    assert(TableLog.readAsOf(spark, table, head)
+      .filter($"event_id" % 100 === 0).count() === 0L)
+  }
+
+  test("s18 x s14: a DV commit feeds its deletes with pre-images; a twice-deleted key feeds once; the delta replicates downstream") {
+    import spark.implicits._
+    val src = s"${Etl.scratch(spark)}/s18_cdf_src"
+    val dst = s"${Etl.scratch(spark)}/s18_cdf_dst"
+    Seq(src, dst).foreach(t => fs(t).delete(new Path(t), true))
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, src, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, src, ev, "data/v1"))
+    val doomed = ev.filter($"event_type" === "click" && $"value" < 100.0)
+    Lakehouse.morDelete(spark, src, doomed.select($"event_id"))
+    val feed = Lakehouse.cdfRead(spark, src, 1, 2, "event_id")
+    assert(feed.select($"_change_type").distinct().as[String].collect().toSeq
+      === Seq("delete"))
+    // pre-images ride the delete rows (the value column is the v1 value)
+    val want = doomed.select($"event_id", $"value").as[(Long, Double)]
+      .collect().toSet
+    assert(feed.select($"event_id", $"value").as[(Long, Double)]
+      .collect().toSet === want)
+    // a second DV naming already-deleted keys (plus one live key) feeds
+    // ONLY the live key — no pre-image, no delta
+    val oneLive = ev.filter($"event_type" === "view").limit(1)
+      .select($"event_id").as[Long].head()
+    Lakehouse.morDelete(spark, src,
+      doomed.limit(5).select($"event_id")
+        .unionAll(Seq(oneLive).toDF("event_id")))
+    val feed2 = Lakehouse.cdfRead(spark, src, 2, 3, "event_id")
+    assert(feed2.select($"event_id").as[Long].collect().toSeq === Seq(oneLive))
+    // and the S17 apply replicates the MOR deletes into a downstream
+    // copy-on-write table exactly
+    (1 to 3).foreach(v =>
+      Lakehouse.cdfApply(spark, src, dst, v, "event_id", "s18cdf", files = 4))
+    val gotDst = TableLog.readAsOf(spark, dst, TableLog.currentVersion(spark, dst))
+      .select($"event_id").as[Long].collect().toSet
+    val wantSrc = TableLog.readAsOf(spark, src, 3)
+      .select($"event_id").as[Long].collect().toSet
+    assert(gotDst === wantSrc)
+  }
+
+  test("s18 wire format: dv round-trips; corrupt dv lines refuse loudly; a stray dv never reaches pre-S18 replay paths") {
+    assert(TableLog.parseAction("dv\tdata/dv/k.parquet")
+      === Some(TableLog.Action("dv", "data/dv/k.parquet")))
+    intercept[IllegalStateException] { TableLog.parseAction("dv") }
+    intercept[IllegalStateException] {
+      TableLog.parseAction("dv\tdata/dv/k.parquet\tgarbage")
+    }
+  }
+
+  test("warm lake fixture: the ensure is stamped — a second call rebuilds nothing, and the shared src stays at v4") {
+    val root = Lakehouse.ensureLakeFixture(spark, sfDir)
+    assert(TableLog.currentVersion(spark, s"$root/src") === 4)
+    assert(TableLog.currentVersion(spark, s"$root/packed")
+      === Lakehouse.S13_BATCHES + 1)
+    val probe = new Path(s"$root/src/_log/v4.log")
+    val m1 = fs(root).getFileStatus(probe).getModificationTime
+    val root2 = Lakehouse.ensureLakeFixture(spark, sfDir)
+    assert(root2 === root)
+    assert(fs(root).getFileStatus(probe).getModificationTime === m1,
+      "a fresh stamped fixture was rebuilt")
+  }
+
   test("mv2: the refresh plan keeps touched-group keys DISTRIBUTED — semi/anti joins, never collected isin literals") {
     import spark.implicits._
     val table = s"${Etl.scratch(spark)}/mv2_plan_table"

@@ -137,9 +137,34 @@ class S3ProtocolPutSpec extends SparkSpecBase {
       "multipart assembly diverged on the encoded key")
   }
 
+  test("s8: the bucket preflight fails LOUDLY before any upload — missing bucket and dead endpoint both name the context") {
+    S3Store.reset()
+    // missing bucket: one HEAD, a contextual error, zero PUTs attempted
+    val e1 = intercept[IllegalStateException] {
+      ObjectStore.s8UploadDir(spark, s"$scratch/s3put/nonexistent-spool",
+        baseUrl, "no-such-bucket", "export/run0")
+    }
+    assert(e1.getMessage.contains("no-such-bucket") &&
+      e1.getMessage.contains("404"))
+    assert(S3Store.count("head") === 1L)
+    assert(S3Store.count("put") === 0L,
+      "a failed preflight must stop the job before any PUT")
+    // dead endpoint: the connect failure carries endpoint + bucket, not a
+    // bare socket trace from the first uploading executor
+    val e2 = intercept[IllegalStateException] {
+      ObjectStore.headBucket("http://127.0.0.1:1", "corpus")
+    }
+    assert(e2.getMessage.contains("unreachable") &&
+      e2.getMessage.contains("corpus"))
+    // and a bucket that exists preflights clean
+    S3Store.buckets.add("corpus")
+    ObjectStore.headBucket(baseUrl, "corpus")
+  }
+
   test("s8: a written parquet spool ships distributed and reads back as the same rows") {
     import spark.implicits._
     S3Store.reset()
+    S3Store.buckets.add("corpus")
     val spool = s"$scratch/s3put/spool_dir"
     val slice = graft.operators.Etl.vendorFrame(spark, sfDir,
       $"o_orderdate" >= lit("2000-03-01").cast("timestamp")

@@ -16,6 +16,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * that cannot lose.
   */
 class S3StoreState {
+  // buckets HeadBucket acknowledges (real S3: buckets exist explicitly;
+  // the preflight spec needs a miss to be distinguishable from a hit)
+  val buckets: java.util.Set[String] = ConcurrentHashMap.newKeySet[String]()
   // completed objects: "bucket/key" -> bytes
   val objects = new ConcurrentHashMap[String, Array[Byte]]()
   // in-flight multiparts: uploadId -> (objectPath, partNo -> (bytes, etag))
@@ -33,7 +36,9 @@ class S3StoreState {
     ops.computeIfAbsent(kind, _ => new java.util.concurrent.atomic.AtomicLong(0))
       .incrementAndGet()
 
-  def reset(): Unit = { objects.clear(); uploads.clear(); ops.clear(); failParts = false }
+  def reset(): Unit = {
+    buckets.clear(); objects.clear(); uploads.clear(); ops.clear(); failParts = false
+  }
 
   def md5hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(b)
@@ -131,6 +136,12 @@ object S3TestServer {
             store.objects.put(path, body)
             respond(200, headers = etagHeaders)
           }
+        case ("HEAD", _) =>
+          // HeadBucket: the reachability preflight's decision point —
+          // path is the bare bucket name (no key). No body either way,
+          // exactly the real-S3 wire shape.
+          store.bump("head")
+          respond(if (store.buckets.contains(path)) 200 else 404)
         case ("DELETE", p) if p.contains("uploadId") =>
           store.bump("abort")
           Option(store.uploads.remove(p("uploadId"))) match {

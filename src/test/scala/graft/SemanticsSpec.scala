@@ -199,7 +199,7 @@ class SemanticsSpec extends SparkSpecBase {
     val banded = Analytics.a9Percentiles(spark, sfDir).collect()
     assert(banded.nonEmpty)
     banded.foreach { r =>
-      assert(r.getBoolean(2) && r.getBoolean(3),
+      assert(r.getAs[Boolean]("band_p50_ok") && r.getAs[Boolean]("band_p90_ok"),
         s"GK rank band violated for ${r.getString(0)}")
     }
     // the documented-negative exact form (spec ladder only): equals
