@@ -184,15 +184,26 @@ object Lakehouse {
     * at v-1 — the readAsOf discipline), compared on their COMMON columns;
     * `keyCol` must be unique per snapshot (the fixture's event_id), the
     * same contract every CDF-producing table format states. */
-  private[graft] def cdfSlice(spark: SparkSession, table: String, v: Int,
-      keyCol: String): DataFrame = {
-    val (adds, removes) = TableLog.actionsIn(spark, table, v - 1, v)
-    val postSchema = TableLog.schemaAsOf(spark, table, v).getOrElse(
+  /** One-commit slice against an ALREADY-REPLAYED pre-state: the caller
+    * supplies v-1's live files/DVs/schema and manifest v's actions, so a
+    * window read pays ONE pass over the log ([[cdfRead]] threads it)
+    * instead of a fresh prefix replay per slice. */
+  private def cdfSliceFrom(spark: SparkSession, table: String, v: Int,
+      keyCol: String, preState: TableLog.LiveState,
+      preSchemaOpt: Option[org.apache.spark.sql.types.StructType],
+      postSchemaOpt: Option[org.apache.spark.sql.types.StructType],
+      actions: Seq[Action]): DataFrame = {
+    val postSchema = postSchemaOpt.getOrElse(
       throw new IllegalStateException(
         s"cdfRead needs a logged schema for $table@v$v — commit one at v1"))
-    val preSchema =
-      if (v == 1) postSchema
-      else TableLog.schemaAsOf(spark, table, v - 1).getOrElse(postSchema)
+    val preSchema = if (v == 1) postSchema else preSchemaOpt.getOrElse(postSchema)
+    // dv paths are NOT data files: a remove that retires a DV (an
+    // absorbing compaction) must not read the key file as pre-images
+    val dvPaths = actions.collect { case Action("dv", p, _) => p }
+    val dvEver = preState.dvs.map(_._1).toSet ++ dvPaths
+    val adds = actions.collect { case Action("add", p, _) => p }
+    val removes = actions.collect {
+      case Action("remove", p, _) if !dvEver(p) => p }
     def rd(files: Seq[String], schema: org.apache.spark.sql.types.StructType) =
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -205,7 +216,6 @@ object Lakehouse {
     // deletion vectors live at v-1 applied (S18). A raw read would feed a
     // DV-absorbing compaction's physical purge as a SECOND delete of rows
     // every consumer already saw deleted.
-    val preState = TableLog.liveState(spark, table, v - 1)
     val removedSet = removes.toSet
     val preFiles = preState.files.filter(f => removedSet(f.path))
     val pre = (if (preFiles.isEmpty) rd(Nil, preSchema)
@@ -229,10 +239,10 @@ object Lakehouse {
     // (which has earlier DVs already applied: a key deleted twice feeds
     // once) against the DV keys. The DV side is delete-volume-bounded
     // and broadcasts; keys with no live pre-image feed nothing.
-    val dvPaths = TableLog.dvsAt(spark, table, v)
     if (dvPaths.isEmpty) fileDelta
     else {
-      val preSnap = TableLog.readAsOf(spark, table, v - 1)
+      val preSnap = TableLog.scanState(spark, table, preState.files,
+        preState.dvs, Some(preSchema))
       val dvDeletes = dvPaths.map(p => spark.read.parquet(s"$table/$p"))
         .groupBy(_.columns.head).toSeq
         .map { case (kc, frames) =>
@@ -247,6 +257,17 @@ object Lakehouse {
       fileDelta.unionByName(dvDeletes)
     }
   }
+
+  /** Single-commit wrapper (cdfApply's shape): one prefix replay for the
+    * pre-state — bounded, since the caller processes one version. Window
+    * readers go through [[cdfRead]], which replays the log ONCE. */
+  private[graft] def cdfSlice(spark: SparkSession, table: String, v: Int,
+      keyCol: String): DataFrame =
+    cdfSliceFrom(spark, table, v, keyCol,
+      TableLog.liveState(spark, table, v - 1),
+      if (v == 1) None else TableLog.schemaAsOf(spark, table, v - 1),
+      TableLog.schemaAsOf(spark, table, v),
+      TableLog.manifestEntries(spark, table, v)._1)
 
   /** S14 [EXT]: change-data-feed read over the window (from, to] — the
     * union of each commit's [[cdfSlice]], the subscription surface MV1's
@@ -277,6 +298,25 @@ object Lakehouse {
           schema.fields.filterNot(_.name == keyCol))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], feed)
     }
+    // ONE replay threaded across the window — O(history + window)
+    // manifest reads, not O(window x history): the live state and logged
+    // schema advance commit by commit, and each slice consumes the
+    // snapshot taken just before its own manifest applies.
+    val files = scala.collection.mutable.LinkedHashMap.empty[String, TableLog.LiveFile]
+    val dvs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    var schema: Option[org.apache.spark.sql.types.StructType] = None
+    def advance(v: Int): Seq[Action] = {
+      val (acts, sch) = TableLog.manifestEntries(spark, table, v)
+      acts.foreach {
+        case Action("add", p, st) => files(p) = TableLog.LiveFile(p, st, v)
+        case Action("dv", p, _) => dvs(p) = v
+        case Action("remove", p, _) => files.remove(p); dvs.remove(p)
+        case _ => ()
+      }
+      sch.foreach(s => schema = Some(s))
+      acts
+    }
+    (1 to from).foreach(advance)
     // allowMissingColumns: slices on either side of a schema-evolution
     // commit (S12) carry different value-column sets — the pre-evolution
     // slices null-fill the later columns, so a CDF window MAY cross an
@@ -284,8 +324,12 @@ object Lakehouse {
     // union (each slice still compares pre/post images on the columns
     // both sides of ITS commit share — evolution never fabricates an
     // update out of a null-fill)
-    ((from + 1) to to).map(cdfSlice(spark, table, _, keyCol))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    ((from + 1) to to).map { v =>
+      val preState = TableLog.LiveState(files.values.toSeq, dvs.toSeq)
+      val preSchema = schema
+      val acts = advance(v)
+      cdfSliceFrom(spark, table, v, keyCol, preState, preSchema, schema, acts)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** s14's fixture: the s11 three-commit history plus a fourth commit
@@ -362,10 +406,15 @@ object Lakehouse {
     // side would re-run cdfRead's per-commit full-outer joins.
     val touched = cdfRead(spark, table, from, to, keyCol)
       .select(col(groupCol).as("__touched")).distinct().localCheckpoint()
+    // null-SAFE equality on both joins: a nullable group column can have
+    // NULL as a touched group, and plain === would neither recompute it
+    // (semi join: null never matches) nor retire its state row (anti
+    // join keeps non-matches) — serving a silently STALE null-group
+    // aggregate. <=> recomputes it and retires the old row like any key.
     val fresh = recompute(
       TableLog.readAsOf(spark, table, to)
-        .join(broadcast(touched), col(groupCol) === col("__touched"), "left_semi"))
-    state.join(broadcast(touched), col(groupCol) === col("__touched"), "left_anti")
+        .join(broadcast(touched), col(groupCol) <=> col("__touched"), "left_semi"))
+    state.join(broadcast(touched), col(groupCol) <=> col("__touched"), "left_anti")
       .unionByName(fresh)
   }
 
@@ -451,9 +500,10 @@ object Lakehouse {
     // destination's would silently drop the new column's values — refuse
     // loudly until the destination's schema is evolved first
     val dstV = TableLog.currentVersion(spark, dst)
+    val dstSchema = if (dstV > 0) TableLog.schemaAsOf(spark, dst, dstV) else None
     if (dstV > 0) {
       val srcCols = TableLog.schemaAsOf(spark, src, v).get.fieldNames.toSet
-      val dstCols = TableLog.schemaAsOf(spark, dst, dstV).get.fieldNames.toSet
+      val dstCols = dstSchema.get.fieldNames.toSet
       val missing = srcCols -- dstCols
       require(missing.isEmpty,
         s"cdfApply: source v$v carries columns the destination lacks " +
@@ -489,7 +539,7 @@ object Lakehouse {
     // and silently skip the rewrite — deletes unapplied, update
     // post-images still appended, duplicate keys in the destination.
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val keyType = TableLog.schemaAsOf(spark, dst, dstV).get(keyCol).dataType
+    val keyType = dstSchema.get(keyCol).dataType
     require(keyType == LongType || keyType == IntegerType ||
       keyType == ShortType || keyType == ByteType,
       s"cdfApply needs an integral key; '$keyCol' is ${keyType.simpleString}")
@@ -503,39 +553,44 @@ object Lakehouse {
     // (one row per live dst file) and broadcasts; the hit set collects
     // bounded by |dst files|. A file without stats on keyCol can never be
     // excluded — stats skip work, never rows.
-    val fileStats = TableLog.liveFilesWithStats(spark, dst, dstV)
-    val touched: Seq[String] =
-      if (gone.isEmpty) Seq.empty[String]
+    val dstState = TableLog.liveState(spark, dst, dstV)
+    val touched: Seq[TableLog.LiveFile] =
+      if (gone.isEmpty) Seq.empty
       else {
-        val statless = fileStats.collect {
-          case (p, sts) if !sts.exists(_.col == keyCol) => p }
-        val ranged = fileStats.flatMap { case (p, sts) =>
-          sts.find(_.col == keyCol).map(s => (p, s.min, s.max)) }
+        val (ranged, statless) = dstState.files.partition(
+          _.stats.exists(_.col == keyCol))
         val hits =
-          if (ranged.isEmpty) Seq.empty[String]
+          if (ranged.isEmpty) Seq.empty[TableLog.LiveFile]
           else {
             import spark.implicits._
-            val fileDf = ranged.toDF("__path", "__mn", "__mx")
-            gone.join(broadcast(fileDf),
+            val fileDf = ranged.map { f =>
+              val s = f.stats.find(_.col == keyCol).get
+              (f.path, s.min, s.max)
+            }.toDF("__path", "__mn", "__mx")
+            val hitPaths = gone.join(broadcast(fileDf),
                 c("__gone") >= c("__mn") && c("__gone") <= c("__mx"))
               .select(c("__path")).distinct()
-              .collect().map(_.getString(0)).toSeq
+              .collect().map(_.getString(0)).toSet
+            ranged.filter(f => hitPaths(f.path))
           }
         statless ++ hits
       }
-    val schema = TableLog.schemaAsOf(spark, dst, dstV).get
+    // the touched files are read DV-AWARE (scanState scopes the dst's
+    // live deletion vectors per file): a raw read would carry rows a dst
+    // morDelete already hid into the re-staged files — which land at
+    // dstV+1, ESCAPE the old DV's sequence-number scope, and resurrect
+    // (the same invariant compactCommit's new-DV conflict guards)
     val base =
       if (touched.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema)
-        .parquet(touched.map(r => s"$dst/$r"): _*)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dstSchema.get)
+      else TableLog.scanState(spark, dst, touched, dstState.dvs, dstSchema)
     val survivors = base.join(gone, c(keyCol) === c("__gone"), "left_anti")
     val arrivals = delta.filter(c("_change_type") =!= "delete")
       .drop("_commit_version", "_change_type")
     val adds = TableLog.stageWithStats(spark, dst,
       survivors.unionByName(arrivals), rel, Seq(keyCol), files)
     TableLog.commitIfAbsent(spark, dst, streamId, v.toLong,
-      touched.map(Action("remove", _)) ++ adds)
+      touched.map(f => Action("remove", f.path)) ++ adds)
   }
 
   /** S17 [EXT]: declared query — replicate the s14 source history into a
@@ -593,6 +648,18 @@ object Lakehouse {
   def morDelete(spark: SparkSession, table: String, keys: DataFrame): Int = {
     require(keys.columns.length == 1,
       s"morDelete takes a single-column key frame; got ${keys.columns.mkString(", ")}")
+    // the key file's column name is LOAD-BEARING (the self-describing
+    // wire contract: readers join on it) — a DV committed under a name
+    // the table schema lacks would poison EVERY subsequent read with an
+    // unresolvable-column error; refuse at write time instead
+    val cur = TableLog.currentVersion(spark, table)
+    val keyCol = keys.columns.head
+    if (cur > 0) TableLog.schemaAsOf(spark, table, cur).foreach { sch =>
+      require(sch.fieldNames.contains(keyCol),
+        s"morDelete key column '$keyCol' is not in the table schema " +
+          s"(${sch.fieldNames.mkString(", ")}) — a committed DV under it " +
+          "would fail every read")
+    }
     val rel = s"data/dv/${java.util.UUID.randomUUID}"
     // one file: a DV is delete-volume-sized by contract (the broadcast
     // bound readers rely on) — a delete big enough to need many files

@@ -739,6 +739,21 @@ object TableLog {
       case Action("dv", p, _) => p
     }
 
+  /** ONE manifest's parsed file actions plus its schema action (if any) —
+    * the unit a caller threading its own replay across a window consumes
+    * ([[graft.operators.Lakehouse.cdfRead]]: one pass over the log instead
+    * of a fresh prefix replay per slice). */
+  private[graft] def manifestEntries(spark: SparkSession, table: String,
+      v: Int): (Seq[Action], Option[org.apache.spark.sql.types.StructType]) = {
+    val lines = manifestLines(fsOf(spark, table), table, v)
+    val schema = lines.reverseIterator.collectFirst {
+      case l if l.startsWith("schema\t") =>
+        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema\t"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    (lines.flatMap(parseAction), schema)
+  }
+
   /** DATA-file actions across manifests (from, to]: (added, removed),
     * each a list of table-relative paths. A file added and removed INSIDE
     * the window appears in both — its +agg and −agg cancel exactly in the
@@ -805,6 +820,30 @@ object TableLog {
     * documented coupling). Returns the refreshed state for [from, to]. */
   private[graft] def mvDelta(spark: SparkSession, table: String,
       from: Int, to: Int): DataFrame = {
+    // a deletion-vector commit (S18) deletes rows WITHOUT an add/remove
+    // action, so it is invisible to this file-level delta — folding a
+    // window that contains one would silently serve a STALE view (the
+    // deleted rows never subtract). And DVs LIVE at `from` break the fold
+    // too, even with no dv action inside the window: the stored state was
+    // computed DV-aware, but this delta reads window files RAW — an
+    // absorbing compaction's removes would subtract the DV-hidden rows a
+    // SECOND time (the state never contained them). Non-abelian either
+    // way → refuse loudly and point at the CDF-driven refresh, which sees
+    // DV deletes as first-class rows and reads pre-images DV-aware.
+    val dvCommits = ((from + 1) to to)
+      .filter(v => dvsAt(spark, table, v).nonEmpty)
+    val dvLiveAtFrom = liveState(spark, table, from).dvs.map(_._1)
+    require(dvCommits.isEmpty && dvLiveAtFrom.isEmpty,
+      s"mvDelta window ($from, $to] is not abelian-foldable: " +
+        (if (dvCommits.nonEmpty)
+          s"deletion-vector commit(s) v${dvCommits.mkString(", v")} inside " +
+            "the window have no add/remove action"
+        else
+          s"deletion vector(s) live at v$from (e.g. ${dvLiveAtFrom.head}) " +
+            "mean the stored state is DV-aware while this delta reads " +
+            "window files raw") +
+        " — refresh via the change feed (Lakehouse.mv2Refresh / cdfRead) " +
+        "or recompute the view")
     val (adds, removes) = actionsIn(spark, table, from, to)
     mvSlice(spark, table, adds, 1L)
       .unionByName(mvSlice(spark, table, removes, -1L))

@@ -709,6 +709,35 @@ class LakehouseSpec extends SparkSpecBase {
     assert(gotDst === wantSrc)
   }
 
+  test("s18 x mv1: a DV commit inside an abelian-refresh window refuses LOUDLY — the file-level delta cannot see its deletes") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s18_mv1_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table, ev, "data/v1"))
+    Lakehouse.morDelete(spark, table,
+      ev.filter($"event_type" === "click").select($"event_id"))
+    // folding (1, 2] would silently keep the deleted clicks in the view
+    val e = intercept[IllegalArgumentException] {
+      TableLog.mvDelta(spark, table, 1, 2).collect()
+    }
+    assert(e.getMessage.contains("deletion-vector") &&
+      e.getMessage.contains("mv2Refresh"))
+    // windows before the DV still fold fine
+    assert(TableLog.mvDelta(spark, table, 0, 1).count() > 0)
+    // and the CDF-driven refresh it points at handles the same window
+    def view(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"event_type").agg(count(lit(1)).as("n_rows"))
+    val state = view(TableLog.readAsOf(spark, table, 1))
+    val out = Lakehouse.mv2Refresh(spark, table, state, 1, 2, "event_type")(view)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.contains("click"), "the DV delete must reach the refreshed view")
+    assert(out === view(TableLog.readAsOf(spark, table, 2))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
   test("s18 wire format: dv round-trips; corrupt dv lines refuse loudly; a stray dv never reaches pre-S18 replay paths") {
     assert(TableLog.parseAction("dv\tdata/dv/k.parquet")
       === Some(TableLog.Action("dv", "data/dv/k.parquet")))
@@ -716,6 +745,107 @@ class LakehouseSpec extends SparkSpecBase {
     intercept[IllegalStateException] {
       TableLog.parseAction("dv\tdata/dv/k.parquet\tgarbage")
     }
+  }
+
+  test("s18: morDelete refuses a key column the table schema lacks — a committed DV under it would fail every read") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s18_badcol_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table, ev, "data/v1"))
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.morDelete(spark, table,
+        ev.select($"event_id".as("id")))
+    }
+    assert(e.getMessage.contains("'id'"))
+    // reads stay healthy — nothing was committed
+    assert(TableLog.liveState(spark, table, 1).dvs.isEmpty)
+    assert(TableLog.readAsOf(spark, table, 1).count() > 0)
+  }
+
+  test("s17 x s18: the CoW apply reads touched destination files DV-AWARE — a dst morDelete survives a later src update") {
+    import spark.implicits._
+    val src = s"${Etl.scratch(spark)}/s18_resurrect_src"
+    val dst = s"${Etl.scratch(spark)}/s18_resurrect_dst"
+    Seq(src, dst).foreach(t => fs(t).delete(new Path(t), true))
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, src, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, src, ev, "data/v1"))
+    Lakehouse.cdfApply(spark, src, dst, 1, "event_id", "resur", files = 4)
+    // a LOCAL dst policy delete (e.g. GDPR erasure on the replica): hide
+    // key k1 via a deletion vector, no data file rewritten
+    val Seq(k1, k2) = ev.orderBy($"event_id").limit(2)
+      .select($"event_id").as[Long].collect().toSeq
+    Lakehouse.morDelete(spark, dst, Seq(k1).toDF("event_id"))
+    assert(TableLog.readAsOf(spark, dst, 2)
+      .filter($"event_id" === k1).count() === 0L)
+    // a src update of NEIGHBOR key k2 touches the dst file that also
+    // holds k1's (DV-hidden) original row — the rewrite must not carry
+    // it into a post-DV file, where the DV would no longer scope over it
+    val bumped = ev.withColumn("value",
+      when($"event_id" === k2, $"value" + 1.0).otherwise($"value"))
+    TableLog.commit(spark, src,
+      TableLog.liveFiles(spark, src, 1).map(TableLog.Action("remove", _)) ++
+        TableLog.stage(spark, src, bumped, "data/v2"))
+    Lakehouse.cdfApply(spark, src, dst, 2, "event_id", "resur", files = 4)
+    val head = TableLog.currentVersion(spark, dst)
+    assert(TableLog.readAsOf(spark, dst, head)
+      .filter($"event_id" === k1).count() === 0L,
+      "a DV-deleted row resurrected through the CoW rewrite")
+    assert(TableLog.readAsOf(spark, dst, head)
+      .filter($"event_id" === k2).select($"value").as[Double].head()
+      === ev.filter($"event_id" === k2).select($"value").as[Double].head() + 1.0)
+  }
+
+  test("s18 x mv1: DVs LIVE at the window start refuse too — an absorbing compaction's removes would double-subtract") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s18_mv1_absorb_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table, ev, "data/v1"))
+    Lakehouse.morDelete(spark, table,
+      ev.filter($"event_type" === "click").select($"event_id"))
+    // the state was computed DV-aware at v2; v3 absorbs the DV — no dv
+    // ACTION inside (2, 3], but the removes carry DV-hidden rows the
+    // state never contained
+    Lakehouse.compactCommit(spark, table, targetFiles = 2)
+    val e = intercept[IllegalArgumentException] {
+      TableLog.mvDelta(spark, table, 2, 3).collect()
+    }
+    assert(e.getMessage.contains("live at v2"))
+  }
+
+  test("mv2: a NULL group key recomputes and retires like any other (null-safe joins)") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/mv2_null_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id",
+        when($"event_id" % 5 === 0, lit(null).cast("string"))
+          .otherwise($"event_type").as("event_type"),
+        $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table, ev, "data/v1"))
+    // v2 deletes half the NULL group's rows (a file-level rewrite)
+    val keep = ev.filter($"event_type".isNotNull || $"event_id" % 10 =!= 0)
+    TableLog.commit(spark, table,
+      TableLog.liveFiles(spark, table, 1).map(TableLog.Action("remove", _)) ++
+        TableLog.stage(spark, table, keep, "data/v2"))
+    def view(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"event_type").agg(count(lit(1)).as("n_rows"))
+    val state = view(TableLog.readAsOf(spark, table, 1))
+    val out = Lakehouse.mv2Refresh(spark, table, state, 1, 2, "event_type")(view)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val want = view(TableLog.readAsOf(spark, table, 2))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(out === want,
+      "the NULL group must recompute (stale-state carry is the === bug)")
+    assert(out.contains(None) && out(None) < ev.filter($"event_type".isNull).count())
   }
 
   test("warm lake fixture: the ensure is stamped — a second call rebuilds nothing, and the shared src stays at v4") {
