@@ -183,6 +183,7 @@ object SparkEntry {
     "mv2_cdf_refresh" -> (graft.operators.Lakehouse.mv2CdfRefresh _),
     "s17_cow_merge" -> (graft.operators.Lakehouse.s17CowMerge _),
     "s18_mor_delete" -> (graft.operators.Lakehouse.s18MorDelete _),
+    "s19_log_checkpoint" -> (graft.operators.Lakehouse.s19LogCheckpoint _),
     "s13_warm_read" -> (graft.operators.Lakehouse.s13WarmRead _),
     "s14_warm_feed" -> (graft.operators.Lakehouse.s14WarmFeed _),
     "s15_warm_skip" -> (graft.operators.Lakehouse.s15WarmSkip _),
@@ -857,6 +858,16 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM del WHERE event_id % 3 = 0)
         |FROM e WHERE event_id NOT IN (SELECT event_id FROM del)
         |ORDER BY version""".stripMargin,
+    // the checkpointed version and the head must both replay the mod-12
+    // commit rules exactly — a checkpoint that lost a file or a read
+    // that missed a post-checkpoint manifest diverges on rows or id_sum
+    "s19_log_checkpoint" ->
+      """WITH e AS (SELECT event_id FROM events)
+        |SELECT CAST(8 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM e WHERE event_id % 12 < 8
+        |UNION ALL SELECT 12, COUNT(*), CAST(SUM(event_id) AS BIGINT)
+        |FROM e ORDER BY version""".stripMargin,
     // warm lakehouse family (r17): the PREBUILT-log serving rows — same
     // replayed commit rules as their cold forms, but the measured side
     // prices the warm read/apply loop instead of in-query fixture writes

@@ -298,13 +298,18 @@ object Lakehouse {
           schema.fields.filterNot(_.name == keyCol))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], feed)
     }
-    // ONE replay threaded across the window — O(history + window)
-    // manifest reads, not O(window x history): the live state and logged
+    // ONE replay threaded across the window — O(window) manifest reads
+    // past the base state (which itself starts from the newest log
+    // checkpoint at or below `from`, S19): the live state and logged
     // schema advance commit by commit, and each slice consumes the
     // snapshot taken just before its own manifest applies.
+    val base = TableLog.liveState(spark, table, from)
     val files = scala.collection.mutable.LinkedHashMap.empty[String, TableLog.LiveFile]
+    base.files.foreach(f => files(f.path) = f)
     val dvs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    var schema: Option[org.apache.spark.sql.types.StructType] = None
+    base.dvs.foreach { case (p, v) => dvs(p) = v }
+    var schema: Option[org.apache.spark.sql.types.StructType] =
+      if (from >= 1) TableLog.schemaAsOf(spark, table, from) else None
     def advance(v: Int): Seq[Action] = {
       val (acts, sch) = TableLog.manifestEntries(spark, table, v)
       acts.foreach {
@@ -316,7 +321,6 @@ object Lakehouse {
       sch.foreach(s => schema = Some(s))
       acts
     }
-    (1 to from).foreach(advance)
     // allowMissingColumns: slices on either side of a schema-evolution
     // commit (S12) carry different value-column sets — the pre-evolution
     // slices null-fill the later columns, so a CDF window MAY cross an
@@ -705,6 +709,46 @@ object Lakehouse {
         .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"),
           count(when($"value" >= 100000.0, 1)).as("n_bumped"))
         .select(lit(v.toLong).as("version"), $"n_rows", $"id_sum", $"n_bumped")
+    }.reduce(_ unionByName _).orderBy($"version")
+  }
+
+  // --------------------------------------------------- S19: log checkpoints
+
+  private[graft] val S19_COMMITS = 12
+  private[graft] val S19_CKPT_AT = 8
+
+  /** S19 [EXT]: declared query — twelve micro-batch commits with a log
+    * CHECKPOINT after the eighth ([[TableLog.checkpointLog]]), then audit
+    * the checkpointed version and the head. Reads at or past v8 replay
+    * the checkpoint plus ≤4 manifests instead of the whole chain — the
+    * `_last_checkpoint` posture every production log format ships,
+    * because at 100 TB the manifest chain is 10^5–10^6 commits and
+    * O(lifetime) replay per read (and per exactly-once txn probe) is the
+    * metadata bottleneck. The oracle replays the mod-12 commit rules; a
+    * checkpoint that dropped a file, collapsed add versions (widening DV
+    * scope), or lost a txn marker diverges here or in LakehouseSpec's
+    * pins (head reads survive pre-checkpoint manifest loss; DV scoping
+    * and the re-delivery gate hold across the checkpoint). */
+  def s19LogCheckpoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s19_table"
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    (0 until S19_COMMITS).foreach { b =>
+      val adds = TableLog.stage(spark, table,
+        ev.filter($"event_id" % S19_COMMITS === b), s"data/b$b")
+      TableLog.commit(spark, table,
+        if (b == 0) Action("schema", ev.schema.json) +: adds else adds)
+      if (b == S19_CKPT_AT - 1)
+        require(TableLog.checkpointLog(spark, table) == S19_CKPT_AT,
+          "checkpoint must land at the current version")
+    }
+    Seq(S19_CKPT_AT, S19_COMMITS).map { v =>
+      TableLog.readAsOf(spark, table, v)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"))
+        .select(lit(v.toLong).as("version"), $"n_rows", $"id_sum")
     }.reduce(_ unionByName _).orderBy($"version")
   }
 

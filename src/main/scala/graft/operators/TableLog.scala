@@ -201,16 +201,150 @@ object TableLog {
   private[graft] final case class LiveState(files: Seq[LiveFile],
       dvs: Seq[(String, Int)])
 
-  /** Replay adds/removes/dvs of manifests 1..version (schema/txn markers
-    * skipped). Metadata-scale driver work — one short text line per file
-    * action, the same order of cost as the file index any scan builds. */
+  // ------------------------------------------------ S19: log checkpoints
+
+  /** A parsed checkpoint: the collapsed replay state as of its version.
+    * Files keep their ORIGINAL add versions — collapsing them to the
+    * checkpoint version would silently widen deletion-vector scope (a DV
+    * applies to files added before ITS commit, not before the
+    * checkpoint). Txn markers ride along so the exactly-once gate stays
+    * O(commits since checkpoint) too. */
+  private[graft] final case class Checkpoint(version: Int, files: Seq[LiveFile],
+      dvs: Seq[(String, Int)], schema: Option[org.apache.spark.sql.types.StructType],
+      txns: Set[String])
+
+  /** Newest checkpoint version at or below `atMost` (None = replay from
+    * v1, the pre-S19 path — old tables read unchanged). */
+  private[graft] def newestCheckpoint(spark: SparkSession, table: String,
+      atMost: Int): Option[Int] = {
+    val f = fsOf(spark, table)
+    val dir = new Path(table, "_log")
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq
+      .flatMap(s => "^v(\\d+)\\.ckpt$".r.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toInt))
+      .filter(_ <= atMost)
+      .maxOption
+  }
+
+  /** Checkpoint wire format — ONE line per collapsed fact, its own forms
+    * (manifests are untouched; pre-S19 logs replay unchanged):
+    * `file\t<addVersion>\t<path>[\tcol\tmin\tmax]...` / `dv\t<version>\t
+    * <path>` / `schema\t<json>` / `txn\t<stream>\t<batch>`. Corrupt lines
+    * refuse loudly, the manifest-parse discipline: a silently dropped
+    * `file` line loses a live file from every read that trusts the
+    * checkpoint. */
+  private[graft] def loadCheckpoint(spark: SparkSession, table: String,
+      version: Int): Checkpoint = {
+    val in = fsOf(spark, table).open(new Path(table, s"_log/v$version.ckpt"))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val files = Seq.newBuilder[LiveFile]
+    val dvs = Seq.newBuilder[(String, Int)]
+    var schema: Option[org.apache.spark.sql.types.StructType] = None
+    val txns = Set.newBuilder[String]
+    lines.foreach { line =>
+      line.split("\t") match {
+        case Array("file", v, p, rest @ _*) if rest.size % 3 == 0 =>
+          val sts =
+            try rest.grouped(3).map {
+              case Seq(c, mn, mx) => FileStats(c, mn.toLong, mx.toLong)
+            }.toSeq
+            catch {
+              case e: NumberFormatException => throw new IllegalStateException(
+                s"corrupt checkpoint stats bound in: $line", e)
+            }
+          files += LiveFile(p, sts, v.toInt)
+        case Array("dv", v, p) => dvs += (p -> v.toInt)
+        case Array("schema", json) =>
+          schema = Some(org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        case Array("txn", s, b) => txns += s"$s\t$b"
+        case Array("") => ()
+        case _ => throw new IllegalStateException(
+          s"corrupt checkpoint line in v$version.ckpt: $line")
+      }
+    }
+    Checkpoint(version, files.result(), dvs.result(), schema, txns.result())
+  }
+
+  /** Write the checkpoint for the CURRENT version: one collapsed-state
+    * file `_log/vN.ckpt`, staged to a dot-tmp and published with the same
+    * exclusive primitive as a commit. At 100 TB this is what keeps every
+    * read metadata cost O(commits since the last OPTIMIZE-and-checkpoint)
+    * instead of O(table lifetime): [[liveState]], [[schemaAsOf]] and the
+    * [[alreadyCommitted]] txn gate all start from the newest checkpoint
+    * at or below their version. Older manifests stay on disk, so time
+    * travel BELOW the checkpoint still replays from v1. Idempotent and
+    * race-safe: checkpoint content for a version is a pure function of
+    * the log, so a lost publish race means an identical file already
+    * exists — return the version quietly. Returns the checkpointed
+    * version. */
+  def checkpointLog(spark: SparkSession, table: String): Int = {
+    val cur = currentVersion(spark, table)
+    require(cur >= 1, s"nothing to checkpoint in $table")
+    val st = liveState(spark, table, cur)
+    val schema = schemaAsOf(spark, table, cur)
+    // txn markers: the previous checkpoint's set plus the window's lines
+    val f = fsOf(spark, table)
+    val prevC = newestCheckpoint(spark, table, cur)
+    val prevTxns = prevC.map(loadCheckpoint(spark, table, _).txns)
+      .getOrElse(Set.empty[String])
+    val txns = prevTxns ++
+      ((prevC.getOrElse(0) + 1) to cur).flatMap(v =>
+        manifestLines(f, table, v).collect {
+          case l if l.startsWith("txn\t") => l.stripPrefix("txn\t")
+        })
+    val tmp = f.makeQualified(new Path(table,
+      s"_log/.v$cur.ckpt.${java.util.UUID.randomUUID}.tmp"))
+    val out = f.create(tmp, true)
+    try {
+      st.files.foreach { lf =>
+        val line = (Seq("file", lf.version.toString, lf.path) ++
+          lf.stats.flatMap(s => Seq(s.col, s.min.toString, s.max.toString)))
+          .mkString("\t")
+        out.write((line + "\n").getBytes("UTF-8"))
+      }
+      st.dvs.foreach { case (p, v) =>
+        out.write(s"dv\t$v\t$p\n".getBytes("UTF-8"))
+      }
+      schema.foreach(s => out.write(s"schema\t${s.json}\n".getBytes("UTF-8")))
+      txns.foreach(t => out.write(s"txn\t$t\n".getBytes("UTF-8")))
+      out.hflush()
+    } finally out.close()
+    val dst = f.makeQualified(new Path(table, s"_log/v$cur.ckpt"))
+    try LogStore.forTable(spark, dst)
+      .publishExclusive(spark.sparkContext.hadoopConfiguration, tmp, dst)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        // a concurrent checkpointer won with IDENTICAL content (the state
+        // is a pure function of the immutable log prefix) — clean up our
+        // tmp and accept theirs
+        f.delete(tmp, false)
+    }
+    cur
+  }
+
+  /** Replay adds/removes/dvs up to `version`, starting from the newest
+    * checkpoint at or below it (schema/txn markers skipped) — O(commits
+    * since checkpoint) metadata work, one short text line per file
+    * action. */
   private[graft] def liveState(spark: SparkSession, table: String,
       version: Int): LiveState = {
     val f = fsOf(spark, table)
     val live =
       scala.collection.mutable.LinkedHashMap.empty[String, (Seq[FileStats], Int)]
     val dvs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    (1 to version).foreach { v =>
+    val from = newestCheckpoint(spark, table, version) match {
+      case Some(c) =>
+        val ck = loadCheckpoint(spark, table, c)
+        ck.files.foreach(lf => live(lf.path) = (lf.stats, lf.version))
+        ck.dvs.foreach { case (p, v) => dvs(p) = v }
+        c
+      case None => 0
+    }
+    ((from + 1) to version).foreach { v =>
       manifestLines(f, table, v).foreach { line =>
         parseAction(line) match {
           case Some(Action("add", path, st)) => live(path) = (st, v)
@@ -244,8 +378,15 @@ object TableLog {
   private[graft] def alreadyCommitted(spark: SparkSession, table: String,
       streamId: String, batchId: Long): Boolean = {
     val f = fsOf(spark, table)
-    (1 to currentVersion(spark, table)).exists(v =>
-      manifestLines(f, table, v).contains(s"txn\t$streamId\t$batchId"))
+    val cur = currentVersion(spark, table)
+    // the txn set rides the checkpoint (S19): without it, every micro-
+    // batch commit would scan the WHOLE manifest chain for its marker —
+    // O(table lifetime) per batch on a long-lived ingest
+    val floor = newestCheckpoint(spark, table, cur)
+    floor.exists(c =>
+      loadCheckpoint(spark, table, c).txns.contains(s"$streamId\t$batchId")) ||
+      ((floor.getOrElse(0) + 1) to cur).exists(v =>
+        manifestLines(f, table, v).contains(s"txn\t$streamId\t$batchId"))
   }
 
   /** Commit `actions` tagged with a `(streamId, batchId)` txn marker —
@@ -349,13 +490,18 @@ object TableLog {
   private[graft] def schemaAsOf(spark: SparkSession, table: String,
       version: Int): Option[org.apache.spark.sql.types.StructType] = {
     val f = fsOf(spark, table)
-    (version to 1 by -1).iterator
+    // backward scan stops at the newest checkpoint <= version: the
+    // checkpoint carries the schema as of ITS version, so no read ever
+    // opens a manifest below it (S19)
+    val floor = newestCheckpoint(spark, table, version)
+    (version to (floor.getOrElse(0) + 1) by -1).iterator
       .flatMap(v => manifestLines(f, table, v).reverseIterator.collect {
         case line if line.startsWith("schema\t") =>
           org.apache.spark.sql.types.DataType.fromJson(line.stripPrefix("schema\t"))
             .asInstanceOf[org.apache.spark.sql.types.StructType]
       })
       .nextOption()
+      .orElse(floor.flatMap(c => loadCheckpoint(spark, table, c).schema))
   }
 
   /** Snapshot read AS OF `version`: scans exactly the manifest's live

@@ -820,6 +820,124 @@ class LakehouseSpec extends SparkSpecBase {
     assert(e.getMessage.contains("live at v2"))
   }
 
+  test("s19: reads at or past the checkpoint never open older manifests — head reads survive pre-checkpoint manifest loss, older reads replay from v1") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s19_spec_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    (0 until 6).foreach { b =>
+      val adds = TableLog.stage(spark, table,
+        ev.filter($"event_id" % 6 === b), s"data/b$b")
+      TableLog.commit(spark, table,
+        if (b == 0) TableLog.Action("schema", ev.schema.json) +: adds else adds)
+    }
+    assert(TableLog.checkpointLog(spark, table) === 6)
+    // one more commit past the checkpoint
+    val extra = ev.filter($"event_id" % 6 === 0)
+      .withColumn("event_id", $"event_id" + 10000000L)
+    TableLog.commit(spark, table, TableLog.stage(spark, table, extra, "data/x"))
+    val head = TableLog.currentVersion(spark, table)
+    val want = ev.count() + extra.count()
+    assert(TableLog.readAsOf(spark, table, head).count() === want)
+    // yank a pre-checkpoint manifest: head reads (and the pruned path,
+    // and schemaAsOf) must not notice — they start from the checkpoint
+    val v1 = new Path(s"$table/_log/v1.log")
+    val hidden = new Path(s"$table/_log/hidden-v1")
+    assert(fs(table).rename(v1, hidden))
+    try {
+      assert(TableLog.readAsOf(spark, table, head).count() === want)
+      assert(TableLog.schemaAsOf(spark, table, head).get.fieldNames.toSeq
+        === Seq("event_id", "user_id", "event_type", "value"))
+      assert(TableLog.readAsOfRange(spark, table, head, "event_id",
+        0L, 10L).count() === ev.filter($"event_id".between(0, 10)).count())
+      // time travel BELOW the checkpoint needs the full chain — loud
+      intercept[java.io.FileNotFoundException] {
+        TableLog.readAsOf(spark, table, 3).count()
+      }
+    } finally assert(fs(table).rename(hidden, v1))
+    // with the chain restored, pre-checkpoint time travel works again
+    assert(TableLog.readAsOf(spark, table, 3).count()
+      === ev.filter($"event_id" % 6 < 3).count())
+  }
+
+  test("s19: DV sequence-number scoping and the txn gate survive the checkpoint") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s19_dv_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table, ev, "data/v1"))
+    val doomed = ev.filter($"event_type" === "click" && $"value" < 100.0)
+    Lakehouse.morDelete(spark, table, doomed.select($"event_id"))
+    // a txn-marked batch BEFORE the checkpoint
+    TableLog.commitIfAbsent(spark, table, "s19stream", 7L,
+      TableLog.stage(spark, table,
+        ev.filter($"event_id" % 97 === 0)
+          .withColumn("event_id", $"event_id" + 20000000L), "data/b7"))
+    assert(TableLog.checkpointLog(spark, table) === 3)
+    // the checkpoint preserves ORIGINAL add versions: a post-checkpoint
+    // re-insert of deleted keys must escape the v2 DV, while the v1
+    // copies stay hidden
+    val reins = doomed.limit(10).withColumn("value", $"value" + 100000.0)
+    TableLog.commit(spark, table, TableLog.stage(spark, table, reins, "data/v4"))
+    val got = TableLog.readAsOf(spark, table, 4)
+    assert(got.filter($"value" >= 100000.0).count() === 10L)
+    val reinsIds = reins.select($"event_id").as[Long].collect().toSeq
+    assert(got.filter($"event_id".isin(reinsIds: _*)).count() === 10L,
+      "checkpointed DV scope must not widen over the re-insert")
+    assert(got.filter($"event_id".isin(
+      doomed.select($"event_id").as[Long].collect().toSeq.diff(reinsIds): _*))
+      .count() === 0L, "checkpoint lost the DV")
+    // the pre-checkpoint txn marker still gates a re-delivery — from the
+    // CHECKPOINT's txn set, even with the early manifests yanked
+    val v1 = new Path(s"$table/_log/v1.log")
+    val v2 = new Path(s"$table/_log/v2.log")
+    val h1 = new Path(s"$table/_log/h1"); val h2 = new Path(s"$table/_log/h2")
+    assert(fs(table).rename(v1, h1) && fs(table).rename(v2, h2))
+    try {
+      val again = TableLog.stage(spark, table,
+        ev.filter($"event_id" % 97 === 0), "data/b7-redelivery")
+      assert(TableLog.commitIfAbsent(spark, table, "s19stream", 7L, again) === -1,
+        "the checkpointed txn set must stop the re-delivered batch")
+    } finally {
+      assert(fs(table).rename(h1, v1) && fs(table).rename(h2, v2))
+    }
+    // idempotent: a second checkpoint at the same version is a quiet no-op
+    val head = TableLog.currentVersion(spark, table)
+    assert(TableLog.checkpointLog(spark, table) === head)
+    assert(TableLog.checkpointLog(spark, table) === head)
+  }
+
+  test("s19: checkpoint wire format refuses corruption loudly") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s19_wire_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table, ev, "data/v1"))
+    TableLog.checkpointLog(spark, table)
+    val ck = TableLog.loadCheckpoint(spark, table, 1)
+    assert(ck.files.nonEmpty && ck.files.forall(_.version === 1))
+    assert(ck.schema.isDefined)
+    // corrupt one file line: the loader must refuse, never silently drop
+    val p = new Path(s"$table/_log/v1.ckpt")
+    val lines = {
+      val in = fs(table).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val out = fs(table).create(p, true)
+    try out.write((lines.head.split("\t").take(2).mkString("\t") + "\n" +
+      lines.tail.mkString("\n")).getBytes("UTF-8"))
+    finally out.close()
+    intercept[IllegalStateException] {
+      TableLog.loadCheckpoint(spark, table, 1)
+    }
+  }
+
   test("mv2: a NULL group key recomputes and retires like any other (null-safe joins)") {
     import spark.implicits._
     val table = s"${Etl.scratch(spark)}/mv2_null_table"
