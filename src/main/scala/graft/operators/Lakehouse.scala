@@ -309,7 +309,7 @@ object Lakehouse {
     val dvs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     base.dvs.foreach { case (p, v) => dvs(p) = v }
     var schema: Option[org.apache.spark.sql.types.StructType] =
-      if (from >= 1) TableLog.schemaAsOf(spark, table, from) else None
+      TableLog.schemaAsOf(spark, table, from)
     def advance(v: Int): Seq[Action] = {
       val (acts, sch) = TableLog.manifestEntries(spark, table, v)
       acts.foreach {

@@ -65,17 +65,7 @@ object TableLog {
   private[graft] def parseAction(line: String): Option[Action] =
     line.split("\t") match {
       case Array("add", p, rest @ _*) =>
-        if (rest.size % 3 != 0) throw new IllegalStateException(
-          s"corrupt manifest add action (stats arity ${rest.size}): $line")
-        val sts =
-          try rest.grouped(3).map {
-            case Seq(c, mn, mx) => FileStats(c, mn.toLong, mx.toLong)
-          }.toSeq
-          catch {
-            case e: NumberFormatException => throw new IllegalStateException(
-              s"corrupt manifest stats bound in: $line", e)
-          }
-        Some(Action("add", p, sts))
+        Some(Action("add", p, parseStatsTriples(rest, line)))
       case Array("remove", p) => Some(Action("remove", p))
       case Array("dv", p) => Some(Action("dv", p))
       case arr if arr.headOption.exists(op =>
@@ -181,10 +171,28 @@ object TableLog {
     -1 // unreachable
   }
 
-  private def manifestLines(f: FileSystem, table: String, v: Int): Seq[String] = {
-    val in = f.open(new Path(table, s"_log/v$v.log"))
+  private def readLogLines(f: FileSystem, path: Path): Seq[String] = {
+    val in = f.open(path)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
+  }
+
+  private def manifestLines(f: FileSystem, table: String, v: Int): Seq[String] =
+    readLogLines(f, new Path(table, s"_log/v$v.log"))
+
+  /** Parse the col-min-max triples of a file action / checkpoint file
+    * line — ONE parser so the manifest and checkpoint wire formats can
+    * never silently diverge. Refuses loudly with the offending line. */
+  private def parseStatsTriples(rest: Seq[String], line: String): Seq[FileStats] = {
+    if (rest.size % 3 != 0) throw new IllegalStateException(
+      s"corrupt stats arity ${rest.size} in: $line")
+    try rest.grouped(3).map {
+      case Seq(c, mn, mx) => FileStats(c, mn.toLong, mx.toLong)
+    }.toSeq
+    catch {
+      case e: NumberFormatException => throw new IllegalStateException(
+        s"corrupt stats bound in: $line", e)
+    }
   }
 
   /** One live data file in a snapshot: table-relative path, its logged
@@ -209,9 +217,21 @@ object TableLog {
     * applies to files added before ITS commit, not before the
     * checkpoint). Txn markers ride along so the exactly-once gate stays
     * O(commits since checkpoint) too. */
-  private[graft] final case class Checkpoint(version: Int, files: Seq[LiveFile],
+  private[graft] final case class Checkpoint(files: Seq[LiveFile],
       dvs: Seq[(String, Int)], schema: Option[org.apache.spark.sql.types.StructType],
       txns: Set[String])
+
+  /** Parsed-checkpoint cache. Without it every txn probe and every
+    * schema fallback re-downloads and re-parses the same multi-MB file —
+    * at ~800k live files that is exactly the per-read cost class S19
+    * exists to remove. Keyed by (qualified path, length, mtime), NOT by
+    * version alone: test fixtures (and a production restore) can delete
+    * and rebuild a table at the same path, and a stale entry would serve
+    * the dead table's state. One getFileStatus per hit — metadata-scale.
+    * Bounded: cleared wholesale past 256 entries (checkpoints are few;
+    * this is a leak guard, not an eviction policy). */
+  private val ckptCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Checkpoint]()
 
   /** Newest checkpoint version at or below `atMost` (None = replay from
     * v1, the pre-S19 path — old tables read unchanged). */
@@ -236,37 +256,37 @@ object TableLog {
     * checkpoint. */
   private[graft] def loadCheckpoint(spark: SparkSession, table: String,
       version: Int): Checkpoint = {
-    val in = fsOf(spark, table).open(new Path(table, s"_log/v$version.ckpt"))
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
+    val f = fsOf(spark, table)
+    val path = f.makeQualified(new Path(table, s"_log/v$version.ckpt"))
+    val st = f.getFileStatus(path)
+    val key = (path.toString, st.getLen, st.getModificationTime)
+    val hit = ckptCache.get(key)
+    if (hit != null) return hit
+    def corrupt(line: String): Nothing = throw new IllegalStateException(
+      s"corrupt checkpoint line in v$version.ckpt: $line")
     val files = Seq.newBuilder[LiveFile]
     val dvs = Seq.newBuilder[(String, Int)]
     var schema: Option[org.apache.spark.sql.types.StructType] = None
     val txns = Set.newBuilder[String]
-    lines.foreach { line =>
+    readLogLines(f, path).foreach { line =>
       line.split("\t") match {
-        case Array("file", v, p, rest @ _*) if rest.size % 3 == 0 =>
-          val sts =
-            try rest.grouped(3).map {
-              case Seq(c, mn, mx) => FileStats(c, mn.toLong, mx.toLong)
-            }.toSeq
-            catch {
-              case e: NumberFormatException => throw new IllegalStateException(
-                s"corrupt checkpoint stats bound in: $line", e)
-            }
-          files += LiveFile(p, sts, v.toInt)
-        case Array("dv", v, p) => dvs += (p -> v.toInt)
+        case Array("file", v, p, rest @ _*) =>
+          val addV = v.toIntOption.getOrElse(corrupt(line))
+          files += LiveFile(p, parseStatsTriples(rest, line), addV)
+        case Array("dv", v, p) =>
+          dvs += (p -> v.toIntOption.getOrElse(corrupt(line)))
         case Array("schema", json) =>
           schema = Some(org.apache.spark.sql.types.DataType.fromJson(json)
             .asInstanceOf[org.apache.spark.sql.types.StructType])
         case Array("txn", s, b) => txns += s"$s\t$b"
         case Array("") => ()
-        case _ => throw new IllegalStateException(
-          s"corrupt checkpoint line in v$version.ckpt: $line")
+        case _ => corrupt(line)
       }
     }
-    Checkpoint(version, files.result(), dvs.result(), schema, txns.result())
+    val ck = Checkpoint(files.result(), dvs.result(), schema, txns.result())
+    if (ckptCache.size > 256) ckptCache.clear()
+    ckptCache.put(key, ck)
+    ck
   }
 
   /** Write the checkpoint for the CURRENT version: one collapsed-state
@@ -907,21 +927,19 @@ object TableLog {
     * excluded from BOTH lists: a window that retires a DV (compaction
     * absorbing it — S18×S13) must not hand the key file to a reader as
     * removed-row pre-images, which would fabricate null-filled phantom
-    * deltas. The dv-path set replays from v1 (a DV added before the
-    * window can be removed inside it), the same metadata-scale cost as
-    * the window replay itself. */
+    * deltas. The dv-path set seeds from the DVs live at `from`
+    * (checkpoint-bounded), so the call is O(commits since checkpoint +
+    * window), never O(table lifetime). */
   private[graft] def actionsIn(spark: SparkSession, table: String,
       from: Int, to: Int): (Seq[String], Seq[String]) = {
     val f = fsOf(spark, table)
+    // seeded from the DVs LIVE at `from` (checkpoint-bounded via
+    // liveState — a DV added AND removed before the window can never be
+    // removed again inside it), so this stays O(commits since checkpoint
+    // + window), never O(table lifetime), and survives pre-checkpoint
+    // manifest loss like every other checkpointed read
     val dvEver = scala.collection.mutable.HashSet.empty[String]
-    (1 to from).foreach { v =>
-      manifestLines(f, table, v).foreach { line =>
-        parseAction(line) match {
-          case Some(Action("dv", p, _)) => dvEver += p
-          case _ => ()
-        }
-      }
-    }
+    liveState(spark, table, from).dvs.foreach(dvEver += _._1)
     val adds = Seq.newBuilder[String]
     val removes = Seq.newBuilder[String]
     ((from + 1) to to).foreach { v =>

@@ -599,14 +599,19 @@ class LakehouseSpec extends SparkSpecBase {
       TableLog.stage(spark, table, ev, "data/v1"))
     val doomed = ev.filter($"event_type" === "click" && $"value" < 100.0)
     Lakehouse.morDelete(spark, table, doomed.select($"event_id"))
-    val reins = doomed.limit(10).withColumn("value", $"value" + 100000.0)
+    // ids pinned BEFORE building the frame: LIMIT without ORDER BY is
+    // non-deterministic across re-evaluations (stage writes one plan run,
+    // the assertion collect would run another)
+    val reinsIds = doomed.orderBy($"event_id").limit(10)
+      .select($"event_id").as[Long].collect().toSeq
+    val reins = doomed.filter($"event_id".isin(reinsIds: _*))
+      .withColumn("value", $"value" + 100000.0)
     TableLog.commit(spark, table, TableLog.stage(spark, table, reins, "data/v3"))
     val got = TableLog.readAsOf(spark, table, 3)
       .filter($"value" >= 100000.0).count()
     assert(got === 10L, "re-inserted rows must escape the older DV")
     // and the DV still applies to the ORIGINAL copies of those keys: each
     // re-inserted key appears exactly once
-    val reinsIds = reins.select($"event_id").as[Long].collect().toSeq
     val counts = TableLog.readAsOf(spark, table, 3)
       .filter($"event_id".isin(reinsIds: _*))
       .groupBy($"event_id").count()
@@ -879,12 +884,15 @@ class LakehouseSpec extends SparkSpecBase {
     assert(TableLog.checkpointLog(spark, table) === 3)
     // the checkpoint preserves ORIGINAL add versions: a post-checkpoint
     // re-insert of deleted keys must escape the v2 DV, while the v1
-    // copies stay hidden
-    val reins = doomed.limit(10).withColumn("value", $"value" + 100000.0)
+    // copies stay hidden (ids pinned first — LIMIT re-evaluation is
+    // non-deterministic)
+    val reinsIds = doomed.orderBy($"event_id").limit(10)
+      .select($"event_id").as[Long].collect().toSeq
+    val reins = doomed.filter($"event_id".isin(reinsIds: _*))
+      .withColumn("value", $"value" + 100000.0)
     TableLog.commit(spark, table, TableLog.stage(spark, table, reins, "data/v4"))
     val got = TableLog.readAsOf(spark, table, 4)
     assert(got.filter($"value" >= 100000.0).count() === 10L)
-    val reinsIds = reins.select($"event_id").as[Long].collect().toSeq
     assert(got.filter($"event_id".isin(reinsIds: _*)).count() === 10L,
       "checkpointed DV scope must not widen over the re-insert")
     assert(got.filter($"event_id".isin(
