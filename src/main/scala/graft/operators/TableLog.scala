@@ -79,13 +79,15 @@ object TableLog {
 
   /** Newest committed version (0 = empty table). Staging tmps (dot-files)
     * and foreign names are ignored: a crashed writer leaves no trace a
-    * reader can observe. */
+    * reader can observe. Checkpoint files count too: after [[vacuumLog]]
+    * retires a fully-checkpointed chain, the head may be represented by
+    * `vN.ckpt` alone and the table must still report version N. */
   private[graft] def currentVersion(spark: SparkSession, table: String): Int = {
     val f = fsOf(spark, table)
     val dir = new Path(table, "_log")
     if (!f.exists(dir)) 0
     else f.listStatus(dir).toSeq
-      .flatMap(s => "^v(\\d+)\\.log$".r.findFirstMatchIn(s.getPath.getName)
+      .flatMap(s => "^v(\\d+)\\.(log|ckpt)$".r.findFirstMatchIn(s.getPath.getName)
         .map(_.group(1).toInt))
       .foldLeft(0)(math.max)
   }
@@ -500,6 +502,35 @@ object TableLog {
           s.getModificationTime <= cutoff)
         .foreach(s => f.delete(s.getPath, false))
     dead
+  }
+
+  /** Manifest GC (S19's retention complement to [[vacuum]]'s data GC): a
+    * manifest chain grows one file per commit forever unless retired —
+    * 10^5–10^6 tiny objects on a mature 100 TB table, a LIST-cost and
+    * object-count tax every production format bounds the same way. A
+    * manifest `vM.log` is dead once (a) retention forbids reads below
+    * `retainFrom` AND (b) a CHECKPOINT exists in [M, retainFrom] — every
+    * allowed read (v >= retainFrom) then starts replay at a checkpoint at
+    * or past M and never opens it (the property LakehouseSpec pins by
+    * yanking manifests under live reads). Without such a checkpoint
+    * NOTHING is deleted: manifest GC must never outrun checkpointing.
+    * Superseded checkpoints below the newest one in the retained range
+    * retire too. Returns the deleted _log entries. */
+  private[graft] def vacuumLog(spark: SparkSession, table: String,
+      retainFrom: Int): Seq[String] = {
+    val f = fsOf(spark, table)
+    newestCheckpoint(spark, table, retainFrom) match {
+      case None => Seq.empty
+      case Some(c) =>
+        val logDir = new Path(table, "_log")
+        val deletable = f.listStatus(logDir).toSeq.filter { s =>
+          val n = s.getPath.getName
+          "^v(\\d+)\\.log$".r.findFirstMatchIn(n).exists(_.group(1).toInt <= c) ||
+            "^v(\\d+)\\.ckpt$".r.findFirstMatchIn(n).exists(_.group(1).toInt < c)
+        }
+        deletable.foreach(s => f.delete(s.getPath, false))
+        deletable.map(_.getPath.getName).sorted
+    }
   }
 
   /** The table schema AS OF `version`: the newest `schema` action at or

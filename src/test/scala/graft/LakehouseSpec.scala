@@ -918,6 +918,53 @@ class LakehouseSpec extends SparkSpecBase {
     assert(TableLog.checkpointLog(spark, table) === head)
   }
 
+  test("s19: manifest GC retires fully-checkpointed chains — nothing without a covering checkpoint, head intact even when the checkpoint IS the head") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s19_gc_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    (0 until 6).foreach { b =>
+      val adds = TableLog.stage(spark, table,
+        ev.filter($"event_id" % 6 === b), s"data/b$b")
+      TableLog.commit(spark, table,
+        if (b == 0) TableLog.Action("schema", ev.schema.json) +: adds else adds)
+    }
+    // no checkpoint yet: manifest GC must refuse to outrun checkpointing
+    assert(TableLog.vacuumLog(spark, table, retainFrom = 6).isEmpty)
+    assert(TableLog.checkpointLog(spark, table) === 6)
+    TableLog.commit(spark, table, TableLog.stage(spark, table,
+      ev.filter($"event_id" % 6 === 0)
+        .withColumn("event_id", $"event_id" + 10000000L), "data/x"))
+    val deleted = TableLog.vacuumLog(spark, table, retainFrom = 6)
+    assert(deleted === (1 to 6).map(v => s"v$v.log"))
+    // the retained surface is untouched: head version, snapshot reads,
+    // schema, new commits
+    assert(TableLog.currentVersion(spark, table) === 7)
+    val want = ev.count() + ev.filter($"event_id" % 6 === 0).count()
+    assert(TableLog.readAsOf(spark, table, 7).count() === want)
+    assert(TableLog.schemaAsOf(spark, table, 7).isDefined)
+    // reads below retention are gone, loudly — the vacuum contract
+    intercept[java.io.FileNotFoundException] {
+      TableLog.readAsOf(spark, table, 3).count()
+    }
+    // checkpoint AT the head: the whole chain retires, the head is then
+    // represented by the checkpoint alone — still readable, writable
+    TableLog.commit(spark, table, TableLog.stage(spark, table,
+      ev.filter($"event_id" % 6 === 1)
+        .withColumn("event_id", $"event_id" + 20000000L), "data/y"))
+    assert(TableLog.checkpointLog(spark, table) === 8)
+    val deleted2 = TableLog.vacuumLog(spark, table, retainFrom = 8)
+    assert(deleted2 === Seq("v6.ckpt", "v7.log", "v8.log"))
+    assert(TableLog.currentVersion(spark, table) === 8)
+    assert(TableLog.readAsOf(spark, table, 8).count()
+      === want + ev.filter($"event_id" % 6 === 1).count())
+    assert(TableLog.commit(spark, table, TableLog.stage(spark, table,
+      ev.limit(5), "data/z")) === 9)
+    assert(TableLog.readAsOf(spark, table, 9).count()
+      === TableLog.readAsOf(spark, table, 8).count() + 5)
+  }
+
   test("s19: checkpoint wire format refuses corruption loudly") {
     import spark.implicits._
     val table = s"${Etl.scratch(spark)}/s19_wire_table"
