@@ -1171,8 +1171,18 @@ object TableLog {
     val spark = df.sparkSession
     if (!alreadyCommitted(spark, table, streamId, batchId)) {
       val rel = s"data/$streamId/b$batchId-${java.util.UUID.randomUUID}"
-      commitIfAbsent(spark, table, streamId, batchId,
+      val v = commitIfAbsent(spark, table, streamId, batchId,
         stage(spark, table, df, rel))
+      // conf-gated auto-checkpoint (R15×S19): a long-lived micro-batch
+      // ingest is exactly the writer whose chain grows without bound and
+      // whose own exactly-once probe pays the replay on every batch —
+      // checkpoint every N commits so both stay O(N). A lost checkpoint
+      // race (or a competing writer having advanced the head) is
+      // harmless: checkpointLog is idempotent at whatever version it
+      // lands on.
+      val every = spark.conf
+        .get("spark.graft.log.checkpointInterval", "0").toInt
+      if (every > 0 && v > 0 && v % every == 0) checkpointLog(spark, table)
     }
   }
 

@@ -965,6 +965,40 @@ class LakehouseSpec extends SparkSpecBase {
       === TableLog.readAsOf(spark, table, 8).count() + 5)
   }
 
+  test("s19 x r15: the conf-gated auto-checkpoint rides the micro-batch sink — every Nth commit, replay stays bounded") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s19_auto_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table,
+      Seq(TableLog.Action("schema", ev.schema.json)))
+    spark.conf.set("spark.graft.log.checkpointInterval", "2")
+    try {
+      (0 until 4).foreach(b =>
+        TableLog.commitBatch(table, "auto")(
+          ev.filter($"event_id" % 4 === b), b.toLong))
+      // commits landed at v2..v5; checkpoints at the even versions
+      assert(TableLog.newestCheckpoint(spark, table, 5) === Some(4))
+      assert(TableLog.newestCheckpoint(spark, table, 3) === Some(2))
+      // a re-delivered batch still no-ops (its probe now starts from the
+      // checkpoint's txn set)
+      val again = TableLog.stage(spark, table,
+        ev.filter($"event_id" % 4 === 1), "data/auto/b1-redelivery")
+      assert(TableLog.commitIfAbsent(spark, table, "auto", 1L, again) === -1)
+      // and the checkpointed replay serves the head without v1/v2
+      Seq("v1.log", "v2.log").foreach { m =>
+        assert(fs(table).rename(new Path(s"$table/_log/$m"),
+          new Path(s"$table/_log/hidden-$m")))
+      }
+      try assert(TableLog.readAsOf(spark, table, 5).count() === ev.count())
+      finally Seq("v1.log", "v2.log").foreach { m =>
+        fs(table).rename(new Path(s"$table/_log/hidden-$m"),
+          new Path(s"$table/_log/$m"))
+      }
+    } finally spark.conf.unset("spark.graft.log.checkpointInterval")
+  }
+
   test("s19: checkpoint wire format refuses corruption loudly") {
     import spark.implicits._
     val table = s"${Etl.scratch(spark)}/s19_wire_table"
