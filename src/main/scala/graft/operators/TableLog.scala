@@ -515,21 +515,42 @@ object TableLog {
     * yanking manifests under live reads). Without such a checkpoint
     * NOTHING is deleted: manifest GC must never outrun checkpointing.
     * Superseded checkpoints below the newest one in the retained range
-    * retire too. Returns the deleted _log entries. */
+    * retire too. Returns the deleted _log entries.
+    * `minAgeMs` is the in-flight-READER grace guard (vacuum's minAgeMs
+    * analog, other direction): a reader that resolved its replay start
+    * BEFORE the covering checkpoint landed is still walking the old
+    * manifests — nothing retires unless the checkpoint is older than the
+    * longest plausible read, so such a reader finishes first. 0 keeps
+    * delete-now for single-reader tables (the spec fixtures). Only names
+    * whose delete actually SUCCEEDED are reported — a failed delete must
+    * not read as a retired chain. */
   private[graft] def vacuumLog(spark: SparkSession, table: String,
-      retainFrom: Int): Seq[String] = {
+      retainFrom: Int, minAgeMs: Long = 0L): Seq[String] = {
     val f = fsOf(spark, table)
-    newestCheckpoint(spark, table, retainFrom) match {
-      case None => Seq.empty
-      case Some(c) =>
-        val logDir = new Path(table, "_log")
-        val deletable = f.listStatus(logDir).toSeq.filter { s =>
+    val logDir = new Path(table, "_log")
+    if (!f.exists(logDir)) return Seq.empty
+    // ONE listing serves both the covering-checkpoint lookup and the
+    // candidate sweep (this API exists for 10^5-10^6-entry _log dirs)
+    val logRe = "^v(\\d+)\\.log$".r
+    val ckptRe = "^v(\\d+)\\.ckpt$".r
+    val entries = f.listStatus(logDir).toSeq
+    val cover = entries.flatMap { s =>
+      ckptRe.findFirstMatchIn(s.getPath.getName)
+        .map(m => (m.group(1).toInt, s.getModificationTime))
+    }.filter(_._1 <= retainFrom).sortBy(_._1).lastOption
+    cover match {
+      case None => Seq.empty // GC never outruns checkpointing
+      case Some((_, ckptMtime))
+          if ckptMtime > System.currentTimeMillis() - minAgeMs =>
+        Seq.empty // checkpoint too fresh: in-flight readers may predate it
+      case Some((c, _)) =>
+        entries.filter { s =>
           val n = s.getPath.getName
-          "^v(\\d+)\\.log$".r.findFirstMatchIn(n).exists(_.group(1).toInt <= c) ||
-            "^v(\\d+)\\.ckpt$".r.findFirstMatchIn(n).exists(_.group(1).toInt < c)
+          logRe.findFirstMatchIn(n).exists(_.group(1).toInt <= c) ||
+            ckptRe.findFirstMatchIn(n).exists(_.group(1).toInt < c)
         }
-        deletable.foreach(s => f.delete(s.getPath, false))
-        deletable.map(_.getPath.getName).sorted
+          .filter(s => f.delete(s.getPath, false))
+          .map(_.getPath.getName).sorted
     }
   }
 
@@ -1169,6 +1190,12 @@ object TableLog {
   private[graft] def commitBatch(table: String, streamId: String)(
       df: DataFrame, batchId: Long): Unit = {
     val spark = df.sparkSession
+    // conf parsed BEFORE any commit: a malformed value must fail the
+    // batch cleanly, not commit-then-crash (which would crash-loop the
+    // restarted stream one successfully-committed batch at a time)
+    val confV = spark.conf.get("spark.graft.log.checkpointInterval", "0")
+    val every = confV.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"spark.graft.log.checkpointInterval must be an integer, got '$confV'"))
     if (!alreadyCommitted(spark, table, streamId, batchId)) {
       val rel = s"data/$streamId/b$batchId-${java.util.UUID.randomUUID}"
       val v = commitIfAbsent(spark, table, streamId, batchId,
@@ -1180,8 +1207,6 @@ object TableLog {
       // race (or a competing writer having advanced the head) is
       // harmless: checkpointLog is idempotent at whatever version it
       // lands on.
-      val every = spark.conf
-        .get("spark.graft.log.checkpointInterval", "0").toInt
       if (every > 0 && v > 0 && v % every == 0) checkpointLog(spark, table)
     }
   }

@@ -999,6 +999,26 @@ class LakehouseSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.log.checkpointInterval")
   }
 
+  test("s18 plan: the DV anti-join BROADCASTS the key side — the data side never shuffles for a delete") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s18_plan_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table, ev, "data/v1"))
+    Lakehouse.morDelete(spark, table,
+      ev.filter($"event_type" === "click").select($"event_id"))
+    val plan = TableLog.readAsOf(spark, table, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV read must be a broadcast anti-join:\n$plan")
+    // no exchange on the scan side: a snapshot read under a DV costs a
+    // broadcast probe, never a shuffle of the table
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"DV read shuffled the data side:\n$plan")
+  }
+
   test("s19: checkpoint wire format refuses corruption loudly") {
     import spark.implicits._
     val table = s"${Etl.scratch(spark)}/s19_wire_table"
