@@ -184,6 +184,8 @@ object SparkEntry {
     "s17_cow_merge" -> (graft.operators.Lakehouse.s17CowMerge _),
     "s18_mor_delete" -> (graft.operators.Lakehouse.s18MorDelete _),
     "s19_log_checkpoint" -> (graft.operators.Lakehouse.s19LogCheckpoint _),
+    "s20_mor_merge" -> (graft.operators.Lakehouse.s20MorMerge _),
+    "r17_log_relay" -> (graft.operators.Lakehouse.r17LogRelay _),
     "s13_warm_read" -> (graft.operators.Lakehouse.s13WarmRead _),
     "s14_warm_feed" -> (graft.operators.Lakehouse.s14WarmFeed _),
     "s15_warm_skip" -> (graft.operators.Lakehouse.s15WarmSkip _),
@@ -858,6 +860,68 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM del WHERE event_id % 3 = 0)
         |FROM e WHERE event_id NOT IN (SELECT event_id FROM del)
         |ORDER BY version""".stripMargin,
+    // v2's single commit must replace every updated key (old copy hidden
+    // by the DV, post-image landing past its scope) AND insert the new
+    // keys; v3's stacked merge must hide v2's post-image file for the
+    // re-merged keys while its own post-images escape — a resurrected
+    // pre-image, a double-applied merge, or a DV scoped over its own
+    // commit's adds flips n_up1/n_up2/n_ins or id_sum
+    "s20_mor_merge" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value FROM events),
+        | upd1 AS (SELECT event_id, user_id, event_type, value + 500000 AS value
+        |          FROM ev WHERE event_type = 'view' AND value < 100.0),
+        | ins1 AS (SELECT event_id + 10000000 AS event_id, user_id, event_type, value
+        |          FROM ev WHERE event_type = 'signup' AND value < 50.0),
+        | v2 AS (SELECT * FROM ev WHERE event_id NOT IN (SELECT event_id FROM upd1)
+        |        UNION ALL SELECT * FROM upd1
+        |        UNION ALL SELECT * FROM ins1),
+        | upd2 AS (SELECT event_id, user_id, event_type, value + 500000 AS value
+        |          FROM upd1 WHERE event_id % 3 = 0),
+        | v3 AS (SELECT * FROM v2 WHERE event_id NOT IN (SELECT event_id FROM upd2)
+        |        UNION ALL SELECT * FROM upd2)
+        |SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |  COUNT(CASE WHEN value >= 500000.0 AND value < 1000000.0 THEN 1 END) AS n_up1,
+        |  COUNT(CASE WHEN value >= 1000000.0 THEN 1 END) AS n_up2,
+        |  COUNT(CASE WHEN event_id >= 10000000 THEN 1 END) AS n_ins
+        |FROM ev
+        |UNION ALL SELECT 2, COUNT(*), CAST(SUM(event_id) AS BIGINT),
+        |  COUNT(CASE WHEN value >= 500000.0 AND value < 1000000.0 THEN 1 END),
+        |  COUNT(CASE WHEN value >= 1000000.0 THEN 1 END),
+        |  COUNT(CASE WHEN event_id >= 10000000 THEN 1 END)
+        |FROM v2
+        |UNION ALL SELECT 3, COUNT(*), CAST(SUM(event_id) AS BIGINT),
+        |  COUNT(CASE WHEN value >= 500000.0 AND value < 1000000.0 THEN 1 END),
+        |  COUNT(CASE WHEN value >= 1000000.0 THEN 1 END),
+        |  COUNT(CASE WHEN event_id >= 10000000 THEN 1 END)
+        |FROM v3
+        |ORDER BY version""".stripMargin,
+    // four relay ticks over a growing source: tick 1 catches up from
+    // cold (2 versions), tick 2 must apply ZERO (the resume offset read
+    // back from the destination's own txn markers), ticks 3/4 relay the
+    // click rewrite and the error backfill — a relay that re-applied,
+    // missed a delete, or double-fed the backfill diverges on
+    // n_applied, n_rows, id_sum, or n_err_hi
+    "r17_log_relay" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+        | v3s AS (SELECT * FROM ev WHERE NOT (event_type = 'click' AND value < 100.0)),
+        | v4s AS (SELECT event_id, event_type,
+        |           CASE WHEN event_type = 'error' THEN value + 1.0 ELSE value END AS value
+        |         FROM v3s)
+        |SELECT CAST(1 AS BIGINT) AS tick, CAST(2 AS BIGINT) AS n_applied,
+        |  COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |  COUNT(CASE WHEN event_type = 'error' AND value >= 100.0 THEN 1 END) AS n_err_hi
+        |FROM ev
+        |UNION ALL SELECT 2, 0, COUNT(*), CAST(SUM(event_id) AS BIGINT),
+        |  COUNT(CASE WHEN event_type = 'error' AND value >= 100.0 THEN 1 END)
+        |FROM ev
+        |UNION ALL SELECT 3, 1, COUNT(*), CAST(SUM(event_id) AS BIGINT),
+        |  COUNT(CASE WHEN event_type = 'error' AND value >= 100.0 THEN 1 END)
+        |FROM v3s
+        |UNION ALL SELECT 4, 1, COUNT(*), CAST(SUM(event_id) AS BIGINT),
+        |  COUNT(CASE WHEN event_type = 'error' AND value >= 100.0 THEN 1 END)
+        |FROM v4s
+        |ORDER BY tick""".stripMargin,
     // the checkpointed version and the head must both replay the mod-12
     // commit rules exactly — a checkpoint that lost a file or a read
     // that missed a post-checkpoint manifest diverges on rows or id_sum
@@ -2329,18 +2393,27 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-    // r16 scale-posture re-declaration (a6b's in-row band idiom): n
-    // hash-anchors the oracle's recount; the rank bands on the GK
-    // approx_percentile values are computed in-query on the Spark side
+    // r16 scale-posture re-declaration (a6b's in-row band idiom): n and
+    // sum_cents hash-anchor the oracle's recount; the rank bands on the
+    // GK approx_percentile values are computed in-query on the Spark side
     // (sketch values are engine-specific — the band IS the grade, and a
-    // drifting sketch flips it false and the row goes red)
+    // drifting sketch flips it false and the row goes red). The oracle's
+    // bands are CROSS-ENGINE (r16 advice #4): it recomputes the rank
+    // counts against its OWN exact quantile_disc values rather than
+    // emitting literal TRUE — both engines must independently land inside
+    // the same ±0.01 rank band for the row to hash-match.
     "a9_percentiles" ->
       """WITH c AS (SELECT o_orderpriority,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders)
-        |SELECT o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
-        |  TRUE AS band_p50_ok, TRUE AS band_p90_ok
-        |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders),
+        |q AS (SELECT o_orderpriority,
+        |  quantile_disc(cents, 0.5) AS med, quantile_disc(cents, 0.9) AS p90
+        |  FROM c GROUP BY o_orderpriority)
+        |SELECT c.o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(c.cents) AS BIGINT) AS sum_cents,
+        |  ABS(SUM(CASE WHEN c.cents <= q.med THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) - 0.5) <= 0.01 AS band_p50_ok,
+        |  ABS(SUM(CASE WHEN c.cents <= q.p90 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) - 0.9) <= 0.01 AS band_p90_ok
+        |FROM c JOIN q ON c.o_orderpriority = q.o_orderpriority
+        |GROUP BY c.o_orderpriority ORDER BY c.o_orderpriority""".stripMargin,
     "a5d_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,

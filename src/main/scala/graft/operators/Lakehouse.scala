@@ -204,9 +204,16 @@ object Lakehouse {
     val adds = actions.collect { case Action("add", p, _) => p }
     val removes = actions.collect {
       case Action("remove", p, _) if !dvEver(p) => p }
+    // the empty arm is a LocalRelation (createDataFrame over an empty
+    // LIST), not an empty RDD: a LogicalRDD has no stats, so the
+    // optimizer cannot prove it empty and its union branch survives into
+    // the physical plan as a real scan node — PropagateEmptyRelation
+    // erases the LocalRelation form, keeping the no-DV/no-remove slices'
+    // plans identical to the pre-S20 shape (the r17 bench drift gate
+    // caught exactly this: s14's scan count grew 6 -> 8)
     def rd(files: Seq[String], schema: org.apache.spark.sql.types.StructType) =
       if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
       else spark.read.schema(schema).parquet(files.map(r => s"$table/$r"): _*)
     val valCols = postSchema.fieldNames.toSeq
       .intersect(preSchema.fieldNames.toSeq).filterNot(_ == keyCol)
@@ -218,8 +225,40 @@ object Lakehouse {
     // every consumer already saw deleted.
     val removedSet = removes.toSet
     val preFiles = preState.files.filter(f => removedSet(f.path))
-    val pre = (if (preFiles.isEmpty) rd(Nil, preSchema)
-      else TableLog.scanState(spark, table, preFiles, preState.dvs, Some(preSchema)))
+    val preFromRemoves =
+      if (preFiles.isEmpty) rd(Nil, preSchema)
+      else TableLog.scanState(spark, table, preFiles, preState.dvs, Some(preSchema))
+    // S18/S20: a deletion-vector action hides rows without touching a
+    // data file, so its pre-images are invisible to the removed-file scan
+    // above — derive them by semi-joining the v-1 snapshot (earlier DVs
+    // already applied: a key deleted twice feeds once) against the new
+    // DV keys, and fold them into the SAME full-outer join below. That is
+    // what nets a MOR MERGE commit (dv + adds in one version, S20) to
+    // `update` rows carrying post-images — not an insert/delete pair a
+    // strict consumer could order wrong — while a pure DV delete (S18)
+    // still nets to `delete` rows with pre-images. The DV side is
+    // delete-volume-bounded and broadcasts. Files removed by THIS commit
+    // are excluded from the semi-join scan: their visible rows already
+    // feed through the removed-file side, and feeding them twice would
+    // duplicate keys into the full-outer join.
+    val preFromDvs =
+      if (dvPaths.isEmpty) rd(Nil, preSchema)
+      else {
+        val snapFiles = preState.files.filterNot(f => removedSet(f.path))
+        val preSnap =
+          if (snapFiles.isEmpty) rd(Nil, preSchema)
+          else TableLog.scanState(spark, table, snapFiles, preState.dvs,
+            Some(preSchema))
+        dvPaths.map(p => spark.read.parquet(s"$table/$p"))
+          .groupBy(_.columns.head).toSeq
+          .map { case (kc, frames) =>
+            val keys = frames.map(_.select(col(kc).as("__dv_key"))).reduce(_ union _)
+            preSnap.join(broadcast(keys), col(kc) === col("__dv_key"), "left_semi")
+          }
+          .reduce(_ unionByName _)
+          .dropDuplicates(keyCol)
+      }
+    val pre = preFromRemoves.unionByName(preFromDvs)
       .select(col(keyCol).as("__key"), struct(valCols.map(col): _*).as("__pre"))
     val post = rd(adds, postSchema)
       .select(col(keyCol).as("__key"), struct(valCols.map(col): _*).as("__post"))
@@ -233,29 +272,7 @@ object Lakehouse {
         when(col("__post").isNotNull, col("__post")).otherwise(col("__pre")))
       .select(Seq(lit(v.toLong).as("_commit_version"), col("_change_type"),
         col("__key").as(keyCol)) ++ valCols.map(c => col(s"__img.$c").as(c)): _*)
-    // S18: a deletion-vector commit deletes rows without touching a data
-    // file, so its deltas are invisible to the add/remove join above —
-    // the feed derives their pre-images by semi-joining the v-1 snapshot
-    // (which has earlier DVs already applied: a key deleted twice feeds
-    // once) against the DV keys. The DV side is delete-volume-bounded
-    // and broadcasts; keys with no live pre-image feed nothing.
-    if (dvPaths.isEmpty) fileDelta
-    else {
-      val preSnap = TableLog.scanState(spark, table, preState.files,
-        preState.dvs, Some(preSchema))
-      val dvDeletes = dvPaths.map(p => spark.read.parquet(s"$table/$p"))
-        .groupBy(_.columns.head).toSeq
-        .map { case (kc, frames) =>
-          val keys = frames.map(_.select(col(kc).as("__dv_key"))).reduce(_ union _)
-          preSnap.join(broadcast(keys), col(kc) === col("__dv_key"), "left_semi")
-        }
-        .reduce(_ unionByName _)
-        .dropDuplicates(keyCol)
-        .select(Seq(lit(v.toLong).as("_commit_version"),
-          lit("delete").as("_change_type"), col(keyCol)) ++
-          valCols.map(col): _*)
-      fileDelta.unionByName(dvDeletes)
-    }
+    fileDelta
   }
 
   /** Single-commit wrapper (cdfApply's shape): one prefix replay for the
@@ -296,7 +313,7 @@ object Lakehouse {
             org.apache.spark.sql.types.StringType, nullable = false),
           schema(keyCol)) ++
           schema.fields.filterNot(_.name == keyCol))
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], feed)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), feed)
     }
     // ONE replay threaded across the window — O(window) manifest reads
     // past the base state (which itself starts from the newest log
@@ -586,7 +603,7 @@ object Lakehouse {
     // (the same invariant compactCommit's new-DV conflict guards)
     val base =
       if (touched.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dstSchema.get)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), dstSchema.get)
       else TableLog.scanState(spark, dst, touched, dstState.dvs, dstSchema)
     val survivors = base.join(gone, c(keyCol) === c("__gone"), "left_anti")
     val arrivals = delta.filter(c("_change_type") =!= "delete")
@@ -676,8 +693,11 @@ object Lakehouse {
     // plain commit, not blind retry: delete-by-key does NOT commute with
     // a concurrent commit that re-inserts the key (the dv would scope
     // over the loser's files on retry) — a lost race surfaces loudly and
-    // the caller decides, the compaction-conflict discipline
-    TableLog.commit(spark, table, staged)
+    // the caller decides, the compaction-conflict discipline. The commit
+    // declares the `dv` reader feature (S21): a reader that skipped the
+    // dv action would resurrect every deleted row, so the requirement is
+    // stated on the wire, not assumed
+    TableLog.commit(spark, table, Action("feature", "dv") +: staged)
   }
 
   /** S18 [EXT]: declared query — v1 stages the events table key-clustered
@@ -710,6 +730,217 @@ object Lakehouse {
           count(when($"value" >= 100000.0, 1)).as("n_bumped"))
         .select(lit(v.toLong).as("version"), $"n_rows", $"id_sum", $"n_bumped")
     }.reduce(_ unionByName _).orderBy($"version")
+  }
+
+  // ------------------------- S20: merge-on-read UPSERT (DV + post-images)
+
+  /** S20 [EXT]: merge-on-read UPSERT — the third leg of the merge family
+    * (S17 rewrites the covering files copy-on-write; S18 deletes by DV;
+    * this MERGEs by DV): ONE commit carries a deletion vector over the
+    * upsert keys — hiding any existing copy in files added before it,
+    * the S18 sequence-number scoping — plus the staged post-image rows,
+    * which land AT the commit's version and therefore escape its own DV.
+    * No existing data file is read or rewritten.
+    *
+    * Cost shape at 100 TB: an upsert touching k keys costs O(k) at write
+    * time — one key-file parquet and the post-image stage — where S17
+    * pays O(files covering the keys) in read+rewrite; the read-side tax
+    * is the same broadcast anti-join every S18 DV already costs, and the
+    * next OPTIMIZE ([[compactCommit]]) absorbs both. That is the
+    * Delta-DV / Hudi-MOR upsert trade: frequent fine-grained upserts pay
+    * at compaction time, not per commit.
+    *
+    * Contracts: `rows` must carry exactly the logged schema's columns
+    * (an upsert is a full-row replacement — partial-column updates are a
+    * read-modify-write, S17's job); `keyCol` must be key-unique in
+    * `rows` AND in the table snapshot (the same uniqueness every CDF
+    * consumer assumes — duplicate source keys would all land). Post-
+    * images stage key-clustered with manifest stats when the key is
+    * integral, so S15/S16 pruning and S17's covering-file bound survive
+    * the merge. Plain commit, no blind retry: an upsert does not commute
+    * with a concurrent commit touching the same keys (morDelete's
+    * discipline — a lost race surfaces loudly and the caller decides).
+    * Returns the committed version, or the current version unchanged for
+    * an empty `rows` (a no-op MERGE commits nothing). */
+  def morMerge(spark: SparkSession, table: String, rows: DataFrame,
+      keyCol: String, files: Int = 1): Int = {
+    val cur = TableLog.currentVersion(spark, table)
+    require(cur > 0, "morMerge upserts into an existing table — commit a v1 first")
+    val sch = TableLog.schemaAsOf(spark, table, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"morMerge needs a logged schema for $table — commit one at v1"))
+    require(sch.fieldNames.contains(keyCol),
+      s"morMerge key column '$keyCol' is not in the table schema " +
+        s"(${sch.fieldNames.mkString(", ")})")
+    require(rows.columns.toSet == sch.fieldNames.toSet,
+      s"morMerge post-images must carry exactly the logged schema " +
+        s"(${sch.fieldNames.mkString(", ")}); got ${rows.columns.mkString(", ")} " +
+        "— a partial-column update is a read-modify-write (S17), not a MOR merge")
+    // pin the source ONCE (cdfApply's localCheckpoint discipline): the DV
+    // keys and the staged post-images are both derived from `rows`, and a
+    // nondeterministic frame (a LIMIT without ORDER, a sampled filter)
+    // re-evaluated per pass would commit a DV that hides keys whose
+    // post-images never landed — silent row loss inside one commit
+    val post = rows.select(sch.fieldNames.toSeq.map(col): _*).localCheckpoint()
+    // an empty MERGE source must not commit a zero-key DV
+    if (post.isEmpty) return cur
+    // the DV key file: morDelete's self-describing wire (the single
+    // column's NAME is the key column), one file by the delete-volume
+    // broadcast contract
+    val dvRel = s"data/dv/${java.util.UUID.randomUUID}"
+    post.select(col(keyCol)).distinct().coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$table/$dvRel")
+    val dvActs = TableLog.listStaged(spark, table, dvRel)
+      .map(a => Action("dv", a.path))
+    require(dvActs.nonEmpty, "morMerge staged no key file")
+    // post-images: clustered with stats when the key can carry them
+    // (stageWithStats' integral wire contract), plain otherwise — stats
+    // skip work, never rows, so a statless merge file is just unprunable
+    val addRel = s"data/merge/${java.util.UUID.randomUUID}"
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val keyType = sch(keyCol).dataType
+    val adds =
+      if (keyType == LongType || keyType == IntegerType ||
+          keyType == ShortType || keyType == ByteType)
+        TableLog.stageWithStats(spark, table, post, addRel, Seq(keyCol), files)
+      else TableLog.stage(spark, table, post, addRel)
+    // declares the `dv` reader feature (S21, morDelete's discipline)
+    TableLog.commit(spark, table,
+      Action("feature", "dv") +: (dvActs ++ adds))
+  }
+
+  /** S20 [EXT]: declared query — v1 stages the events table key-clustered
+    * into 8 files with stats; v2 MOR-merges an update of every cheap
+    * 'view' row (+500000 value bump, full-row post-images) UNION a pure
+    * insert of new keys (cheap 'signup' rows re-keyed +10^7) in ONE
+    * commit, zero data files touched; v3 re-merges a deterministic third
+    * of the v2-updated keys (+500000 again — the stacked-DV path: v3's
+    * DV must hide v2's post-image file for those keys while v3's own
+    * post-images escape). The audit reads every version with disjoint
+    * detectors: n_up1 counts once-updated rows, n_up2 twice-updated,
+    * n_ins inserted keys — a resurrected pre-image, a lost survivor, a
+    * double-applied merge, or a DV scoped over its own commit's adds
+    * each flips a detector. The oracle replays the three commit rules
+    * directly. */
+  def s20MorMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s20_table"
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, Action("schema", ev.schema.json) +:
+      TableLog.stageWithStats(spark, table, ev, "data/v1", Seq("event_id"), 8))
+    val upd1 = ev.filter($"event_type" === "view" && $"value" < 100.0)
+      .withColumn("value", $"value" + 500000.0)
+    val ins1 = ev.filter($"event_type" === "signup" && $"value" < 50.0)
+      .withColumn("event_id", $"event_id" + 10000000L)
+    morMerge(spark, table, upd1.unionByName(ins1), "event_id", files = 2)
+    val upd2 = upd1.filter($"event_id" % 3 === 0)
+      .withColumn("value", $"value" + 500000.0)
+    morMerge(spark, table, upd2, "event_id", files = 1)
+    (1 to 3).map { v =>
+      TableLog.readAsOf(spark, table, v)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"),
+          count(when($"value" >= 500000.0 && $"value" < 1000000.0, 1)).as("n_up1"),
+          count(when($"value" >= 1000000.0, 1)).as("n_up2"),
+          count(when($"event_id" >= 10000000L, 1)).as("n_ins"))
+        .select(lit(v.toLong).as("version"), $"n_rows", $"id_sum",
+          $"n_up1", $"n_up2", $"n_ins")
+    }.reduce(_ unionByName _).orderBy($"version")
+  }
+
+  // --------------------- R17: exactly-once log-tail relay (src log → dst log)
+
+  /** R17 [EXT]: incremental table-to-table relay — the continuous
+    * bronze→silver pipeline every lakehouse deployment runs, composed
+    * from parts this log already has: the source's change feed (S14)
+    * names what moved, [[cdfApply]] lands each version as one pruned
+    * copy-on-write commit, and the destination log's OWN txn markers are
+    * the resume offset. A restarted relay calls
+    * [[TableLog.lastCommitted]] on the destination and continues from
+    * the next source version — there is no external offset store
+    * (checkpoint directory, consumer-group coordinator) to lose, lag
+    * behind, or double-apply against, and a re-delivered version still
+    * no-ops at cdfApply's per-version txn gate (belt and braces: the
+    * offset probe optimizes, the gate guarantees).
+    *
+    * At 100 TB: each tick costs O(changed data in the window), never
+    * O(table) — the S14/S17 bound — and the offset probe is O(commits
+    * since the destination's last checkpoint) (S19). The destination
+    * auto-checkpoints every `spark.graft.log.checkpointInterval` commits
+    * (the R15 sink's conf), since a long-lived relay is exactly the
+    * writer whose manifest chain and offset probe grow without bound.
+    * Drive it from any scheduler — a Structured Streaming foreachBatch
+    * tick (StreamingSpec does), cron, or a loop. Returns the source
+    * versions applied this tick (empty = caught up). */
+  def relay(spark: SparkSession, src: String, dst: String, keyCol: String,
+      consumer: String, files: Int = 4): Seq[Int] = {
+    val streamId = s"cdf:$consumer"
+    val confV = spark.conf.get("spark.graft.log.checkpointInterval", "0")
+    val every = confV.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"spark.graft.log.checkpointInterval must be an integer, got '$confV'"))
+    val from = TableLog.lastCommitted(spark, dst, streamId)
+      .map(_.toInt).getOrElse(0)
+    val to = TableLog.currentVersion(spark, src)
+    ((from + 1) to to).map { v =>
+      val dstV = cdfApply(spark, src, dst, v, keyCol, consumer, files)
+      if (every > 0 && dstV > 0 && dstV % every == 0)
+        TableLog.checkpointLog(spark, dst)
+      v
+    }
+  }
+
+  /** R17 [EXT]: declared query — the relay driven through four ticks of a
+    * GROWING source: tick 1 catches up from cold over the first two
+    * commits (the mod-4 split), tick 2 finds nothing new and must apply
+    * ZERO (the resume offset read back from the destination's own log),
+    * tick 3 relays the click rewrite (deletes only — identical re-adds
+    * must not move), tick 4 the error backfill (updates). Each tick's
+    * audit row carries how many versions the relay applied plus the
+    * destination rollup; the oracle replays the source commit rules at
+    * each prefix — a relay that re-applied on tick 2, missed a delete,
+    * or fed the backfill twice diverges on n_applied, rows, or hash. */
+  def r17LogRelay(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = s"${Etl.scratch(spark)}/r17_src_table"
+    val dst = s"${Etl.scratch(spark)}/r17_dst_table"
+    val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(src, dst).foreach(t => fs.delete(new Path(t), true))
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    // the buildFixture commit rules, landed tick-by-tick so the source
+    // genuinely grows between relay calls
+    val types = ev.select($"event_type").distinct()
+      .orderBy($"event_type").as[String].collect().toSeq
+    def typed(df: DataFrame, v: Int): Seq[Action] =
+      types.flatMap(t => TableLog.stage(spark, src,
+        df.filter($"event_type" === t), s"data/v$v/$t"))
+    def audit(tick: Int, applied: Int): DataFrame =
+      TableLog.readAsOf(spark, dst, TableLog.currentVersion(spark, dst))
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"),
+          count(when($"event_type" === "error" && $"value" >= 100.0, 1))
+            .as("n_err_hi"))
+        .select(lit(tick.toLong).as("tick"),
+          lit(applied.toLong).as("n_applied"), $"n_rows", $"id_sum", $"n_err_hi")
+    TableLog.commit(spark, src, Action("schema", ev.schema.json) +:
+      typed(ev.filter($"event_id" % 4 =!= 3), 1))
+    TableLog.commit(spark, src, typed(ev.filter($"event_id" % 4 === 3), 2))
+    val a1 = audit(1, relay(spark, src, dst, "event_id", "r17").size)
+    // caught up: the offset comes back from the DESTINATION's txn markers
+    val a2 = audit(2, relay(spark, src, dst, "event_id", "r17").size)
+    val retired3 = TableLog.liveFiles(spark, src, 2).filter(_.contains("/click/"))
+    TableLog.commit(spark, src, retired3.map(Action("remove", _)) ++
+      TableLog.stage(spark, src,
+        ev.filter($"event_type" === "click" && $"value" >= 100.0), "data/v3/click"))
+    val a3 = audit(3, relay(spark, src, dst, "event_id", "r17").size)
+    val retired4 = TableLog.liveFiles(spark, src, 3).filter(_.contains("/error/"))
+    TableLog.commit(spark, src, retired4.map(Action("remove", _)) ++
+      TableLog.stage(spark, src,
+        ev.filter($"event_type" === "error").withColumn("value", $"value" + 1.0),
+        "data/v4/error"))
+    val a4 = audit(4, relay(spark, src, dst, "event_id", "r17").size)
+    Seq(a1, a2, a3, a4).reduce(_ unionByName _).orderBy($"tick")
   }
 
   // --------------------------------------------------- S19: log checkpoints

@@ -71,7 +71,40 @@ object TableLog {
       case arr if arr.headOption.exists(op =>
           op == "add" || op == "remove" || op == "dv") =>
         throw new IllegalStateException(s"corrupt manifest file action: $line")
-      case _ => None // schema / txn markers
+      case _ => None // schema / txn / feature markers
+    }
+
+  /** S21 [EXT]: reader features this engine implements. A manifest or
+    * checkpoint line `feature\t<name>` declares that correctly reading
+    * the table from that commit on REQUIRES understanding `<name>` — the
+    * protocol/table-features posture of the production formats (Delta
+    * reader versions, Iceberg format-version). The gate exists because
+    * [[parseAction]] deliberately tolerates unknown line kinds (schema
+    * and txn markers ride the same wire), so without it a FUTURE writer's
+    * new action — a range delete, an equality predicate — would be
+    * silently SKIPPED by an old reader, which then serves resurrected or
+    * duplicate rows with no error anywhere. The gate turns that silent
+    * wrongness into a loud refusal at replay time; declaring a feature
+    * the reader does implement costs one string compare per line. A
+    * declaration is permanent once committed (removal would need a
+    * rewrite proving no surviving action depends on it); the set rides
+    * checkpoints so it survives [[vacuumLog]] manifest GC. */
+  private[graft] val SUPPORTED_READER_FEATURES: Set[String] =
+    Set("dv", "stats", "checkpoint")
+
+  /** Refuse a `feature` line naming anything this reader does not
+    * implement; tolerate everything else. `where` names the table+version
+    * so the refusal points at the offending commit, not just the read. */
+  private def checkFeatureLine(line: String, where: String): Unit =
+    if (line.startsWith("feature\t")) {
+      val name = line.stripPrefix("feature\t")
+      if (name.isEmpty || name.contains("\t"))
+        throw new IllegalStateException(s"corrupt feature line in $where: $line")
+      if (!SUPPORTED_READER_FEATURES(name))
+        throw new IllegalStateException(
+          s"$where requires reader feature '$name'; this engine implements " +
+            s"only [${SUPPORTED_READER_FEATURES.toSeq.sorted.mkString(", ")}] " +
+            "and refuses to replay a log whose actions it could misread")
     }
 
   private def fsOf(spark: SparkSession, table: String): FileSystem =
@@ -179,8 +212,17 @@ object TableLog {
     finally in.close()
   }
 
-  private def manifestLines(f: FileSystem, table: String, v: Int): Seq[String] =
-    readLogLines(f, new Path(table, s"_log/v$v.log"))
+  /** The ONE manifest read primitive — every replay path (liveState,
+    * schemaAsOf, the txn gates, cdf, vacuum) comes through here, so the
+    * S21 feature gate lives here: a manifest declaring a feature this
+    * reader lacks refuses before any caller can act on a partial parse.
+    * (GC included on purpose: deleting manifests you cannot fully read
+    * is how a retention pass loses an action it never understood.) */
+  private def manifestLines(f: FileSystem, table: String, v: Int): Seq[String] = {
+    val lines = readLogLines(f, new Path(table, s"_log/v$v.log"))
+    lines.foreach(checkFeatureLine(_, s"$table@v$v"))
+    lines
+  }
 
   /** Parse the col-min-max triples of a file action / checkpoint file
     * line — ONE parser so the manifest and checkpoint wire formats can
@@ -221,7 +263,7 @@ object TableLog {
     * O(commits since checkpoint) too. */
   private[graft] final case class Checkpoint(files: Seq[LiveFile],
       dvs: Seq[(String, Int)], schema: Option[org.apache.spark.sql.types.StructType],
-      txns: Set[String])
+      txns: Set[String], features: Set[String] = Set.empty)
 
   /** Parsed-checkpoint cache. Without it every txn probe and every
     * schema fallback re-downloads and re-parses the same multi-MB file —
@@ -252,10 +294,11 @@ object TableLog {
   /** Checkpoint wire format — ONE line per collapsed fact, its own forms
     * (manifests are untouched; pre-S19 logs replay unchanged):
     * `file\t<addVersion>\t<path>[\tcol\tmin\tmax]...` / `dv\t<version>\t
-    * <path>` / `schema\t<json>` / `txn\t<stream>\t<batch>`. Corrupt lines
-    * refuse loudly, the manifest-parse discipline: a silently dropped
-    * `file` line loses a live file from every read that trusts the
-    * checkpoint. */
+    * <path>` / `schema\t<json>` / `txn\t<stream>\t<batch>` /
+    * `feature\t<name>` (S21 — the accumulated reader-feature set, gated
+    * by the same check the manifests run). Corrupt lines refuse loudly,
+    * the manifest-parse discipline: a silently dropped `file` line loses
+    * a live file from every read that trusts the checkpoint. */
   private[graft] def loadCheckpoint(spark: SparkSession, table: String,
       version: Int): Checkpoint = {
     val f = fsOf(spark, table)
@@ -270,6 +313,7 @@ object TableLog {
     val dvs = Seq.newBuilder[(String, Int)]
     var schema: Option[org.apache.spark.sql.types.StructType] = None
     val txns = Set.newBuilder[String]
+    val features = Set.newBuilder[String]
     readLogLines(f, path).foreach { line =>
       line.split("\t") match {
         case Array("file", v, p, rest @ _*) =>
@@ -281,11 +325,18 @@ object TableLog {
           schema = Some(org.apache.spark.sql.types.DataType.fromJson(json)
             .asInstanceOf[org.apache.spark.sql.types.StructType])
         case Array("txn", s, b) => txns += s"$s\t$b"
+        case Array("feature", _) =>
+          // validated (and refused if unimplemented) by the same gate the
+          // manifests use — the feature set must survive vacuumLog's
+          // manifest GC, which is why it rides the checkpoint at all
+          checkFeatureLine(line, s"$table v$version.ckpt")
+          features += line.stripPrefix("feature\t")
         case Array("") => ()
         case _ => corrupt(line)
       }
     }
-    val ck = Checkpoint(files.result(), dvs.result(), schema, txns.result())
+    val ck = Checkpoint(files.result(), dvs.result(), schema, txns.result(),
+      features.result())
     if (ckptCache.size > 256) ckptCache.clear()
     ckptCache.put(key, ck)
     ck
@@ -308,16 +359,23 @@ object TableLog {
     require(cur >= 1, s"nothing to checkpoint in $table")
     val st = liveState(spark, table, cur)
     val schema = schemaAsOf(spark, table, cur)
-    // txn markers: the previous checkpoint's set plus the window's lines
+    // txn markers and feature declarations: the previous checkpoint's
+    // sets plus the window's lines (features MUST ride the checkpoint —
+    // after vacuumLog retires the declaring manifest, the checkpoint is
+    // the only place the requirement survives)
     val f = fsOf(spark, table)
     val prevC = newestCheckpoint(spark, table, cur)
-    val prevTxns = prevC.map(loadCheckpoint(spark, table, _).txns)
-      .getOrElse(Set.empty[String])
-    val txns = prevTxns ++
-      ((prevC.getOrElse(0) + 1) to cur).flatMap(v =>
-        manifestLines(f, table, v).collect {
-          case l if l.startsWith("txn\t") => l.stripPrefix("txn\t")
-        })
+    val prevCk = prevC.map(loadCheckpoint(spark, table, _))
+    val window = ((prevC.getOrElse(0) + 1) to cur)
+      .flatMap(v => manifestLines(f, table, v))
+    val txns = prevCk.map(_.txns).getOrElse(Set.empty[String]) ++
+      window.collect {
+        case l if l.startsWith("txn\t") => l.stripPrefix("txn\t")
+      }
+    val features = prevCk.map(_.features).getOrElse(Set.empty[String]) ++
+      window.collect {
+        case l if l.startsWith("feature\t") => l.stripPrefix("feature\t")
+      }
     val tmp = f.makeQualified(new Path(table,
       s"_log/.v$cur.ckpt.${java.util.UUID.randomUUID}.tmp"))
     val out = f.create(tmp, true)
@@ -333,6 +391,8 @@ object TableLog {
       }
       schema.foreach(s => out.write(s"schema\t${s.json}\n".getBytes("UTF-8")))
       txns.foreach(t => out.write(s"txn\t$t\n".getBytes("UTF-8")))
+      features.toSeq.sorted.foreach(n =>
+        out.write(s"feature\t$n\n".getBytes("UTF-8")))
       out.hflush()
     } finally out.close()
     val dst = f.makeQualified(new Path(table, s"_log/v$cur.ckpt"))
@@ -409,6 +469,35 @@ object TableLog {
       loadCheckpoint(spark, table, c).txns.contains(s"$streamId\t$batchId")) ||
       ((floor.getOrElse(0) + 1) to cur).exists(v =>
         manifestLines(f, table, v).contains(s"txn\t$streamId\t$batchId"))
+  }
+
+  /** Newest batchId committed under `streamId`, or None if the stream has
+    * never committed here — the RESUME OFFSET of a relay or ingest whose
+    * exactly-once markers live in THIS table's own log (R17): a restarted
+    * consumer asks the destination where it left off, so there is no
+    * external offset store to lose, lag, or double-apply against. Same
+    * S19 cost shape as [[alreadyCommitted]]: the checkpoint's txn set
+    * plus only the manifests past it — O(commits since checkpoint), not
+    * O(table lifetime). The `\t` in the probe prefix is load-bearing: it
+    * stops a streamId that prefixes another (`cdf:a` / `cdf:ab`) from
+    * claiming the other's offsets. */
+  private[graft] def lastCommitted(spark: SparkSession, table: String,
+      streamId: String): Option[Long] = {
+    val f = fsOf(spark, table)
+    val cur = currentVersion(spark, table)
+    if (cur == 0) return None
+    val floor = newestCheckpoint(spark, table, cur)
+    val pfx = s"$streamId\t"
+    val linePfx = s"txn\t$pfx"
+    val fromCkpt = floor.toSeq.flatMap(c =>
+      loadCheckpoint(spark, table, c).txns.collect {
+        case t if t.startsWith(pfx) => t.stripPrefix(pfx).toLong
+      })
+    val fromLog = ((floor.getOrElse(0) + 1) to cur).flatMap(v =>
+      manifestLines(f, table, v).collect {
+        case l if l.startsWith(linePfx) => l.stripPrefix(linePfx).toLong
+      })
+    (fromCkpt ++ fromLog).maxOption
   }
 
   /** Commit `actions` tagged with a `(streamId, batchId)` txn marker —
@@ -755,7 +844,7 @@ object TableLog {
       val s = schema.getOrElse(throw new IllegalStateException(
         s"every file pruned and no logged schema for $table@v$version"))
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
     }
     scanState(spark, table, kept, st.dvs, schema).filter(pred)
   }

@@ -16,7 +16,11 @@ import graft.operators.{Lakehouse, TableLog}
   *  - s18 merge-on-read delete: wall of the delete itself (one key-file
   *    write — compare against the s17 apply that rewrites files), the
   *    full-scan read tax of the DV anti-join (read wall before vs after
-  *    the delete), and the OPTIMIZE absorb wall that retires it.
+  *    the delete), and the OPTIMIZE absorb wall that retires it;
+  *  - s20 merge-on-read upsert: wall of a DV merge over ~0.1% of keys
+  *    SCATTERED across the whole domain (the case where a CoW apply
+  *    would rewrite every file — compare cold_apply), its read tax, and
+  *    the absorbing OPTIMIZE.
   *
   * Run on an events tier (`MakeHeavy <src> <out> <copies> events`).
   * Mutations are timed once (they move the table); reads are
@@ -107,6 +111,24 @@ object LakeMergeProbe {
     val tReadPacked = readMedian(() =>
       rollup(TableLog.readAsOf(spark, dst, head())))
 
+    // ---- s20: MOR upsert of ~0.1% of keys SCATTERED across the whole
+    // domain — the worst case for a CoW apply (every destination file's
+    // range is hit, so S17 would rewrite all of them; compare cold_apply)
+    // and the case the DV merge exists for: O(k) at write time. The
+    // source frame is built outside the timing (production upserts
+    // arrive as their own small frame, they are not derived by scanning
+    // the destination).
+    val mergeRows = ev.filter($"event_id" % 997 === 0)
+      .withColumn("value", $"value" + 2.0).localCheckpoint()
+    val tMerge = timed {
+      Lakehouse.morMerge(spark, dst, mergeRows, "event_id", files = 1)
+    }
+    val tReadMergeDv = readMedian(() =>
+      rollup(TableLog.readAsOf(spark, dst, head())))
+    val tMergeAbsorb = timed {
+      Lakehouse.compactCommit(spark, dst, FILES, statsCols = Seq("event_id"))
+    }
+
     val line = "{" + Seq(
       s""""build":$tBuild""",
       s""""cold_apply":$tCold""",
@@ -117,6 +139,9 @@ object LakeMergeProbe {
       s""""read_with_dv":$tReadDv""",
       s""""s18_absorb":$tAbsorb""",
       s""""read_packed":$tReadPacked""",
+      s""""s20_merge":$tMerge""",
+      s""""read_with_merge_dv":$tReadMergeDv""",
+      s""""s20_absorb":$tMergeAbsorb""",
       s""""files":$FILES""",
       s""""dir":"$dir"""").mkString(",") + "}"
     println(line)

@@ -1142,4 +1142,365 @@ class LakehouseSpec extends SparkSpecBase {
     assert(out("error") === v4("error"))
     assert(out("click")._2 >= 100.0)
   }
+
+  // ------------------------------------------ S20: merge-on-read UPSERT
+
+  test("s20: a MOR merge commits ONE DV + post-images and rewrites ZERO data files; updates replace, inserts land, stacked merges scope correctly") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s20_spec_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stageWithStats(spark, table, ev, "data/v1", Seq("event_id"), 8))
+    val before = TableLog.liveState(spark, table, 1)
+    val sig = before.files.map { f =>
+      val st = fs(table).getFileStatus(new Path(s"$table/${f.path}"))
+      f.path -> (st.getLen, st.getModificationTime)
+    }.toMap
+    val upd = ev.filter($"event_type" === "view" && $"value" < 100.0)
+      .withColumn("value", $"value" + 500000.0)
+    val ins = ev.filter($"event_type" === "signup" && $"value" < 50.0)
+      .withColumn("event_id", $"event_id" + 10000000L)
+    val v2 = Lakehouse.morMerge(spark, table, upd.unionByName(ins), "event_id", 2)
+    assert(v2 === 2)
+    // zero data-file rewrites: every v1 file still live and byte-identical
+    val after = TableLog.liveState(spark, table, 2)
+    before.files.foreach { f =>
+      assert(after.files.map(_.path).contains(f.path))
+      val st = fs(table).getFileStatus(new Path(s"$table/${f.path}"))
+      assert((st.getLen, st.getModificationTime) === sig(f.path),
+        s"MOR merge physically rewrote ${f.path}")
+    }
+    assert(after.dvs.size === 1)
+    // the snapshot replaced every updated key exactly once (the DV hides
+    // the v1 copy; the post-image escapes its own commit's DV) and the
+    // inserts landed
+    val updIds = upd.select($"event_id").as[Long].collect().toSet
+    val snap2 = TableLog.readAsOf(spark, table, 2)
+    assert(snap2.filter($"event_id".isInCollection(updIds))
+      .groupBy($"event_id").count().filter($"count" =!= 1L).count() === 0L)
+    assert(snap2.filter($"event_id".isInCollection(updIds) &&
+      $"value" < 500000.0).count() === 0L, "a pre-image survived the merge")
+    assert(snap2.filter($"event_id" >= 10000000L).count() === ins.count())
+    assert(snap2.count() === ev.count() + ins.count())
+    // v1 time travel is unaffected
+    assert(TableLog.readAsOf(spark, table, 1).filter($"value" >= 500000.0)
+      .count() === 0L)
+    // a stacked re-merge: v3's DV must hide v2's post-image FILE for the
+    // re-merged keys (file version 2 < dv version 3) while v3's own
+    // post-images escape
+    val upd2 = upd.filter($"event_id" % 3 === 0)
+      .withColumn("value", $"value" + 500000.0)
+    val v3 = Lakehouse.morMerge(spark, table, upd2, "event_id", 1)
+    assert(v3 === 3)
+    val upd2Ids = upd2.select($"event_id").as[Long].collect().toSet
+    val snap3 = TableLog.readAsOf(spark, table, 3)
+    assert(snap3.filter($"event_id".isInCollection(upd2Ids))
+      .groupBy($"event_id").count().filter($"count" =!= 1L).count() === 0L)
+    assert(snap3.filter($"event_id".isInCollection(upd2Ids) &&
+      $"value" < 1000000.0).count() === 0L,
+      "a once-merged post-image survived the stacked re-merge")
+    assert(snap3.count() === snap2.count())
+  }
+
+  test("s20 x s14: a MOR merge feeds UPDATE rows with post-images and INSERT rows — never an insert/delete pair") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s20_cdf_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table, ev, "data/v1"))
+    val upd = ev.filter($"event_type" === "view" && $"value" < 100.0)
+      .withColumn("value", $"value" + 500000.0)
+    val ins = ev.filter($"event_type" === "signup" && $"value" < 50.0)
+      .withColumn("event_id", $"event_id" + 10000000L)
+    Lakehouse.morMerge(spark, table, upd.unionByName(ins), "event_id", 2)
+    val feed = Lakehouse.cdfRead(spark, table, 1, 2, "event_id")
+    val byType = feed.groupBy($"_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType.keySet === Set("update", "insert"),
+      s"a MOR merge must net to updates+inserts; got $byType")
+    assert(byType("update") === upd.count())
+    assert(byType("insert") === ins.count())
+    // update rows carry the POST-image
+    assert(feed.filter($"_change_type" === "update" && $"value" < 500000.0)
+      .count() === 0L)
+    val wantUpd = upd.select($"event_id", $"value").as[(Long, Double)]
+      .collect().toSet
+    assert(feed.filter($"_change_type" === "update")
+      .select($"event_id", $"value").as[(Long, Double)].collect().toSet
+      === wantUpd)
+    // an upsert whose post-image EQUALS the pre-image feeds NOTHING (the
+    // pure-rewrite discipline): merge the same rows again unchanged
+    Lakehouse.morMerge(spark, table,
+      ev.filter($"event_type" === "error").limit(20), "event_id", 1)
+    assert(Lakehouse.cdfRead(spark, table, 2, 3, "event_id").count() === 0L,
+      "an identical-value upsert leaked into the change feed")
+  }
+
+  test("s20 x s13: compaction ABSORBS merge DVs — rows physically purged, snapshot identical, post-images kept") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s20_compact_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stageWithStats(spark, table, ev, "data/v1", Seq("event_id"), 8))
+    val upd = ev.filter($"event_type" === "view" && $"value" < 100.0)
+      .withColumn("value", $"value" + 500000.0)
+    Lakehouse.morMerge(spark, table, upd, "event_id", 2)
+    val pre = TableLog.readAsOf(spark, table, 2)
+      .agg(count(lit(1)), sum($"event_id"),
+        count(when($"value" >= 500000.0, 1))).collect().head
+    val vOpt = Lakehouse.compactCommit(spark, table, 2)
+    val st = TableLog.liveState(spark, table, vOpt)
+    assert(st.dvs.isEmpty, "compaction must retire the merge DV")
+    assert(st.files.size === 2)
+    assert(TableLog.readAsOf(spark, table, vOpt)
+      .agg(count(lit(1)), sum($"event_id"),
+        count(when($"value" >= 500000.0, 1))).collect().head === pre,
+      "the absorbing OPTIMIZE changed the merged snapshot")
+    // the packed files physically exclude the replaced pre-images: a raw
+    // un-DV'd read of the live files equals the snapshot
+    val raw = spark.read.parquet(
+      st.files.map(f => s"$table/${f.path}"): _*)
+    assert(raw.count() === pre.getLong(0))
+  }
+
+  test("s20 x s17: the CoW apply replicates a MOR merge downstream — update keys rewrite their covering files, inserts append") {
+    import spark.implicits._
+    val src = s"${Etl.scratch(spark)}/s20_apply_src"
+    val dst = s"${Etl.scratch(spark)}/s20_apply_dst"
+    Seq(src, dst).foreach(t => fs(t).delete(new Path(t), true))
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, src, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, src, ev, "data/v1"))
+    val upd = ev.filter($"event_type" === "view" && $"value" < 100.0)
+      .withColumn("value", $"value" + 500000.0)
+    val ins = ev.filter($"event_type" === "signup" && $"value" < 50.0)
+      .withColumn("event_id", $"event_id" + 10000000L)
+    Lakehouse.morMerge(spark, src, upd.unionByName(ins), "event_id", 2)
+    (1 to 2).foreach(v =>
+      Lakehouse.cdfApply(spark, src, dst, v, "event_id", "s20cdf", files = 4))
+    val gotDst = TableLog.readAsOf(spark, dst, TableLog.currentVersion(spark, dst))
+    val wantSrc = TableLog.readAsOf(spark, src, 2)
+    assert(gotDst.agg(count(lit(1)), sum($"event_id"),
+        count(when($"value" >= 500000.0, 1))).collect().head
+      === wantSrc.agg(count(lit(1)), sum($"event_id"),
+        count(when($"value" >= 500000.0, 1))).collect().head)
+  }
+
+  test("s20: loud contracts — partial post-images refuse, unknown key refuses, empty source is a no-op") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s20_contract_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    intercept[IllegalArgumentException] {
+      Lakehouse.morMerge(spark, table, ev, "event_id") // no v1 yet
+    }
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table, ev, "data/v1"))
+    intercept[IllegalArgumentException] {
+      Lakehouse.morMerge(spark, table, ev.drop("value"), "event_id")
+    }
+    intercept[IllegalArgumentException] {
+      Lakehouse.morMerge(spark, table, ev, "no_such_col")
+    }
+    val v = Lakehouse.morMerge(spark, table, ev.limit(0), "event_id")
+    assert(v === 1, "an empty MERGE must not commit")
+    assert(TableLog.currentVersion(spark, table) === 1)
+  }
+
+  // -------------------------------------- R17: exactly-once log-tail relay
+
+  test("r17: the relay resumes from the destination's own txn markers — a restarted/re-run tick applies only the gap") {
+    import spark.implicits._
+    val src = s"${Etl.scratch(spark)}/r17_spec_src"
+    val dst = s"${Etl.scratch(spark)}/r17_spec_dst"
+    Seq(src, dst).foreach(t => fs(t).delete(new Path(t), true))
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    // a never-written destination has no offset
+    assert(TableLog.lastCommitted(spark, dst, "cdf:r17spec").isEmpty)
+    TableLog.commit(spark, src, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, src, ev.filter($"event_id" % 4 =!= 3), "data/v1"))
+    TableLog.commit(spark, src,
+      TableLog.stage(spark, src, ev.filter($"event_id" % 4 === 3), "data/v2"))
+    assert(Lakehouse.relay(spark, src, dst, "event_id", "r17spec") === Seq(1, 2))
+    assert(TableLog.lastCommitted(spark, dst, "cdf:r17spec") === Some(2L))
+    // the offset probe is tab-delimited: a consumer whose id PREFIXES
+    // another's must not claim its offsets
+    assert(TableLog.lastCommitted(spark, dst, "cdf:r17").isEmpty)
+    // caught up: the next tick (a restart — nothing is held in memory)
+    // applies NOTHING and commits NOTHING
+    val vBefore = TableLog.currentVersion(spark, dst)
+    assert(Lakehouse.relay(spark, src, dst, "event_id", "r17spec").isEmpty)
+    assert(TableLog.currentVersion(spark, dst) === vBefore)
+    // the source grows; the relay applies only the gap
+    val doomed = ev.filter($"event_type" === "click" && $"value" < 100.0)
+    Lakehouse.morDelete(spark, src, doomed.select($"event_id"))
+    assert(Lakehouse.relay(spark, src, dst, "event_id", "r17spec") === Seq(3))
+    val got = TableLog.readAsOf(spark, dst, TableLog.currentVersion(spark, dst))
+      .agg(count(lit(1)), sum($"event_id")).collect().head
+    val want = TableLog.readAsOf(spark, src, 3)
+      .agg(count(lit(1)), sum($"event_id")).collect().head
+    assert(got === want, "the relayed destination diverged from the source head")
+  }
+
+  test("r17 x r15 x s19: a Structured Streaming tick drives the relay; the destination auto-checkpoints under the sink conf") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = s"${Etl.scratch(spark)}/r17_stream_src"
+    val dst = s"${Etl.scratch(spark)}/r17_stream_dst"
+    Seq(src, dst).foreach(t => fs(t).delete(new Path(t), true))
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, src, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, src, ev.filter($"event_id" % 2 === 0), "data/v1"))
+    spark.conf.set("spark.graft.log.checkpointInterval", "2")
+    try {
+      val ticks = MemoryStream[Int]
+      val q = ticks.toDS().toDF().writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          Lakehouse.relay(spark, src, dst, "event_id", "r17stream"); ()
+        }
+        .outputMode("append").start()
+      try {
+        ticks.addData(1); q.processAllAvailable()
+        // tick 2 lands two more source commits; the relay applies both
+        TableLog.commit(spark, src,
+          TableLog.stage(spark, src, ev.filter($"event_id" % 2 =!= 0), "data/v2"))
+        Lakehouse.morDelete(spark, src,
+          ev.filter($"event_type" === "click" && $"value" < 100.0)
+            .select($"event_id"))
+        ticks.addData(2); q.processAllAvailable()
+        // an idle tick applies nothing
+        ticks.addData(3); q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.unset("spark.graft.log.checkpointInterval")
+    assert(TableLog.currentVersion(spark, dst) === 3)
+    // the long-lived relay checkpointed its destination (v2 % 2 == 0)
+    assert(fs(dst).exists(new Path(s"$dst/_log/v2.ckpt")),
+      "the relay destination never auto-checkpointed")
+    val got = TableLog.readAsOf(spark, dst, 3)
+      .agg(count(lit(1)), sum($"event_id")).collect().head
+    val want = TableLog.readAsOf(spark, src, 3)
+      .agg(count(lit(1)), sum($"event_id")).collect().head
+    assert(got === want)
+  }
+
+  // ----------------------- S21: reader-feature gate (protocol versioning)
+
+  test("s21: a committed FUTURE feature makes every read past it refuse loudly; earlier versions stay readable") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s21_future_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table, ev, "data/v1"))
+    // a writer from the future: v2 declares a feature this reader lacks
+    // (parseAction would silently SKIP its unknown actions — the gate is
+    // what turns that into a refusal instead of resurrected rows)
+    TableLog.commit(spark, table,
+      Seq(TableLog.Action("feature", "vector_index"),
+        TableLog.Action("future_action", "data/v2/whatever.bin")))
+    // v1 never opens the v2 manifest — still fully readable
+    assert(TableLog.readAsOf(spark, table, 1).count() === ev.count())
+    assert(TableLog.schemaAsOf(spark, table, 1).isDefined)
+    // every path that must replay v2 refuses, naming the feature
+    Seq(
+      () => TableLog.readAsOf(spark, table, 2).count(): Unit,
+      () => TableLog.schemaAsOf(spark, table, 2): Unit,
+      () => TableLog.alreadyCommitted(spark, table, "s", 1L): Unit,
+      () => Lakehouse.cdfRead(spark, table, 1, 2, "event_id").count(): Unit,
+      () => TableLog.checkpointLog(spark, table): Unit
+    ).foreach { op =>
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("vector_index"),
+        s"refusal must name the missing feature; got: ${e.getMessage}")
+    }
+  }
+
+  test("s21: DV commits declare the dv feature; the declaration rides checkpoints past manifest GC") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s21_dv_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table, ev, "data/v1"))
+    Lakehouse.morDelete(spark, table,
+      ev.filter($"event_type" === "click" && $"value" < 100.0)
+        .select($"event_id"))
+    // the requirement is on the wire, not assumed
+    val v2lines = {
+      val in = fs(table).open(new Path(s"$table/_log/v2.log"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    assert(v2lines.contains("feature\tdv"),
+      "a DV commit must declare the dv reader feature")
+    // the feature set survives checkpointing AND manifest GC: after
+    // vacuumLog retires the declaring manifest, the checkpoint is the
+    // only carrier — and a LATER checkpoint must inherit it from the
+    // previous one, not from the (gone) manifests
+    TableLog.commit(spark, table, TableLog.stage(spark, table,
+      ev.filter($"event_id" % 7 === 0)
+        .withColumn("event_id", $"event_id" + 10000000L), "data/v3"))
+    assert(TableLog.checkpointLog(spark, table) === 3)
+    assert(TableLog.loadCheckpoint(spark, table, 3).features === Set("dv"))
+    TableLog.commit(spark, table, TableLog.stage(spark, table,
+      ev.filter($"event_id" % 7 === 1)
+        .withColumn("event_id", $"event_id" + 20000000L), "data/v4"))
+    assert(TableLog.vacuumLog(spark, table, retainFrom = 3)
+      === (1 to 3).map(v => s"v$v.log"))
+    assert(TableLog.checkpointLog(spark, table) === 4)
+    assert(TableLog.loadCheckpoint(spark, table, 4).features === Set("dv"),
+      "the feature set must survive manifest GC via checkpoint inheritance")
+    // and the DV itself still applies when reading from the checkpoint
+    assert(TableLog.readAsOf(spark, table, 4)
+      .filter($"event_type" === "click" && $"value" < 100.0 &&
+        $"event_id" < 10000000L).count() === 0L)
+  }
+
+  test("s21: corrupt feature lines refuse; a checkpoint demanding an unknown feature refuses") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/s21_corrupt_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir).select($"event_id", $"value").limit(50)
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table, ev, "data/v1"))
+    // an empty feature name is wire corruption, not a tolerable marker
+    TableLog.commit(spark, table, Seq(TableLog.Action("feature", "")))
+    val e = intercept[IllegalStateException] {
+      TableLog.readAsOf(spark, table, 2).count()
+    }
+    assert(e.getMessage.contains("corrupt feature line"))
+    // a checkpoint from a future writer: known wire, unknown feature
+    val table2 = s"${Etl.scratch(spark)}/s21_ckpt_table"
+    fs(table2).delete(new Path(table2), true)
+    TableLog.commit(spark, table2, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table2, ev, "data/v1"))
+    assert(TableLog.checkpointLog(spark, table2) === 1)
+    val p = new Path(s"$table2/_log/v1.ckpt")
+    val lines = {
+      val in = fs(table2).open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val out = fs(table2).create(p, true)
+    try out.write((lines :+ "feature\trange_delete")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val e2 = intercept[IllegalStateException] {
+      TableLog.readAsOf(spark, table2, 1).count()
+    }
+    assert(e2.getMessage.contains("range_delete"))
+  }
 }
