@@ -258,20 +258,40 @@ object Lakehouse {
           .reduce(_ unionByName _)
           .dropDuplicates(keyCol)
       }
+    // columns only the POST schema has — the evolution commit itself,
+    // where v-1's logged schema lacks them so they cannot ride the
+    // compare structs. Their VALUES still ride the feed (post-images
+    // carry the full post schema; delete rows null-fill them), and a
+    // rewritten row whose only change is a NON-NULL value in a new
+    // column classifies as an update — the row genuinely gained data, a
+    // feed that dropped it would silently diverge every downstream
+    // replica. Identical rewrites that leave the new column null still
+    // feed NOTHING (a bare evolution commit or a compaction after one is
+    // not a data storm). One commit later the column is in both schemas
+    // and takes the ordinary compare path.
+    val postOnly = postSchema.fieldNames.toSeq
+      .diff(preSchema.fieldNames.toSeq).filterNot(_ == keyCol)
     val pre = preFromRemoves.unionByName(preFromDvs)
       .select(col(keyCol).as("__key"), struct(valCols.map(col): _*).as("__pre"))
     val post = rd(adds, postSchema)
-      .select(col(keyCol).as("__key"), struct(valCols.map(col): _*).as("__post"))
+      .select(Seq(col(keyCol).as("__key"),
+        struct(valCols.map(col): _*).as("__post")) ++
+        (if (postOnly.isEmpty) Nil
+         else Seq(struct(postOnly.map(col): _*).as("__postx"))): _*)
+    val postxChanged =
+      if (postOnly.isEmpty) lit(false)
+      else postOnly.map(c => col(s"__postx.$c").isNotNull).reduce(_ || _)
     val fileDelta = pre.join(post, Seq("__key"), "full_outer")
       .withColumn("_change_type",
         when(col("__pre").isNull, "insert")
           .when(col("__post").isNull, "delete")
-          .when(!(col("__pre") <=> col("__post")), "update"))
+          .when(!(col("__pre") <=> col("__post")) || postxChanged, "update"))
       .filter(col("_change_type").isNotNull)
       .withColumn("__img",
         when(col("__post").isNotNull, col("__post")).otherwise(col("__pre")))
       .select(Seq(lit(v.toLong).as("_commit_version"), col("_change_type"),
-        col("__key").as(keyCol)) ++ valCols.map(c => col(s"__img.$c").as(c)): _*)
+        col("__key").as(keyCol)) ++ valCols.map(c => col(s"__img.$c").as(c)) ++
+        postOnly.map(c => col(s"__postx.$c").as(c)): _*)
     fileDelta
   }
 
@@ -512,32 +532,48 @@ object Lakehouse {
     * that bound tight. Returns the dst version committed (-1 = replayed
     * no-op). */
   private[graft] def cdfApply(spark: SparkSession, src: String, dst: String,
-      v: Int, keyCol: String, consumer: String, files: Int): Int = {
+      v: Int, keyCol: String, consumer: String, files: Int,
+      evolveSchema: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{col => c}
     val streamId = s"cdf:$consumer"
     if (TableLog.alreadyCommitted(spark, dst, streamId, v.toLong)) return -1
-    // schema-evolution guard: cdfSlice compares on the pre/post COLUMN
-    // INTERSECTION, so replicating a source whose schema grew past the
-    // destination's would silently drop the new column's values — refuse
-    // loudly until the destination's schema is evolved first
+    // schema evolution across the replica (S12 x S17): when the source's
+    // schema grew past the destination's, either refuse loudly (the
+    // default — a replica silently missing columns is a divergence) or,
+    // with evolveSchema, ADOPT the new columns atomically with this
+    // apply: the evolved schema rides the same commit as the rewrite,
+    // old destination files null-fill under it (the S12 read rule), and
+    // the slice's post-images carry the new columns' values
+    // (cdfSliceFrom's post-only path), so the evolution commit's
+    // backfill replicates instead of vanishing
     val dstV = TableLog.currentVersion(spark, dst)
-    val dstSchema = if (dstV > 0) TableLog.schemaAsOf(spark, dst, dstV) else None
-    if (dstV > 0) {
-      val srcCols = TableLog.schemaAsOf(spark, src, v).get.fieldNames.toSet
-      val dstCols = dstSchema.get.fieldNames.toSet
-      val missing = srcCols -- dstCols
-      require(missing.isEmpty,
-        s"cdfApply: source v$v carries columns the destination lacks " +
-          s"(${missing.mkString(", ")}) — evolve the destination schema first")
-    }
+    val dstSchema0 = if (dstV > 0) TableLog.schemaAsOf(spark, dst, dstV) else None
+    val (dstSchema, schemaActs) =
+      if (dstV == 0) (dstSchema0, Seq.empty[Action])
+      else {
+        val srcSchema = TableLog.schemaAsOf(spark, src, v).get
+        val missing = srcSchema.fields.filterNot(f =>
+          dstSchema0.get.fieldNames.contains(f.name))
+        if (missing.isEmpty) (dstSchema0, Seq.empty[Action])
+        else {
+          require(evolveSchema,
+            s"cdfApply: source v$v carries columns the destination lacks " +
+              s"(${missing.map(_.name).mkString(", ")}) — pass " +
+              "evolveSchema=true to adopt them, or evolve the destination first")
+          val evolved = org.apache.spark.sql.types.StructType(
+            dstSchema0.get.fields ++ missing)
+          (Some(evolved), Seq(Action("schema", evolved.json)))
+        }
+      }
     // checkpoint the window delta: the range agg, the anti-join side, and
     // the staged write would otherwise each re-run cdfSlice's full-outer
     // join over the window's files
     val delta = cdfSlice(spark, src, v, keyCol).localCheckpoint()
     // a compaction / identical-rewrite source commit emits an EMPTY feed:
-    // record the version as applied (marker-only commit) and move nothing
+    // record the version as applied (marker-only commit, but a bare
+    // schema-evolution source commit still propagates its schema)
     if (delta.isEmpty)
-      return TableLog.commitIfAbsent(spark, dst, streamId, v.toLong, Nil)
+      return TableLog.commitIfAbsent(spark, dst, streamId, v.toLong, schemaActs)
     // attempt-unique staging dir (commitBatch's discipline): a racing
     // re-delivery of the same version must never Overwrite-delete the
     // winner's committed files — the loser's staging stays orphaned for
@@ -608,10 +644,17 @@ object Lakehouse {
     val survivors = base.join(gone, c(keyCol) === c("__gone"), "left_anti")
     val arrivals = delta.filter(c("_change_type") =!= "delete")
       .drop("_commit_version", "_change_type")
+    // allowMissingColumns carries the schema seams, null-filling either
+    // side: survivors read under a just-evolved schema already have the
+    // new columns (old files null-fill), arrivals may lack a column only
+    // the DESTINATION has (a replicated update is a full-row replacement
+    // — the source's image is authoritative, destination-local columns
+    // reset to null for rewritten rows)
     val adds = TableLog.stageWithStats(spark, dst,
-      survivors.unionByName(arrivals), rel, Seq(keyCol), files)
+      survivors.unionByName(arrivals, allowMissingColumns = true),
+      rel, Seq(keyCol), files)
     TableLog.commitIfAbsent(spark, dst, streamId, v.toLong,
-      touched.map(f => Action("remove", f.path)) ++ adds)
+      schemaActs ++ touched.map(f => Action("remove", f.path)) ++ adds)
   }
 
   /** S17 [EXT]: declared query — replicate the s14 source history into a
@@ -872,10 +915,14 @@ object Lakehouse {
     * (the R15 sink's conf), since a long-lived relay is exactly the
     * writer whose manifest chain and offset probe grow without bound.
     * Drive it from any scheduler — a Structured Streaming foreachBatch
-    * tick (StreamingSpec does), cron, or a loop. Returns the source
-    * versions applied this tick (empty = caught up). */
+    * tick (StreamingSpec does), cron, or a loop. With `evolveSchema` the
+    * relay also propagates source schema evolution: a column-adding
+    * commit evolves the destination atomically with its apply and the
+    * backfill's new-column values replicate (default: refuse loudly —
+    * a replica silently missing columns is a divergence). Returns the
+    * source versions applied this tick (empty = caught up). */
   def relay(spark: SparkSession, src: String, dst: String, keyCol: String,
-      consumer: String, files: Int = 4): Seq[Int] = {
+      consumer: String, files: Int = 4, evolveSchema: Boolean = false): Seq[Int] = {
     val streamId = s"cdf:$consumer"
     val confV = spark.conf.get("spark.graft.log.checkpointInterval", "0")
     val every = confV.toIntOption.getOrElse(throw new IllegalArgumentException(
@@ -884,7 +931,8 @@ object Lakehouse {
       .map(_.toInt).getOrElse(0)
     val to = TableLog.currentVersion(spark, src)
     ((from + 1) to to).map { v =>
-      val dstV = cdfApply(spark, src, dst, v, keyCol, consumer, files)
+      val dstV = cdfApply(spark, src, dst, v, keyCol, consumer, files,
+        evolveSchema)
       if (every > 0 && dstV > 0 && dstV % every == 0)
         TableLog.checkpointLog(spark, dst)
       v

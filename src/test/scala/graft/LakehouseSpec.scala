@@ -536,11 +536,23 @@ class LakehouseSpec extends SparkSpecBase {
         TableLog.stage(spark, table, rewritten, "data/v5/error"))
     val feed = Lakehouse.cdfRead(spark, table, 0, 5, "event_id")
     assert(feed.columns.contains("source_tag"))
-    // pre-boundary slices null-fill the evolved column; the v5 update
-    // post-images carry it for every rewritten error row
-    val pre = feed.filter($"_commit_version" < 5)
+    // slices BEFORE the evolution commit null-fill the evolved column
+    val pre = feed.filter($"_commit_version" < 4)
     assert(pre.count() > 0)
     assert(pre.filter($"source_tag".isNotNull).count() === 0L)
+    // the evolution commit ITSELF (v4): identical on every common column,
+    // but its rewrite writes non-null source_tag — each error row
+    // genuinely gained data, so it must feed as an update CARRYING the
+    // new column (the pre-r17 intersection semantics dropped these
+    // values, silently diverging every downstream replica)
+    val v4 = feed.filter($"_commit_version" === 4)
+    assert(v4.count() === TableLog.readAsOf(spark, table, 4)
+      .filter($"event_type" === "error").count())
+    assert(v4.select($"_change_type").distinct().as[String].collect().toSeq
+      === Seq("update"))
+    assert(v4.filter($"source_tag".isNull).count() === 0L)
+    // one commit later the column is in both schemas: the v5 rewrite
+    // takes the ordinary compare path, post-images carry it
     val v5 = feed.filter($"_commit_version" === 5)
     assert(v5.count() > 0)
     assert(v5.select($"_change_type").distinct().as[String].collect().toSeq
@@ -1392,6 +1404,68 @@ class LakehouseSpec extends SparkSpecBase {
     val want = TableLog.readAsOf(spark, src, 3)
       .agg(count(lit(1)), sum($"event_id")).collect().head
     assert(got === want)
+  }
+
+  test("r17 x s12: with evolveSchema the relay propagates source schema evolution — the backfill's new-column values replicate") {
+    import spark.implicits._
+    val src = s"${Etl.scratch(spark)}/r17_evo_src"
+    val dst = s"${Etl.scratch(spark)}/r17_evo_dst"
+    val dst2 = s"${Etl.scratch(spark)}/r17_evo_dst2"
+    Seq(src, dst, dst2).foreach(t => fs(t).delete(new Path(t), true))
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, src, TableLog.Action("schema", ev.schema.json) +:
+      (TableLog.stage(spark, src, ev.filter($"event_type" === "error"),
+        "data/v1/error") ++
+       TableLog.stage(spark, src, ev.filter($"event_type" =!= "error"),
+        "data/v1/rest")))
+    Lakehouse.relay(spark, src, dst, "event_id", "r17evo", evolveSchema = true)
+    // v2: the evolution commit — identical common columns, non-null
+    // source_tag on every error row (TableLog.evolveFixture's shape)
+    val retired = TableLog.liveFiles(spark, src, 1).filter(_.contains("/error/"))
+    val tagged = ev.filter($"event_type" === "error")
+      .withColumn("source_tag",
+        concat($"event_type", lit("-"), pmod($"user_id", lit(3L)).cast("string")))
+    TableLog.commit(spark, src,
+      TableLog.Action("schema", tagged.schema.json) +:
+        (retired.map(TableLog.Action("remove", _)) ++
+          TableLog.stage(spark, src, tagged, "data/v2/error")))
+    assert(Lakehouse.relay(spark, src, dst, "event_id", "r17evo",
+      evolveSchema = true) === Seq(2))
+    // the destination evolved atomically with the apply and the
+    // backfill's values ARRIVED (the pre-r17 intersection feed dropped
+    // them — a silently diverged replica)
+    val dstHead = TableLog.currentVersion(spark, dst)
+    assert(TableLog.schemaAsOf(spark, dst, dstHead).get.fieldNames
+      .contains("source_tag"))
+    val got = TableLog.readAsOf(spark, dst, dstHead)
+    assert(got.count() === ev.count())
+    assert(got.filter($"event_type" === "error" && $"source_tag".isNull)
+      .count() === 0L)
+    assert(got.filter($"event_type" =!= "error" && $"source_tag".isNotNull)
+      .count() === 0L)
+    val wantTags = tagged.select($"event_id", $"source_tag")
+      .as[(Long, String)].collect().toSet
+    assert(got.filter($"event_type" === "error")
+      .select($"event_id", $"source_tag").as[(Long, String)]
+      .collect().toSet === wantTags)
+    // a BARE schema commit (no files) still propagates on an idle-data tick
+    val wider = org.apache.spark.sql.types.StructType(
+      TableLog.schemaAsOf(spark, src, 2).get.fields :+
+        org.apache.spark.sql.types.StructField("extra_col",
+          org.apache.spark.sql.types.DoubleType))
+    TableLog.commit(spark, src, Seq(TableLog.Action("schema", wider.json)))
+    assert(Lakehouse.relay(spark, src, dst, "event_id", "r17evo",
+      evolveSchema = true) === Seq(3))
+    assert(TableLog.schemaAsOf(spark, dst,
+      TableLog.currentVersion(spark, dst)).get.fieldNames.contains("extra_col"))
+    // the DEFAULT stays the loud guard: a fresh replica without
+    // evolveSchema applies v1, then refuses the evolution commit
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.relay(spark, src, dst2, "event_id", "r17evo2")
+    }
+    assert(e.getMessage.contains("source_tag") &&
+      e.getMessage.contains("evolveSchema"))
   }
 
   // ----------------------- S21: reader-feature gate (protocol versioning)
