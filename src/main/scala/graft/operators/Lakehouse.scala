@@ -115,6 +115,40 @@ object Lakehouse {
     -1 // unreachable
   }
 
+  /** Auto-maintenance policy (S13 as a POLICY, conf-gated): OPTIMIZE
+    * when the snapshot's METADATA says the read tax passed the knobs —
+    * `spark.graft.log.optimizeMaxDvs` live deletion vectors (each stacks
+    * a broadcast anti-join on every read; LakeMergeProbe prices the tax)
+    * or `spark.graft.log.optimizeMaxFiles` live files (the per-file scan
+    * floor), packing to `spark.graft.log.optimizeTargetFiles`. The check
+    * is metadata-only — one log replay, no data I/O — and both knobs
+    * default to 0 = off, so callers that schedule their own maintenance
+    * see no change. This is what turns the S13×S18/S20 contract
+    * ("compaction absorbs DVs, which bounds their accumulation") from a
+    * manual promise into an invariant a long-lived writer actually
+    * keeps. A concurrent-commit conflict surfaces loudly like any
+    * compaction (S13's discipline) — schedulers just retry next tick.
+    * Returns the OPTIMIZE's committed version, or None (below
+    * thresholds, or policy off). */
+  def maybeOptimize(spark: SparkSession, table: String,
+      statsCols: Seq[String] = Nil): Option[Int] = {
+    def knob(k: String, dflt: String): Int =
+      spark.conf.get(k, dflt).toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"$k must be an integer, got '${spark.conf.get(k, dflt)}'"))
+    val maxDvs = knob("spark.graft.log.optimizeMaxDvs", "0")
+    val maxFiles = knob("spark.graft.log.optimizeMaxFiles", "0")
+    if (maxDvs <= 0 && maxFiles <= 0) return None
+    val target = knob("spark.graft.log.optimizeTargetFiles", "4")
+    val cur = TableLog.currentVersion(spark, table)
+    if (cur == 0) return None
+    val st = TableLog.liveState(spark, table, cur)
+    if ((maxDvs > 0 && st.dvs.size >= maxDvs) ||
+        (maxFiles > 0 && st.files.size >= maxFiles))
+      Some(compactCommit(spark, table, target, statsCols))
+    else None
+  }
+
   /** s13's fixture: eight micro-batch commits (event_id mod 8 — the
     * r15/l2g synthetic-feed convention), each fragmented into exactly 4
     * files the way a files-per-trigger streaming sink appends — 32 small
@@ -840,11 +874,8 @@ object Lakehouse {
     // (stageWithStats' integral wire contract), plain otherwise — stats
     // skip work, never rows, so a statless merge file is just unprunable
     val addRel = s"data/merge/${java.util.UUID.randomUUID}"
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val keyType = sch(keyCol).dataType
     val adds =
-      if (keyType == LongType || keyType == IntegerType ||
-          keyType == ShortType || keyType == ByteType)
+      if (integralType(sch(keyCol).dataType))
         TableLog.stageWithStats(spark, table, post, addRel, Seq(keyCol), files)
       else TableLog.stage(spark, table, post, addRel)
     // declares the `dv` reader feature (S21, morDelete's discipline)
@@ -930,13 +961,31 @@ object Lakehouse {
     val from = TableLog.lastCommitted(spark, dst, streamId)
       .map(_.toInt).getOrElse(0)
     val to = TableLog.currentVersion(spark, src)
-    ((from + 1) to to).map { v =>
+    val applied = ((from + 1) to to).map { v =>
       val dstV = cdfApply(spark, src, dst, v, keyCol, consumer, files,
         evolveSchema)
       if (every > 0 && dstV > 0 && dstV % every == 0)
         TableLog.checkpointLog(spark, dst)
       v
     }
+    // conf-gated auto-OPTIMIZE (the [[maybeOptimize]] policy): a
+    // long-lived relay is exactly the writer whose destination
+    // accumulates apply files without bound. Checked only on ticks that
+    // moved data; the packed files re-carry key stats when the key can
+    // hold them (the stageWithStats wire), so maintenance never erases
+    // the pruning the applies rely on
+    if (applied.nonEmpty) {
+      val kt = TableLog.schemaAsOf(spark, dst,
+        TableLog.currentVersion(spark, dst)).map(_(keyCol).dataType)
+      maybeOptimize(spark, dst,
+        if (kt.exists(integralType)) Seq(keyCol) else Nil)
+    }
+    applied
+  }
+
+  private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
   }
 
   /** R17 [EXT]: declared query — the relay driven through four ticks of a

@@ -1468,6 +1468,77 @@ class LakehouseSpec extends SparkSpecBase {
       e.getMessage.contains("evolveSchema"))
   }
 
+  test("s13 policy: maybeOptimize is off by default, fires on the DV threshold, and packs to the target") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/policy_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stageWithStats(spark, table, ev, "data/v1", Seq("event_id"), 8))
+    // off by default: no conf, no commit
+    assert(Lakehouse.maybeOptimize(spark, table).isEmpty)
+    (0 until 3).foreach(i => Lakehouse.morDelete(spark, table,
+      ev.filter($"event_id" % 100 === i).select($"event_id")))
+    val pre = TableLog.readAsOf(spark, table, 4)
+      .agg(count(lit(1)), sum($"event_id")).collect().head
+    spark.conf.set("spark.graft.log.optimizeMaxDvs", "3")
+    spark.conf.set("spark.graft.log.optimizeTargetFiles", "2")
+    try {
+      val v = Lakehouse.maybeOptimize(spark, table, Seq("event_id"))
+      assert(v === Some(5))
+      val st = TableLog.liveState(spark, table, 5)
+      assert(st.dvs.isEmpty, "the policy OPTIMIZE must absorb the DVs")
+      assert(st.files.size === 2)
+      assert(st.files.forall(_.stats.exists(_.col === "event_id")),
+        "the packed files must re-carry key stats")
+      assert(TableLog.readAsOf(spark, table, 5)
+        .agg(count(lit(1)), sum($"event_id")).collect().head === pre)
+      // below threshold now: a second check is a no-op
+      assert(Lakehouse.maybeOptimize(spark, table, Seq("event_id")).isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.log.optimizeMaxDvs")
+      spark.conf.unset("spark.graft.log.optimizeTargetFiles")
+    }
+  }
+
+  test("r17 x s13 policy: a relay under the conf auto-OPTIMIZEs its destination; the snapshot is unchanged") {
+    import spark.implicits._
+    val src = s"${Etl.scratch(spark)}/policy_relay_src"
+    val dst = s"${Etl.scratch(spark)}/policy_relay_dst"
+    Seq(src, dst).foreach(t => fs(t).delete(new Path(t), true))
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, src, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, src, ev.filter($"event_id" % 3 === 0), "data/v1"))
+    TableLog.commit(spark, src,
+      TableLog.stage(spark, src, ev.filter($"event_id" % 3 === 1), "data/v2"))
+    TableLog.commit(spark, src,
+      TableLog.stage(spark, src, ev.filter($"event_id" % 3 === 2), "data/v3"))
+    spark.conf.set("spark.graft.log.optimizeMaxFiles", "6")
+    spark.conf.set("spark.graft.log.optimizeTargetFiles", "2")
+    try {
+      assert(Lakehouse.relay(spark, src, dst, "event_id", "policyrelay",
+        files = 4) === Seq(1, 2, 3))
+      val head = TableLog.currentVersion(spark, dst)
+      val st = TableLog.liveState(spark, dst, head)
+      assert(st.files.size === 2,
+        s"the relay should have packed its destination; live=${st.files.size}")
+      assert(st.files.forall(_.path.startsWith("data/compact/")))
+      val got = TableLog.readAsOf(spark, dst, head)
+        .agg(count(lit(1)), sum($"event_id")).collect().head
+      val want = TableLog.readAsOf(spark, src, 3)
+        .agg(count(lit(1)), sum($"event_id")).collect().head
+      assert(got === want, "maintenance changed the replicated data")
+      // and the maintenance commit fed consumers NOTHING (pure rewrite)
+      assert(Lakehouse.cdfRead(spark, dst, head - 1, head, "event_id")
+        .count() === 0L)
+    } finally {
+      spark.conf.unset("spark.graft.log.optimizeMaxFiles")
+      spark.conf.unset("spark.graft.log.optimizeTargetFiles")
+    }
+  }
+
   // ----------------------- S21: reader-feature gate (protocol versioning)
 
   test("s21: a committed FUTURE feature makes every read past it refuse loudly; earlier versions stay readable") {
