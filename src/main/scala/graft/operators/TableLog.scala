@@ -1233,6 +1233,46 @@ object TableLog {
       .orderBy($"version")
   }
 
+  /** S12b [EXT]: column DROP — the other direction of schema evolution.
+    * One manifest commit carrying the current logged schema MINUS
+    * `name`: purely logical and O(1) — no file is read or rewritten, the
+    * logged-schema read rule projects the column away from this version
+    * on, and time travel below the drop still presents it. The payload
+    * BYTES stay in the data files until those files retire naturally
+    * (compaction, copy-on-write) — GDPR-grade physical erasure is
+    * [[graft.operators.Lakehouse.morDelete]]/cdfApply territory, not a
+    * schema commit.
+    *
+    * Two guards: a column a LIVE deletion vector deletes on cannot drop
+    * (every subsequent read's DV anti-join would fail to resolve the key
+    * — run OPTIMIZE first to absorb the DV), and the last column cannot
+    * drop. DOCUMENTED HAZARD: re-adding a dropped NAME in a later schema
+    * commit RESURFACES the old values wherever their files still live,
+    * because this log maps columns BY NAME — the production fix is
+    * column mapping (stable column IDs, Delta's columnMapping / Iceberg
+    * field-ids), which is exactly the feature the S21 gate exists to
+    * declare if a future writer adds it. TimeTravelSpec pins the drop,
+    * the guards, and the resurface hazard itself. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Int = {
+    val cur = currentVersion(spark, table)
+    require(cur > 0, s"dropColumn on an empty table: $table")
+    val sch = schemaAsOf(spark, table, cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropColumn needs a logged schema for $table — commit one at v1"))
+    require(sch.fieldNames.contains(name),
+      s"dropColumn: '$name' is not in the schema (${sch.fieldNames.mkString(", ")})")
+    require(sch.fields.length > 1, s"dropColumn: cannot drop the last column")
+    liveState(spark, table, cur).dvs.foreach { case (p, _) =>
+      val kc = spark.read.parquet(s"$table/$p").columns.head
+      require(kc != name,
+        s"dropColumn: live deletion vector $p deletes on '$name' — every " +
+          "read's DV anti-join would fail; OPTIMIZE first to absorb it")
+    }
+    commit(spark, table, Seq(Action("schema",
+      org.apache.spark.sql.types.StructType(
+        sch.fields.filterNot(_.name == name)).json)))
+  }
+
   /** R16 [EXT]: streaming view refresh — the composition the S11/R15/MV1
     * trio exists for: a micro-batch stream lands as atomic txn-marked
     * commits (R15) and a downstream aggregate view refreshes from each

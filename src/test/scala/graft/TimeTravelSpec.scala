@@ -128,6 +128,88 @@ class TimeTravelSpec extends SparkSpecBase {
     assert(bad === 0L)
   }
 
+  test("s12b: column drop is logical and O(1) — reads project it away, time travel keeps it, no byte moves") {
+    import spark.implicits._
+    val t = s"${Etl.scratch(spark)}/s12b_spec_table"
+    TableLog.buildFixture(spark, sfDir, t)
+    val vPre = TableLog.currentVersion(spark, t)
+    val before = TableLog.liveFiles(spark, t, vPre)
+    val sig = before.map { r =>
+      val st = fs.getFileStatus(new Path(s"$t/$r"))
+      r -> (st.getLen, st.getModificationTime)
+    }.toMap
+    val vDrop = TableLog.dropColumn(spark, t, "value")
+    assert(vDrop === vPre + 1)
+    // logical: same live files, byte-identical on disk
+    val after = TableLog.liveFiles(spark, t, vDrop)
+    assert(after === before)
+    after.foreach { r =>
+      val st = fs.getFileStatus(new Path(s"$t/$r"))
+      assert((st.getLen, st.getModificationTime) === sig(r),
+        s"dropColumn rewrote $r")
+    }
+    // projected away from the drop version on; time travel below keeps it
+    val dropped = TableLog.readAsOf(spark, t, vDrop)
+    assert(!dropped.columns.contains("value"))
+    assert(dropped.count() === TableLog.readAsOf(spark, t, vPre).count())
+    assert(TableLog.readAsOf(spark, t, vPre).columns.contains("value"))
+    // the narrowed schema carries forward through later commits
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type")
+      .filter($"event_type" === "signup").limit(7)
+      .withColumn("event_id", $"event_id" + 50000000L)
+    TableLog.commit(spark, t, TableLog.stage(spark, t, ev, "data/postdrop"))
+    val head = TableLog.currentVersion(spark, t)
+    assert(!TableLog.readAsOf(spark, t, head).columns.contains("value"))
+    // a CDF window crossing the drop unions cleanly (early slices carry
+    // the column, later ones don't)
+    val feed = graft.operators.Lakehouse.cdfRead(spark, t, 0, head, "event_id")
+    assert(feed.filter($"_commit_version" === head).count() === 7L)
+    // guards: unknown column, last column
+    intercept[IllegalArgumentException] {
+      TableLog.dropColumn(spark, t, "no_such")
+    }
+  }
+
+  test("s12b: a column a live DV deletes on cannot drop until OPTIMIZE absorbs the DV; re-adding a dropped name resurfaces old values (the documented by-name hazard)") {
+    import spark.implicits._
+    val t = s"${Etl.scratch(spark)}/s12b_dv_table"
+    fs.delete(new Path(t), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, t, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stageWithStats(spark, t, ev, "data/v1", Seq("event_id"), 4))
+    graft.operators.Lakehouse.morDelete(spark, t,
+      ev.filter($"event_type" === "click" && $"value" < 100.0)
+        .select($"event_id"))
+    val e = intercept[IllegalArgumentException] {
+      TableLog.dropColumn(spark, t, "event_id")
+    }
+    assert(e.getMessage.contains("deletion vector"))
+    // absorb, then the drop goes through
+    graft.operators.Lakehouse.compactCommit(spark, t, 2)
+    TableLog.dropColumn(spark, t, "event_id")
+    val head = TableLog.currentVersion(spark, t)
+    assert(!TableLog.readAsOf(spark, t, head).columns.contains("event_id"))
+    // the resurface hazard, pinned as DOCUMENTED semantics: this log maps
+    // columns BY NAME, so re-adding a dropped name makes surviving files'
+    // old bytes visible again — the reason production formats carry
+    // column mapping (stable IDs), the exact future feature the S21 gate
+    // would declare
+    val t2 = s"${Etl.scratch(spark)}/s12b_resurface_table"
+    fs.delete(new Path(t2), true)
+    TableLog.commit(spark, t2, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, t2, ev, "data/v1"))
+    TableLog.dropColumn(spark, t2, "value")
+    assert(!TableLog.readAsOf(spark, t2, 2).columns.contains("value"))
+    TableLog.commit(spark, t2,
+      Seq(TableLog.Action("schema", ev.schema.json))) // re-add by name
+    val back = TableLog.readAsOf(spark, t2, 3)
+    assert(back.columns.contains("value"))
+    assert(back.filter($"value".isNotNull).count() === ev.count(),
+      "re-added name must resurface the surviving files' old values")
+  }
+
   test("mv1: every refresh scans only its window's files and lands on the direct aggregate") {
     import spark.implicits._
     TableLog.buildFixture(spark, sfDir, table)
