@@ -1327,8 +1327,17 @@ object TableLog {
       s"spark.graft.log.checkpointInterval must be an integer, got '$confV'"))
     if (!alreadyCommitted(spark, table, streamId, batchId)) {
       val rel = s"data/$streamId/b$batchId-${java.util.UUID.randomUUID}"
+      // a table BORN from the stream logs its schema on the first commit
+      // (every other writer's discipline): without it the landed table is
+      // not CDF-readable — a bronze→silver relay (R17) has no logged
+      // schema to slice under. Racing first writers may both prepend it;
+      // a redundant identical schema action is harmless on replay.
+      val schemaActs: Seq[Action] =
+        if (currentVersion(spark, table) == 0)
+          Seq(Action("schema", df.schema.json))
+        else Nil
       val v = commitIfAbsent(spark, table, streamId, batchId,
-        stage(spark, table, df, rel))
+        schemaActs ++ stage(spark, table, df, rel))
       // conf-gated auto-checkpoint (R15×S19): a long-lived micro-batch
       // ingest is exactly the writer whose chain grows without bound and
       // whose own exactly-once probe pays the replay on every batch —

@@ -1539,6 +1539,66 @@ class LakehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("medallion: stream -> bronze commits (R15) -> relay (R17) -> silver -> incremental view (MV1), exactly-once through both logs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bronze = s"${Etl.scratch(spark)}/medallion_bronze"
+    val silver = s"${Etl.scratch(spark)}/medallion_silver"
+    Seq(bronze, silver).foreach(t => fs(t).delete(new Path(t), true))
+    val evts = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .orderBy($"event_id").limit(200).as[Evt].collect().toSeq
+    // the whole pipeline lives in ONE foreachBatch: land the micro-batch
+    // as an atomic bronze commit, relay the new bronze versions into
+    // silver (offset = silver's own txn markers), fold silver's new
+    // versions into the view state — each stage resumes from ITS log,
+    // nothing is held anywhere else
+    var state = TableLog.mvSlice(spark, silver, Seq.empty, 1L)
+    var refreshedTo = 0
+    val mem = MemoryStream[Evt]
+    val q = mem.toDS().toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        TableLog.commitBatch(bronze, "medallion")(df, bid)
+        Lakehouse.relay(spark, bronze, silver, "event_id", "medallion")
+        val head = TableLog.currentVersion(spark, silver)
+        if (head > refreshedTo) {
+          state = TableLog.mvMerge(state,
+            TableLog.mvDelta(spark, silver, refreshedTo, head)).localCheckpoint()
+          refreshedTo = head
+        }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(evts.take(120)); q.processAllAvailable()
+      mem.addData(evts.drop(120)); q.processAllAvailable()
+    } finally q.stop()
+    // silver tracks bronze exactly
+    val bHead = TableLog.currentVersion(spark, bronze)
+    val sHead = TableLog.currentVersion(spark, silver)
+    assert(bHead === 2 && sHead === 2)
+    val b = TableLog.readAsOf(spark, bronze, bHead)
+      .agg(count(lit(1)), sum($"event_id")).collect().head
+    assert(TableLog.readAsOf(spark, silver, sHead)
+      .agg(count(lit(1)), sum($"event_id")).collect().head === b)
+    // the incrementally-maintained view equals the direct aggregate
+    val direct = TableLog.readAsOf(spark, silver, sHead)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"))
+    assert(state.orderBy($"event_type").collect().toSeq
+      === direct.orderBy($"event_type").collect().toSeq)
+    // the worst-case re-delivery is inert at EVERY layer: the bronze
+    // commit gate rejects the duplicate batch, so no version appears,
+    // the relay finds nothing past its offset, and the view has no
+    // window to fold
+    TableLog.commitBatch(bronze, "medallion")(
+      spark.createDataset(evts.take(120)).toDF(), 0L)
+    assert(TableLog.currentVersion(spark, bronze) === 2)
+    assert(Lakehouse.relay(spark, bronze, silver, "event_id", "medallion").isEmpty)
+    assert(TableLog.currentVersion(spark, silver) === 2)
+  }
+
   // ----------------------- S21: reader-feature gate (protocol versioning)
 
   test("s21: a committed FUTURE feature makes every read past it refuse loudly; earlier versions stay readable") {
