@@ -1,0 +1,229 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.TableLog
+
+/** R18 [EXT]: the table log as a STRUCTURED STREAMING SOURCE — the
+  * inverse of the R15 sink, and the other half of the medallion story:
+  * `spark.readStream.format(classOf[LogTailSource].getName).load(table)`
+  * tails the S11 log with one micro-batch per offset window, offsets ARE
+  * log versions, and Spark's own checkpoint mechanism carries the resume
+  * position (the relay carries its own offsets in the destination log —
+  * this source is for consumers that are NOT themselves a graft table:
+  * a feature-store writer, an alerting job, any foreachBatch sink).
+  *
+  * Contract — APPEND-ONLY TAIL, loudly enforced: a commit in the read
+  * window carrying a `remove` or `dv` action fails the stream with a
+  * message naming the version (the same default posture Delta's
+  * streaming source takes without `readChangeFeed`: silently skipping a
+  * retraction would hand the consumer resurrected rows forever).
+  * Compactions and deletes belong to the CDF path ([[graft.operators
+  * .Lakehouse.cdfRead]] / the relay). Marker-only commits (schema, txn,
+  * feature) produce empty batches and advance the offset.
+  *
+  * Scale shape: `latestOffset` is one log listing; planning a window is
+  * O(manifests in the window) — it never lists the data directory, so a
+  * stray or crashed-writer file can't enter the stream (the S11 read
+  * rule). Each added FILE becomes one input partition; decode happens in
+  * the executors through parquet-mr row materialization — the right
+  * trade for tailing (micro-batches are change-volume-sized; the
+  * vectorized path stays with the batch readers). Supported field types
+  * are checked ONCE at stream construction and refuse loudly; files are
+  * projected BY NAME onto the logged schema at their commit (a column
+  * added later null-fills, extra physical columns are ignored — S12's
+  * read rule, per batch).
+  *
+  * The feature gate (S21) rides free: planning reads manifests through
+  * [[TableLog]], so a table demanding an unimplemented reader feature
+  * refuses at planning time like every other read path. */
+class LogTailSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val table = LogTailSource.tablePath(options)
+    val cur = TableLog.currentVersion(spark, table)
+    require(cur > 0, s"log tail source: no commits yet at $table")
+    TableLog.schemaAsOf(spark, table, cur).getOrElse(throw new IllegalStateException(
+      s"log tail source needs a logged schema for $table — commit one at v1"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new LogTailTable(schema,
+      LogTailSource.tablePath(new CaseInsensitiveStringMap(properties)))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object LogTailSource {
+  private[sources] def tablePath(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "log tail source needs .load(<table path>) (or option(\"path\", ...))")
+    p
+  }
+
+  /** The decodable subset — checked at stream construction, not row one. */
+  private[sources] def checkSupported(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+            StringType => ()
+        case dt => throw new IllegalArgumentException(
+          s"log tail source cannot decode column '${f.name}' of type " +
+            s"${dt.simpleString} — supported: bigint, int, double, float, " +
+            "boolean, string (project upstream or consume via the relay)")
+      }
+    }
+}
+
+private[sources] class LogTailTable(tableSchema: StructType, table: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-log-tail($table)"
+  override def schema(): StructType = schema0
+  private val schema0 = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema0
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          LogTailSource.checkSupported(schema0)
+          new LogTailMicroBatchStream(table, schema0)
+        }
+      }
+    }
+}
+
+private[sources] case class VersionOffset(v: Int) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** One input partition = one file ADDED by a commit in the window, read
+  * under the LOGGED SCHEMA as of that commit (carried here so executors
+  * need no log access). */
+private[sources] case class LogFilePartition(absPath: String,
+    schemaJson: String) extends InputPartition
+
+private[sources] class LogTailMicroBatchStream(table: String,
+    schema: StructType) extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = VersionOffset(0)
+  override def latestOffset(): Offset =
+    VersionOffset(TableLog.currentVersion(spark, table))
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val e = end.asInstanceOf[VersionOffset].v
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    ((s + 1) to e).foreach { v =>
+      val (actions, schemaAct) = TableLog.manifestEntries(spark, table, v)
+      // the append-only contract: silently skipping a retraction would
+      // hand every downstream consumer resurrected rows forever
+      actions.foreach {
+        case TableLog.Action("remove", p, _) =>
+          throw new IllegalStateException(
+            s"log tail source: $table@v$v removes $p — this is an " +
+              "APPEND-ONLY tail; compactions/deletes/merges stream through " +
+              "the change feed (Lakehouse.cdfRead / relay), not here")
+        case TableLog.Action("dv", p, _) =>
+          throw new IllegalStateException(
+            s"log tail source: $table@v$v commits deletion vector $p — " +
+              "this is an APPEND-ONLY tail; stream deletes via the change " +
+              "feed (Lakehouse.cdfRead / relay), not here")
+        case _ => ()
+      }
+      // files read under the schema logged AT their commit (S12 per
+      // batch): prefer the commit's own schema action, else the newest
+      // at-or-before v
+      val vSchema = schemaAct
+        .orElse(TableLog.schemaAsOf(spark, table, v))
+        .getOrElse(schema)
+      actions.foreach {
+        case TableLog.Action("add", p, _) =>
+          parts += LogFilePartition(s"$table/$p", vSchema.json)
+        case _ => ()
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LogTailReaderFactory(schema.json)
+}
+
+private[sources] class LogTailReaderFactory(streamSchemaJson: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LogFilePartition]
+    new LogTailPartitionReader(p.absPath,
+      DataType.fromJson(streamSchemaJson).asInstanceOf[StructType],
+      DataType.fromJson(p.schemaJson).asInstanceOf[StructType])
+  }
+}
+
+/** parquet-mr row materialization of ONE staged file, projected by NAME
+  * onto the stream schema: a column the file lacks (staged before an
+  * evolution) null-fills; physical columns outside the stream schema are
+  * ignored. Missing-in-commit-schema columns also null-fill — the stream
+  * schema is fixed at query start (Structured Streaming's contract), the
+  * per-commit logged schema only gates which names MAY be read. */
+private[sources] class LogTailPartitionReader(absPath: String,
+    streamSchema: StructType, commitSchema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val readable: Set[String] = commitSchema.fieldNames.toSet
+  private val reader: ParquetReader[org.apache.parquet.example.data.Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(absPath))
+      .withConf(new Configuration()).build()
+  private var current: org.apache.parquet.example.data.Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val g = current
+    val fileType = g.getType
+    InternalRow.fromSeq(streamSchema.fields.toSeq.map { f =>
+      if (!readable(f.name) || !fileType.containsField(f.name)) null
+      else if (g.getFieldRepetitionCount(f.name) == 0) null
+      else f.dataType match {
+        case LongType => g.getLong(f.name, 0)
+        case IntegerType => g.getInteger(f.name, 0)
+        case DoubleType => g.getDouble(f.name, 0)
+        case FloatType => g.getFloat(f.name, 0)
+        case BooleanType => g.getBoolean(f.name, 0)
+        case StringType => UTF8String.fromString(g.getString(f.name, 0))
+        case dt => throw new IllegalStateException(
+          s"unreachable: '${f.name}' ${dt.simpleString} passed checkSupported")
+      }
+    })
+  }
+
+  override def close(): Unit = reader.close()
+}
