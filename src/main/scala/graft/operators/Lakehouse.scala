@@ -132,14 +132,10 @@ object Lakehouse {
     * thresholds, or policy off). */
   def maybeOptimize(spark: SparkSession, table: String,
       statsCols: Seq[String] = Nil): Option[Int] = {
-    def knob(k: String, dflt: String): Int =
-      spark.conf.get(k, dflt).toIntOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"$k must be an integer, got '${spark.conf.get(k, dflt)}'"))
-    val maxDvs = knob("spark.graft.log.optimizeMaxDvs", "0")
-    val maxFiles = knob("spark.graft.log.optimizeMaxFiles", "0")
+    val maxDvs = TableLog.confInt(spark, "spark.graft.log.optimizeMaxDvs", "0")
+    val maxFiles = TableLog.confInt(spark, "spark.graft.log.optimizeMaxFiles", "0")
     if (maxDvs <= 0 && maxFiles <= 0) return None
-    val target = knob("spark.graft.log.optimizeTargetFiles", "4")
+    val target = TableLog.confInt(spark, "spark.graft.log.optimizeTargetFiles", "4")
     val cur = TableLog.currentVersion(spark, table)
     if (cur == 0) return None
     val st = TableLog.liveState(spark, table, cur)
@@ -582,23 +578,30 @@ object Lakehouse {
     // backfill replicates instead of vanishing
     val dstV = TableLog.currentVersion(spark, dst)
     val dstSchema0 = if (dstV > 0) TableLog.schemaAsOf(spark, dst, dstV) else None
-    val (dstSchema, schemaActs) =
-      if (dstV == 0) (dstSchema0, Seq.empty[Action])
-      else {
-        val srcSchema = TableLog.schemaAsOf(spark, src, v).get
+    val srcSchemaOpt = TableLog.schemaAsOf(spark, src, v)
+    // a destination WITHOUT a logged schema — cold start, or a prior
+    // marker-only apply (the common first source commit is schema-only,
+    // whose empty delta must still propagate the schema; r17 review) —
+    // adopts the source's schema with this apply. A schema'd destination
+    // takes the evolution path.
+    val (dstSchema, schemaActs) = dstSchema0 match {
+      case None =>
+        (srcSchemaOpt, srcSchemaOpt.map(s => Action("schema", s.json)).toSeq)
+      case Some(d) =>
+        val srcSchema = srcSchemaOpt.getOrElse(throw new IllegalStateException(
+          s"cdfApply needs a logged schema for $src@v$v — commit one at v1"))
         val missing = srcSchema.fields.filterNot(f =>
-          dstSchema0.get.fieldNames.contains(f.name))
-        if (missing.isEmpty) (dstSchema0, Seq.empty[Action])
+          d.fieldNames.contains(f.name))
+        if (missing.isEmpty) (Some(d), Seq.empty[Action])
         else {
           require(evolveSchema,
             s"cdfApply: source v$v carries columns the destination lacks " +
               s"(${missing.map(_.name).mkString(", ")}) — pass " +
               "evolveSchema=true to adopt them, or evolve the destination first")
-          val evolved = org.apache.spark.sql.types.StructType(
-            dstSchema0.get.fields ++ missing)
+          val evolved = org.apache.spark.sql.types.StructType(d.fields ++ missing)
           (Some(evolved), Seq(Action("schema", evolved.json)))
         }
-      }
+    }
     // checkpoint the window delta: the range agg, the anti-join side, and
     // the staged write would otherwise each re-run cdfSlice's full-outer
     // join over the window's files
@@ -615,12 +618,16 @@ object Lakehouse {
     val rel = s"data/apply-v$v-${java.util.UUID.randomUUID}"
     if (dstV == 0) {
       // cold start: the first delta is pure inserts — stage it clustered
-      // with stats and record the logged schema
+      // with stats and record the SOURCE'S logged schema (authoritative
+      // for types; the delta-derived shape is the fallback for a legacy
+      // source that never logged one)
       val rows = delta.filter(c("_change_type") =!= "delete")
         .drop("_commit_version", "_change_type")
+      val schActs =
+        if (schemaActs.nonEmpty) schemaActs
+        else Seq(Action("schema", rows.schema.json))
       return TableLog.commitIfAbsent(spark, dst, streamId, v.toLong,
-        Action("schema", rows.schema.json) +:
-          TableLog.stageWithStats(spark, dst, rows, rel, Seq(keyCol), files))
+        schActs ++ TableLog.stageWithStats(spark, dst, rows, rel, Seq(keyCol), files))
     }
     // copy-on-write semantics: only DELETE/UPDATE keys force a rewrite of
     // the files covering them — inserts just add files, so a pure append
@@ -629,10 +636,8 @@ object Lakehouse {
     // wire contract): a string key would cast its stats compare to null
     // and silently skip the rewrite — deletes unapplied, update
     // post-images still appended, duplicate keys in the destination.
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val keyType = dstSchema.get(keyCol).dataType
-    require(keyType == LongType || keyType == IntegerType ||
-      keyType == ShortType || keyType == ByteType,
+    require(TableLog.isIntegral(keyType),
       s"cdfApply needs an integral key; '$keyCol' is ${keyType.simpleString}")
     val gone = delta.filter(c("_change_type").isin("delete", "update"))
       .select(c(keyCol).cast("long").as("__gone"))
@@ -853,6 +858,16 @@ object Lakehouse {
       s"morMerge post-images must carry exactly the logged schema " +
         s"(${sch.fieldNames.mkString(", ")}); got ${rows.columns.mkString(", ")} " +
         "— a partial-column update is a read-modify-write (S17), not a MOR merge")
+    // names AND types: a type-mismatched post-image file would commit
+    // fine and then fail EVERY subsequent read under the logged schema —
+    // a corrupted-table crash long after the write (r17 review); refuse
+    // at merge time like the other contracts here
+    sch.fields.foreach { f =>
+      val got = rows.schema(f.name).dataType
+      require(got == f.dataType,
+        s"morMerge post-image column '${f.name}' is ${got.simpleString}; " +
+          s"the logged schema says ${f.dataType.simpleString}")
+    }
     // pin the source ONCE (cdfApply's localCheckpoint discipline): the DV
     // keys and the staged post-images are both derived from `rows`, and a
     // nondeterministic frame (a LIMIT without ORDER, a sampled filter)
@@ -875,7 +890,7 @@ object Lakehouse {
     // skip work, never rows, so a statless merge file is just unprunable
     val addRel = s"data/merge/${java.util.UUID.randomUUID}"
     val adds =
-      if (integralType(sch(keyCol).dataType))
+      if (TableLog.isIntegral(sch(keyCol).dataType))
         TableLog.stageWithStats(spark, table, post, addRel, Seq(keyCol), files)
       else TableLog.stage(spark, table, post, addRel)
     // declares the `dv` reader feature (S21, morDelete's discipline)
@@ -955,9 +970,7 @@ object Lakehouse {
   def relay(spark: SparkSession, src: String, dst: String, keyCol: String,
       consumer: String, files: Int = 4, evolveSchema: Boolean = false): Seq[Int] = {
     val streamId = s"cdf:$consumer"
-    val confV = spark.conf.get("spark.graft.log.checkpointInterval", "0")
-    val every = confV.toIntOption.getOrElse(throw new IllegalArgumentException(
-      s"spark.graft.log.checkpointInterval must be an integer, got '$confV'"))
+    val every = TableLog.confInt(spark, "spark.graft.log.checkpointInterval", "0")
     val from = TableLog.lastCommitted(spark, dst, streamId)
       .map(_.toInt).getOrElse(0)
     val to = TableLog.currentVersion(spark, src)
@@ -978,14 +991,9 @@ object Lakehouse {
       val kt = TableLog.schemaAsOf(spark, dst,
         TableLog.currentVersion(spark, dst)).map(_(keyCol).dataType)
       maybeOptimize(spark, dst,
-        if (kt.exists(integralType)) Seq(keyCol) else Nil)
+        if (kt.exists(TableLog.isIntegral)) Seq(keyCol) else Nil)
     }
     applied
-  }
-
-  private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
   }
 
   /** R17 [EXT]: declared query — the relay driven through four ticks of a

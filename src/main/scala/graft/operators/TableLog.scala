@@ -110,6 +110,24 @@ object TableLog {
   private def fsOf(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Integer conf knob, refused loudly on a malformed value BEFORE any
+    * side effect — the one parse every conf-gated writer hook shares
+    * (the r17 review found three hand-rolled copies drifting apart). */
+  private[graft] def confInt(spark: SparkSession, key: String,
+      default: String): Int = {
+    val v = spark.conf.get(key, default)
+    v.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"$key must be an integer, got '$v'"))
+  }
+
+  /** The manifest-stats / DV-pruning integral-key contract in one place:
+    * long wire bounds are exact for these types and truncate for
+    * everything else. */
+  private[graft] def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+  }
+
   /** Newest committed version (0 = empty table). Staging tmps (dot-files)
     * and foreign names are ignored: a crashed writer leaves no trace a
     * reader can observe. Checkpoint files count too: after [[vacuumLog]]
@@ -769,8 +787,7 @@ object TableLog {
     // instead of discovered as a missing row at read time.
     statsCols.foreach { sc =>
       val dt = df.schema(sc).dataType
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      require(dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType,
+      require(isIntegral(dt),
         s"manifest stats need an integral column; '$sc' is ${dt.simpleString} " +
           "— long wire bounds would truncate fractional min/max toward zero " +
           "and prune files that still hold matching rows")
@@ -1322,9 +1339,7 @@ object TableLog {
     // conf parsed BEFORE any commit: a malformed value must fail the
     // batch cleanly, not commit-then-crash (which would crash-loop the
     // restarted stream one successfully-committed batch at a time)
-    val confV = spark.conf.get("spark.graft.log.checkpointInterval", "0")
-    val every = confV.toIntOption.getOrElse(throw new IllegalArgumentException(
-      s"spark.graft.log.checkpointInterval must be an integer, got '$confV'"))
+    val every = confInt(spark, "spark.graft.log.checkpointInterval", "0")
     if (!alreadyCommitted(spark, table, streamId, batchId)) {
       val rel = s"data/$streamId/b$batchId-${java.util.UUID.randomUUID}"
       // a table BORN from the stream logs its schema on the first commit

@@ -100,16 +100,23 @@ private[sources] class LogTailTable(tableSchema: StructType, table: String)
   private val schema0 = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // where a FRESH tail (no Spark checkpoint yet) begins: a version
+    // number, or "latest" = only commits after query start. Defaults to 0
+    // (full history) — on a table whose early manifests vacuumLog retired,
+    // or whose history holds a compaction/DV commit, pass a later version
+    // or "latest" (the Delta startingVersion posture; r17 review).
+    val startingVersion = Option(options.get("startingversion"))
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema0
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
           LogTailSource.checkSupported(schema0)
-          new LogTailMicroBatchStream(table, schema0)
+          new LogTailMicroBatchStream(table, schema0, startingVersion)
         }
       }
     }
+  }
 }
 
 private[sources] case class VersionOffset(v: Int) extends Offset {
@@ -123,11 +130,17 @@ private[sources] case class LogFilePartition(absPath: String,
     schemaJson: String) extends InputPartition
 
 private[sources] class LogTailMicroBatchStream(table: String,
-    schema: StructType) extends MicroBatchStream {
+    schema: StructType, startingVersion: Option[String]) extends MicroBatchStream {
 
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset = VersionOffset(0)
+  override def initialOffset(): Offset = VersionOffset(startingVersion match {
+    case None => 0
+    case Some(s) if s.equalsIgnoreCase("latest") =>
+      TableLog.currentVersion(spark, table)
+    case Some(s) => s.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"startingVersion must be an integer or 'latest', got '$s'"))
+  })
   override def latestOffset(): Offset =
     VersionOffset(TableLog.currentVersion(spark, table))
   override def deserializeOffset(json: String): Offset =
@@ -139,8 +152,16 @@ private[sources] class LogTailMicroBatchStream(table: String,
     val s = start.asInstanceOf[VersionOffset].v
     val e = end.asInstanceOf[VersionOffset].v
     val parts = mutable.ArrayBuffer.empty[InputPartition]
+    // ONE schema resolution at the window base, folded forward through
+    // each commit's own schema action (cdfRead's threading) — per-version
+    // schemaAsOf would re-scan the manifest chain once per commit in the
+    // window, O(window x commits-since-checkpoint) on a catch-up
+    var vSchema: StructType =
+      (if (s == 0) None else TableLog.schemaAsOf(spark, table, s))
+        .getOrElse(schema)
     ((s + 1) to e).foreach { v =>
       val (actions, schemaAct) = TableLog.manifestEntries(spark, table, v)
+      schemaAct.foreach(vSchema = _)
       // the append-only contract: silently skipping a retraction would
       // hand every downstream consumer resurrected rows forever
       actions.foreach {
@@ -157,11 +178,7 @@ private[sources] class LogTailMicroBatchStream(table: String,
         case _ => ()
       }
       // files read under the schema logged AT their commit (S12 per
-      // batch): prefer the commit's own schema action, else the newest
-      // at-or-before v
-      val vSchema = schemaAct
-        .orElse(TableLog.schemaAsOf(spark, table, v))
-        .getOrElse(schema)
+      // batch), from the threaded fold above
       actions.foreach {
         case TableLog.Action("add", p, _) =>
           parts += LogFilePartition(s"$table/$p", vSchema.json)
@@ -171,15 +188,25 @@ private[sources] class LogTailMicroBatchStream(table: String,
     parts.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new LogTailReaderFactory(schema.json)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the SESSION's Hadoop conf must travel to the executors — a bare
+    // `new Configuration()` there has no spark.hadoop.* overrides (object
+    // store credentials, fs.defaultFS), so planning would succeed on the
+    // driver and every reader die executor-side (r17 review)
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    new LogTailReaderFactory(schema.json,
+      conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap)
+  }
 }
 
-private[sources] class LogTailReaderFactory(streamSchemaJson: String)
-    extends PartitionReaderFactory {
+private[sources] class LogTailReaderFactory(streamSchemaJson: String,
+    hadoopConf: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LogFilePartition]
-    new LogTailPartitionReader(p.absPath,
+    val conf = new Configuration()
+    hadoopConf.foreach { case (k, v) => conf.set(k, v) }
+    new LogTailPartitionReader(p.absPath, conf,
       DataType.fromJson(streamSchemaJson).asInstanceOf[StructType],
       DataType.fromJson(p.schemaJson).asInstanceOf[StructType])
   }
@@ -192,13 +219,13 @@ private[sources] class LogTailReaderFactory(streamSchemaJson: String)
   * schema is fixed at query start (Structured Streaming's contract), the
   * per-commit logged schema only gates which names MAY be read. */
 private[sources] class LogTailPartitionReader(absPath: String,
-    streamSchema: StructType, commitSchema: StructType)
+    conf: Configuration, streamSchema: StructType, commitSchema: StructType)
     extends PartitionReader[InternalRow] {
 
   private val readable: Set[String] = commitSchema.fieldNames.toSet
   private val reader: ParquetReader[org.apache.parquet.example.data.Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(absPath))
-      .withConf(new Configuration()).build()
+      .withConf(conf).build()
   private var current: org.apache.parquet.example.data.Group = _
 
   override def next(): Boolean = {

@@ -1322,6 +1322,13 @@ class LakehouseSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Lakehouse.morMerge(spark, table, ev, "no_such_col")
     }
+    // right names, wrong TYPE: a mismatched post-image file would commit
+    // fine and then fail every later read — refused at merge time
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.morMerge(spark, table,
+        ev.withColumn("value", $"value".cast("string")), "event_id")
+    }
+    assert(e.getMessage.contains("'value'"))
     val v = Lakehouse.morMerge(spark, table, ev.limit(0), "event_id")
     assert(v === 1, "an empty MERGE must not commit")
     assert(TableLog.currentVersion(spark, table) === 1)
@@ -1597,6 +1604,27 @@ class LakehouseSpec extends SparkSpecBase {
     assert(TableLog.currentVersion(spark, bronze) === 2)
     assert(Lakehouse.relay(spark, bronze, silver, "event_id", "medallion").isEmpty)
     assert(TableLog.currentVersion(spark, silver) === 2)
+  }
+
+  test("r17: a schema-only first source commit cold-starts the relay — the schema propagates on the empty delta, data follows") {
+    import spark.implicits._
+    val src = s"${Etl.scratch(spark)}/r17_cold_src"
+    val dst = s"${Etl.scratch(spark)}/r17_cold_dst"
+    Seq(src, dst).foreach(t => fs(t).delete(new Path(t), true))
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    // the common creation pattern: v1 = schema only, data lands at v2
+    TableLog.commit(spark, src, Seq(TableLog.Action("schema", ev.schema.json)))
+    assert(Lakehouse.relay(spark, src, dst, "event_id", "r17cold") === Seq(1))
+    // the destination now has the schema even though no rows moved —
+    // without this the v2 apply finds a marker-only destination with no
+    // schema to read under and wedges permanently (r17 review)
+    assert(TableLog.schemaAsOf(spark, dst, 1).isDefined)
+    TableLog.commit(spark, src, TableLog.stage(spark, src, ev, "data/v2"))
+    assert(Lakehouse.relay(spark, src, dst, "event_id", "r17cold") === Seq(2))
+    assert(TableLog.readAsOf(spark, dst, TableLog.currentVersion(spark, dst))
+      .agg(count(lit(1)), sum($"event_id")).collect().head
+      === ev.agg(count(lit(1)), sum($"event_id")).collect().head)
   }
 
   // ----------------------- S21: reader-feature gate (protocol versioning)

@@ -118,6 +118,46 @@ class LogTailSourceSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("startingVersion skips history a fresh tail cannot or should not replay — 'latest' tails only new commits past a compaction") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/logtail_sv_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table, ev.filter($"event_id" % 2 === 0), "data/v1"))
+    TableLog.commit(spark, table,
+      TableLog.stage(spark, table, ev.filter($"event_id" % 2 === 1), "data/v2"))
+    // a compaction in the history: a full-history tail would refuse it
+    Lakehouse.compactCommit(spark, table, 2)
+    val q = spark.readStream.format(fmt)
+      .option("startingVersion", "latest")
+      .load(table)
+      .writeStream.format("memory").queryName("logtail_sv").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("logtail_sv").count() === 0L)
+      // only commits PAST query start stream
+      val late = ev.filter($"event_type" === "signup").limit(25)
+        .withColumn("event_id", $"event_id" + 90000000L)
+        .localCheckpoint()
+      TableLog.commit(spark, table, TableLog.stage(spark, table, late, "data/v4"))
+      q.processAllAvailable()
+      assert(spark.table("logtail_sv").count() === 25L)
+      assert(spark.table("logtail_sv")
+        .filter($"event_id" < 90000000L).count() === 0L)
+    } finally q.stop()
+    // a numeric startingVersion replays exactly the versions past it
+    val q2 = spark.readStream.format(fmt)
+      .option("startingVersion", "3")
+      .load(table)
+      .writeStream.format("memory").queryName("logtail_sv2").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("logtail_sv2").count() === 25L)
+    } finally q2.stop()
+  }
+
   test("an undecodable column type refuses at stream construction, naming the column") {
     import spark.implicits._
     val table = s"${Etl.scratch(spark)}/logtail_ts_table"
