@@ -119,8 +119,21 @@ private[sources] class LogTailTable(tableSchema: StructType, table: String)
   }
 }
 
-private[sources] case class VersionOffset(v: Int) extends Offset {
-  override def json(): String = v.toString
+/** Offset wire: `<v>` = tailing past version v; `s:<v>` = an initial
+  * SNAPSHOT at version v is still pending (the first window streams the
+  * live state AS OF v, then tailing continues from v). The pending flag
+  * must ride the offset — Spark's offset log is the restart contract,
+  * and a restart between snapshot planning and commit must re-plan the
+  * SAME deterministic snapshot, not skip it. */
+private[sources] case class VersionOffset(v: Int,
+    snapshotPending: Boolean = false) extends Offset {
+  override def json(): String = if (snapshotPending) s"s:$v" else v.toString
+}
+
+private[sources] object VersionOffset {
+  def parse(json: String): VersionOffset =
+    if (json.startsWith("s:")) VersionOffset(json.stripPrefix("s:").toInt, true)
+    else VersionOffset(json.toInt)
 }
 
 /** One input partition = one file ADDED by a commit in the window, read
@@ -134,24 +147,52 @@ private[sources] class LogTailMicroBatchStream(table: String,
 
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset = VersionOffset(startingVersion match {
-    case None => 0
+  override def initialOffset(): Offset = startingVersion match {
+    case None => VersionOffset(0)
     case Some(s) if s.equalsIgnoreCase("latest") =>
-      TableLog.currentVersion(spark, table)
-    case Some(s) => s.toIntOption.getOrElse(throw new IllegalArgumentException(
-      s"startingVersion must be an integer or 'latest', got '$s'"))
-  })
-  override def latestOffset(): Offset =
-    VersionOffset(TableLog.currentVersion(spark, table))
+      VersionOffset(TableLog.currentVersion(spark, table))
+    case Some(s) if s.equalsIgnoreCase("snapshot") =>
+      // the Delta default posture: first batch = the CURRENT live state
+      // (no history replay, no compaction/DV refusals for the past),
+      // then tail from there
+      VersionOffset(TableLog.currentVersion(spark, table), snapshotPending = true)
+    case Some(s) => VersionOffset(s.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"startingVersion must be an integer, 'latest', or 'snapshot', got '$s'")))
+  }
+  override def latestOffset(): Offset = {
+    val cur = TableLog.currentVersion(spark, table)
+    // while the snapshot is pending, the next planned window must END on
+    // a pending offset too if nothing new landed — equality with the
+    // start offset is how Spark detects "no data"; the pending flag
+    // clears only once a window actually delivers it
+    VersionOffset(cur)
+  }
   override def deserializeOffset(json: String): Offset =
-    VersionOffset(json.toInt)
+    VersionOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[VersionOffset].v
+    val so = start.asInstanceOf[VersionOffset]
+    val s = so.v
     val e = end.asInstanceOf[VersionOffset].v
     val parts = mutable.ArrayBuffer.empty[InputPartition]
+    // pending initial snapshot: the live state AS OF the base version
+    // streams as this window's head — deterministic (a mid-snapshot
+    // restart re-plans the identical file set from the same offset), and
+    // read DV-FREE only: this reader cannot anti-join deletion vectors,
+    // so a snapshot over live DVs refuses loudly (OPTIMIZE absorbs them)
+    if (so.snapshotPending && s >= 1) {
+      val st = TableLog.liveState(spark, table, s)
+      require(st.dvs.isEmpty,
+        s"log tail source: snapshot start at $table@v$s has live deletion " +
+          s"vector(s) (e.g. ${st.dvs.head._1}) this reader cannot apply — " +
+          "OPTIMIZE first to absorb them, or consume via the relay")
+      val snapSchema = TableLog.schemaAsOf(spark, table, s).getOrElse(schema)
+      st.files.foreach(f =>
+        parts += LogFilePartition(s"$table/${f.path}", snapSchema.json))
+    }
     // ONE schema resolution at the window base, folded forward through
     // each commit's own schema action (cdfRead's threading) — per-version
     // schemaAsOf would re-scan the manifest chain once per commit in the

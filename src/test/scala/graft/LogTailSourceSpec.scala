@@ -158,6 +158,53 @@ class LogTailSourceSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("startingVersion=snapshot: the first batch is the CURRENT live state (no history replay), then the tail continues; live DVs refuse") {
+    import spark.implicits._
+    val table = s"${Etl.scratch(spark)}/logtail_snap_table"
+    fs(table).delete(new Path(table), true)
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    TableLog.commit(spark, table, TableLog.Action("schema", ev.schema.json) +:
+      TableLog.stage(spark, table, ev.filter($"event_id" % 2 === 0), "data/v1"))
+    TableLog.commit(spark, table,
+      TableLog.stage(spark, table, ev.filter($"event_id" % 2 === 1), "data/v2"))
+    // a compaction in the history: a full-history tail refuses it, the
+    // snapshot start reads THROUGH it (the packed live state)
+    Lakehouse.compactCommit(spark, table, 2)
+    val q = spark.readStream.format(fmt)
+      .option("startingVersion", "snapshot")
+      .load(table)
+      .writeStream.format("memory").queryName("logtail_snap").start()
+    try {
+      q.processAllAvailable()
+      val want = ev.agg(count(lit(1)), sum($"event_id")).collect().head
+      assert(spark.table("logtail_snap")
+        .agg(count(lit(1)), sum($"event_id")).collect().head === want,
+        "the snapshot batch must equal the current live state")
+      // and the tail continues past the snapshot base
+      val late = ev.filter($"event_type" === "error").limit(10)
+        .withColumn("event_id", $"event_id" + 70000000L)
+        .localCheckpoint()
+      TableLog.commit(spark, table, TableLog.stage(spark, table, late, "data/v4"))
+      q.processAllAvailable()
+      assert(spark.table("logtail_snap").count() === want.getLong(0) + 10L)
+    } finally q.stop()
+    // a snapshot over live deletion vectors refuses loudly (this reader
+    // cannot anti-join them — OPTIMIZE absorbs first)
+    Lakehouse.morDelete(spark, table,
+      ev.filter($"event_type" === "click" && $"value" < 100.0)
+        .select($"event_id"))
+    val q2 = spark.readStream.format(fmt)
+      .option("startingVersion", "snapshot")
+      .load(table)
+      .writeStream.format("memory").queryName("logtail_snap2").start()
+    try {
+      val e = intercept[StreamingQueryException] { q2.processAllAvailable() }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("deletion vector"))
+    } finally q2.stop()
+  }
+
   test("an undecodable column type refuses at stream construction, naming the column") {
     import spark.implicits._
     val table = s"${Etl.scratch(spark)}/logtail_ts_table"
