@@ -234,12 +234,17 @@ object Etl {
       .orderBy($"event_type").as[String].collect().toSeq
     val hotTypes = types.take((types.size + 1) / 2)
     Tables.sink(table) {
+      // ONE write job builds both layouts: the union concatenates the two
+      // children's partitions (32 fragmented + 1 compact), so each hot dir
+      // still collects a file from every one of the 32 hot tasks and each
+      // cold dir exactly one — the same directory layout the former
+      // Overwrite-then-Append pair produced, minus one full write job of
+      // commit coordination
       events.filter($"event_type".isin(hotTypes: _*))
         .repartition(32) // the appender anti-pattern: every task hits every hot dir
+        .unionByName(events.filter(!$"event_type".isin(hotTypes: _*))
+          .repartition(1)) // the historical dirs: already one file each
         .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(table)
-      events.filter(!$"event_type".isin(hotTypes: _*))
-        .repartition(1) // the historical dirs: already one file each
-        .write.mode(SaveMode.Append).partitionBy("event_type").parquet(table)
     }
     hotTypes.map(t => s"event_type=$t")
   }

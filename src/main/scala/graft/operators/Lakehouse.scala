@@ -160,10 +160,16 @@ object Lakehouse {
       .delete(new Path(table), true)
     val ev = Tables.events(spark, sfDir)
       .select($"event_id", $"user_id", $"event_type", $"value")
-    (0 until S13_BATCHES).foreach { b =>
-      val adds = TableLog.stage(spark, table,
+    // the eight micro-batch file sets stage concurrently (TableLog
+    // .inParallel — disjoint dirs, invisible until committed); only the
+    // eight manifest publishes stay ordered. The COMMIT SEQUENCE readers
+    // observe is identical; the wall drops from eight serial write jobs
+    // (per-job floor each) to ~two pool rounds.
+    val staged = TableLog.inParallel((0 until S13_BATCHES).map(b => () =>
+      TableLog.stage(spark, table,
         ev.filter($"event_id" % S13_BATCHES === b).repartition(S13_FILES_PER_BATCH),
-        s"data/b$b")
+        s"data/b$b")))
+    staged.zipWithIndex.foreach { case (adds, b) =>
       TableLog.commit(spark, table,
         if (b == 0) Action("schema", ev.schema.json) +: adds else adds)
     }
@@ -529,12 +535,17 @@ object Lakehouse {
       .delete(new Path(table), true)
     val ev = Tables.events(spark, sfDir)
       .select($"event_id", $"user_id", $"event_type", $"value")
-    TableLog.commit(spark, table, Action("schema", ev.schema.json) +:
-      TableLog.stageWithStats(spark, table,
-        ev.filter($"event_id" % 4 =!= 3), "data/v1", Seq("event_id"), S15_V1_FILES))
-    TableLog.commit(spark, table,
-      TableLog.stageWithStats(spark, table,
-        ev.filter($"event_id" % 4 === 3), "data/v2", Seq("event_id"), S15_V2_FILES))
+    // both commits' clustered stage passes run concurrently (disjoint
+    // dirs, invisible until the ordered commits) — each stageWithStats is
+    // three tiny jobs (range sample, write, stats read-back) of mostly
+    // per-job floor at this scale
+    val Seq(v1Adds, v2Adds) = TableLog.inParallel(Seq(
+      () => TableLog.stageWithStats(spark, table,
+        ev.filter($"event_id" % 4 =!= 3), "data/v1", Seq("event_id"), S15_V1_FILES),
+      () => TableLog.stageWithStats(spark, table,
+        ev.filter($"event_id" % 4 === 3), "data/v2", Seq("event_id"), S15_V2_FILES)))
+    TableLog.commit(spark, table, Action("schema", ev.schema.json) +: v1Adds)
+    TableLog.commit(spark, table, v2Adds)
   }
 
   // ------------------------------- S17: pruned copy-on-write MERGE (CDF sync)
@@ -606,21 +617,23 @@ object Lakehouse {
     // the staged write would otherwise each re-run cdfSlice's full-outer
     // join over the window's files
     val delta = cdfSlice(spark, src, v, keyCol).localCheckpoint()
-    // a compaction / identical-rewrite source commit emits an EMPTY feed:
-    // record the version as applied (marker-only commit, but a bare
-    // schema-evolution source commit still propagates its schema)
-    if (delta.isEmpty)
-      return TableLog.commitIfAbsent(spark, dst, streamId, v.toLong, schemaActs)
     // attempt-unique staging dir (commitBatch's discipline): a racing
     // re-delivery of the same version must never Overwrite-delete the
     // winner's committed files — the loser's staging stays orphaned for
     // vacuum, the txn gate stops its commit
     val rel = s"data/apply-v$v-${java.util.UUID.randomUUID}"
     if (dstV == 0) {
-      // cold start: the first delta is pure inserts — stage it clustered
-      // with stats and record the SOURCE'S logged schema (authoritative
-      // for types; the delta-derived shape is the fallback for a legacy
-      // source that never logged one)
+      // cold start FIRST (before any delete/update probe — the first
+      // delta cannot rewrite anything, so the gone-side work below would
+      // be a wasted action here): an EMPTY first feed (a schema-only or
+      // compaction source commit) records the version as applied
+      // (marker-only commit that still propagates the schema); otherwise
+      // the pure-insert delta stages clustered with stats under the
+      // SOURCE'S logged schema (authoritative for types; the
+      // delta-derived shape is the fallback for a legacy source that
+      // never logged one)
+      if (delta.isEmpty)
+        return TableLog.commitIfAbsent(spark, dst, streamId, v.toLong, schemaActs)
       val rows = delta.filter(c("_change_type") =!= "delete")
         .drop("_commit_version", "_change_type")
       val schActs =
@@ -649,28 +662,38 @@ object Lakehouse {
     // (one row per live dst file) and broadcasts; the hit set collects
     // bounded by |dst files|. A file without stats on keyCol can never be
     // excluded — stats skip work, never rows.
+    //
+    // ONE left-outer job answers both questions this path needs — "are
+    // there any delete/update keys at all?" (count over the join output:
+    // left-outer keeps every gone row, matched or not) and "which ranged
+    // files do they overlap?" (collect_set of matched paths, bounded by
+    // |dst files|) — where a separate emptiness take(1) plus an inner-join
+    // collect paid two job walls per applied version.
     val dstState = TableLog.liveState(spark, dst, dstV)
+    val (ranged, statless) = dstState.files.partition(
+      _.stats.exists(_.col == keyCol))
+    val (goneEmpty, hitPaths) = {
+      import spark.implicits._
+      val fileDf = ranged.map { f =>
+        val s = f.stats.find(_.col == keyCol).get
+        (f.path, s.min, s.max)
+      }.toDF("__path", "__mn", "__mx")
+      val row = gone.join(broadcast(fileDf),
+          c("__gone") >= c("__mn") && c("__gone") <= c("__mx"), "left_outer")
+        .agg(count(lit(1)).as("__n"), collect_set(c("__path")).as("__hits"))
+        .head()
+      (row.getLong(0) == 0L, row.getSeq[String](1).toSet)
+    }
+    // a compaction / identical-rewrite source commit emits an EMPTY feed:
+    // record the version as applied (marker-only commit, but a bare
+    // schema-evolution source commit still propagates its schema). Only
+    // reachable on pure-append windows (goneEmpty), so the extra take(1)
+    // never taxes a mutation commit.
+    if (goneEmpty && delta.isEmpty)
+      return TableLog.commitIfAbsent(spark, dst, streamId, v.toLong, schemaActs)
     val touched: Seq[TableLog.LiveFile] =
-      if (gone.isEmpty) Seq.empty
-      else {
-        val (ranged, statless) = dstState.files.partition(
-          _.stats.exists(_.col == keyCol))
-        val hits =
-          if (ranged.isEmpty) Seq.empty[TableLog.LiveFile]
-          else {
-            import spark.implicits._
-            val fileDf = ranged.map { f =>
-              val s = f.stats.find(_.col == keyCol).get
-              (f.path, s.min, s.max)
-            }.toDF("__path", "__mn", "__mx")
-            val hitPaths = gone.join(broadcast(fileDf),
-                c("__gone") >= c("__mn") && c("__gone") <= c("__mx"))
-              .select(c("__path")).distinct()
-              .collect().map(_.getString(0)).toSet
-            ranged.filter(f => hitPaths(f.path))
-          }
-        statless ++ hits
-      }
+      if (goneEmpty) Seq.empty
+      else statless ++ ranged.filter(f => hitPaths(f.path))
     // the touched files are read DV-AWARE (scanState scopes the dst's
     // live deletion vectors per file): a raw read would carry rows a dst
     // morDelete already hid into the re-staged files — which land at
@@ -1018,9 +1041,11 @@ object Lakehouse {
     // genuinely grows between relay calls
     val types = ev.select($"event_type").distinct()
       .orderBy($"event_type").as[String].collect().toSeq
+    // per-commit type slices stage concurrently (the buildFixture
+    // discipline: disjoint dirs, commits stay ordered tick-by-tick)
     def typed(df: DataFrame, v: Int): Seq[Action] =
-      types.flatMap(t => TableLog.stage(spark, src,
-        df.filter($"event_type" === t), s"data/v$v/$t"))
+      TableLog.inParallel(types.map(t => () => TableLog.stage(spark, src,
+        df.filter($"event_type" === t), s"data/v$v/$t"))).flatten
     def audit(tick: Int, applied: Int): DataFrame =
       TableLog.readAsOf(spark, dst, TableLog.currentVersion(spark, dst))
         .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"),
@@ -1072,9 +1097,13 @@ object Lakehouse {
       .delete(new Path(table), true)
     val ev = Tables.events(spark, sfDir)
       .select($"event_id", $"user_id", $"event_type", $"value")
-    (0 until S19_COMMITS).foreach { b =>
-      val adds = TableLog.stage(spark, table,
-        ev.filter($"event_id" % S19_COMMITS === b), s"data/b$b")
+    // twelve disjoint micro-batch file sets stage concurrently; the
+    // twelve commits (and the mid-history checkpoint after the eighth)
+    // stay strictly ordered — the log readers replay is byte-identical
+    val staged = TableLog.inParallel((0 until S19_COMMITS).map(b => () =>
+      TableLog.stage(spark, table,
+        ev.filter($"event_id" % S19_COMMITS === b), s"data/b$b")))
+    staged.zipWithIndex.foreach { case (adds, b) =>
       TableLog.commit(spark, table,
         if (b == 0) Action("schema", ev.schema.json) +: adds else adds)
       if (b == S19_CKPT_AT - 1)

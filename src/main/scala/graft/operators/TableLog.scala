@@ -748,6 +748,36 @@ object TableLog {
     listStaged(spark, table, rel)
   }
 
+  /** Run independent staging tasks CONCURRENTLY on a bounded pool and
+    * return their results in input order. Spark's scheduler happily runs
+    * several jobs at once inside one application; a multi-commit fixture
+    * build is N tiny independent write jobs whose wall is almost entirely
+    * per-job floor (task launch + driver planning gaps between actions —
+    * JobTrace measures 60-150 ms per staged file set at sf0.1), so
+    * submitting them from a small pool overlaps the floors instead of
+    * paying them end to end. Correctness is unchanged by construction:
+    * staged dirs are DISJOINT and invisible to every reader until the
+    * caller's sequential [[commit]]s land — concurrency here reorders no
+    * observable event. Parallelism stays small (default 4): enough to
+    * hide the scheduling gap, not enough for the tiny jobs to fight for
+    * executor slots. A task failure propagates its own exception (the
+    * cause, not the pool wrapper), loudly as before. */
+  private[graft] def inParallel[T](tasks: Seq[() => T], parallelism: Int = 4): Seq[T] =
+    if (tasks.sizeIs <= 1) tasks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, tasks.size))
+      try {
+        val futs = tasks.map(t => pool.submit(new java.util.concurrent.Callable[T] {
+          def call(): T = t()
+        }))
+        futs.map { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
+    }
+
   /** The add actions for every parquet file already staged under
     * `table/rel/` (hidden `_`/`.` entries skipped) — the single listing
     * discipline both [[stage]] and [[stageWithStats]] derive their
@@ -888,17 +918,25 @@ object TableLog {
     // type enum names the per-commit file sets
     val types = ev.select($"event_type").distinct()
       .orderBy($"event_type").as[String].collect().toSeq
-    def typed(df: DataFrame, v: Int): Seq[Action] =
-      types.flatMap(t => stage(spark, table,
+    // ALL NINE file sets stage concurrently ([[inParallel]]): the staged
+    // dirs are disjoint and unreachable until the three ordered commits
+    // below publish them, so the only sequential steps left are the
+    // manifest renames — previously nine tiny write jobs of per-job floor
+    // ran end to end and dominated every fixture-built declared row
+    def typedTasks(df: DataFrame, v: Int): Seq[() => Seq[Action]] =
+      types.map(t => () => stage(spark, table,
         df.filter($"event_type" === t), s"data/v$v/$t"))
+    val staged = inParallel(
+      typedTasks(ev.filter($"event_id" % 4 =!= 3), 1) ++
+        typedTasks(ev.filter($"event_id" % 4 === 3), 2) :+
+        (() => stage(spark, table,
+          ev.filter($"event_type" === "click" && $"value" >= 100.0), "data/v3/click")))
     // the initial commit records the schema: readers never trust footers
     commit(spark, table,
-      Action("schema", ev.schema.json) +: typed(ev.filter($"event_id" % 4 =!= 3), 1))
-    commit(spark, table, typed(ev.filter($"event_id" % 4 === 3), 2))
+      Action("schema", ev.schema.json) +: staged.take(types.size).flatten)
+    commit(spark, table, staged.slice(types.size, 2 * types.size).flatten)
     val retired = liveFiles(spark, table, 2).filter(_.contains("/click/"))
-    val rewrite = stage(spark, table,
-      ev.filter($"event_type" === "click" && $"value" >= 100.0), "data/v3/click")
-    commit(spark, table, retired.map(Action("remove", _)) ++ rewrite)
+    commit(spark, table, retired.map(Action("remove", _)) ++ staged.last)
     retired
   }
 
