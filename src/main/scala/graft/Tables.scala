@@ -58,6 +58,28 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     readMemo(spark, s"$sfDir/$name.parquet")
 
+  /** Re-spread an UNSPLITTABLE scan across the session's cores. Parquet
+    * cannot split below row-group granularity, and the driver fixtures are
+    * single-file single-row-group tables — so every scan plans ONE
+    * non-empty task regardless of master size, and a per-row-expensive
+    * operator above it (JSON parse, regex, n-gram/hash loops) runs
+    * single-threaded while the rest of the machine idles. This is the
+    * optimization guide's unsplittable-input case ("one huge unsplittable
+    * file... repartition immediately after the read"), applied
+    * layout-adaptively: the gate compares the PLANNED scan partition count
+    * (a plan property — no job runs) against the session's default
+    * parallelism, so a production table with ordinary file/row-group
+    * counts passes through untouched and no exchange is ever added at
+    * scale. Round-robin repartition keeps rows intact (nothing keyed, no
+    * skew possible); callers are per-row pipelines whose declared results
+    * carry a total ORDER BY, so partitioning never reaches the output.
+    * Only worth it when per-row work dominates the scan — a plain
+    * filter+aggregate pipeline should NOT pay the extra exchange. */
+  def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")

@@ -24,7 +24,8 @@ object Scalars {
   /** F2: JSON text -> typed struct via from_json (main.rs:227 parse). */
   def f2JsonParse(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, sfDir)
+    // per-row JSON parse dominates; spread the unsplittable fixture scan
+    Tables.spread(Tables.events(spark, sfDir))
       .select(
         $"event_id",
         from_json($"props", lit("k LONG")).getField("k").as("k"))

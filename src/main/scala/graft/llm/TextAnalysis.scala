@@ -668,7 +668,9 @@ object TextAnalysis {
   def l4fRepetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.plans.Md5Prefix48.register(spark)
-    val withW = Tables.documents(spark, sfDir)
+    // the bigram fan-out (split + transform + explode + digest) dominates;
+    // spread the unsplittable scan so it runs on every core
+    val withW = Tables.spread(Tables.documents(spark, sfDir))
       .withColumn("words", split($"text", " "))
       .select($"doc_id",
         size($"words").cast("long").as("n_words"),
@@ -731,7 +733,8 @@ object TextAnalysis {
     import spark.implicits._
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val digits = "[0-9]{9,}"
-    Tables.documents(spark, sfDir)
+    // two regex passes per row dominate; spread the unsplittable scan
+    Tables.spread(Tables.documents(spark, sfDir))
       .withColumn("raw", concat(
         $"text", lit(" contact user"), $"doc_id",
         lit("@mail.example.com ph "),

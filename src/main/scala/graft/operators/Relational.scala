@@ -78,7 +78,9 @@ object Relational {
     * extract, which is the dominant cost of a wide-payload scan at 100 TB. */
   def p2JsonFieldExtract(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, sfDir)
+    // per-row JSON parse dominates this scan; spread the unsplittable
+    // single-row-group fixture file across the cores (Tables.spread doc)
+    Tables.spread(Tables.events(spark, sfDir))
       .select($"event_id", json_tuple($"props", "k", "missing").as(Seq("k0", "m0")))
       .select(
         $"event_id",
