@@ -652,7 +652,8 @@ object Lakehouse {
     val keyType = dstSchema.get(keyCol).dataType
     require(TableLog.isIntegral(keyType),
       s"cdfApply needs an integral key; '$keyCol' is ${keyType.simpleString}")
-    val gone = delta.filter(c("_change_type").isin("delete", "update"))
+    val isGone = c("_change_type").isin("delete", "update")
+    val gone = delta.filter(isGone)
       .select(c(keyCol).cast("long").as("__gone"))
     // the rewrite set is computed per FILE, by interval overlap of each
     // destination file's manifest [min, max] against the DISTRIBUTED gone
@@ -663,33 +664,39 @@ object Lakehouse {
     // bounded by |dst files|. A file without stats on keyCol can never be
     // excluded — stats skip work, never rows.
     //
-    // ONE left-outer job answers both questions this path needs — "are
-    // there any delete/update keys at all?" (count over the join output:
-    // left-outer keeps every gone row, matched or not) and "which ranged
-    // files do they overlap?" (collect_set of matched paths, bounded by
-    // |dst files|) — where a separate emptiness take(1) plus an inner-join
-    // collect paid two job walls per applied version.
+    // ONE left-outer job answers all three questions this path needs —
+    // "is the whole delta empty?" (count over the join output: left-outer
+    // keeps every delta row, so 0 ⇔ empty feed), "are there any
+    // delete/update keys at all?" (count of gone-typed output rows) and
+    // "which ranged files do they overlap?" (collect_set of matched
+    // paths, bounded by |dst files|; only gone rows can satisfy the join
+    // condition, so non-gone rows contribute a null path collect_set
+    // ignores) — where a separate emptiness take(1) plus an inner-join
+    // collect paid two extra job walls per applied version.
     val dstState = TableLog.liveState(spark, dst, dstV)
     val (ranged, statless) = dstState.files.partition(
       _.stats.exists(_.col == keyCol))
-    val (goneEmpty, hitPaths) = {
+    val (deltaEmpty, goneEmpty, hitPaths) = {
       import spark.implicits._
       val fileDf = ranged.map { f =>
         val s = f.stats.find(_.col == keyCol).get
         (f.path, s.min, s.max)
       }.toDF("__path", "__mn", "__mx")
-      val row = gone.join(broadcast(fileDf),
-          c("__gone") >= c("__mn") && c("__gone") <= c("__mx"), "left_outer")
-        .agg(count(lit(1)).as("__n"), collect_set(c("__path")).as("__hits"))
+      val row = delta.join(broadcast(fileDf),
+          isGone && c(keyCol).cast("long") >= c("__mn") &&
+            c(keyCol).cast("long") <= c("__mx"), "left_outer")
+        .agg(count(lit(1)).as("__n"), count(when(isGone, 1)).as("__ng"),
+          collect_set(c("__path")).as("__hits"))
         .head()
-      (row.getLong(0) == 0L, row.getSeq[String](1).toSet)
+      // counts are over JOIN OUTPUT rows (a gone key overlapping k files
+      // appears k times) — both are only ever tested against zero
+      (row.getLong(0) == 0L, row.getLong(1) == 0L, row.getSeq[String](2).toSet)
     }
     // a compaction / identical-rewrite source commit emits an EMPTY feed:
     // record the version as applied (marker-only commit, but a bare
-    // schema-evolution source commit still propagates its schema). Only
-    // reachable on pure-append windows (goneEmpty), so the extra take(1)
-    // never taxes a mutation commit.
-    if (goneEmpty && delta.isEmpty)
+    // schema-evolution source commit still propagates its schema) — at
+    // zero extra jobs, the emptiness answer rode the probe.
+    if (deltaEmpty)
       return TableLog.commitIfAbsent(spark, dst, streamId, v.toLong, schemaActs)
     val touched: Seq[TableLog.LiveFile] =
       if (goneEmpty) Seq.empty

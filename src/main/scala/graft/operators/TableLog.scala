@@ -802,9 +802,13 @@ object TableLog {
     * over several columns (S16, [[Lakehouse.zOrderValue]]) clusters ALL
     * of them at once — each dimension's per-file ranges then tighten
     * together (the multi-dimensional data-skipping layout). The stats
-    * pass is ONE distributed aggregation over the just-written files,
-    * grouped by `input_file_name` — its result is metadata-sized (one
-    * row per staged file), the sanctioned bounded collect. */
+    * pass reads each staged file's parquet FOOTER — metadata-sized work
+    * (one footer per file, no Spark job), where a scan+aggregate pass
+    * would re-read every just-written row: at 100 TB that second full
+    * read of the staged bytes is the difference between a stage costing
+    * 1x and 2x its data volume. Footer min/max is exact for the integral
+    * types the stage contract admits (parquet's stats-truncation caveats
+    * apply only to binary columns). */
   private[graft] def stageWithStats(spark: SparkSession, table: String,
       df: DataFrame, rel: String, statsCols: Seq[String], files: Int,
       orderBy: Option[org.apache.spark.sql.Column] = None): Seq[Action] = {
@@ -837,26 +841,56 @@ object TableLog {
     // arrivals are both empty) writes no parquet at all — there is
     // nothing to read stats from, and nothing to add
     if (listed.isEmpty) return Nil
-    val aggs = statsCols.flatMap(c => Seq(
-      min(col(c)).cast("long").as(s"mn_$c"), max(col(c)).cast("long").as(s"mx_$c")))
-    // stats keyed by file NAME; an all-null stats column in some file
-    // aggregates to null min/max → that column simply gets no stats for
-    // that file (a null range can't prune anything a range predicate
-    // wouldn't already exclude — stats can skip work, never rows)
-    val statsByFile = spark.read.parquet(dir)
-      .groupBy(input_file_name().as("f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect().toSeq
-      .map(r => r.getString(0).split('/').last ->
-        statsCols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
-          else Some(FileStats(c, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
-        }).toMap
     // the add set comes from the LISTING (stage()'s discipline), never
-    // from the stats read-back: a file the stats pass missed still lands
-    // in the manifest — with no stats, so it is never pruned
+    // from the stats read-back: a file whose footer yields no usable
+    // stats still lands in the manifest — with no stats, so it is never
+    // pruned (stats can skip work, never rows)
+    val conf = spark.sparkContext.hadoopConfiguration
     listed.map(a => a.copy(stats =
-      statsByFile.getOrElse(a.path.split('/').last, Nil)))
+      footerStats(conf, new Path(s"$table/${a.path}"), statsCols)))
+  }
+
+  /** Per-file (min, max) of each `statsCols` column, read from the
+    * parquet FOOTER'S column-chunk statistics — the metadata every
+    * parquet writer already records, aggregated across the file's row
+    * groups. Exact for the integral physical types (INT32/INT64) the
+    * [[stageWithStats]] contract admits. Degrades in the safe direction
+    * only: a column chunk with missing/foreign-typed statistics, or a
+    * column that is all-null in every row group, yields NO stats for
+    * that column — the file is then never pruned. */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      file: Path, statsCols: Seq[String]): Seq[FileStats] = {
+    import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      statsCols.flatMap { sc =>
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        var trusted = true // every row group must carry usable stats
+        var any = false    // at least one row group had a non-null value
+        blocks.foreach { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == sc) match {
+            case Some(cc) =>
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty) trusted = false
+              else if (st.hasNonNullValue) st match {
+                case s: LongStatistics =>
+                  mn = math.min(mn, s.getMin); mx = math.max(mx, s.getMax); any = true
+                case s: IntStatistics =>
+                  mn = math.min(mn, s.getMin.toLong); mx = math.max(mx, s.getMax.toLong); any = true
+                case _ => trusted = false
+              }
+            // else: an all-null row group contributes nothing (numNulls
+            // set, no min/max) — same as the former agg's null-skip
+            case None => trusted = false
+          }
+        }
+        if (trusted && any) Some(FileStats(sc, mn, mx)) else None
+      }
+    } finally reader.close()
   }
 
   /** The live files of `version` that can contain rows with `statsCol` in

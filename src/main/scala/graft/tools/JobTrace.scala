@@ -36,8 +36,11 @@ object JobTrace {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (tracing) {
         val desc = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .filter(_.nonEmpty)
           .orElse(Option(e.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .filter(_.nonEmpty))
+          .orElse(e.stageInfos.headOption.map(_.name))
           .getOrElse("")
         jobs.put(e.jobId, Job(e.jobId, desc, "", e.time))
         order.add(e.jobId)
