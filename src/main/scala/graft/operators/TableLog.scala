@@ -760,9 +760,12 @@ object TableLog {
     * caller's sequential [[commit]]s land — concurrency here reorders no
     * observable event. Parallelism stays small (default 4): enough to
     * hide the scheduling gap, not enough for the tiny jobs to fight for
-    * executor slots. A task failure propagates its own exception (the
-    * cause, not the pool wrapper), loudly as before. */
-  private[graft] def inParallel[T](tasks: Seq[() => T], parallelism: Int = 4): Seq[T] =
+    * executor slots (the staged writes are one-task jobs over the
+    * unsplittable fixture scans, so eight in flight still undercommit a
+    * 32-core master; measured: 8 beats 4 on the 10-write relay source
+    * build and the 12-commit s19 fixture). A task failure propagates its
+    * own exception (the cause, not the pool wrapper), loudly as before. */
+  private[graft] def inParallel[T](tasks: Seq[() => T], parallelism: Int = 8): Seq[T] =
     if (tasks.sizeIs <= 1) tasks.map(_())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
