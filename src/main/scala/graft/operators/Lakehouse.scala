@@ -613,27 +613,87 @@ object Lakehouse {
           (Some(evolved), Seq(Action("schema", evolved.json)))
         }
     }
+    // the destination's live state is DRIVER-SIDE metadata (manifest
+    // replay) — read it before any job so the probe below can ride the
+    // delta's own materialization
+    val dstState =
+      if (dstV == 0) TableLog.LiveState(Nil, Nil)
+      else TableLog.liveState(spark, dst, dstV)
+    val (ranged, statless) = dstState.files.partition(
+      _.stats.exists(_.col == keyCol))
+    val isGone = c("_change_type").isin("delete", "update")
+    // the rewrite set is computed per FILE, by interval overlap of each
+    // destination file's manifest [min, max] against the DISTRIBUTED gone
+    // keys — not against the keys' global [min, max] envelope (r16
+    // review: a bimodal delta touching keys 10 and 10^9 must not rewrite
+    // every file between them). A file without stats on keyCol can never
+    // be excluded — stats skip work, never rows.
+    //
+    // ZERO extra jobs in the common case (r18): the probe's three answers
+    // — "is the whole delta empty?", "any delete/update keys at all?",
+    // "which ranged files do they overlap?" — ride the delta's OWN
+    // localCheckpoint job as observed metrics (CollectMetrics
+    // aggregates), where r17's fused left-outer probe still paid one
+    // job wall per applied version. The per-file overlap test is one
+    // tiny codegen'd `max(when(key between mn and mx, 1))` aggregate per
+    // ranged destination file, built from bounds the driver ALREADY
+    // holds (liveState is a driver-side manifest replay — no data, no
+    // key, crosses to the driver). Gated by file count
+    // (spark.graft.log.applyProbeInlineMaxFiles, default 64): past the
+    // gate a mature table's wide file list would bloat one plan with
+    // thousands of aggregates, so the hit set falls back to the r17
+    // broadcast-join probe — one job, still bounded by |dst files|,
+    // still no gone KEY ever on the driver or in a plan literal.
+    val inlineProbe = dstV > 0 && ranged.nonEmpty &&
+      dstSchema.exists(s => s.fieldNames.contains(keyCol) &&
+        TableLog.isIntegral(s(keyCol).dataType)) &&
+      ranged.size <= TableLog.confInt(
+        spark, "spark.graft.log.applyProbeInlineMaxFiles", "64")
+    val metricCols =
+      Seq(count(lit(1)).as("__n"), count(when(isGone, 1)).as("__ng")) ++
+        (if (!inlineProbe) Nil
+         else ranged.zipWithIndex.map { case (f, i) =>
+           val s = f.stats.find(_.col == keyCol).get
+           max(when(isGone && c(keyCol).cast("long") >= s.min &&
+             c(keyCol).cast("long") <= s.max, 1L).otherwise(0L)).as(s"__h$i")
+         })
     // checkpoint the window delta: the range agg, the anti-join side, and
     // the staged write would otherwise each re-run cdfSlice's full-outer
-    // join over the window's files
-    val delta = cdfSlice(spark, src, v, keyCol).localCheckpoint()
+    // join over the window's files. The observe node rides this one job
+    // and is truncated away with the rest of the lineage — downstream
+    // consumers scan the checkpointed rows, so no metric fires twice.
+    val observed = cdfSlice(spark, src, v, keyCol)
+      .observe("__cdf_probe", metricCols.head, metricCols.tail: _*)
+    val delta = observed.localCheckpoint()
+    // metrics read synchronously off the EXECUTED plan's accumulators —
+    // not via Observation.get, whose latch waits on the async listener
+    // bus (measured 30-150 ms of pure lag per applied version)
+    val probe: org.apache.spark.sql.Row =
+      observed.queryExecution.observedMetrics("__cdf_probe")
+    def metric(name: String): Long = probe.getAs[Any](name) match {
+      case x: Number => x.longValue()
+      case _ => 0L // max over zero rows observes null; only reachable empty
+    }
+    val deltaEmpty = metric("__n") == 0L
+    // an EMPTY feed (a source compaction / identical rewrite, or a bare
+    // schema-evolution commit) records the version as applied — a
+    // marker-only commit that still propagates the schema — BEFORE any
+    // key-type contract fires: marker-only streams must not require an
+    // integral key (r17 advice — a warm destination with a non-integral
+    // key regained the marker path it had before the probe fusion).
+    if (deltaEmpty)
+      return TableLog.commitIfAbsent(spark, dst, streamId, v.toLong, schemaActs)
     // attempt-unique staging dir (commitBatch's discipline): a racing
     // re-delivery of the same version must never Overwrite-delete the
     // winner's committed files — the loser's staging stays orphaned for
     // vacuum, the txn gate stops its commit
     val rel = s"data/apply-v$v-${java.util.UUID.randomUUID}"
     if (dstV == 0) {
-      // cold start FIRST (before any delete/update probe — the first
-      // delta cannot rewrite anything, so the gone-side work below would
-      // be a wasted action here): an EMPTY first feed (a schema-only or
-      // compaction source commit) records the version as applied
-      // (marker-only commit that still propagates the schema); otherwise
-      // the pure-insert delta stages clustered with stats under the
-      // SOURCE'S logged schema (authoritative for types; the
-      // delta-derived shape is the fallback for a legacy source that
-      // never logged one)
-      if (delta.isEmpty)
-        return TableLog.commitIfAbsent(spark, dst, streamId, v.toLong, schemaActs)
+      // cold start (the first delta cannot rewrite anything, so no
+      // gone-side work runs here): the pure-insert delta stages clustered
+      // with stats under the SOURCE'S logged schema (authoritative for
+      // types; the delta-derived shape is the fallback for a legacy
+      // source that never logged one)
       val rows = delta.filter(c("_change_type") =!= "delete")
         .drop("_commit_version", "_change_type")
       val schActs =
@@ -652,52 +712,30 @@ object Lakehouse {
     val keyType = dstSchema.get(keyCol).dataType
     require(TableLog.isIntegral(keyType),
       s"cdfApply needs an integral key; '$keyCol' is ${keyType.simpleString}")
-    val isGone = c("_change_type").isin("delete", "update")
     val gone = delta.filter(isGone)
       .select(c(keyCol).cast("long").as("__gone"))
-    // the rewrite set is computed per FILE, by interval overlap of each
-    // destination file's manifest [min, max] against the DISTRIBUTED gone
-    // keys — not against the keys' global [min, max] envelope (r16
-    // review: a bimodal delta touching keys 10 and 10^9 must not rewrite
-    // every file between them). The file-stats frame is metadata-sized
-    // (one row per live dst file) and broadcasts; the hit set collects
-    // bounded by |dst files|. A file without stats on keyCol can never be
-    // excluded — stats skip work, never rows.
-    //
-    // ONE left-outer job answers all three questions this path needs —
-    // "is the whole delta empty?" (count over the join output: left-outer
-    // keeps every delta row, so 0 ⇔ empty feed), "are there any
-    // delete/update keys at all?" (count of gone-typed output rows) and
-    // "which ranged files do they overlap?" (collect_set of matched
-    // paths, bounded by |dst files|; only gone rows can satisfy the join
-    // condition, so non-gone rows contribute a null path collect_set
-    // ignores) — where a separate emptiness take(1) plus an inner-join
-    // collect paid two extra job walls per applied version.
-    val dstState = TableLog.liveState(spark, dst, dstV)
-    val (ranged, statless) = dstState.files.partition(
-      _.stats.exists(_.col == keyCol))
-    val (deltaEmpty, goneEmpty, hitPaths) = {
-      import spark.implicits._
-      val fileDf = ranged.map { f =>
-        val s = f.stats.find(_.col == keyCol).get
-        (f.path, s.min, s.max)
-      }.toDF("__path", "__mn", "__mx")
-      val row = delta.join(broadcast(fileDf),
-          isGone && c(keyCol).cast("long") >= c("__mn") &&
-            c(keyCol).cast("long") <= c("__mx"), "left_outer")
-        .agg(count(lit(1)).as("__n"), count(when(isGone, 1)).as("__ng"),
-          collect_set(c("__path")).as("__hits"))
-        .head()
-      // counts are over JOIN OUTPUT rows (a gone key overlapping k files
-      // appears k times) — both are only ever tested against zero
-      (row.getLong(0) == 0L, row.getLong(1) == 0L, row.getSeq[String](2).toSet)
-    }
-    // a compaction / identical-rewrite source commit emits an EMPTY feed:
-    // record the version as applied (marker-only commit, but a bare
-    // schema-evolution source commit still propagates its schema) — at
-    // zero extra jobs, the emptiness answer rode the probe.
-    if (deltaEmpty)
-      return TableLog.commitIfAbsent(spark, dst, streamId, v.toLong, schemaActs)
+    val goneEmpty = metric("__ng") == 0L
+    val hitPaths: Set[String] =
+      if (goneEmpty) Set.empty
+      else if (inlineProbe)
+        ranged.zipWithIndex.collect {
+          case (f, i) if metric(s"__h$i") == 1L => f.path
+        }.toSet
+      else {
+        // fallback for wide destinations: the r17 broadcast-join probe,
+        // now inner (emptiness answers already rode the checkpoint) —
+        // one job, hit set bounded by |dst files|
+        import spark.implicits._
+        val fileDf = ranged.map { f =>
+          val s = f.stats.find(_.col == keyCol).get
+          (f.path, s.min, s.max)
+        }.toDF("__path", "__mn", "__mx")
+        delta.filter(isGone).select(c(keyCol).cast("long").as("__g"))
+          .join(broadcast(fileDf),
+            c("__g") >= c("__mn") && c("__g") <= c("__mx"))
+          .agg(collect_set(c("__path")).as("__hits"))
+          .head().getSeq[String](0).toSet
+      }
     val touched: Seq[TableLog.LiveFile] =
       if (goneEmpty) Seq.empty
       else statless ++ ranged.filter(f => hitPaths(f.path))
@@ -902,10 +940,16 @@ object Lakehouse {
     // keys and the staged post-images are both derived from `rows`, and a
     // nondeterministic frame (a LIMIT without ORDER, a sampled filter)
     // re-evaluated per pass would commit a DV that hides keys whose
-    // post-images never landed — silent row loss inside one commit
-    val post = rows.select(sch.fieldNames.toSeq.map(col): _*).localCheckpoint()
+    // post-images never landed — silent row loss inside one commit.
+    // The empty-source test rides the checkpoint job as an observed
+    // count (cdfApply's r18 probe fold) instead of a separate take(1);
+    // read off the executed plan, not the async-listener Observation.
+    val observed = rows.select(sch.fieldNames.toSeq.map(col): _*)
+      .observe("__merge_probe", count(lit(1)).as("__n"))
+    val post = observed.localCheckpoint()
     // an empty MERGE source must not commit a zero-key DV
-    if (post.isEmpty) return cur
+    if (observed.queryExecution.observedMetrics("__merge_probe")
+        .getAs[Long]("__n") == 0L) return cur
     // the DV key file: morDelete's self-describing wire (the single
     // column's NAME is the key column), one file by the delete-volume
     // broadcast contract

@@ -472,6 +472,58 @@ class LakehouseSpec extends SparkSpecBase {
       .as[(Long, Double)].collect().toSet)
   }
 
+  test("s17: past applyProbeInlineMaxFiles the apply falls back to the broadcast probe — identical pruning, identical rows") {
+    import spark.implicits._
+    val src = s"${Etl.scratch(spark)}/probe_gate_src"
+    val dst = s"${Etl.scratch(spark)}/probe_gate_dst"
+    Seq(src, dst).foreach(t => fs(t).delete(new Path(t), true))
+    val rows = spark.range(0, 1000)
+      .select($"id".as("event_id"), ($"id" % 7).cast("double").as("value"))
+    TableLog.commit(spark, src, TableLog.Action("schema", rows.schema.json) +:
+      TableLog.stage(spark, src, rows, "data/v1"))
+    Lakehouse.cdfApply(spark, src, dst, 1, "event_id", "gate", files = 8)
+    val before = TableLog.liveFiles(spark, dst, 1)
+    assert(before.size === 8)
+    val bumped = rows.withColumn("value",
+      when($"event_id" === 0L || $"event_id" === 999L, $"value" + 100.0)
+        .otherwise($"value"))
+    TableLog.commit(spark, src,
+      TableLog.liveFiles(spark, src, 1).map(TableLog.Action("remove", _)) ++
+        TableLog.stage(spark, src, bumped, "data/v2"))
+    // force the wide-destination path: every ranged file count exceeds the
+    // gate, so the hit set must come from the broadcast-join probe job
+    spark.conf.set("spark.graft.log.applyProbeInlineMaxFiles", "0")
+    try Lakehouse.cdfApply(spark, src, dst, 2, "event_id", "gate", files = 8)
+    finally spark.conf.unset("spark.graft.log.applyProbeInlineMaxFiles")
+    val after = TableLog.liveFiles(spark, dst, 2).toSet
+    val rewritten = before.toSet -- after
+    assert(rewritten.size <= 2,
+      s"fallback probe must prune like the inline one, rewrote ${rewritten.size}")
+    val got = TableLog.readAsOf(spark, dst, 2)
+      .select($"event_id", $"value").as[(Long, Double)].collect().toSet
+    assert(got === bumped.select($"event_id", $"value")
+      .as[(Long, Double)].collect().toSet)
+  }
+
+  test("s17: an empty feed onto a warm NON-integral-key destination commits the marker instead of throwing (marker-only streams need no integral key)") {
+    import spark.implicits._
+    val src = s"${Etl.scratch(spark)}/marker_only_src"
+    val dst = s"${Etl.scratch(spark)}/marker_only_dst"
+    Seq(src, dst).foreach(t => fs(t).delete(new Path(t), true))
+    val shape = Seq(("a", 1.0)).toDF("k", "value").schema
+    // v1: schema-only source commit — the cold start lands a marker-only
+    // commit that adopts the (string-keyed) schema, making dst warm
+    TableLog.commit(spark, src, Seq(TableLog.Action("schema", shape.json)))
+    assert(Lakehouse.cdfApply(spark, src, dst, 1, "k", "mk", files = 2) > 0)
+    assert(TableLog.schemaAsOf(spark, dst, 1).exists(_.fieldNames.contains("k")))
+    // v2: another empty feed — the warm destination's key is non-integral,
+    // and the marker path must run BEFORE the integral-key contract
+    TableLog.commit(spark, src, Seq(TableLog.Action("schema", shape.json)))
+    assert(Lakehouse.cdfApply(spark, src, dst, 2, "k", "mk", files = 2) > 0,
+      "empty feed on a warm non-integral destination must commit its marker")
+    assert(TableLog.lastCommitted(spark, dst, "cdf:mk") === Some(2L))
+  }
+
   test("z-order scaling survives a 2^60-wide domain — monotone, non-negative, in [0, 2^bits)") {
     import spark.implicits._
     // the multiply-first form wraps past 2^47 at 16 bits; the shift form
