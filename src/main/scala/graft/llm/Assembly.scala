@@ -490,7 +490,12 @@ object Assembly {
       "/export_sink"
     val shipped = l13bCorpusExportV2(spark, sfDir)
       .join(Tables.documents(spark, sfDir).select($"doc_id", $"text"), "doc_id")
-      .repartition($"split", $"shard")
+      // explicit partition count: an unsized keyed repartition is AQE-
+      // coalesced to one task at this exchange size and the (split, shard)
+      // dirs then write serially in a single task (the s5/s6 finding);
+      // hashing the dirs over the session cores keeps file count ≈ dir
+      // count while the per-dir writer open/close runs in parallel
+      .repartition(spark.sparkContext.defaultParallelism, $"split", $"shard")
     Tables.sink(out) {
       shipped.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("split", "shard").parquet(out)

@@ -85,8 +85,18 @@ object Etl {
         && $"o_orderdate" < lit("2000-03-03").cast("timestamp"))
     val sliced = vendorSlice
       // co-locate each output dir's rows in one task: file count ≈ number
-      // of partition dirs instead of tasks × dirs (the small-files killer)
-      .repartition(col("city_id"), col("day"))
+      // of partition dirs instead of tasks × dirs (the small-files killer).
+      // The partition COUNT is pinned to the session's core count: without
+      // it AQE coalesces this tiny exchange to ONE task and the writer
+      // opens every partition dir's parquet file serially — JobTrace
+      // measured the whole query as one 1.0 s single-task write job while
+      // 31 cores idled. Hashing the (city, day) dirs over defaultParallelism
+      // tasks keeps the one-file-per-dir layout (each dir still lands
+      // wholly in one task) and spreads the per-file writer open/close
+      // across the cores; on a cluster defaultParallelism is the executor
+      // core total — the sane writer width at any scale.
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("city_id"), col("day"))
     Tables.sink(out) {
       sliced.write.mode(SaveMode.Overwrite)
         .partitionBy("city_id", "year", "month", "day")
