@@ -633,25 +633,63 @@ object Similarity {
     * (pqTrainSized), so the re-inline never multiplies a corpus scan. */
   private[graft] def pqTrainPlan(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dims = pqDims(spark, sfDir)
+    // r18 exchange-shrink (guide §2.3): the d-explosion never crosses a
+    // wire. pqDims' per-dimension rows made every iteration shuffle
+    // nvec·M·K (vec, m, c, dist) partials AND shuffle-join the codes back
+    // onto nvec·M·SUB dim rows — l3l carried the suite's largest exchange
+    // (52 MB at sf0.1). Here each (vec, m) SUBVECTOR rides as one BIGINT
+    // array: distances unroll to PQ_SUB codegen'd terms against the
+    // broadcast codebook arrays, the argmin packs (dist, c) into ONE long
+    // (dist·PACK + c — exact lexicographic order while c < PACK and dist
+    // stays under its documented 2^53 envelope), so every aggregate is a
+    // plain HashAggregate with map-side partials and the only corpus-scale
+    // exchange carries nvec·M rows. The update re-derives (m, c, d, qv)
+    // by posexploding the winner's own array — no join back to the dims.
+    // Arithmetic is bit-identical to pqTrain (PqSpec pins it): same
+    // BIGINT squared distances (a null/ragged tail term contributes 0,
+    // exactly the null-skipping sum), same trunc(sum/count) update, same
+    // lowest-c tie break, empty clusters keep their previous centroid.
+    val subq = s"transform(slice(embedding, m * $PQ_SUB + 1, $PQ_SUB)," +
+      s" x -> CAST(CAST(x AS DOUBLE) * $PQ_SCALE AS BIGINT))"
+    val dims = Tables.embeddings(spark, sfDir)
+      .filter(size($"embedding") >= 1)
+      .select($"vec_id", posexplode(expr(
+        s"transform(sequence(0, CAST((size(embedding) + ${PQ_SUB - 1}) div $PQ_SUB AS INT) - 1), m -> $subq)")))
+      .toDF("vec_id", "m", "qvs")
+      .select($"vec_id", $"m".cast("int").as("m"), $"qvs")
     val init = dims.filter($"vec_id" < PQ_K)
-      .select($"m", $"vec_id".cast("int").as("c"), $"d", $"qv".as("cent"))
+      .select($"m", $"vec_id".cast("int").as("c"), $"qvs".as("cents"))
+    // dist·PACK + c: PACK is the smallest power of two above the centroid
+    // ids, so the packed min IS the (dist, c) lexicographic min
+    val pack = java.lang.Long.highestOneBit(math.max(PQ_K - 1, 1).toLong) * 2L
+    val dist = (1 to PQ_SUB).map { i =>
+      val diff = try_element_at($"qvs", lit(i)) - try_element_at($"cents", lit(i))
+      coalesce(diff * diff, lit(0L))
+    }.reduce(_ + _)
     (1 to PQ_ITERS).foldLeft(init) { (cent, _) =>
-      val codes = dims.join(broadcast(cent), Seq("m", "d"))
-        .groupBy($"vec_id", $"m", $"c")
-        .agg(sum(($"qv" - $"cent") * ($"qv" - $"cent")).as("dist"))
-        .groupBy($"vec_id", $"m")
-        .agg(min(struct($"dist", $"c")).as("best"))
-        .select($"vec_id", $"m", $"best.c".as("c"))
-      val updated = codes.join(dims, Seq("vec_id", "m"))
+      val best = dims.join(broadcast(cent), Seq("m"))
+        // qvs is functionally dependent on (vec_id, m); grouping BY it
+        // (instead of aggregating it) keeps the argmin a HashAggregate —
+        // a min over an array-typed value would fall back to SortAggregate
+        .groupBy($"vec_id", $"m", $"qvs")
+        .agg(min(dist * pack + $"c").as("bp"))
+        .select($"m", ($"bp" % pack).cast("int").as("c"), $"qvs")
+      val updated = best
+        .select($"m", $"c", posexplode($"qvs").as(Seq("d", "qv")))
         .groupBy($"m", $"c", $"d")
         .agg(expr("CAST(CAST(CAST(sum(qv) AS BIGINT) AS DOUBLE) / count(*) AS BIGINT)")
           .as("u"))
       // empty clusters keep their previous centroid (the collect path's
-      // getOrElse), expressed as a left join + coalesce
-      cent.join(updated, Seq("m", "c", "d"), "left")
-        .select($"m", $"c", $"d", coalesce($"u", $"cent").as("cent"))
+      // getOrElse), expressed as a left join + coalesce; the codebook is
+      // O(M·K·SUB) rows, so the regroup to arrays is metadata-sized
+      cent.select($"m", $"c", posexplode($"cents").as(Seq("d", "cent")))
+        .join(updated, Seq("m", "c", "d"), "left")
+        .groupBy($"m", $"c")
+        .agg(array_sort(collect_list(struct($"d",
+          coalesce($"u", $"cent").as("cent")))).as("ps"))
+        .select($"m", $"c", expr("transform(ps, p -> p.cent)").as("cents"))
     }
+      .select($"m", $"c", posexplode($"cents").as(Seq("d", "cent")))
   }
 
   /** L3l [EXT]: train the PQ codebook — emits (m, c, d, cent), the full
