@@ -467,7 +467,21 @@ object TextAnalysis {
                                     probe: DataFrame => Unit): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = docs
+    // r18: when the PLANNED corpus input is small (a plan-stats property —
+    // no job runs; spark.graft.bpe.vocabOnePartitionMaxBytes, default 1g),
+    // the collapsed vocab caches as ONE partition. A single-partition
+    // child reports SinglePartition, which satisfies every clustered
+    // distribution, so each rank's pair-count + argmax compiles to an
+    // EXCHANGE-FREE single job (complete-mode aggregate + TakeOrdered)
+    // instead of a partial-agg shuffle stage plus a collect job per rank —
+    // the per-rank job floor was ~60% of l21's wall. Past the threshold
+    // (a real corpus whose vocab may not fit one task) the distributed
+    // two-phase plan is unchanged; the merges are byte-identical either
+    // way (CorpusOpsSpec pins both sides of the gate).
+    val onePart = docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(spark.conf.get("spark.graft.bpe.vocabOnePartitionMaxBytes",
+        (1L << 30).toString).toLong)
+    val vocab0 = docs
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") >= 2 && !$"w".contains(BPE_SEP))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
@@ -477,7 +491,7 @@ object TextAnalysis {
       .select(
         concat(lit(BPE_SEP), regexp_replace($"w", "(?s)(.)", "$1" + BPE_SEP)).as("s"),
         $"freq")
-      .persist()
+    val vocab = (if (onePart) vocab0.coalesce(1) else vocab0).persist()
     try {
       var words: DataFrame = vocab
       val learned = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]

@@ -270,6 +270,17 @@ class CorpusOpsSpec extends SparkSpecBase {
       === Seq((1, "a", "b", 4L), (2, "c", "d", 1L)))
   }
 
+  test("l21: the single-partition-vocab gate is pure mechanism — merges byte-identical with the gate forced off") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val onePart = rows(graft.llm.TextAnalysis.bpeLearn(docs, 8))
+    spark.conf.set("spark.graft.bpe.vocabOnePartitionMaxBytes", "0")
+    try assert(rows(graft.llm.TextAnalysis.bpeLearn(docs, 8)) === onePart)
+    finally spark.conf.unset("spark.graft.bpe.vocabOnePartitionMaxBytes")
+  }
+
   test("l21: checkpoint ladder bounds plan depth without changing the merges") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"text")
