@@ -417,15 +417,18 @@ object Lakehouse {
   private[graft] def s14Fixture(spark: SparkSession, sfDir: String,
       table: String): Unit = {
     import spark.implicits._
-    TableLog.buildFixture(spark, sfDir, table)
-    val retired = TableLog.liveFiles(spark, table, 3).filter(_.contains("/error/"))
     val bumped = Tables.events(spark, sfDir)
       .select($"event_id", $"user_id", $"event_type",
         ($"value" + 1.0).as("value"))
       .filter($"event_type" === "error")
+    // the v4 backfill's file set stages concurrently with the fixture's
+    // nine (buildFixtureWith) — invisible until the v4 commit below, which
+    // still computes its remove set from the ACTUAL v3 manifest
+    val (_, extraAdds) = TableLog.buildFixtureWith(spark, sfDir, table,
+      Seq("data/v4/error" -> bumped))
+    val retired = TableLog.liveFiles(spark, table, 3).filter(_.contains("/error/"))
     TableLog.commit(spark, table,
-      retired.map(Action("remove", _)) ++
-        TableLog.stage(spark, table, bumped, "data/v4/error"))
+      retired.map(Action("remove", _)) ++ extraAdds.head)
   }
 
   /** S14 [EXT]: declared query — the full feed of the four-commit fixture
@@ -1092,11 +1095,27 @@ object Lakehouse {
     // genuinely grows between relay calls
     val types = ev.select($"event_type").distinct()
       .orderBy($"event_type").as[String].collect().toSeq
-    // per-commit type slices stage concurrently (the buildFixture
-    // discipline: disjoint dirs, commits stay ordered tick-by-tick)
-    def typed(df: DataFrame, v: Int): Seq[Action] =
-      TableLog.inParallel(types.map(t => () => TableLog.stage(spark, src,
-        df.filter($"event_type" === t), s"data/v$v/$t"))).flatten
+    // ALL FOUR ticks' file sets stage in ONE concurrent round up front:
+    // every staged slice is a pure function of `ev` (never of a commit),
+    // and staged dirs are invisible until their manifest lands, so the
+    // source STILL grows tick-by-tick exactly as before — the relay
+    // observes the identical commit sequence, minus three staging rounds
+    // of per-job floor between ticks. Remove sets stay commit-time
+    // metadata (computed from the actual manifests below).
+    def typedTasks(df: DataFrame, v: Int): Seq[() => Seq[Action]] =
+      types.map(t => () => TableLog.stage(spark, src,
+        df.filter($"event_type" === t), s"data/v$v/$t"))
+    val staged = TableLog.inParallel(
+      typedTasks(ev.filter($"event_id" % 4 =!= 3), 1) ++
+        typedTasks(ev.filter($"event_id" % 4 === 3), 2) ++ Seq(
+        () => TableLog.stage(spark, src,
+          ev.filter($"event_type" === "click" && $"value" >= 100.0), "data/v3/click"),
+        () => TableLog.stage(spark, src,
+          ev.filter($"event_type" === "error").withColumn("value", $"value" + 1.0),
+          "data/v4/error")))
+    val (v1Adds, v2Adds) = (staged.take(types.size).flatten,
+      staged.slice(types.size, 2 * types.size).flatten)
+    val (v3Adds, v4Adds) = (staged(2 * types.size), staged(2 * types.size + 1))
     def audit(tick: Int, applied: Int): DataFrame =
       TableLog.readAsOf(spark, dst, TableLog.currentVersion(spark, dst))
         .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"),
@@ -1104,22 +1123,16 @@ object Lakehouse {
             .as("n_err_hi"))
         .select(lit(tick.toLong).as("tick"),
           lit(applied.toLong).as("n_applied"), $"n_rows", $"id_sum", $"n_err_hi")
-    TableLog.commit(spark, src, Action("schema", ev.schema.json) +:
-      typed(ev.filter($"event_id" % 4 =!= 3), 1))
-    TableLog.commit(spark, src, typed(ev.filter($"event_id" % 4 === 3), 2))
+    TableLog.commit(spark, src, Action("schema", ev.schema.json) +: v1Adds)
+    TableLog.commit(spark, src, v2Adds)
     val a1 = audit(1, relay(spark, src, dst, "event_id", "r17").size)
     // caught up: the offset comes back from the DESTINATION's txn markers
     val a2 = audit(2, relay(spark, src, dst, "event_id", "r17").size)
     val retired3 = TableLog.liveFiles(spark, src, 2).filter(_.contains("/click/"))
-    TableLog.commit(spark, src, retired3.map(Action("remove", _)) ++
-      TableLog.stage(spark, src,
-        ev.filter($"event_type" === "click" && $"value" >= 100.0), "data/v3/click"))
+    TableLog.commit(spark, src, retired3.map(Action("remove", _)) ++ v3Adds)
     val a3 = audit(3, relay(spark, src, dst, "event_id", "r17").size)
     val retired4 = TableLog.liveFiles(spark, src, 3).filter(_.contains("/error/"))
-    TableLog.commit(spark, src, retired4.map(Action("remove", _)) ++
-      TableLog.stage(spark, src,
-        ev.filter($"event_type" === "error").withColumn("value", $"value" + 1.0),
-        "data/v4/error"))
+    TableLog.commit(spark, src, retired4.map(Action("remove", _)) ++ v4Adds)
     val a4 = audit(4, relay(spark, src, dst, "event_id", "r17").size)
     Seq(a1, a2, a3, a4).reduce(_ unionByName _).orderBy($"tick")
   }

@@ -945,7 +945,18 @@ object TableLog {
     * Returns the click files the rewrite retired (still on disk — older
     * versions must keep reading them). */
   private[graft] def buildFixture(spark: SparkSession, sfDir: String,
-      table: String): Seq[String] = {
+      table: String): Seq[String] =
+    buildFixtureWith(spark, sfDir, table, Nil)._1
+
+  /** [[buildFixture]] plus caller-supplied extra file sets (relpath → df)
+    * staged CONCURRENTLY with the fixture's nine — staged dirs are
+    * invisible until the caller commits their returned add actions, so a
+    * follow-on commit's write job overlaps the fixture pool instead of
+    * paying its own job-floor round afterwards (the s14 v4 backfill).
+    * Returns (retired click files, extra add-action lists in input
+    * order). */
+  private[graft] def buildFixtureWith(spark: SparkSession, sfDir: String,
+      table: String, extra: Seq[(String, DataFrame)]): (Seq[String], Seq[Seq[Action]]) = {
     import spark.implicits._
     val f = fsOf(spark, table)
     f.delete(new Path(table), true)
@@ -955,26 +966,28 @@ object TableLog {
     // type enum names the per-commit file sets
     val types = ev.select($"event_type").distinct()
       .orderBy($"event_type").as[String].collect().toSeq
-    // ALL NINE file sets stage concurrently ([[inParallel]]): the staged
-    // dirs are disjoint and unreachable until the three ordered commits
-    // below publish them, so the only sequential steps left are the
-    // manifest renames — previously nine tiny write jobs of per-job floor
-    // ran end to end and dominated every fixture-built declared row
+    // ALL NINE file sets (plus any caller extras) stage concurrently
+    // ([[inParallel]]): the staged dirs are disjoint and unreachable until
+    // the three ordered commits below publish them, so the only sequential
+    // steps left are the manifest renames — previously nine tiny write
+    // jobs of per-job floor ran end to end and dominated every
+    // fixture-built declared row
     def typedTasks(df: DataFrame, v: Int): Seq[() => Seq[Action]] =
       types.map(t => () => stage(spark, table,
         df.filter($"event_type" === t), s"data/v$v/$t"))
     val staged = inParallel(
       typedTasks(ev.filter($"event_id" % 4 =!= 3), 1) ++
-        typedTasks(ev.filter($"event_id" % 4 === 3), 2) :+
-        (() => stage(spark, table,
-          ev.filter($"event_type" === "click" && $"value" >= 100.0), "data/v3/click")))
+        typedTasks(ev.filter($"event_id" % 4 === 3), 2) ++
+        Seq(() => stage(spark, table,
+          ev.filter($"event_type" === "click" && $"value" >= 100.0), "data/v3/click")) ++
+        extra.map { case (rel, df) => () => stage(spark, table, df, rel) })
     // the initial commit records the schema: readers never trust footers
     commit(spark, table,
       Action("schema", ev.schema.json) +: staged.take(types.size).flatten)
     commit(spark, table, staged.slice(types.size, 2 * types.size).flatten)
     val retired = liveFiles(spark, table, 2).filter(_.contains("/click/"))
-    commit(spark, table, retired.map(Action("remove", _)) ++ staged.last)
-    retired
+    commit(spark, table, retired.map(Action("remove", _)) ++ staged(2 * types.size))
+    (retired, staged.drop(2 * types.size + 1))
   }
 
   /** Every version's snapshot rolled to (version, n_rows, id_sum) — the
