@@ -758,13 +758,15 @@ object TableLog {
     * paying them end to end. Correctness is unchanged by construction:
     * staged dirs are DISJOINT and invisible to every reader until the
     * caller's sequential [[commit]]s land — concurrency here reorders no
-    * observable event. Parallelism stays small (default 4): enough to
+    * observable event. Parallelism stays small (default 8): enough to
     * hide the scheduling gap, not enough for the tiny jobs to fight for
     * executor slots (the staged writes are one-task jobs over the
     * unsplittable fixture scans, so eight in flight still undercommit a
     * 32-core master; measured: 8 beats 4 on the 10-write relay source
     * build and the 12-commit s19 fixture). A task failure propagates its
-    * own exception (the cause, not the pool wrapper), loudly as before. */
+    * own exception (the cause, not the pool wrapper), loudly as before,
+    * and cancels the tasks still queued — running ones finish, and their
+    * staged dirs are invisible orphans either way (vacuum's job). */
   private[graft] def inParallel[T](tasks: Seq[() => T], parallelism: Int = 8): Seq[T] =
     if (tasks.sizeIs <= 1) tasks.map(_())
     else {
@@ -776,7 +778,11 @@ object TableLog {
         }))
         futs.map { f =>
           try f.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              futs.foreach(_.cancel(false)) // stop wasting staging work
+              throw e.getCause
+          }
         }
       } finally pool.shutdown()
     }
@@ -875,7 +881,11 @@ object TableLog {
         var trusted = true // every row group must carry usable stats
         var any = false    // at least one row group had a non-null value
         blocks.foreach { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == sc) match {
+          // case-INSENSITIVE name match: the former Spark-side aggregation
+          // resolved stats columns under the analyzer's default resolver,
+          // so a miscased caller still produced stats — the footer pass
+          // must not silently disable pruning where the old path pruned
+          b.getColumns.asScala.find(_.getPath.toDotString.equalsIgnoreCase(sc)) match {
             case Some(cc) =>
               val st = cc.getStatistics
               if (st == null || st.isEmpty) trusted = false

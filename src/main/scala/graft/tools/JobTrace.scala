@@ -31,7 +31,10 @@ object JobTrace {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
     val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
-    var tracing = false
+    // volatile: flipped on the main thread, read on the listener-bus
+    // thread; the drain sleeps below keep warm-run events from bleeding
+    // into (or traced events out of) the recording window
+    @volatile var tracing = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (tracing) {
         val desc = Option(e.properties)
@@ -53,6 +56,7 @@ object JobTrace {
     for (n <- args.toSeq) {
       val q = graft.SparkEntry.queries(n)
       graft.BenchUtil.force(q(spark, sf)) // warm
+      Thread.sleep(300) // drain in-flight warm-run events off the bus
       jobs.clear(); order.clear()
       tracing = true
       val t0 = System.nanoTime()
