@@ -338,14 +338,21 @@ object Dedup {
       round += 1
       val nbrMin = edges.join(labels, $"src" === $"doc_id")
         .groupBy($"dst").agg(min($"label").as("nbr_min"))
-      val updated = truncate(labels
+      // the convergence test rides the round's own truncation job as an
+      // observed metric (the cdfApply r18 probe fold) instead of a
+      // separate per-round count job. Only ever tested against ZERO, so
+      // it stays correct even where a truncation strategy materializes
+      // the plan more than once (reliable RDD checkpoints recompute).
+      val observed = labels
         .join(nbrMin, $"doc_id" === $"dst", "left_outer")
         .select($"doc_id",
           least($"label", coalesce($"nbr_min", $"label")).as("new_label"),
-          ($"label" > coalesce($"nbr_min", $"label")).as("was_lowered")),
-        s"labels-$round")
+          ($"label" > coalesce($"nbr_min", $"label")).as("was_lowered"))
+        .observe("__cc_round", count(when($"was_lowered", 1)).as("__lowered"))
+      val updated = truncate(observed, s"labels-$round")
       truncate.drop(s"labels-${round - 1}")
-      changed = updated.filter($"was_lowered").count()
+      changed = observed.queryExecution.observedMetrics("__cc_round")
+        .getAs[Long]("__lowered")
       labels = updated.select($"doc_id", $"new_label".as("label"))
     }
     // edges are no longer referenced (the final labels frame reads only
