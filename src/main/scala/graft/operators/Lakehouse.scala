@@ -869,14 +869,19 @@ object Lakehouse {
       .delete(new Path(table), true)
     val ev = Tables.events(spark, sfDir)
       .select($"event_id", $"user_id", $"event_type", $"value")
-    TableLog.commit(spark, table, Action("schema", ev.schema.json) +:
-      TableLog.stageWithStats(spark, table, ev, "data/v1", Seq("event_id"), 8))
     val doomed = ev.filter($"event_type" === "click" && $"value" < 100.0)
-    morDelete(spark, table, doomed.select($"event_id"))
     val reinserted = doomed.filter($"event_id" % 3 === 0)
       .withColumn("value", $"value" + 100000.0)
-    TableLog.commit(spark, table,
-      TableLog.stage(spark, table, reinserted, "data/v3"))
+    // both data file sets are pure functions of `ev`, so they stage in one
+    // concurrent round (invisible until their commits); the commit order —
+    // v1, the v2 DV delete, v3 — is unchanged, which is what the DV's
+    // sequence-number scoping is measured against
+    val Seq(v1Adds, v3Adds) = TableLog.inParallel(Seq(
+      () => TableLog.stageWithStats(spark, table, ev, "data/v1", Seq("event_id"), 8),
+      () => TableLog.stage(spark, table, reinserted, "data/v3")))
+    TableLog.commit(spark, table, Action("schema", ev.schema.json) +: v1Adds)
+    morDelete(spark, table, doomed.select($"event_id"))
+    TableLog.commit(spark, table, v3Adds)
     (1 to 3).map { v =>
       TableLog.readAsOf(spark, table, v)
         .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"),
