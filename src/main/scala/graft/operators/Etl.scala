@@ -164,9 +164,12 @@ object Etl {
       // deterministic size-binning: each (dir, bin) pair is one shuffle
       // key, so a hot dir fans out over ~bins tasks instead of the ONE
       // task per dir that repartition(partCols) would allow — at 100 TB a
-      // 500 GB hot dir compacts with 4000 writers, not 1
-      .repartition((partCols.map(col) :+
-        pmod(xxhash64(dataCols: _*), $"__bins")): _*)
+      // 500 GB hot dir compacts with 4000 writers, not 1. The partition
+      // COUNT is pinned (the s5/s6 r18 finding): unsized, AQE coalesces
+      // this exchange to one task at small byte sizes and the rewrite
+      // serializes; defaultParallelism scales with the session.
+      .repartition(spark.sparkContext.defaultParallelism,
+        (partCols.map(col) :+ pmod(xxhash64(dataCols: _*), $"__bins")): _*)
       .drop("__dir", "__bins")
   }
 
