@@ -1307,17 +1307,25 @@ object TableLog {
     * and under the v4 schema every pre-v4 file null-fills the column —
     * no file is ever rewritten for schema's sake, the 100 TB point of
     * log-tracked schemas. Returns the v4 version number. */
-  private[graft] def evolveFixture(spark: SparkSession, sfDir: String,
-      table: String): Int = {
+  /** The evolved (column-adding) backfill frame — shared by
+    * [[evolveFixture]] and the s12 staging hoist. */
+  private[graft] def evolvedTagged(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val retired = liveFiles(spark, table, currentVersion(spark, table))
-      .filter(_.contains("/error/"))
-    val tagged = Tables.events(spark, sfDir)
+    Tables.events(spark, sfDir)
       .select($"event_id", $"user_id", $"event_type", $"value")
       .filter($"event_type" === "error")
       .withColumn("source_tag",
         concat($"event_type", lit("-"), pmod($"user_id", lit(3L)).cast("string")))
-    val adds = stage(spark, table, tagged, "data/v4/error")
+  }
+
+  /** `staged`: pre-staged add actions for the backfill file set (the
+    * buildFixtureWith hoist) — None stages here, the standalone form. */
+  private[graft] def evolveFixture(spark: SparkSession, sfDir: String,
+      table: String, staged: Option[Seq[Action]] = None): Int = {
+    val retired = liveFiles(spark, table, currentVersion(spark, table))
+      .filter(_.contains("/error/"))
+    val tagged = evolvedTagged(spark, sfDir)
+    val adds = staged.getOrElse(stage(spark, table, tagged, "data/v4/error"))
     commit(spark, table,
       Action("schema", tagged.schema.json) +:
         (retired.map(Action("remove", _)) ++ adds))
@@ -1333,8 +1341,12 @@ object TableLog {
   def s12SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val table = s"${Etl.scratch(spark)}/s12_table"
-    buildFixture(spark, sfDir, table)
-    evolveFixture(spark, sfDir, table)
+    // the evolution backfill's file set rides the fixture pool (the s14
+    // v4 hoist); the v4 commit still derives its remove set and schema
+    // action at commit time
+    val (_, extraAdds) = buildFixtureWith(spark, sfDir, table,
+      Seq("data/v4/error" -> evolvedTagged(spark, sfDir)))
+    evolveFixture(spark, sfDir, table, staged = Some(extraAdds.head))
     (1 to currentVersion(spark, table))
       .map { v =>
         val df = readAsOf(spark, table, v)
