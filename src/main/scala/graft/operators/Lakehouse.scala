@@ -958,23 +958,28 @@ object Lakehouse {
     // an empty MERGE source must not commit a zero-key DV
     if (observed.queryExecution.observedMetrics("__merge_probe")
         .getAs[Long]("__n") == 0L) return cur
-    // the DV key file: morDelete's self-describing wire (the single
-    // column's NAME is the key column), one file by the delete-volume
-    // broadcast contract
+    // the DV key file (morDelete's self-describing wire: the single
+    // column's NAME is the key column, one file by the delete-volume
+    // broadcast contract) and the post-image stage are INDEPENDENT writes
+    // off the same checkpointed frame into disjoint staging dirs — they
+    // run concurrently (inParallel, the fixture-staging discipline) and
+    // stay invisible until the single commit below publishes both
     val dvRel = s"data/dv/${java.util.UUID.randomUUID}"
-    post.select(col(keyCol)).distinct().coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$table/$dvRel")
-    val dvActs = TableLog.listStaged(spark, table, dvRel)
-      .map(a => Action("dv", a.path))
-    require(dvActs.nonEmpty, "morMerge staged no key file")
-    // post-images: clustered with stats when the key can carry them
-    // (stageWithStats' integral wire contract), plain otherwise — stats
-    // skip work, never rows, so a statless merge file is just unprunable
     val addRel = s"data/merge/${java.util.UUID.randomUUID}"
-    val adds =
-      if (TableLog.isIntegral(sch(keyCol).dataType))
-        TableLog.stageWithStats(spark, table, post, addRel, Seq(keyCol), files)
-      else TableLog.stage(spark, table, post, addRel)
+    val Seq(dvActs, adds) = TableLog.inParallel(Seq(
+      () => {
+        post.select(col(keyCol)).distinct().coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$table/$dvRel")
+        TableLog.listStaged(spark, table, dvRel).map(a => Action("dv", a.path))
+      },
+      // post-images: clustered with stats when the key can carry them
+      // (stageWithStats' integral wire contract), plain otherwise — stats
+      // skip work, never rows, so a statless merge file is just unprunable
+      () =>
+        if (TableLog.isIntegral(sch(keyCol).dataType))
+          TableLog.stageWithStats(spark, table, post, addRel, Seq(keyCol), files)
+        else TableLog.stage(spark, table, post, addRel)))
+    require(dvActs.nonEmpty, "morMerge staged no key file")
     // declares the `dv` reader feature (S21, morDelete's discipline)
     TableLog.commit(spark, table,
       Action("feature", "dv") +: (dvActs ++ adds))
