@@ -575,9 +575,35 @@ object Lakehouse {
     * its UPDATE/DELETE/MERGE), and the key-clustered layout is what keeps
     * that bound tight. Returns the dst version committed (-1 = replayed
     * no-op). */
+  /** A window delta materialized AHEAD of its apply: the checkpointed
+    * slice plus the two source-side probe answers. A slice reads only the
+    * SOURCE (fixed for the whole window once a tick starts), so an apply
+    * loop prepares the next versions' deltas concurrently
+    * ([[prepareDelta]] on [[TableLog.inParallel]]) and overlaps their
+    * materialization jobs with the current version's stage+commit. */
+  private[graft] final case class PreparedDelta(delta: DataFrame, n: Long, ng: Long)
+
+  /** Materialize version `v`'s delta with the source-side probe metrics
+    * riding its checkpoint job (the cdfApply fold, minus the per-file
+    * hits — those depend on DESTINATION state at apply time, so a
+    * prepared apply answers the hit set with the fallback broadcast
+    * probe when delete/update keys exist). */
+  private[graft] def prepareDelta(spark: SparkSession, src: String, v: Int,
+      keyCol: String): PreparedDelta = {
+    import org.apache.spark.sql.functions.{col => c}
+    val isGone = c("_change_type").isin("delete", "update")
+    val observed = cdfSlice(spark, src, v, keyCol)
+      .observe("__cdf_pre", count(lit(1)).as("__n"),
+        count(when(isGone, 1)).as("__ng"))
+    val delta = observed.localCheckpoint()
+    val row = observed.queryExecution.observedMetrics("__cdf_pre")
+    PreparedDelta(delta, row.getAs[Long]("__n"), row.getAs[Long]("__ng"))
+  }
+
   private[graft] def cdfApply(spark: SparkSession, src: String, dst: String,
       v: Int, keyCol: String, consumer: String, files: Int,
-      evolveSchema: Boolean = false): Int = {
+      evolveSchema: Boolean = false,
+      prepared: Option[PreparedDelta] = None): Int = {
     import org.apache.spark.sql.functions.{col => c}
     val streamId = s"cdf:$consumer"
     if (TableLog.alreadyCommitted(spark, dst, streamId, v.toLong)) return -1
@@ -647,35 +673,47 @@ object Lakehouse {
     // thousands of aggregates, so the hit set falls back to the r17
     // broadcast-join probe — one job, still bounded by |dst files|,
     // still no gone KEY ever on the driver or in a plan literal.
-    val inlineProbe = dstV > 0 && ranged.nonEmpty &&
+    val inlineProbe = prepared.isEmpty && dstV > 0 && ranged.nonEmpty &&
       dstSchema.exists(s => s.fieldNames.contains(keyCol) &&
         TableLog.isIntegral(s(keyCol).dataType)) &&
       ranged.size <= TableLog.confInt(
         spark, "spark.graft.log.applyProbeInlineMaxFiles", "64")
-    val metricCols =
-      Seq(count(lit(1)).as("__n"), count(when(isGone, 1)).as("__ng")) ++
-        (if (!inlineProbe) Nil
-         else ranged.zipWithIndex.map { case (f, i) =>
-           val s = f.stats.find(_.col == keyCol).get
-           max(when(isGone && c(keyCol).cast("long") >= s.min &&
-             c(keyCol).cast("long") <= s.max, 1L).otherwise(0L)).as(s"__h$i")
-         })
-    // checkpoint the window delta: the range agg, the anti-join side, and
-    // the staged write would otherwise each re-run cdfSlice's full-outer
-    // join over the window's files. The observe node rides this one job
-    // and is truncated away with the rest of the lineage — downstream
-    // consumers scan the checkpointed rows, so no metric fires twice.
-    val observed = cdfSlice(spark, src, v, keyCol)
-      .observe("__cdf_probe", metricCols.head, metricCols.tail: _*)
-    val delta = observed.localCheckpoint()
-    // metrics read synchronously off the EXECUTED plan's accumulators —
-    // not via Observation.get, whose latch waits on the async listener
-    // bus (measured 30-150 ms of pure lag per applied version)
-    val probe: org.apache.spark.sql.Row =
-      observed.queryExecution.observedMetrics("__cdf_probe")
-    def metric(name: String): Long = probe.getAs[Any](name) match {
-      case x: Number => x.longValue()
-      case _ => 0L // max over zero rows observes null; only reachable empty
+    // checkpoint the window delta (a PREPARED one arrives already
+    // checkpointed with its source-side metrics — the lookahead path):
+    // the range agg, the anti-join side, and the staged write would
+    // otherwise each re-run cdfSlice's full-outer join over the window's
+    // files. The observe node rides this one job and is truncated away
+    // with the rest of the lineage — downstream consumers scan the
+    // checkpointed rows, so no metric fires twice.
+    val (delta, metric): (DataFrame, String => Long) = prepared match {
+      case Some(p) =>
+        (p.delta, { name: String =>
+          if (name == "__n") p.n else if (name == "__ng") p.ng
+          else throw new IllegalStateException(s"no prepared metric $name")
+        })
+      case None =>
+        val metricCols =
+          Seq(count(lit(1)).as("__n"), count(when(isGone, 1)).as("__ng")) ++
+            (if (!inlineProbe) Nil
+             else ranged.zipWithIndex.map { case (f, i) =>
+               val s = f.stats.find(_.col == keyCol).get
+               max(when(isGone && c(keyCol).cast("long") >= s.min &&
+                 c(keyCol).cast("long") <= s.max, 1L).otherwise(0L)).as(s"__h$i")
+             })
+        val observed = cdfSlice(spark, src, v, keyCol)
+          .observe("__cdf_probe", metricCols.head, metricCols.tail: _*)
+        val ck = observed.localCheckpoint()
+        // metrics read synchronously off the EXECUTED plan's accumulators
+        // — not via Observation.get, whose latch waits on the async
+        // listener bus (measured 30-150 ms of pure lag per version)
+        val probe: org.apache.spark.sql.Row =
+          observed.queryExecution.observedMetrics("__cdf_probe")
+        (ck, { name: String =>
+          probe.getAs[Any](name) match {
+            case x: Number => x.longValue()
+            case _ => 0L // max over zero rows observes null; only empty
+          }
+        })
     }
     val deltaEmpty = metric("__n") == 0L
     // an EMPTY feed (a source compaction / identical rewrite, or a bare
@@ -783,8 +821,15 @@ object Lakehouse {
     s14Fixture(spark, sfDir, src)
     new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new Path(dst), true)
+    // all four window deltas read only the (already fully built) source,
+    // so they materialize in ONE concurrent round and each apply consumes
+    // its prepared slice — the lookahead that overlaps the per-version
+    // checkpoint jobs the sequential loop paid end to end
+    val pres = TableLog.inParallel((1 to 4).map(v => () =>
+      prepareDelta(spark, src, v, "event_id")))
     (1 to 4).foreach { v =>
-      cdfApply(spark, src, dst, v, "event_id", "s17", files = 4)
+      cdfApply(spark, src, dst, v, "event_id", "s17", files = 4,
+        prepared = Some(pres(v - 1)))
       if (v == 3)
         require(cdfApply(spark, src, dst, 3, "event_id", "s17", 4) == -1,
           "re-delivered version must no-op at the txn gate")
@@ -1061,13 +1106,26 @@ object Lakehouse {
     val from = TableLog.lastCommitted(spark, dst, streamId)
       .map(_.toInt).getOrElse(0)
     val to = TableLog.currentVersion(spark, src)
-    val applied = ((from + 1) to to).map { v =>
-      val dstV = cdfApply(spark, src, dst, v, keyCol, consumer, files,
-        evolveSchema)
-      if (every > 0 && dstV > 0 && dstV % every == 0)
-        TableLog.checkpointLog(spark, dst)
-      v
-    }
+    // prepared-delta lookahead: within a tick the source is fixed, so a
+    // multi-version catch-up window materializes its slices concurrently
+    // in bounded batches (spark.graft.log.applyPrefetch, default 4 —
+    // bounds how many checkpointed window deltas are live at once after
+    // a long downtime) while the applies commit strictly in order
+    val prefetch = math.max(1, TableLog.confInt(
+      spark, "spark.graft.log.applyPrefetch", "4"))
+    val applied = ((from + 1) to to).grouped(prefetch).flatMap { batch =>
+      val pres =
+        if (batch.size <= 1) batch.map(v => None)
+        else TableLog.inParallel(batch.map(v => () =>
+          prepareDelta(spark, src, v, keyCol))).map(Some(_))
+      batch.zip(pres).map { case (v, pre) =>
+        val dstV = cdfApply(spark, src, dst, v, keyCol, consumer, files,
+          evolveSchema, prepared = pre)
+        if (every > 0 && dstV > 0 && dstV % every == 0)
+          TableLog.checkpointLog(spark, dst)
+        v
+      }
+    }.toSeq
     // conf-gated auto-OPTIMIZE (the [[maybeOptimize]] policy): a
     // long-lived relay is exactly the writer whose destination
     // accumulates apply files without bound. Checked only on ticks that
@@ -1400,7 +1458,12 @@ object Lakehouse {
     val dst = s"${Etl.scratch(spark)}/s17_warm_dst"
     new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new Path(dst), true)
-    (1 to 4).foreach(v => cdfApply(spark, src, dst, v, "event_id", "s17w", 4))
+    // prepared-delta lookahead (the s17CowMerge discipline): the source
+    // history is prebuilt, so the four slices materialize concurrently
+    val pres = TableLog.inParallel((1 to 4).map(v => () =>
+      prepareDelta(spark, src, v, "event_id")))
+    (1 to 4).foreach(v => cdfApply(spark, src, dst, v, "event_id", "s17w", 4,
+      prepared = Some(pres(v - 1))))
     TableLog.readAsOf(spark, dst, TableLog.currentVersion(spark, dst))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"),
