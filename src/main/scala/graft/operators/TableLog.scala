@@ -1419,7 +1419,21 @@ object TableLog {
     fsOf(spark, table).delete(new Path(table), true)
     val ev = Tables.events(spark, sfDir)
       .select($"event_id", $"user_id", $"event_type", $"value")
-    var state = mvSlice(spark, table, Seq.empty, 1L)
+    // folded-state checkpoint LADDER (the BPE_CHECKPOINT_EVERY idiom,
+    // r18): each version's view folds the ≤K pending window deltas onto
+    // the last checkpointed state lazily — version v's output union
+    // branch and the v+1 fold then re-derive at most K tiny delta
+    // slices (LINEAR, each branch built from ckState, never from the
+    // previous lazy state — reusing state_{v-1} twice per version is
+    // the exponential-inline trap) instead of paying one |types|-row
+    // checkpoint JOB per version (4 job walls of pure floor here).
+    // Every K folds the state materializes once, which keeps a
+    // long-lived refresher's plan depth and per-tick cost O(K) — the
+    // same bounded-depth contract the per-version checkpoint gave, at
+    // 1/K the materialization jobs.
+    val every = math.max(1, confInt(spark, "spark.graft.mv.checkpointEvery", "8"))
+    var ckState = mvSlice(spark, table, Seq.empty, 1L)
+    var pending: Seq[DataFrame] = Nil
     val views = (0 until 4).map { b =>
       commitBatch(table, "r16")(ev.filter($"event_id" % 4 === b), b.toLong)
       if (b == 1) {
@@ -1429,8 +1443,13 @@ object TableLog {
           "re-delivered batch must not commit twice")
       }
       val v = currentVersion(spark, table)
-      state = mvMerge(state, mvDelta(spark, table, v - 1, v)).localCheckpoint()
-      state.select(lit(v.toLong).as("version"), $"event_type", $"n_rows", $"id_sum")
+      pending :+= mvDelta(spark, table, v - 1, v)
+      if (pending.size >= every) {
+        ckState = pending.foldLeft(ckState)(mvMerge).localCheckpoint()
+        pending = Nil
+      }
+      pending.foldLeft(ckState)(mvMerge)
+        .select(lit(v.toLong).as("version"), $"event_type", $"n_rows", $"id_sum")
     }
     views.reduce(_ unionByName _).orderBy($"version", $"event_type")
   }
